@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full plan execution materialized via a count-ish reduction
+(``df.toLocalIterator`` would serialize; ``collect`` on aggregates is
+tiny; per-row outputs are reduced with count()) — we charge the whole
+pipeline, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hive_gateway_spark import registry
+from hive_gateway_spark.session import get_spark
+
+#: Headline set: one per operator family, weighted toward shuffle-heavy
+#: shapes (the ones that matter at 100 TB).
+HEADLINE = [
+    "q_gateway_pipeline",
+    "q_agg_group",
+    "q_join_multiway",
+    "q_join_range",
+    "q_window_rate_limit",
+    "q_sessionize",
+    "q_agg_cube",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_text_tokenize",
+    "q_text_quality",
+    "q_sim_cosine_pairs",
+    "q_sim_topk",
+    "q_embed_agg",
+    "q_multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    registry.load_all()
+    spark = get_spark("hive-gateway-spark-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        # warm the reader metadata once so timing is the query, not
+        # first-touch schema inference
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Vector math over array<float> columns — JVM-side, UDF-free.
+
+Determinism + speed come from the same trick: vectors are quantized to
+**int64 at 6 dp** (x → round(x·10⁶)). With dim = 64 and |x| ≤ ~30 the
+dot product stays below 2⁵³ (per-term ≤ 9·10¹⁴ only if |x| ~ 30; fixture
+values are ≪ 1, giving ~10¹² sums), so every dot/norm is *exact integer
+arithmetic* — order-independent (same value in Spark's fold and the
+oracle's SUM), and it whole-stage-codegens as plain long ops instead of
+boxed Decimal. Doubles appear only after the reduction (exact: < 2⁵³)
+for the sqrt/threshold math, with identical expression shapes in both
+engines so the IEEE results are bit-identical.
+
+The quantization is part of the operator contract (both engines see
+identical inputs), not a fudge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: Quantization scale: 6 decimal places.
+SCALE = 1_000_000
+
+
+def vec_q(col: str) -> Column:
+    """array<float> → array<bigint>: round each component to 6 dp ×10⁶.
+
+    The inner round(·,6) then round(·×10⁶, 0) double-step avoids
+    truncation off-by-ones from binary representation (e.g. 0.123 →
+    122999.99…) — both engines run the identical expression.
+    """
+    return F.expr(
+        f"transform({col}, x -> CAST(round(round(CAST(x AS DOUBLE), 6) * {SCALE}, 0) AS BIGINT))"
+    )
+
+
+def dot_q(a: str, b: str) -> Column:
+    """Exact integer dot product of two quantized arrays → double (exact)."""
+    return F.expr(
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"
+    )
+
+
+def norm2_q(a: str) -> Column:
+    """Exact integer squared L2 norm of a quantized array → double."""
+    return dot_q(a, a)
+
+
+def cosine_cond(dot: Column, norm2_a: Column, norm2_b: Column, tau: float) -> Column:
+    """cos(a,b) >= tau without sqrt/division: dot > 0 AND dot² >= τ²·|a|²·|b|².
+
+    Pure double comparisons with a fixed expression shape — bit-identical
+    in Spark and the DuckDB oracle (inputs are exact integers < 2⁵³).
+    """
+    return (dot > 0) & (dot * dot >= F.lit(tau * tau) * norm2_a * norm2_b)
+
+
+#: DuckDB twin of vec_q/norm2_q as a flat (vec_id, label, pos, iv) CTE.
+#: SUM(bigint) is HUGEINT in DuckDB — exact — then cast to DOUBLE (< 2⁵³,
+#: also exact), matching dot_q.
+DUCK_FLAT_CTE = f"""
+    v AS (
+        SELECT vec_id, label,
+               CAST(round(round(CAST(unnest(embedding) AS DOUBLE), 6) * {SCALE}, 0) AS BIGINT)
+                 AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, label, CAST(SUM(val * val) AS DOUBLE) AS norm2
+        FROM v GROUP BY vec_id, label
+    )
+"""

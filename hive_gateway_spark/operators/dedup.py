@@ -1,0 +1,310 @@
+"""Deduplication suite (BASELINE.json north star): exact, shingle-Jaccard,
+MinHash LSH, SimHash, and embedding-cosine near-dup.
+
+Scale narrative (100 TB): exact dedup is a hash group-by (one shuffle on
+the content key). The *verified* near-dup operator (q_dedup_ngram) joins
+on shingles, which is exact but can skew on hot shingles at scale — the
+production path is MinHash LSH (q_dedup_fuzzy: signature → bands →
+bucket join, bounded fan-out) and SimHash banding (q_dedup_simhash);
+both are here with deterministic seeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hive_gateway_spark.registry import query
+from hive_gateway_spark.session import load_tables
+
+#: Word-n-gram shingle width (3-grams discriminate well: random-pair
+#: Jaccard p99 ≈ 0.014 on the fixture, planted near-dups reach 0.99).
+SHINGLE_N = 3
+
+#: Near-dup threshold for the exact shingle-Jaccard operator.
+JACCARD_TAU = 0.5  # compare as 2*shared >= union — integer, exact
+
+_SHINGLE_EXPR = (
+    "transform(sequence(0, size(words) - {n}), "
+    "i -> concat_ws(' ', slice(words, i + 1, {n})))"
+).format(n=SHINGLE_N)
+
+
+def _shingles(t) -> DataFrame:
+    """doc_id → distinct word-3-gram shingles (JVM higher-order fns)."""
+    docs = t["documents"].withColumn("words", F.split("text", " "))
+    return (
+        docs.filter(F.size("words") >= SHINGLE_N)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
+        .distinct()
+    )
+
+
+#: DuckDB twin of _shingles (LEAD window builds the 3-grams).
+_DUCK_SHINGLES = f"""
+    tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w
+                 AS shingle
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY LEAD(word, {SHINGLE_N - 1}) OVER w IS NOT NULL
+    )
+"""
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+    GROUP BY lang
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a deterministic survivor (min doc_id per text —
+    dropDuplicates would keep an arbitrary row), then a per-lang report.
+    One shuffle on the text hash; at 100 TB dedup on sha2(text) instead
+    of the full text to shrink the exchange (same plan shape)."""
+    t = load_tables(spark, sf_dir)
+    keepers = t["documents"].groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        t["documents"]
+        .join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           (na.n + nb.n - p.shared) AS union_sz,
+           ROUND(CAST(p.shared AS DOUBLE) / (na.n + nb.n - p.shared), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes na ON na.doc_id = p.doc_a
+    JOIN sizes nb ON nb.doc_id = p.doc_b
+    WHERE 2 * p.shared >= (na.n + nb.n - p.shared)
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (τ = 0.5, compared in integer
+    arithmetic: 2·|A∩B| ≥ |A∪B| — no float in the predicate)."""
+    t = load_tables(spark, sf_dir)
+    sh = _shingles(t)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("shared"))
+        .filter(2 * F.col("shared") >= F.col("union_sz"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "union_sz",
+            F.round(F.col("shared").cast("double") / F.col("union_sz"), 4).alias("jaccard"),
+        )
+    )
+
+
+@query("q_dedup_fuzzy")  # rows-only: MinHash LSH has no SQL oracle (SURVEY §2.3)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates (the scale path: signature →
+    band → bucket join; shuffle is bounded by band buckets, immune to
+    hot-shingle skew). MLlib MinHashLSH with a fixed seed over hashed
+    shingle features; candidates at Jaccard distance ≤ 0.5.
+
+    Verified rows-only; the *exact* twin q_dedup_ngram is the SQL-
+    verified ground truth, and tests/test_dedup.py checks LSH recall
+    against it."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("words", F.split("text", " ")).filter(
+        F.size("words") >= SHINGLE_N
+    )
+    shingled = docs.select(
+        "doc_id", F.expr(_SHINGLE_EXPR).alias("shingles")
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled).filter(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=16, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )
+
+
+@query("q_dedup_simhash")  # rows-only: engine-native hash (xxhash64) — no SQL oracle
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit sign-aggregated token hashes, candidate
+    generation by 16-bit band collision, verification by Hamming
+    distance ≤ 12 — all JVM bit arithmetic (xxhash64/bit_count), no UDF.
+
+    Band trick: two docs within Hamming distance d collide on ≥1 of 4
+    bands with good probability (exact if d < 4) — the banding join is
+    the scale-out step (shuffle on band value, not all-pairs)."""
+    t = load_tables(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .select("doc_id", F.xxhash64("word").alias("h"))
+    )
+    # Sign-sum each of the 64 bits, then reassemble the fingerprint.
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    simhash = F.lit(0).cast("bigint")
+    for b in range(64):
+        simhash = simhash.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(0)
+        )
+    fp = bit_sums.select("doc_id", simhash.alias("simhash"))
+    # 4 bands × 16 bits: candidates collide on at least one band.
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "key"
+    )
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= 12)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+#: Embedding near-dup threshold (fixture max within-label cosine ≈ 0.47).
+EMBED_DUP_TAU = 0.4
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=None,  # set below via _embed_dup_oracle() — needs the shared CTE
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above τ inside label blocks; the
+    lower vec_id is the canonical survivor (keep_id)."""
+    from hive_gateway_spark.functions.vectors import (
+        cosine_cond,
+        dot_q,
+        norm2_q,
+        vec_q,
+    )
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", "label", vec_q("embedding").alias("v")
+    ).withColumn("n2", norm2_q("v"))
+    a = e.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("label").alias("la"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("keep_id") < F.col("dup_id")))
+        .select(
+            "keep_id",
+            "dup_id",
+            dot_q("va", "vb").alias("dot"),
+            "na",
+            "nb",
+        )
+        .filter(cosine_cond(F.col("dot"), F.col("na"), F.col("nb"), EMBED_DUP_TAU))
+        .select("keep_id", "dup_id")
+    )
+
+
+def _embed_dup_oracle() -> str:
+    from hive_gateway_spark.functions.vectors import DUCK_FLAT_CTE
+
+    return f"""
+    WITH {DUCK_FLAT_CTE},
+    dots AS (
+        SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+               CAST(SUM(a.val * b.val) AS DOUBLE) AS dot
+        FROM v a
+        JOIN v b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT d.keep_id, d.dup_id
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.keep_id
+    JOIN norms nb ON nb.vec_id = d.dup_id
+    WHERE d.dot > 0
+      AND d.dot * d.dot >= {EMBED_DUP_TAU * EMBED_DUP_TAU} * na.norm2 * nb.norm2
+    """
+
+
+from hive_gateway_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["q_dedup_embedding"] = _embed_dup_oracle()

@@ -1,0 +1,140 @@
+"""Gateway Layer-A composites — the reference's end-to-end request path
+replayed as one declarative pipeline over the `events` fixture.
+
+`events` models the gateway's request stream (FIXTURES.md): user_id = the
+auth token, event_type = mod.fun, ts = arrival time, props = the untyped
+msgpack arg. The flagship pipeline is SURVEY §7.2's minimum end-to-end
+slice: parse → classify → admission window → broadcast route join →
+aggregate — stages 1-7 of the reference lifecycle (SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from hive_gateway_spark.functions.binary import negotiate_compression
+from hive_gateway_spark.operators.windows import RATE_LIMIT_N
+from hive_gateway_spark.registry import query
+from hive_gateway_spark.session import load_tables
+
+_FLAGSHIP_ORACLE = f"""
+WITH admitted AS (
+    SELECT event_id, user_id, event_type, ts, value,
+           CAST(props->>'$.k' AS INTEGER) AS k,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id) <= {RATE_LIMIT_N} AS admitted
+    FROM events
+), routed AS (
+    SELECT a.*, n.n_name AS route_mod, r.r_name AS route_region
+    FROM admitted a
+    JOIN nation n ON (a.user_id % 25) = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT route_region, event_type, date_trunc('day', ts) AS day,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(SUM(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+       CAST(SUM(CASE WHEN admitted THEN CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS admitted_value,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM routed
+GROUP BY route_region, event_type, date_trunc('day', ts)
+"""
+
+
+@query("q_gateway_pipeline", oracle=_FLAGSHIP_ORACLE)
+def q_gateway_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the gateway request lifecycle as one Catalyst plan.
+
+    ingest (scan) → msgpack-arg parse (get_json_object; ref O19) →
+    admission window (ref O16 intended semantics) → route resolution as
+    a broadcast dimension join (ref O21) → per-(region, mod, day)
+    traffic/admission report (what ref O2's log consumers compute).
+
+    Scale shape: the only wide exchange is the window partition by
+    (user_id, day) and the final group-by; both route joins broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts", "event_id")
+    admitted = t["events"].select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        (F.row_number().over(w) <= RATE_LIMIT_N).alias("admitted"),
+    )
+    routes = F.broadcast(
+        t["nation"].join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    routed = admitted.join(
+        routes, F.pmod(F.col("user_id"), F.lit(25)).cast("int") == F.col("n_nationkey")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        routed.groupBy(
+            F.col("r_name").alias("route_region"),
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("n_admitted"),
+            F.sum(F.when(F.col("admitted"), 0).otherwise(1)).alias("n_rejected"),
+            F.sum(
+                F.when(F.col("admitted"), F.col("value").cast("decimal(18,2)")).otherwise(zero)
+            )
+            .cast("double")
+            .alias("admitted_value"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@query("q_gateway_compression")  # rows-only: zlib has no SQL oracle (SURVEY §7.5.3)
+def q_gateway_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression negotiation (ref O10-O15) over synthesized binary
+    payloads: documents.text → binary payload; Accept-Encoding derived
+    deterministically from doc_id. Verified by pytest round-trip
+    properties (inflate(deflate(x)) == x) and here as a rows-only check:
+    per (source, encoding) counts + size totals.
+
+    The payload column is the engine's "multimodal opaque binary" type:
+    the same plumbing carries image/audio bytes (operators/multimodal)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.encode("text", "utf-8").alias("payload"),
+        # 4-way deterministic Accept-Encoding header mix
+        F.element_at(
+            F.array(
+                F.lit("deflate, gzip"),
+                F.lit("gzip"),
+                F.lit("identity"),
+                F.lit("deflate"),
+            ),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+        ).alias("accept_encoding"),
+    )
+    body, enc = negotiate_compression(F.col("payload"), F.col("accept_encoding"))
+    out = d.select(
+        "doc_id",
+        "source",
+        F.length("payload").alias("raw_len"),
+        F.length(body).alias("body_len"),
+        F.coalesce(enc, F.lit("identity")).alias("content_encoding"),
+    )
+    return (
+        out.groupBy("source", "content_encoding")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("raw_len").alias("raw_bytes"),
+            F.sum("body_len").alias("body_bytes"),
+        )
+    )

@@ -1,0 +1,151 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design (BASELINE.json north star): media travels as a `binary` column
+with a typed metadata struct beside it; decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas functions over
+`mapInPandas`, so at 100 TB each executor decodes its own partition's
+bytes — the bytes never hit the driver or a shuffle unless explicitly
+repartitioned.
+
+The container has no image/audio codecs, so the *decode kernel* is
+stubbed (NotImplementedError) behind a deterministic fake
+(_fake_decode) while the Spark-side plumbing — schemas, batch iteration,
+partitioning — is real and tested (tests/test_multimodal.py). The
+fixture payloads are synthesized from documents.text with a fake media
+header, which also lets q_multimodal_meta keep a real SQL oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from hive_gateway_spark.registry import query
+from hive_gateway_spark.session import load_tables
+
+#: Magic prefix of the synthesized fake media format ("IMGF" v1).
+MAGIC = b"IMGF"
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def payloads(t) -> DataFrame:
+    """documents → (doc_id, source, payload binary, meta struct).
+
+    payload = MAGIC ‖ utf8(text); metadata is derived deterministically
+    from n_chars so it is SQL-reproducible: width/height/channels mimic
+    image dims, sha identifies content.
+    """
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        "source",
+        F.concat(F.lit(MAGIC), F.encode("text", "utf-8")).alias("payload"),
+        F.struct(
+            (F.length("text") + F.lit(len(MAGIC))).cast("long").alias("size_bytes"),
+            F.sha2(F.encode("text", "utf-8"), 256).alias("sha256"),
+            (F.pmod(F.col("n_chars"), F.lit(640)) + 1).cast("int").alias("width"),
+            (F.pmod(F.col("n_chars") * 7, F.lit(480)) + 1).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_assets,
+           CAST(SUM(length(text) + 4) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT sha256(text)) AS n_unique,
+           CAST(SUM((n_chars % 640) + 1) AS BIGINT) AS sum_width,
+           CAST(SUM(((n_chars * 7) % 480) + 1) AS BIGINT) AS sum_height
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata report over the binary asset table: per source,
+    asset counts, byte totals, content-hash dedup cardinality, and
+    dimension sums — all computed from the metadata struct (the scan
+    prunes the payload column away entirely; asserted in test_plans)."""
+    t = load_tables(spark, sf_dir)
+    p = payloads(t)
+    return p.groupBy("source").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("meta.size_bytes").alias("total_bytes"),
+        F.countDistinct("meta.sha256").alias("n_unique"),
+        F.sum("meta.width").alias("sum_width"),
+        F.sum("meta.height").alias("sum_height"),
+    )
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real decode kernel — STUB. Needs PIL/libvips, absent here.
+
+    Raises NotImplementedError so nothing silently ships fake pixels;
+    production swaps this single function.
+    """
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float, int]:
+    """Deterministic stand-in: dims and mean byte from the raw bytes."""
+    body = payload[len(MAGIC):]
+    n = len(body)
+    width = n % 640 + 1
+    height = (n * 7) % 480 + 1
+    mean_byte = (sum(body) / n) if n else 0.0
+    return width, height, 3, mean_byte, n % 16 + 1
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow batches of payload bytes → decoded
+    feature rows. This is the real operator plumbing (schema, batch
+    iteration, executor-local work); only the innermost kernel is the
+    deterministic fake until codecs exist."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(bytes(b)) for b in pdf["payload"]]
+            out = pd.DataFrame(
+                decoded,
+                columns=["width", "height", "channels", "mean_byte", "n_frames"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return assets.select("doc_id", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+@query("q_multimodal_decode")  # rows-only: the decode kernel has no SQL oracle
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over the binary column via mapInPandas,
+    then a per-source feature report (row count is deterministic:
+    one row per source)."""
+    t = load_tables(spark, sf_dir)
+    p = payloads(t)
+    decoded = decode_assets(p)
+    return (
+        decoded.join(p.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_decoded"),
+            F.sum("width").alias("sum_width"),
+            F.sum("height").alias("sum_height"),
+            F.sum(F.col("mean_byte").cast("decimal(18,6)")).cast("double").alias(
+                "sum_mean_byte"
+            ),
+        )
+    )

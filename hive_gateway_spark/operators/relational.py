@@ -1,0 +1,651 @@
+"""Relational core — scans, expressions, joins, aggregates, sorts, set ops.
+
+Each operator is declared as a Catalyst logical plan (DataFrame API) so
+pushdown/pruning/join-selection are automatic; the adjacent oracle SQL is
+the ANSI equivalent DuckDB runs for the correctness gate.
+
+Determinism rules used throughout (SURVEY §7.4):
+- Sums/avgs over doubles go through an exact decimal cast whose scale
+  covers the value's exact decimal width (fixture monetary values have
+  2 decimals; 2dec×2dec products have 4), so aggregation is
+  order-independent and the final double is identical in both engines.
+- Timestamps are only exposed through date_trunc buckets (events.ts is
+  ns in parquet; Spark sees µs — see session.py).
+- Every output column is aliased identically in Spark and SQL.
+
+Reference parity notes cite /root/reference/src/gateway.ts (file:line).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hive_gateway_spark.registry import query
+from hive_gateway_spark.session import load_tables
+
+
+def dec(col, scale: int = 2):
+    """Exact decimal cast for order-independent double aggregation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Scans & projection (ref O19/O20: envelope decode + field projection,
+# gateway.ts:184-194 → parquet scan + column pruning + pushed filter).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS net_price
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + projection + pushed filter. The filter and the 4-column
+    ReadSchema reach the parquet scan (asserted in tests/test_plans.py)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .cast("double")
+            .alias("net_price"),
+        )
+    )
+
+
+@query(
+    "q_filter_predicate",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100.0
+    """,
+)
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate filter (ref O18 method gate, gateway.ts:183)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar expressions.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_expr_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           substr(c_name, 1, length(c_name) - 1)
+             || CAST(CAST(substr(c_name, length(c_name), 1) AS INTEGER) + 1 AS VARCHAR)
+             AS addr_next
+    FROM customer
+    """,
+)
+def q_expr_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expr suite replicating the reference's connect_address
+    rewrite (gateway.ts:45-53): increment the last digit of a string —
+    including its digit-9 lengthening quirk ('…9' → '…10'), which we
+    reproduce faithfully as documented semantics (SURVEY §7.4.4)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    last = F.substring(F.col("c_name"), -1, 1)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"),
+            (last.cast("int") + 1).cast("string"),
+        ).alias("addr_next"),
+    )
+
+
+@query(
+    "q_expr_case",
+    oracle="""
+    SELECT CASE
+             WHEN length(c_name) = 28 THEN 'wx'
+             WHEN length(c_name) = 36
+                  AND substr(c_name, 9, 1) = '-' AND substr(c_name, 14, 1) = '-'
+                  AND substr(c_name, 19, 1) = '-' AND substr(c_name, 24, 1) = '-'
+               THEN 'uuid'
+             WHEN c_acctbal < 0 THEN 'session_debit'
+             WHEN c_acctbal < 5000 THEN 'session_low'
+             ELSE 'session_high'
+           END AS token_class,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def q_expr_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-branch CASE — the reference's 3-way token classifier
+    (gateway.ts:203, 225-226: len==28 → WeChat, 36 w/ dashes at
+    9/14/19/24 (1-based) → raw-uuid rescue, else session token),
+    extended with value sub-classes so every branch is populated."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    name = F.col("c_name")
+    uuid_shape = (
+        (F.length(name) == 36)
+        & (F.substring(name, 9, 1) == "-")
+        & (F.substring(name, 14, 1) == "-")
+        & (F.substring(name, 19, 1) == "-")
+        & (F.substring(name, 24, 1) == "-")
+    )
+    cls = (
+        F.when(F.length(name) == 28, "wx")
+        .when(uuid_shape, "uuid")
+        .when(F.col("c_acctbal") < 0, "session_debit")
+        .when(F.col("c_acctbal") < 5000, "session_low")
+        .otherwise("session_high")
+    )
+    return (
+        c.groupBy(cls.alias("token_class"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("c_acctbal")).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "q_expr_coalesce",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.n_urgent, 0) AS n_urgent,
+           COALESCE(o.urgent_total, 0.0) AS urgent_total
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey,
+               COUNT(*) AS n_urgent,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS urgent_total
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_expr_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE over a left-join miss — the reference's dispatch context
+    builds ip = coalesce(x-forwarded-for, remoteAddress)
+    (gateway.ts:211-215); here: per-customer urgent-order totals with
+    0-defaults for customers that never placed an urgent order."""
+    t = load_tables(spark, sf_dir)
+    urgent = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_urgent"),
+            F.sum(dec("o_totalprice")).cast("double").alias("urgent_total"),
+        )
+    )
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+            F.coalesce("urgent_total", F.lit(0.0)).alias("urgent_total"),
+        )
+    )
+
+
+@query(
+    "q_expr_regex",
+    oracle=r"""
+    SELECT doc_id, lang,
+           regexp_extract(text, '\b(scan|join|filter)\b', 0) AS first_op
+    FROM documents
+    WHERE regexp_matches(text, '\bjoin\b')
+    """,
+)
+def q_expr_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate + extract — the reference's Accept-Encoding
+    word-boundary matcher (gateway.ts:83,94: /\bdeflate\b/)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("text").rlike(r"\bjoin\b"))
+        .select(
+            "doc_id",
+            "lang",
+            F.regexp_extract("text", r"\b(scan|join|filter)\b", 0).alias("first_op"),
+        )
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON extraction — the reference's untyped msgpack
+    `arg` (gateway.ts:192) carried as a JSON string column."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (ref O21/O24/O25: route/auth lookup joins → broadcast hash joins;
+# miss branches → anti joins).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name AS route_mod,
+           COUNT(*) AS n_calls,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension lookup join — the reference's route table routes[mod]
+    (gateway.ts:195, 289-293). The dim side is broadcast (plan asserted
+    in tests): at 100 TB the fact side never shuffles for this join."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].withColumn("mod_key", F.pmod(F.col("user_id"), F.lit(25)).cast("int"))
+    return (
+        e.join(F.broadcast(t["nation"]), e.mod_key == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("route_mod"))
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer lookup join with misses — the reference's token→uid
+    resolution (gateway.ts:204, 236): found → enrich, miss → null."""
+    t = load_tables(spark, sf_dir)
+    pos_cust = t["customer"].filter(F.col("c_acctbal") > 0)
+    return (
+        t["orders"]
+        .join(pos_cust, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "c_mktsegment",
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — "authorized only" (ref O24: token found in the
+    auth dimension → proceed)."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000.0)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — the miss branch (ref O21 module-not-found 404 /
+    O24 unauthorized 307, gateway.ts:296-298, 219-221)."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000.0)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT r.r_name AS region,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join (TPC-H Q5 shape). The three dimension joins
+    broadcast; only lineitem⋈orders shuffles — the plan a 100 TB run
+    wants (Catalyst + AQE pick it; asserted in tests)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["region"]
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_shipped_90d,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_90d
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join — beyond the reference (SURVEY §2.2 marks it
+    an engine feature). Implemented as an equi join on the key with the
+    range as a residual predicate, so it still hash-partitions on
+    l_orderkey at scale instead of degenerating to a cross product."""
+    t = load_tables(spark, sf_dir)
+    o, l = t["orders"], t["lineitem"]
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        o.join(l, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_shipped_90d"),
+            F.sum(dec("l_quantity")).cast("double").alias("qty_90d"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (ref O16 windowed count is the only reference agg; the rest
+# is the engine's mandate).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate, TPC-H Q1 shape: partial (map-side) + final agg —
+    at 100 TB the shuffle carries only group keys × partial states."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    sum_qty = F.sum(dec("l_quantity")).cast("double")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec(disc, 4)).cast("double").alias("sum_disc_price"),
+            F.sum(dec(charge, 6)).cast("double").alias("sum_charge"),
+            (sum_qty / F.count("*")).cast("double").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregate (ref O16 keyspace: distinct tokens)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+        )
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_calls
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    HAVING COUNT(*) > 5
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter — "rate-limit violators": callers whose
+    per-day volume exceeds the cap (ref O16's LLEN < limit gate,
+    gateway.ts:144, lifted from 1 s to 1 d for fixture density)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n_calls"))
+        .filter(F.col("n_calls") > 5)
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — the traffic report the reference's log
+    consumers would derive from O2's event stream."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .rollup("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, date_trunc('day', ts))
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the same dimensions."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .cube("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k and set operations (ref O27: per-status rejection
+# branches unioned into one audit table).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k. Spark plans TakeOrderedAndProject: per-partition
+    heaps + driver merge of k rows — no full sort at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_set_union",
+    oracle="""
+    SELECT 'purchase' AS branch, event_id, user_id, value FROM events
+    WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'high_value' AS branch, event_id, user_id, value FROM events
+    WHERE value > 200.0
+    """,
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of tagged branches — the reference's per-status
+    rejection side-outputs merged into one audit stream (O27)."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    a = e.filter(F.col("event_type") == "purchase").select(
+        F.lit("purchase").alias("branch"), "event_id", "user_id", "value"
+    )
+    b = e.filter(F.col("value") > 200.0).select(
+        F.lit("high_value").alias("branch"), "event_id", "user_id", "value"
+    )
+    return a.unionAll(b)
+
+
+@query(
+    "q_set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): users seen on both branches."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@query(
+    "q_set_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): signup-only users."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    signups = e.filter(F.col("event_type") == "signup").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return signups.subtract(buys)  # EXCEPT (distinct) semantics

@@ -1,0 +1,298 @@
+"""Text-analysis operators (BASELINE.json north-star mandate).
+
+All of these run over `documents` and stay entirely JVM-side (split /
+explode / regexp_* / higher-order array functions — no Python UDFs), so
+at 100 TB they are scan + shuffle-on-groupkeys jobs with partial
+aggregation; nothing collects to the driver.
+
+Determinism: token arithmetic is integer; score doubles are produced by
+identical expression shapes in Spark and the DuckDB oracle so the IEEE
+results are bit-identical; double *aggregation* always goes through
+exact decimal casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hive_gateway_spark.registry import query
+from hive_gateway_spark.session import load_tables
+
+#: Tiny stopword list matched against the fixture vocabulary.
+STOPWORDS = ("the", "a", "of", "and")
+_STOP_RE = r"\b(the|a|of|and)\b"
+
+#: BPE-ish tokenizer: letter runs, single digits, or single punctuation.
+_BPE_RE = r"[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9\s]"
+
+#: Fingerprint modulus (prime) — SURVEY §2.3 rolling-hash fingerprint.
+_FP_MOD = 1_000_003
+
+
+@query(
+    "q_text_tokenize",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 50
+    """,
+)
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode + word count, top-50 (count desc, word asc)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length distribution by (lang, source)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "q_text_lang_report",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS total_tokens,
+           COUNT(DISTINCT word) AS distinct_words,
+           CAST(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS DOUBLE)
+             AS tokens_per_doc
+    FROM tok
+    GROUP BY lang
+    """,
+)
+def q_text_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics (SURVEY §2.3)."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("word").alias("distinct_words"),
+        (F.count("*").cast("double") / F.countDistinct("doc_id")).alias("tokens_per_doc"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS bpe_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letter runs / single digits / punctuation) — the cheap token
+    estimator a training-data pipeline runs over every document."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("int").alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH feat AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{_STOP_RE}')) AS BIGINT) AS n_stop,
+               length(replace(text, ' ', '')) AS n_nonspace
+        FROM documents
+    ), scored AS (
+        SELECT source, n_tokens, n_stop,
+               CAST(n_nonspace AS DOUBLE) / n_tokens AS avg_token_len,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+        FROM feat
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+           CAST(SUM(CAST(ROUND(
+               0.5 * LEAST(CAST(n_tokens AS DOUBLE), 100.0) / 100.0
+             + 0.3 * (1.0 - stop_ratio)
+             + 0.2 * LEAST(avg_token_len, 10.0) / 10.0, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS avg_quality
+    FROM scored
+    GROUP BY source
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio / token-shape heuristics
+    combined into a [0,1] score, reported per source. The per-doc score
+    is a fixed IEEE expression (identical in the oracle); the aggregate
+    goes through an exact decimal sum."""
+    t = load_tables(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    n_stop = F.regexp_count("text", F.lit(_STOP_RE)).cast("bigint")
+    n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    feat = t["documents"].select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        n_nonspace.alias("n_nonspace"),
+    )
+    avg_token_len = F.col("n_nonspace").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    score = F.round(
+        0.5 * F.least(F.col("n_tokens").cast("double"), F.lit(100.0)) / 100.0
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.2 * F.least(avg_token_len, F.lit(10.0)) / 10.0,
+        6,
+    )
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_stop").alias("total_stopwords"),
+            (F.sum(score.cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+                "avg_quality"
+            ),
+        )
+    )
+
+
+#: Language-marker word lists for the n-gram/marker language-ID heuristic.
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "fr": r"\b(le|la|et|les|des)\b",
+    "es": r"\b(el|de|que|y|los)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+}
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS actual_lang,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["en"]}')) AS BIGINT) AS s_en,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["fr"]}')) AS BIGINT) AS s_fr,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["es"]}')) AS BIGINT) AS s_es,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["de"]}')) AS BIGINT) AS s_de
+        FROM documents
+    ), pred AS (
+        SELECT actual_lang,
+               CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                    WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                    WHEN s_es >= s_de THEN 'es'
+                    ELSE 'de' END AS predicted_lang
+        FROM scored
+    )
+    SELECT actual_lang, predicted_lang, COUNT(*) AS n
+    FROM pred GROUP BY actual_lang, predicted_lang
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram heuristic): score each language's
+    marker set, argmax with a fixed priority tie-break, reported as a
+    confusion matrix against the fixture's lang column."""
+    t = load_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        F.col("lang").alias("actual_lang"),
+        *[
+            F.regexp_count("text", F.lit(rx)).cast("bigint").alias(f"s_{code}")
+            for code, rx in _LANG_MARKERS.items()
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when((F.col("s_fr") >= F.col("s_es")) & (F.col("s_fr") >= F.col("s_de")), "fr")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return (
+        scored.select("actual_lang", pred.alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM(((ascii(word) * 131 + length(word))
+                     * ((pos * 137) % {_FP_MOD})) % {_FP_MOD}) % {_FP_MOD} AS BIGINT)
+             AS fingerprint
+    FROM tok
+    GROUP BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: position-weighted token hash folded
+    modulo a prime — integer arithmetic end-to-end, so the fingerprint
+    is portable across engines (unlike built-in hash functions)."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    term = (
+        (F.ascii("word").cast("bigint") * 131 + F.length("word"))
+        * ((F.col("pos").cast("bigint") * 137) % _FP_MOD)
+    ) % _FP_MOD
+    return (
+        tok.groupBy("doc_id")
+        .agg((F.sum(term) % _FP_MOD).cast("bigint").alias("fingerprint"))
+    )

@@ -1,0 +1,48 @@
+"""Local stand-in for the driver's DuckDB-oracle comparison:
+row count + schema width + order-insensitive exact values."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from hive_gateway_spark.session import TABLES
+
+
+def duck_df(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name order + µs timestamps + row sort = order-insensitive form."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, bool):
+            df[c] = s.astype("boolean")
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+
+def assert_parity(spark_df, oracle_sql: str, sf_dir: str, name: str = "") -> None:
+    actual = canon(spark_df.toPandas())
+    expected = canon(duck_df(oracle_sql, sf_dir))
+    assert len(actual) == len(expected), (
+        f"{name}: row count {len(actual)} != oracle {len(expected)}"
+    )
+    assert list(actual.columns) == list(expected.columns), (
+        f"{name}: columns {list(actual.columns)} != oracle {list(expected.columns)}"
+    )
+    pd.testing.assert_frame_equal(
+        actual, expected, check_dtype=False, check_exact=True, obj=name or "parity"
+    )
