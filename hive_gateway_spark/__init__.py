@@ -18,7 +18,26 @@ Public surface:
                                 hive_gateway_spark.operators)
 """
 
-from hive_gateway_spark.session import get_spark, load_tables
-from hive_gateway_spark.registry import QUERIES, ORACLES, query
+import sys as _sys
+
+# Ship this package to executors BY VALUE: the driver process (which may
+# run from any cwd, e.g. the verification harness) is the only place the
+# package is importable, so module-level pandas UDFs and their helpers
+# must serialize self-contained instead of by module reference.
+# (Registering the package covers all submodules — cloudpickle matches
+# on the module-name prefix. PySpark uses its VENDORED cloudpickle, so
+# register there; also register with the standalone one if present.)
+from pyspark import cloudpickle as _spark_cloudpickle
+
+_spark_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+try:
+    import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except ImportError:  # pragma: no cover
+    pass
+
+from hive_gateway_spark.session import get_spark, load_tables  # noqa: E402
+from hive_gateway_spark.registry import QUERIES, ORACLES, query  # noqa: E402
 
 __all__ = ["get_spark", "load_tables", "QUERIES", "ORACLES", "query"]

@@ -1,0 +1,246 @@
+"""Minimal msgpack codec + envelope UDFs.
+
+The reference's wire format is msgpack end-to-end: request envelopes
+{mod, fun, arg, ctx} decoded at gateway.ts:189, dispatch envelopes
+{sn, pkt} encoded at :317, response envelopes {sn, payload} decoded at
+:73. No msgpack library ships in this container, so this is a clean-room
+implementation of the msgpack spec (msgpack.org — public format) for the
+types those envelopes use: nil/bool/int/float64/str/bin/array/map.
+
+Exposed Spark-side as Arrow-batched pandas UDFs; property tests assert
+decode(encode(x)) == x (tests/test_functions.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+
+def packb(obj) -> bytes:
+    """Encode a python object to msgpack bytes."""
+    out = bytearray()
+    _pack(obj, out)
+    return bytes(out)
+
+
+def _pack(o, out: bytearray) -> None:
+    if o is None:
+        out.append(0xC0)
+    elif o is True:
+        out.append(0xC3)
+    elif o is False:
+        out.append(0xC2)
+    elif isinstance(o, int):
+        if 0 <= o <= 0x7F:
+            out.append(o)
+        elif -32 <= o < 0:
+            out.append(0x100 + o)
+        elif 0 <= o <= 0xFF:
+            out += bytes([0xCC, o])
+        elif 0 <= o <= 0xFFFF:
+            out += b"\xcd" + struct.pack(">H", o)
+        elif 0 <= o <= 0xFFFFFFFF:
+            out += b"\xce" + struct.pack(">I", o)
+        elif 0 <= o:
+            out += b"\xcf" + struct.pack(">Q", o)
+        elif o >= -(1 << 7):
+            out += b"\xd0" + struct.pack(">b", o)
+        elif o >= -(1 << 15):
+            out += b"\xd1" + struct.pack(">h", o)
+        elif o >= -(1 << 31):
+            out += b"\xd2" + struct.pack(">i", o)
+        else:
+            out += b"\xd3" + struct.pack(">q", o)
+    elif isinstance(o, float):
+        out += b"\xcb" + struct.pack(">d", o)
+    elif isinstance(o, str):
+        b = o.encode("utf-8")
+        n = len(b)
+        if n <= 31:
+            out.append(0xA0 | n)
+        elif n <= 0xFF:
+            out += bytes([0xD9, n])
+        elif n <= 0xFFFF:
+            out += b"\xda" + struct.pack(">H", n)
+        else:
+            out += b"\xdb" + struct.pack(">I", n)
+        out += b
+    elif isinstance(o, (bytes, bytearray)):
+        n = len(o)
+        if n <= 0xFF:
+            out += bytes([0xC4, n])
+        elif n <= 0xFFFF:
+            out += b"\xc5" + struct.pack(">H", n)
+        else:
+            out += b"\xc6" + struct.pack(">I", n)
+        out += bytes(o)
+    elif isinstance(o, (list, tuple)):
+        n = len(o)
+        if n <= 15:
+            out.append(0x90 | n)
+        elif n <= 0xFFFF:
+            out += b"\xdc" + struct.pack(">H", n)
+        else:
+            out += b"\xdd" + struct.pack(">I", n)
+        for x in o:
+            _pack(x, out)
+    elif isinstance(o, dict):
+        n = len(o)
+        if n <= 15:
+            out.append(0x80 | n)
+        elif n <= 0xFFFF:
+            out += b"\xde" + struct.pack(">H", n)
+        else:
+            out += b"\xdf" + struct.pack(">I", n)
+        for k, v in o.items():
+            _pack(k, out)
+            _pack(v, out)
+    else:
+        raise TypeError(f"unsupported msgpack type: {type(o)!r}")
+
+
+def unpackb(b: bytes):
+    """Decode msgpack bytes to a python object."""
+    obj, pos = _unpack(memoryview(b), 0)
+    if pos != len(b):
+        raise ValueError("trailing bytes after msgpack object")
+    return obj
+
+
+def _unpack(b: memoryview, p: int):
+    t = b[p]
+    p += 1
+    if t <= 0x7F:
+        return t, p
+    if t >= 0xE0:
+        return t - 0x100, p
+    if 0xA0 <= t <= 0xBF:
+        n = t & 0x1F
+        return bytes(b[p : p + n]).decode("utf-8"), p + n
+    if 0x90 <= t <= 0x9F:
+        return _unpack_array(b, p, t & 0x0F)
+    if 0x80 <= t <= 0x8F:
+        return _unpack_map(b, p, t & 0x0F)
+    if t == 0xC0:
+        return None, p
+    if t == 0xC2:
+        return False, p
+    if t == 0xC3:
+        return True, p
+    if t == 0xC4:
+        n = b[p]
+        return bytes(b[p + 1 : p + 1 + n]), p + 1 + n
+    if t == 0xC5:
+        (n,) = struct.unpack_from(">H", b, p)
+        return bytes(b[p + 2 : p + 2 + n]), p + 2 + n
+    if t == 0xC6:
+        (n,) = struct.unpack_from(">I", b, p)
+        return bytes(b[p + 4 : p + 4 + n]), p + 4 + n
+    if t == 0xCB:
+        (v,) = struct.unpack_from(">d", b, p)
+        return v, p + 8
+    if t == 0xCC:
+        return b[p], p + 1
+    if t == 0xCD:
+        return struct.unpack_from(">H", b, p)[0], p + 2
+    if t == 0xCE:
+        return struct.unpack_from(">I", b, p)[0], p + 4
+    if t == 0xCF:
+        return struct.unpack_from(">Q", b, p)[0], p + 8
+    if t == 0xD0:
+        return struct.unpack_from(">b", b, p)[0], p + 1
+    if t == 0xD1:
+        return struct.unpack_from(">h", b, p)[0], p + 2
+    if t == 0xD2:
+        return struct.unpack_from(">i", b, p)[0], p + 4
+    if t == 0xD3:
+        return struct.unpack_from(">q", b, p)[0], p + 8
+    if t == 0xD9:
+        n = b[p]
+        return bytes(b[p + 1 : p + 1 + n]).decode("utf-8"), p + 1 + n
+    if t == 0xDA:
+        (n,) = struct.unpack_from(">H", b, p)
+        return bytes(b[p + 2 : p + 2 + n]).decode("utf-8"), p + 2 + n
+    if t == 0xDB:
+        (n,) = struct.unpack_from(">I", b, p)
+        return bytes(b[p + 4 : p + 4 + n]).decode("utf-8"), p + 4 + n
+    if t == 0xDC:
+        (n,) = struct.unpack_from(">H", b, p)
+        return _unpack_array(b, p + 2, n)
+    if t == 0xDD:
+        (n,) = struct.unpack_from(">I", b, p)
+        return _unpack_array(b, p + 4, n)
+    if t == 0xDE:
+        (n,) = struct.unpack_from(">H", b, p)
+        return _unpack_map(b, p + 2, n)
+    if t == 0xDF:
+        (n,) = struct.unpack_from(">I", b, p)
+        return _unpack_map(b, p + 4, n)
+    raise ValueError(f"unsupported msgpack tag 0x{t:02x}")
+
+
+def _unpack_array(b: memoryview, p: int, n: int):
+    out = []
+    for _ in range(n):
+        v, p = _unpack(b, p)
+        out.append(v)
+    return out, p
+
+
+def _unpack_map(b: memoryview, p: int, n: int):
+    out = {}
+    for _ in range(n):
+        k, p = _unpack(b, p)
+        v, p = _unpack(b, p)
+        out[k] = v
+    return out, p
+
+
+# --- Spark UDFs over the envelope shapes the reference uses ---------------
+
+#: Decoded request envelope (gateway.ts:190-194).
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("mod", T.StringType()),
+        T.StructField("fun", T.StringType()),
+        T.StructField("arg", T.StringType()),  # carried as JSON text
+        T.StructField("token", T.StringType()),  # ctx.wxuser
+    ]
+)
+
+
+@F.pandas_udf(T.BinaryType())
+def encode_envelope_udf(
+    mod: pd.Series, fun: pd.Series, arg: pd.Series, token: pd.Series
+) -> pd.Series:
+    """{mod, fun, arg, ctx:{wxuser}} → msgpack bytes (ref request shape)."""
+    return pd.Series(
+        [
+            packb({"mod": m, "fun": f, "arg": a, "ctx": {"wxuser": t}})
+            for m, f, a, t in zip(mod, fun, arg, token)
+        ],
+        dtype=object,
+    )
+
+
+@F.pandas_udf(ENVELOPE_SCHEMA)
+def decode_envelope_udf(payload: pd.Series) -> pd.DataFrame:
+    """msgpack bytes → (mod, fun, arg, token) — gateway.ts:189-194."""
+    rows = []
+    for b in payload:
+        try:
+            o = unpackb(bytes(b))
+            rows.append(
+                (
+                    o.get("mod"),
+                    o.get("fun"),
+                    o.get("arg"),
+                    (o.get("ctx") or {}).get("wxuser"),
+                )
+            )
+        except Exception:
+            rows.append((None, None, None, None))
+    return pd.DataFrame(rows, columns=["mod", "fun", "arg", "token"])

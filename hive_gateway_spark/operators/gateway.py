@@ -96,6 +96,44 @@ def q_gateway_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_msgpack_roundtrip",
+    oracle="""
+    SELECT event_type AS mod,
+           COUNT(*) AS n,
+           COUNT(DISTINCT CAST(props->>'$.k' AS INTEGER)) AS n_args
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """msgpack envelope codec (ref O19/O29, gateway.ts:189, :317) proven
+    through SQL: every event is encoded as a {mod, fun, arg,
+    ctx.wxuser} request envelope and decoded back (clean-room codec,
+    functions/msgpack_codec.py); the aggregate over the *decoded*
+    fields must equal the oracle's aggregate over the *source* fields —
+    i.e., the codec is the identity, verified at fixture scale."""
+    from hive_gateway_spark.functions.msgpack_codec import (
+        decode_envelope_udf,
+        encode_envelope_udf,
+    )
+
+    t = load_tables(spark, sf_dir)
+    enc = t["events"].select(
+        encode_envelope_udf(
+            F.col("event_type"),
+            F.lit("call"),
+            F.get_json_object("props", "$.k"),
+            F.col("user_id").cast("string"),
+        ).alias("payload")
+    )
+    dec = enc.select(decode_envelope_udf("payload").alias("env")).select("env.*")
+    return dec.groupBy("mod").agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.col("arg").cast("int")).alias("n_args"),
+    )
+
+
 @query("q_gateway_compression")  # rows-only: zlib has no SQL oracle (SURVEY §7.5.3)
 def q_gateway_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression negotiation (ref O10-O15) over synthesized binary

@@ -637,15 +637,22 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_set_except",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'signup'
+    SELECT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'click'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'purchase'
     """,
 )
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): signup-only users."""
+    """EXCEPT (distinct): (user, day) pairs with clicks but no purchase
+    (finer grain than user-level so the result is non-empty at every sf)."""
     t = load_tables(spark, sf_dir)
     e = t["events"]
-    signups = e.filter(F.col("event_type") == "signup").select("user_id")
-    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
-    return signups.subtract(buys)  # EXCEPT (distinct) semantics
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    return clicks.subtract(buys)  # EXCEPT (distinct) semantics

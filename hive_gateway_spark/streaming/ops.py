@@ -1,0 +1,200 @@
+"""Streaming operator implementations (see package docstring).
+
+Every builder takes a *streaming* DataFrame (from stream_events) and
+returns a streaming DataFrame; the same builder applied to the batch
+events table must produce identical results once the stream is drained
+with an availableNow trigger — that equivalence is the test contract
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+#: The reference's receive timeout (gateway.ts:56) — our watermark delay.
+WATERMARK_DELAY = "30 seconds"
+
+#: Streaming session gap — matches the batch q_sessionize gap.
+SESSION_GAP = "30 minutes"
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see session.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as a stream: parquet readStream (one file = one batch
+    with availableNow; on a cluster this is a Kafka/files source — the
+    transformations are source-agnostic)."""
+    from hive_gateway_spark.session import configure
+
+    configure(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        # the file source requires a directory; select just events.parquet
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_rate_limit_counts(events: DataFrame, limit: int = 10) -> DataFrame:
+    """Tumbling-window request counts per token with an over-limit flag —
+    the reference's rate limiter (O16 *intended* semantics) as a
+    watermarked windowed aggregation. Output: one row per
+    (user, 1-day window) with n_calls and throttled.
+
+    The watermark bounds state exactly like the Redis 1 s TTL bounded
+    the reference's counters (gateway.ts:149): closed windows are
+    evicted. Window length is 1 day to match the batch twin's fixture
+    density (windows.py RATE_LIMIT shape).
+    """
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_calls"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "user_id",
+            "n_calls",
+            (F.col("n_calls") > limit).alias("throttled"),
+        )
+    )
+
+
+def stream_session_windows(events: DataFrame) -> DataFrame:
+    """Gap-based sessions via the built-in session_window aggregation +
+    watermark — the streaming twin of q_sessionize and the principled
+    version of the reference's in-flight session map (which *leaked*
+    never-answered sessions, SURVEY §3.3; the watermark closes ours).
+
+    Output: (user_id, session_start, n_events, session_value)."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("sw.start")).alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_admission(events: DataFrame, limit: int = 3) -> DataFrame:
+    """Per-token admission control as a **custom stateful operator**
+    (applyInPandasWithState) — the direct analog of the reference's
+    per-token Redis counters (gateway.ts:139-171) and in-memory session
+    map (O4): keyed state per user_id holding per-day admit counts, a
+    processing-time timeout standing in for the Redis 1 s TTL.
+
+    Emits one row per event: (event_id, user_id, admitted). Drained
+    with availableNow over the fixture, the output equals the batch
+    q_window_rate_limit exactly (tested).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_id bigint, user_id bigint, admitted boolean"
+    # state: parallel arrays (day epoch-days, admitted-count) — struct of
+    # arrays serializes everywhere maps are awkward.
+    state_schema = "days array<int>, counts array<int>"
+
+    def admit(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # Window long closed — evict (the Redis EXPIRE analog).
+            state.remove()
+            return
+        if state.exists:
+            days, counts = state.get
+            book = dict(zip(days, counts))
+        else:
+            book = {}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            day = (pdf["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000).astype(int)
+            admitted = []
+            for d in day:
+                n = book.get(d, 0) + 1
+                book[d] = n
+                admitted.append(n <= limit)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].values,
+                    "user_id": key[0],
+                    "admitted": admitted,
+                }
+            )
+        state.update((list(book.keys()), list(book.values())))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        admit,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def split_request_response(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Synthesize the gateway's two wire streams from `events`:
+    requests = click/view/signup/purchase rows; responses = error rows
+    re-keyed to the previous request's serial number — here we key both
+    on (user_id, day-bucket) ∧ correlation id = event_id div 2 so a
+    deterministic subset pairs up."""
+    req = events.filter(F.col("event_type") != "error").select(
+        (F.col("event_id")).alias("sn"),
+        F.col("ts").alias("req_ts"),
+        "user_id",
+        F.col("event_type").alias("fun"),
+    )
+    # responses: error events answer the request with sn = event_id - 1
+    # (their immediate predecessor), mimicking the backend's async reply
+    resp = events.filter(F.col("event_type") == "error").select(
+        (F.col("event_id") - 1).alias("sn"),
+        F.col("ts").alias("resp_ts"),
+        F.col("value").alias("resp_value"),
+    )
+    return req, resp
+
+
+def stream_correlate(
+    req: DataFrame, resp: DataFrame, timeout: str = "30 seconds"
+) -> DataFrame:
+    """Request/response correlation (ref O8, gateway.ts:72-81) as a
+    watermarked stream-stream inner join on the serial number, with the
+    reference's 30 s receive timeout as the join's time bound; the
+    latency column is O9's `stop - start`.
+
+    Late or unknown-sn responses fall out of the join exactly like the
+    reference drops them (gateway.ts:134-136)."""
+    r = req.withWatermark("req_ts", WATERMARK_DELAY)
+    p = resp.withWatermark("resp_ts", WATERMARK_DELAY)
+    return r.join(
+        p,
+        (r["sn"] == p["sn"])
+        & (p["resp_ts"] >= r["req_ts"])
+        & (p["resp_ts"] <= r["req_ts"] + F.expr(f"INTERVAL {timeout}")),
+        "inner",
+    ).select(
+        r["sn"],
+        "user_id",
+        "fun",
+        (F.unix_micros(p["resp_ts"]) - F.unix_micros(r["req_ts"])).alias("latency_us"),
+        "resp_value",
+    )

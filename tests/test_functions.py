@@ -1,0 +1,159 @@
+"""Property tests for the UDF function library: self-checking invariants
+for ops with no SQL oracle (SURVEY §7.5.3 — inflate(deflate(x)) == x)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from hive_gateway_spark.functions import msgpack_codec as mp
+
+# ---------------------------------------------------------------------------
+# msgpack codec — pure-python property tests (no Spark needed)
+# ---------------------------------------------------------------------------
+
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False),
+    st.text(max_size=300),
+    st.binary(max_size=300),
+)
+objects = st.recursive(
+    scalars,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=8),
+        st.dictionaries(st.text(max_size=20), kids, max_size=8),
+    ),
+    max_leaves=30,
+)
+
+
+@given(objects)
+@settings(max_examples=300, deadline=None)
+def test_msgpack_roundtrip(obj):
+    assert mp.unpackb(mp.packb(obj)) == obj
+
+
+def test_msgpack_envelope_shape():
+    env = {"mod": "user", "fun": "login", "arg": '{"k": 7}', "ctx": {"wxuser": "t" * 28}}
+    assert mp.unpackb(mp.packb(env)) == env
+
+
+def test_msgpack_rejects_trailing_garbage():
+    with pytest.raises(ValueError):
+        mp.unpackb(mp.packb({"a": 1}) + b"\x00")
+
+
+# ---------------------------------------------------------------------------
+# compression UDFs through Spark (the real surface)
+# ---------------------------------------------------------------------------
+
+def test_compression_negotiation_matrix(spark):
+    """Drive negotiate_compression over every branch of the reference's
+    decision tree (gateway.ts:82-133) and check the invariants:
+    round-trip identity, passthrough, size gating."""
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.functions.binary import (
+        inflate_udf,
+        is_zlib,
+        negotiate_compression,
+    )
+
+    big = b"x" * 3000
+    small = b"tiny"
+    pre = zlib.compress(b"already-compressed-payload" * 100)
+    rows = [
+        ("big_deflate", big, "deflate, gzip"),
+        ("big_gzip", big, "gzip"),
+        ("big_none", big, "identity"),
+        ("small", small, "deflate, gzip"),
+        ("pre_deflate", pre, "deflate"),
+        ("pre_none", pre, "identity"),
+    ]
+    df = spark.createDataFrame(rows, "name string, payload binary, accept_encoding string")
+    body, enc = negotiate_compression(F.col("payload"), F.col("accept_encoding"))
+    out = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            "payload",
+            body.alias("body"),
+            enc.alias("content_encoding"),
+            is_zlib(F.col("payload")).alias("was_zlib"),
+        ).collect()
+    }
+    # big + deflate accepted → zlib bytes that inflate back to payload
+    assert out["big_deflate"]["content_encoding"] == "deflate"
+    assert zlib.decompress(bytes(out["big_deflate"]["body"])) == big
+    # big + only gzip accepted → gzip bytes
+    assert out["big_gzip"]["content_encoding"] == "gzip"
+    import gzip as gz
+
+    assert gz.decompress(bytes(out["big_gzip"]["body"])) == big
+    # no acceptable codec → raw
+    assert out["big_none"]["content_encoding"] is None
+    assert bytes(out["big_none"]["body"]) == big
+    # small → raw regardless (1024 B gate, gateway.ts:110)
+    assert out["small"]["content_encoding"] is None
+    assert bytes(out["small"]["body"]) == small
+    # pre-compressed + accepts deflate → untouched passthrough (P3)
+    assert out["pre_deflate"]["content_encoding"] == "deflate"
+    assert bytes(out["pre_deflate"]["body"]) == pre
+    assert out["pre_deflate"]["was_zlib"] is True
+    # pre-compressed + client can't take deflate → inflated
+    assert out["pre_none"]["content_encoding"] is None
+    assert bytes(out["pre_none"]["body"]) == zlib.decompress(pre)
+
+
+def test_inflate_invalid_is_null(spark):
+    """Invalid zlib input → NULL (the ref 500s; we produce an error row)."""
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.functions.binary import inflate_udf
+
+    df = spark.createDataFrame([(b"\x78\x9cgarbage",), (None,)], "p binary")
+    got = df.select(inflate_udf(F.col("p")).alias("x")).collect()
+    assert got[0]["x"] is None and got[1]["x"] is None
+
+
+def test_msgpack_udf_roundtrip_spark(spark, sf_dir):
+    """Envelope encode→decode through the pandas UDFs equals the source."""
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.functions.msgpack_codec import (
+        decode_envelope_udf,
+        encode_envelope_udf,
+    )
+    from hive_gateway_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    src = t["events"].select(
+        F.col("event_type").alias("mod"),
+        F.lit("call").alias("fun"),
+        F.get_json_object("props", "$.k").alias("arg"),
+        F.col("user_id").cast("string").alias("token"),
+    )
+    dec = (
+        src.select(
+            "mod",
+            "fun",
+            "arg",
+            "token",
+            decode_envelope_udf(
+                encode_envelope_udf("mod", "fun", "arg", "token")
+            ).alias("env"),
+        )
+        .filter(
+            (F.col("env.mod") != F.col("mod"))
+            | (F.col("env.fun") != F.col("fun"))
+            | (F.col("env.arg") != F.col("arg"))
+            | (F.col("env.token") != F.col("token"))
+        )
+        .count()
+    )
+    assert dec == 0

@@ -1,0 +1,78 @@
+"""Plan-shape assertions: the physical plans must be the ones a 100 TB
+run wants — broadcast joins for dimensions, pushed filters/pruned columns
+at the scan, top-k instead of global sort, partial aggregation
+(SURVEY §5.2 engine-side additions)."""
+
+from __future__ import annotations
+
+import re
+
+from hive_gateway_spark import registry
+
+registry.load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_dims_broadcast(spark, sf_dir):
+    """All dimension joins broadcast; no shuffle exchange for the dims."""
+    plan = plan_of(spark, sf_dir, "q_join_multiway")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_scan_project_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_scan_project")
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan
+    # column pruning: the scan must not read the columns the query
+    # never touches (e.g. l_returnflag / l_tax)
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m and "l_returnflag" not in m.group(1), plan
+
+
+def test_filter_pushdown_events(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_filter_predicate")
+    assert re.search(r"PushedFilters: \[.*event_type.*\]", plan), plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    """Map-side (partial) + reduce-side (final) hash aggregation — the
+    shuffle carries partial states, not rows."""
+    plan = plan_of(spark, sf_dir, "q_agg_group")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    """AQE hides codegen in the formatted pre-execution plan; the
+    codegen explain mode reports the fused subtrees."""
+    df = registry.QUERIES["q_agg_group"](spark, sf_dir)
+    df.collect()  # execute THIS plan so AQE finalizes it
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "codegen id" in plan, plan[:800]
+
+
+def test_multimodal_meta_prunes_unused_columns(spark, sf_dir):
+    """Column pruning reaches the documents scan: the metadata report
+    needs text/n_chars/source but must not read lang."""
+    plan = plan_of(spark, sf_dir, "q_multimodal_meta")
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "source" in schema and "lang" not in schema, schema
