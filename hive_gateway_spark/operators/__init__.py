@@ -12,4 +12,5 @@ def load_all() -> None:
         dedup,
         similarity,
         multimodal,
+        advanced,
     )

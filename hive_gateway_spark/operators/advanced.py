@@ -1,0 +1,247 @@
+"""Advanced relational operators — beyond the reference's surface
+(SURVEY §2.2 marks these "engine features"): as-of join, pivot, grouping
+sets, sliding windows, correlated subqueries, skew-salted joins,
+arbitrary time buckets, sketch aggregates.
+
+Scale notes inline: each operator documents the plan it wants at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from hive_gateway_spark.registry import query
+from hive_gateway_spark.session import load_tables
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           epoch_us(e.ts) - epoch_us(s.ts) AS us_since_signup
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND s.ts <= e.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent signup
+    at-or-before it (the oracle uses DuckDB's native ASOF JOIN).
+
+    Spark has no asof join; the *scalable* formulation is not a join at
+    all but a single pass: partition by key, order by time, carry the
+    last signup timestamp forward (last_value ignoreNulls over an
+    unbounded-preceding frame). One shuffle on user_id, no join state,
+    no row explosion — this is the pattern that survives 100 TB, unlike
+    per-row range joins."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", us), ignorenulls=True
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        (us - last_signup).alias("us_since_signup"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns (explicit value list → single-pass
+    hash agg, no extra distinct-values job — required at scale)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+        """
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+    SELECT user_id,
+           date_trunc('day', ts) - o * INTERVAL 1 DAY AS window_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) AS t(o)
+    GROUP BY user_id, date_trunc('day', ts) - o * INTERVAL 1 DAY
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 2-day length, 1-day slide, per user —
+    each event lands in two windows. Uses the built-in window()
+    table-valued semantics (same operator the streaming twin uses); the
+    oracle replicates via an offset cross join."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "2 days", "1 day").alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "user_id", "n")
+    )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+          * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: orders above their customer's mean
+    order value, compared in exact decimal (price·n > Σprice — no
+    float division, so the predicate is engine-portable). Catalyst
+    decorrelates both subqueries into aggregate+join — verified by the
+    plan containing no per-row subquery execution."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+                 FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT n.n_name AS route_mod,
+           COUNT(*) AS n_calls,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join, provably equal to the plain join (same oracle as
+    q_join_broadcast): the fact side carries a deterministic salt
+    (event_id mod 8), the dimension is replicated ×8, and the join key
+    becomes (key, salt) — the manual remedy when one key dominates and
+    the dim is too big to broadcast. AQE skew-join automates this; the
+    operator demonstrates the explicit form with verified equivalence."""
+    SALT = 8
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        F.pmod(F.col("user_id"), F.lit(25)).cast("int").alias("mod_key"),
+        F.pmod(F.col("event_id"), F.lit(SALT)).cast("int").alias("salt"),
+        "value",
+    )
+    dim = t["nation"].select(
+        "n_nationkey", "n_name", F.explode(F.array(*[F.lit(i) for i in range(SALT)])).alias("salt")
+    )
+    return (
+        e.join(dim, (e.mod_key == dim.n_nationkey) & (e.salt == dim.salt))
+        .groupBy(F.col("n_name").alias("route_mod"))
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_time_bucket",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY bucket, event_type
+    """,
+)
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-interval time bucketing (15 min) via integer epoch
+    arithmetic — the hypertable-rollup primitive. Buckets compute
+    without a shuffle; only the aggregate exchanges (partial+final)."""
+    t = load_tables(spark, sf_dir)
+    # integer div (not double /): epoch-µs exceeds 2^53 ÷ rounding safety
+    bucket = F.expr("timestamp_micros((unix_micros(ts) div 900000000) * 900000000)")
+    return (
+        t["events"]
+        .groupBy(bucket.alias("bucket"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query("q_agg_sketch")  # rows-only: HLL/quantile sketches are engine-specific
+def q_agg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — approx_count_distinct (HyperLogLog++) and
+    approx_percentile per event_type. At 100 TB these replace exact
+    distinct/percentile to keep the shuffle O(sketch) instead of
+    O(values). Error bounds vs the exact twins are asserted in
+    tests/test_sketches.py; results are deterministic for a fixed
+    input (rsd 5%) but engine-specific, hence rows-only."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+            F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("approx_p"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("approx_p")[0].alias("approx_p50"),
+            F.col("approx_p")[1].alias("approx_p95"),
+            "exact_users",
+        )
+    )

@@ -1,0 +1,157 @@
+"""Connector layer: partitioned log sink + retention, KV dimension /
+foreachBatch sink, file-format round trips, bucketed co-located joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_gateway_spark.session import load_tables
+from hive_gateway_spark.sources.kv import FileKV, kv_dimension, kv_sink_foreachBatch
+from hive_gateway_spark.sources.log_sink import apply_retention, read_log, write_log
+
+
+def _levels(df):
+    return df.withColumn(
+        "level", F.when(F.col("event_type") == "error", "error").otherwise("info")
+    )
+
+
+def test_log_sink_roundtrip_and_retention(spark, sf_dir, tmp_path):
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "log")
+    src = _levels(t["events"])
+    write_log(src, path)
+    back = read_log(spark, path)
+    assert back.count() == src.count()
+    # pruning: reading one day's partition scans only that partition
+    one_day = back.select("day").distinct().orderBy("day").first()["day"]
+    n_day = back.filter(F.col("day") == one_day).count()
+    assert 0 < n_day < src.count()
+
+    # retention: far-future anchor → everything expires per level policy
+    deleted = apply_retention(path, "2030-01-01")
+    assert deleted, "retention deleted nothing"
+    import pathlib
+
+    assert not any(pathlib.Path(path).glob("day=*")), "partitions remain"
+
+
+def test_retention_keeps_recent(spark, sf_dir, tmp_path):
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "log2")
+    write_log(_levels(t["events"]), path)
+    days = sorted(
+        d.name.split("=")[1]
+        for d in __import__("pathlib").Path(path).glob("day=*")
+    )
+    # anchor inside the range: old info partitions go, recent stay
+    anchor = days[-1]
+    deleted = apply_retention(path, anchor)
+    remaining = read_log(spark, path)
+    # error retention (21d) outlives info retention (7d)
+    kept_days_info = (
+        remaining.filter(F.col("level") == "info").select("day").distinct().count()
+    )
+    assert kept_days_info <= 8
+    assert remaining.filter(F.col("level") == "error").count() > 0
+
+
+def test_kv_dimension_and_stream_sink(spark, sf_dir, tmp_path):
+    """KV → dimension join (auth analog) and streaming foreachBatch → KV
+    (the counter writeback analog, run on executors)."""
+    from hive_gateway_spark.streaming import stream_events
+
+    kv_root = str(tmp_path / "kv")
+    seed = FileKV(kv_root)
+    seed.mset([(str(i), f"uid-{i:04d}") for i in range(200)])
+
+    dim = kv_dimension(spark, seed, "token", "uid")
+    t = load_tables(spark, sf_dir)
+    resolved = (
+        t["events"]
+        .join(
+            F.broadcast(dim), t["events"].user_id.cast("string") == dim.token, "left"
+        )
+        .select("event_id", "uid")
+    )
+    n_resolved = resolved.filter(F.col("uid").isNotNull()).count()
+    assert n_resolved == t["events"].count()  # all user_ids < 200
+
+    # stream aggregate → KV writeback via foreachBatch
+    out_root = str(tmp_path / "kv_out")
+    counts = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("user_id").cast("string").alias("k"), F.col("n").cast("string").alias("v"))
+    )
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(kv_sink_foreachBatch(lambda: FileKV(out_root), "k", "v"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = FileKV(out_root)
+    got = dict(sink.items())
+    want = {
+        str(r["user_id"]): str(r["n"])
+        for r in t["events"].groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    csv_path, json_path = str(tmp_path / "docs_csv"), str(tmp_path / "docs_json")
+    docs.write.mode("overwrite").option("header", True).csv(csv_path)
+    docs.write.mode("overwrite").json(json_path)
+    csv_back = (
+        spark.read.option("header", True)
+        .schema(docs.schema)
+        .csv(csv_path)
+    )
+    json_back = spark.read.schema(docs.schema).json(json_path)
+    assert csv_back.count() == docs.count()
+    assert json_back.count() == docs.count()
+    # exact content equality (documents has no exotic types)
+    assert csv_back.exceptAll(docs).count() == 0
+    assert json_back.exceptAll(docs).count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate the join: no shuffle Exchange on the
+    join keys — the storage-layout lever for repeated 100 TB joins."""
+    t = load_tables(spark, sf_dir)
+    warehouse = str(tmp_path / "wh")
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        (
+            t[name]
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{warehouse}/{name}_b")
+            .saveAsTable(f"{name}_bucketed")
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_bucketed").join(
+            spark.table("lineitem_bucketed"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        joined.collect()
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed join still shuffles:\n{plan}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
