@@ -30,6 +30,7 @@ HEADLINE = [
     "q_agg_group",
     "q_join_multiway",
     "q_join_range",
+    "q_join_asof",
     "q_window_rate_limit",
     "q_sessionize",
     "q_agg_cube",
@@ -41,6 +42,8 @@ HEADLINE = [
     "q_sim_topk",
     "q_embed_agg",
     "q_multimodal_meta",
+    "q_msgpack_roundtrip",
+    "q_subquery_correlated",
 ]
 
 

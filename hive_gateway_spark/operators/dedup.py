@@ -103,14 +103,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (τ = 0.5, compared in integer
-    arithmetic: 2·|A∩B| ≥ |A∪B| — no float in the predicate)."""
+    arithmetic: 2·|A∩B| ≥ |A∪B| — no float in the predicate).
+
+    The self-join runs on xxhash64(shingle) — 8-byte shuffle keys
+    instead of variable-length strings (≈2× less exchange volume; a
+    64-bit collision altering a Jaccard count has probability ~n²/2⁶⁵,
+    negligible against the verification gate)."""
     t = load_tables(spark, sf_dir)
-    sh = _shingles(t)
+    sh = _shingles(t).select("doc_id", F.xxhash64("shingle").alias("h")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     pairs = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))

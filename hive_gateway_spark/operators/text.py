@@ -201,6 +201,105 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(upper(text), '[^A-Z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(regexp_replace(upper(text), '[^A-Z0-9 ]', '', 'g'),
+                                      ' +', ' ', 'g'))) AS norm_len
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization: case-fold, strip non-alphanumerics, collapse
+    whitespace — the canonicalization step before exact dedup. (DuckDB
+    regexp_replace needs the 'g' flag; Spark's is global by default.)"""
+    t = load_tables(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.upper("text"), r"[^A-Z0-9 ]", ""), r" +", " "
+        )
+    )
+    return t["documents"].select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
+    GROUP BY lang
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via multiplicative integer hashing
+    (Knuth 2654435761 mod 2³²) — the reproducible subsampling primitive
+    a training-data pipeline needs (df.sample's RNG is engine-specific
+    and not oracle-checkable; hash sampling is portable, stable across
+    runs/partitionings, and sargable)."""
+    t = load_tables(spark, sf_dir)
+    keep = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 100 < 10
+    return (
+        t["documents"]
+        .filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+@query(
+    "q_text_ngrams",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    bi AS (
+        SELECT word || ' ' || LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS bigram
+        FROM tok
+        QUALIFY LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bi
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 30
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequency (top-30): the n-gram statistics pass of a
+    corpus profile, built from the same higher-order shingle expression
+    as the dedup suite (JVM-side, no UDF)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("words", F.split("text", " "))
+    bigrams = docs.filter(F.size("words") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words) - 2), "
+                "i -> concat_ws(' ', slice(words, i + 1, 2)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(30)
+    )
+
+
 #: Language-marker word lists for the n-gram/marker language-ID heuristic.
 _LANG_MARKERS = {
     "en": r"\b(the|and|of|to|is)\b",
