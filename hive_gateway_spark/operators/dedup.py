@@ -173,20 +173,20 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_simhash")  # rows-only: engine-native hash (xxhash64) — no SQL oracle
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit sign-aggregated token hashes, candidate
-    generation by 16-bit band collision, verification by Hamming
-    distance ≤ 12 — all JVM bit arithmetic (xxhash64/bit_count), no UDF.
+    """SimHash near-dup pipeline: 64-bit sign-aggregated **shingle**
+    hashes → candidate pairs by 8-bit band collision + Hamming ≤ 6 →
+    exact shingle-Jaccard verification of the candidates. All JVM bit
+    arithmetic (xxhash64 / bit_count), no UDF.
 
-    Band trick: two docs within Hamming distance d collide on ≥1 of 4
-    bands with good probability (exact if d < 4) — the banding join is
-    the scale-out step (shuffle on band value, not all-pairs)."""
+    Band trick: d < 8 guarantees collision on ≥1 of 8 bands
+    (pigeonhole); the banding join shuffles on band values, not
+    all-pairs — the scale-out step. SimHash is noisy on short docs
+    (per-bit sums of ~40 ±1 terms hover near 0, so a few shingle edits
+    can flip many bits), which is why the pipeline ends in exact
+    verification: precision is 1.0 by construction, recall vs the
+    exact twin is pinned in tests/test_dedup.py."""
     t = load_tables(spark, sf_dir)
-    tok = (
-        t["documents"]
-        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .select("doc_id", F.xxhash64("word").alias("h"))
-    )
+    tok = _shingles(t).select("doc_id", F.xxhash64("shingle").alias("h"))
     # Sign-sum each of the 64 bits, then reassemble the fingerprint.
     bit_sums = tok.groupBy("doc_id").agg(
         *[
@@ -202,7 +202,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(0)
         )
     fp = bit_sums.select("doc_id", simhash.alias("simhash"))
-    # 4 bands × 16 bits: candidates collide on at least one band.
+    # 8 bands × 8 bits: d < 8 ⇒ guaranteed band collision (pigeonhole).
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -211,11 +211,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), 8 * i)
+                        .bitwiseAND(F.lit(0xFF))
                         .alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(8)
                 ]
             )
         ).alias("bk"),
@@ -231,12 +231,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b")
         .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
     )
-    return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # Exact verification of the (small) candidate set: shared-shingle
+    # counts via two hash joins, integer Jaccard predicate (τ = 0.5).
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pa = cands.join(tok.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+    shared = (
+        pa.join(
+            tok.select(F.col("doc_id").alias("doc_b"), "h"),
+            ["doc_b", "h"],
         )
-        .filter(F.col("hamming") <= 12)
+        .groupBy("doc_a", "doc_b", "hamming")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("shared"))
+        .filter(2 * F.col("shared") >= F.col("union_sz"))
         .select("doc_a", "doc_b", "hamming")
     )
 

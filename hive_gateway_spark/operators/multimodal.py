@@ -129,6 +129,69 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     return assets.select("doc_id", "payload").mapInPandas(run, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize kernel plumbing over mapInPandas: real schema/batching, the
+    pixel work stubbed deterministically (production swaps the kernel
+    for PIL/libvips). The fake thumb is a content-derived byte strip so
+    downstream hashing/dedup on thumbs is testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [
+                bytes(b)[len(MAGIC) : len(MAGIC) + (width * height) % 97 + 16]
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for "video" payloads: emit every Nth chunk as a
+    frame row (1→many via mapInPandas — the UDTF shape). Real codecs
+    replace the chunker; the fan-out, schema and per-partition batching
+    are the actual operator."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(b)[len(MAGIC):]
+                for i in range(min(max_frames, max(1, len(body) // every_n_bytes))):
+                    ids.append(doc_id)
+                    nos.append(i)
+                    frames.append(body[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
+
+    return assets.select("doc_id", "payload").mapInPandas(run, FRAMES_SCHEMA)
+
+
 @query("q_multimodal_decode")  # rows-only: the decode kernel has no SQL oracle
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over the binary column via mapInPandas,

@@ -1,0 +1,51 @@
+"""Approximate dedup paths vs the exact shingle-Jaccard ground truth."""
+
+from __future__ import annotations
+
+from hive_gateway_spark import registry
+
+registry.load_all()
+
+
+def _exact_pairs(spark, sf_dir):
+    rows = registry.QUERIES["q_dedup_ngram"](spark, sf_dir).collect()
+    return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+
+
+def test_minhash_lsh_recall(spark, sf_dir):
+    """LSH candidates must contain every exact pair at τ=0.5 (16 hash
+    tables give near-1 recall at this similarity; a miss means the
+    banding is misconfigured, not bad luck)."""
+    exact = _exact_pairs(spark, sf_dir)
+    assert exact, "fixture has no near-dup pairs — assumptions broke"
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["q_dedup_fuzzy"](spark, sf_dir).collect()
+    }
+    missed = set(exact) - lsh
+    assert not missed, f"LSH missed exact near-dups: {missed}"
+
+
+def test_simhash_pipeline_precision_and_recall(spark, sf_dir):
+    """The simhash pipeline ends in exact verification, so its output
+    must be a SUBSET of the exact pairs (precision 1.0); candidate
+    recall on the strongest near-dups must clear 50% (simhash is noisy
+    on short docs — see the operator docstring — the exact twin and
+    MinHash LSH are the full-recall paths)."""
+    exact = _exact_pairs(spark, sf_dir)
+    strong = {p for p, j in exact.items() if j >= 0.95}
+    sim = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["q_dedup_simhash"](spark, sf_dir).collect()
+    }
+    false_pos = sim - set(exact)
+    assert not false_pos, f"verified pipeline emitted non-dups: {false_pos}"
+    if strong:
+        recall = len(strong & sim) / len(strong)
+        assert recall >= 0.5, f"recall {recall:.2f} on jaccard≥0.95 pairs"
+
+
+def test_embedding_dedup_canonical_survivor(spark, sf_dir):
+    """keep_id < dup_id invariant (lower id is the canonical survivor)."""
+    rows = registry.QUERIES["q_dedup_embedding"](spark, sf_dir).collect()
+    assert all(r["keep_id"] < r["dup_id"] for r in rows)

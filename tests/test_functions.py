@@ -157,3 +157,30 @@ def test_msgpack_udf_roundtrip_spark(spark, sf_dir):
         .count()
     )
     assert dec == 0
+
+
+def test_sql_registered_functions(spark, sf_dir):
+    """The UDF surface is reachable from pure SQL (ref extension-point
+    analog: named functions instead of routed modules)."""
+    from hive_gateway_spark.functions.register import register_all
+    from hive_gateway_spark.session import load_tables
+
+    names = register_all(spark)
+    assert "hg_inflate" in names
+    load_tables(spark, sf_dir)
+    row = spark.sql(
+        """
+        SELECT count(*) AS bad FROM (
+          SELECT decode(hg_inflate(hg_deflate(encode(text, 'utf-8'))), 'utf-8') AS rt,
+                 text
+          FROM documents
+        ) WHERE rt <> text
+        """
+    ).first()
+    assert row["bad"] == 0
+    env = spark.sql(
+        """
+        SELECT hg_decode_envelope(hg_encode_envelope('user', 'login', '{"k":1}', 'tok')) AS e
+        """
+    ).first()["e"]
+    assert env["mod"] == "user" and env["token"] == "tok"
