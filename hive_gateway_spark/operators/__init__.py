@@ -13,4 +13,5 @@ def load_all() -> None:
         similarity,
         multimodal,
         advanced,
+        scalar_funcs,
     )

@@ -1,0 +1,181 @@
+"""Scalar-function coverage suites + remaining join/reshape operators.
+
+Each query exercises a family of built-in scalar functions with a
+verified oracle — broad surface coverage for SQL users migrating from
+the reference's backend modules (the `mod.fun(arg)` calls of
+gateway.ts:192 become ordinary SQL expressions here).
+
+Engine-portability notes: every expression is chosen to have identical
+semantics in Spark and DuckDB (e.g. weekday+1 vs isodow for day-of-week;
+initcap is skipped — DuckDB lacks it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hive_gateway_spark.registry import query
+from hive_gateway_spark.session import load_tables
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT c.c_custkey, b.buyer_id, c.c_mktsegment, b.n_purchases
+    FROM (SELECT * FROM customer WHERE c_acctbal > 8000) c
+    FULL OUTER JOIN (
+        SELECT user_id AS buyer_id, COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ) b ON c.c_custkey = b.buyer_id
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with nulls on both sides (rich customers vs
+    active buyers — neither side subsumes the other)."""
+    t = load_tables(spark, sf_dir)
+    rich = t["customer"].filter(F.col("c_acctbal") > 8000)
+    buyers = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("buyer_id"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return rich.join(buyers, rich.c_custkey == buyers.buyer_id, "full_outer").select(
+        "c_custkey", "buyer_id", "c_mktsegment", "n_purchases"
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT doc_id, metric, val FROM (
+        SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS val FROM documents
+        UNION ALL
+        SELECT doc_id, 'n_tokens', CAST(len(string_split(text, ' ')) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT doc_id, 'n_distinct_tokens',
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) FROM documents
+    )
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-doc metrics → long (doc_id, metric, val)
+    via the built-in unpivot operator (the oracle spells it as the
+    equivalent UNION ALL)."""
+    t = load_tables(spark, sf_dir)
+    wide = t["documents"].select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+    )
+    return wide.unpivot(
+        ["doc_id"],
+        ["n_chars", "n_tokens", "n_distinct_tokens"],
+        "metric",
+        "val",
+    )
+
+
+@query(
+    "q_expr_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_d,
+           ceil(l_quantity) AS ceil_q,
+           floor(l_quantity / 7) AS floor_q7,
+           round(sqrt(l_extendedprice), 4) AS sqrt_price,
+           round(ln(l_extendedprice + 1.0), 6) AS ln_price,
+           round(pow(l_discount, 2), 6) AS disc_sq,
+           l_orderkey % 97 AS mod97,
+           sign(l_discount - 0.05) AS sgn
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def q_expr_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function suite (abs/ceil/floor/sqrt/ln/pow/mod/sign) —
+    identical IEEE expression shapes on both engines."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(F.col("l_linenumber") == 1)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.ceil("l_quantity").alias("ceil_q"),
+        F.floor(F.col("l_quantity") / 7).alias("floor_q7"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("ln_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 97).alias("mod97"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+    )
+
+
+@query(
+    "q_expr_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           extract(year FROM o_orderdate) AS yr,
+           extract(month FROM o_orderdate) AS mo,
+           extract(day FROM o_orderdate) AS dy,
+           isodow(o_orderdate) AS dow_iso,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+    FROM orders
+    """,
+)
+def q_expr_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function suite: extract, ISO day-of-week (Spark's
+    weekday() is 0=Monday → +1 equals DuckDB's isodow), truncation,
+    interval arithmetic, day differences."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("dow_iso"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("bigint").alias("days_since_95"),
+    )
+
+
+@query(
+    "q_expr_string2",
+    oracle="""
+    SELECT s_suppkey,
+           lpad(CAST(s_suppkey AS VARCHAR), 10, '0') AS padded,
+           reverse(s_name) AS rev_name,
+           repeat('-', 3) || s_name AS dashed,
+           split_part(s_name, '#', 2) AS name_num,
+           strpos(s_name, '#') AS hash_pos,
+           translate(s_name, '#', '_') AS underscored,
+           left(s_name, 8) AS prefix8,
+           right(s_name, 3) AS suffix3
+    FROM supplier
+    """,
+)
+def q_expr_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string-function suite (lpad/reverse/repeat/split_part/
+    strpos/translate/left/right)."""
+    t = load_tables(spark, sf_dir)
+    s = t["supplier"]
+    return s.select(
+        "s_suppkey",
+        F.lpad(F.col("s_suppkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("s_name").alias("rev_name"),
+        F.concat(F.lit("---"), F.col("s_name")).alias("dashed"),
+        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.instr("s_name", "#").cast("bigint").alias("hash_pos"),
+        F.translate("s_name", "#", "_").alias("underscored"),
+        F.substring("s_name", 1, 8).alias("prefix8"),
+        F.substring(F.col("s_name"), -3, 3).alias("suffix3"),
+    )

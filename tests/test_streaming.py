@@ -136,3 +136,61 @@ def test_stream_correlate_equals_batch_join(spark, sf_dir):
     # every latency respects the bound, and unknown sns were dropped
     assert (got["latency_us"] <= 30 * 60 * 1_000_000).all()
     assert (got["latency_us"] >= 0).all()
+
+
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """The reference drops late/unknown-sn responses (gateway.ts:134-136);
+    the streaming twin's watermark does the same: rows arriving after
+    their window's watermark passed are excluded from the appended
+    result. Two files with controlled mtimes force the arrival order."""
+    import os
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from hive_gateway_spark.streaming.ops import EVENTS_SCHEMA
+
+    t = load_tables(spark, sf_dir)
+    pdf = t["events"].toPandas().sort_values("event_id")
+    # ns-long ts back (EVENTS_SCHEMA expects raw nanos-as-long)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("int64")
+    first_day = pdf["ts"].min() // 86_400_000_000_000
+    is_day1 = (pdf["ts"] // 86_400_000_000_000) == first_day
+    late = pdf[is_day1].head(5)          # 5 day-1 rows arrive last
+    ontime = pdf.drop(late.index)
+
+    # Three files: the watermark a batch's late-filter uses is the one
+    # computed from the PREVIOUS batch's data (it lags one trigger), so
+    # the on-time data spans two batches before the late file arrives.
+    d = tmp_path / "late_src"
+    d.mkdir()
+    half = len(ontime) // 2
+    parts = [
+        (str(d / "a_ontime1.parquet"), ontime.iloc[:half]),
+        (str(d / "b_ontime2.parquet"), ontime.iloc[half:]),
+        (str(d / "c_late.parquet"), late),
+    ]
+    for i, (f, part) in enumerate(parts):
+        part.to_parquet(f, index=False)
+        os.utime(f, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("day"), "n")
+    )
+    got = drain(agg, "s_late", mode="append")
+    day1 = got[got["day"] == got["day"].min()]
+    assert len(day1) == 1
+    n_ontime_day1 = int(is_day1.sum()) - len(late)
+    # late rows were DROPPED: the closed day-1 window counts only
+    # the on-time rows (a batch run over both files would add the 5)
+    assert int(day1["n"].iloc[0]) == n_ontime_day1, (
+        f"late rows leaked into a closed window: {day1}"
+    )
