@@ -57,8 +57,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        # warm the reader metadata once so timing is the query, not
-        # first-touch schema inference
+        # one warm-up execution: whole-stage codegen compilation and
+        # file-index setup happen once per plan; steady-state latency is
+        # what scales, so that is what we measure
+        fn(spark, sf_dir).count()
         df = fn(spark, sf_dir)
         t0 = time.perf_counter()
         n = df.count()

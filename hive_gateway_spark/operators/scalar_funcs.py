@@ -80,6 +80,34 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_expr_array",
+    oracle="""
+    SELECT doc_id,
+           len(words) AS n_words,
+           list_contains(words, 'join') AS has_join,
+           list_sort(list_distinct(words))[1] AS first_word,
+           len(list_filter(words, w -> length(w) > 4)) AS n_long,
+           array_to_string(words[1:3], '|') AS head3
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    """,
+)
+def q_expr_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order-function suite: size, contains, sort+head,
+    lambda filter, slice+join — all codegen'd JVM expressions (oracle
+    uses DuckDB's list_* equivalents)."""
+    t = load_tables(spark, sf_dir)
+    words = F.split("text", " ")
+    return t["documents"].select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.array_contains(words, "join").alias("has_join"),
+        F.array_sort(F.array_distinct(words))[0].alias("first_word"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).cast("bigint").alias("n_long"),
+        F.array_join(F.slice(words, 1, 3), "|").alias("head3"),
+    )
+
+
+@query(
     "q_expr_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,

