@@ -173,6 +173,124 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_argmax",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, ts) AS last_event_id,
+           arg_max(event_type, ts) AS last_event_type,
+           arg_min(event_id, ts) AS first_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max/arg_min (max_by/min_by): each caller's latest and first
+    request — single-pass aggregate, no window sort (ts is strictly
+    increasing so ties cannot make the result engine-dependent)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_id", "ts").alias("last_event_id"),
+            F.max_by("event_type", "ts").alias("last_event_type"),
+            F.min_by("event_id", "ts").alias("first_event_id"),
+        )
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT event_id, event_type,
+           NTILE(4)        OVER w AS quartile,
+           CUME_DIST()     OVER w AS cume,
+           PERCENT_RANK()  OVER w AS prank
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / cume_dist / percent_rank)
+    — deterministic under the (value, event_id) total order; cume/prank
+    are ratios of integers so both engines compute identical doubles."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return t["events"].select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("prank"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SQRT((CAST(SUM(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE)
+                 - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                 / COUNT(*)), 6) AS stddev_pop,
+           ROUND((CAST(SUM(CAST(value * CAST(k AS DOUBLE) AS DECIMAL(28,4))) AS DOUBLE)
+                 - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(CAST(k AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                 / COUNT(*), 4) AS covar_pop
+    FROM (SELECT event_type, value, CAST(props->>'$.k' AS INTEGER) AS k FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates computed from exact decimal moments
+    (Σx, Σx², Σxy are order-independent decimal sums; the variance /
+    covariance formulas then run in identical IEEE shapes on both
+    engines — built-in stddev/covar would sum doubles in engine-specific
+    order and fail the value hash)."""
+    t = load_tables(spark, sf_dir)
+    src = t["events"].select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    n = F.count("*")
+    sx = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    sxx = F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)")).cast("double")
+    kd = F.col("k").cast("double")
+    sy = F.sum(kd.cast("decimal(18,2)")).cast("double")
+    sxy = F.sum((F.col("value") * kd).cast("decimal(28,4)")).cast("double")
+    return src.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(F.sqrt((sxx - sx * sx / n) / n), 6).alias("stddev_pop"),
+        F.round((sxy - sx * sy / n) / n, 4).alias("covar_pop"),
+    )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS members
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9500)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect + sort + join keeps
+    the result order-deterministic regardless of partitioning."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 9500)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members")
+        )
+    )
+
+
+@query(
     "q_latency_stats",
     oracle="""
     SELECT event_type,
