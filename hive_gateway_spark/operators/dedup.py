@@ -330,3 +330,109 @@ def _embed_dup_oracle() -> str:
 from hive_gateway_spark.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["q_dedup_embedding"] = _embed_dup_oracle()
+
+
+#: Shared CTE: the exact near-dup pair set as SQL (same as q_dedup_ngram).
+_DUCK_PAIRS = f"""
+    {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rawpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT p.doc_a, p.doc_b
+        FROM rawpairs p
+        JOIN sizes na ON na.doc_id = p.doc_a
+        JOIN sizes nb ON nb.doc_id = p.doc_b
+        WHERE 2 * p.shared >= (na.n + nb.n - p.shared)
+    )
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach
+    GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the exact
+    near-dup pair graph, cluster id = min doc_id in the component — the
+    step that turns pairwise matches into keep/drop decisions.
+
+    Spark has no recursive CTE, and at 100 TB you would not want one:
+    this is **iterative min-label propagation** (Pregel/BSP shape) —
+    each round joins current labels across edges and takes the min;
+    rounds needed = graph diameter (near-dup clusters are tiny, so 2-3).
+    The loop is driver-side control flow only; all data work is joins/
+    aggregations, and each round's shuffle is O(edges). The DuckDB
+    oracle computes the same components via a recursive transitive
+    closure."""
+    t = load_tables(spark, sf_dir)
+    sh = _shingles(t).select("doc_id", F.xxhash64("shingle").alias("h")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))), "doc_a")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))), "doc_b")
+        .filter(2 * F.col("shared") >= (F.col("n_a") + F.col("n_b") - F.col("shared")))
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    # label propagation: label(v) = min(v, labels of neighbors), iterate.
+    # localCheckpoint after each round cuts the lineage — without it each
+    # iteration re-executes every previous round (quadratic blow-up).
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("lbl"))
+        .select("src", F.least(F.col("src"), F.col("lbl")).alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; near-dup clusters are tiny
+        neigh = (
+            edges.join(labels.withColumnRenamed("src", "dst2"), F.col("dst") == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id"))

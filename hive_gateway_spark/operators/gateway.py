@@ -176,3 +176,177 @@ def q_gateway_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("body_len").alias("body_bytes"),
         )
     )
+
+
+_E2E_ORACLE = f"""
+WITH src AS (
+    SELECT event_id, user_id, event_type, ts, value,
+           CASE
+             WHEN user_id % 17 = 0 THEN NULL
+             WHEN user_id % 3 = 0 THEN 'wx' || lpad(CAST(user_id AS VARCHAR), 26, '0')
+             WHEN user_id % 3 = 1 THEN
+                  lpad(CAST(user_id AS VARCHAR), 8, '0') || '-' ||
+                  lpad(CAST(user_id AS VARCHAR), 4, '0') || '-' ||
+                  lpad(CAST(user_id AS VARCHAR), 4, '0') || '-' ||
+                  lpad(CAST(user_id AS VARCHAR), 4, '0') || '-' ||
+                  lpad(CAST(user_id AS VARCHAR), 12, '0')
+             ELSE 'sess:' || CAST(user_id AS VARCHAR)
+           END AS token
+    FROM events
+), classified AS (
+    SELECT *,
+           CASE
+             WHEN token IS NULL THEN 'anonymous'
+             WHEN length(token) = 28 THEN 'wx'
+             WHEN length(token) = 36
+                  AND substr(token, 9, 1) = '-' AND substr(token, 14, 1) = '-'
+                  AND substr(token, 19, 1) = '-' AND substr(token, 24, 1) = '-'
+               THEN 'uuid'
+             ELSE 'session'
+           END AS token_class
+    FROM src
+), authed AS (
+    SELECT *,
+           CASE
+             WHEN token_class = 'anonymous' THEN ''
+             WHEN token_class = 'uuid' THEN token
+             WHEN user_id % 5 <> 2 THEN 'u' || CAST(user_id AS VARCHAR)
+             ELSE NULL
+           END AS uid
+    FROM classified
+), admitted AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                              ORDER BY ts, event_id) <= 3 AS admit
+    FROM authed
+), status AS (
+    SELECT *,
+           CASE
+             WHEN uid IS NULL THEN '307_auth_redirect'
+             WHEN NOT admit THEN '429_rate_limited'
+             ELSE '200_dispatched'
+           END AS status
+    FROM admitted
+)
+SELECT token_class, status,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CASE WHEN status = '200_dispatched'
+                     THEN CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS dispatched_value
+FROM status
+GROUP BY token_class, status
+"""
+
+
+@query("q_gateway_e2e", oracle=_E2E_ORACLE)
+def q_gateway_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference request lifecycle (SURVEY §3.1 stages 1-7)
+    as one plan, wire format included:
+
+      synthesize token (4 populations: WeChat-28 / uuid-36 / session /
+      anonymous — gateway.ts:200,203,225) → msgpack-encode the request
+      envelope and decode it back (the actual wire codec, O19/O29) →
+      token classification CASE (O23) → auth resolution (O24/O25: wx +
+      session tokens resolve via the %5 rule, uuid tokens are their own
+      uid — the "rescue" path, anonymous gets uid='' on the admin
+      domain, O22) → per-(token, day) admission window (O16 intended
+      semantics) → per-status side outputs (O27: 200/307/429) →
+      traffic report.
+
+    The oracle replays the same lifecycle from the source columns
+    directly — the msgpack round trip must therefore be the identity
+    for the hashes to match (and the codec is additionally
+    property-tested in tests/test_functions.py)."""
+    from hive_gateway_spark.functions.msgpack_codec import (
+        decode_envelope_udf,
+        encode_envelope_udf,
+    )
+    from hive_gateway_spark.operators.windows import RATE_LIMIT_N
+
+    t = load_tables(spark, sf_dir)
+    uid_s = F.col("user_id").cast("string")
+    token = (
+        F.when(F.col("user_id") % 17 == 0, F.lit(None).cast("string"))
+        .when(F.col("user_id") % 3 == 0, F.concat(F.lit("wx"), F.lpad(uid_s, 26, "0")))
+        .when(
+            F.col("user_id") % 3 == 1,
+            F.concat_ws(
+                "-",
+                F.lpad(uid_s, 8, "0"),
+                F.lpad(uid_s, 4, "0"),
+                F.lpad(uid_s, 4, "0"),
+                F.lpad(uid_s, 4, "0"),
+                F.lpad(uid_s, 12, "0"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("sess:"), uid_s))
+    )
+    src = t["events"].select("event_id", "user_id", "event_type", "ts", "value", token.alias("token"))
+
+    # --- the wire: encode the request envelope, then decode it back ---
+    wired = src.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        decode_envelope_udf(
+            encode_envelope_udf(
+                "event_type",
+                F.lit("call"),
+                F.coalesce("token", F.lit("\x00null")),  # msgpack str field;
+                F.coalesce("token", F.lit("\x00null")),  # NULL marked by sentinel
+            )
+        ).alias("env"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("env.mod").alias("event_type"),
+        F.when(F.col("env.arg") == "\x00null", None).otherwise(F.col("env.arg")).alias("token"),
+    )
+
+    tok = F.col("token")
+    uuid_shape = (
+        (F.length(tok) == 36)
+        & (F.substring(tok, 9, 1) == "-")
+        & (F.substring(tok, 14, 1) == "-")
+        & (F.substring(tok, 19, 1) == "-")
+        & (F.substring(tok, 24, 1) == "-")
+    )
+    token_class = (
+        F.when(tok.isNull(), "anonymous")
+        .when(F.length(tok) == 28, "wx")
+        .when(uuid_shape, "uuid")
+        .otherwise("session")
+    )
+    classified = wired.withColumn("token_class", token_class)
+    uid = (
+        F.when(F.col("token_class") == "anonymous", F.lit(""))
+        .when(F.col("token_class") == "uuid", tok)
+        .when(F.col("user_id") % 5 != 2, F.concat(F.lit("u"), uid_s))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    authed = classified.withColumn("uid", uid)
+    w = W.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts", "event_id")
+    admitted = authed.withColumn("admit", F.row_number().over(w) <= RATE_LIMIT_N)
+    status = (
+        F.when(F.col("uid").isNull(), "307_auth_redirect")
+        .when(~F.col("admit"), "429_rate_limited")
+        .otherwise("200_dispatched")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        admitted.withColumn("status", status)
+        .groupBy("token_class", "status")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.when(F.col("status") == "200_dispatched", F.col("value").cast("decimal(18,2)")).otherwise(zero)
+            )
+            .cast("double")
+            .alias("dispatched_value"),
+        )
+    )

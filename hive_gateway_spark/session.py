@@ -52,6 +52,11 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas UDF / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Shuffle parallelism sized to the host, not the 200 default — at
+    # fixture scale 200-partition exchanges are pure scheduling overhead
+    # (AQE coalescing shrinks data partitions but not the task floor in
+    # iterative loops). On a real cluster this is sized to data volume.
+    "spark.sql.shuffle.partitions": str(max(os.cpu_count() or 8, 8)),
 }
 
 
