@@ -168,52 +168,81 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF geometry: number of coarse cells and cells probed per query.
+IVF_CELLS = 10
+IVF_PROBES = 3
+
+
 @query("q_sim_topk_ivf")  # rows-only: IVF is approximate — no SQL oracle
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style probed top-k (the 100 TB scale path for q_sim_topk).
+    """IVF-probed top-k — the 100 TB scale path for q_sim_topk.
 
-    Coarse quantizer: per-label centroids (labels stand in for k-means
-    cells; identical plan shape with learned cells). Each query probes
-    its 3 nearest centroids and runs the exact kernel only inside those
-    cells; the centroid table and the probed query set are broadcast.
-    Rows-only check: result size is deterministic (k per query)."""
+    Coarse quantizer: **learned** with MLlib KMeans (fixed seed) over
+    L2-normalized vectors (unit sphere ⇒ L2 cells ≈ cosine cells; the
+    fixture's `label` column is NOT a usable quantizer — its clusters
+    are so loose that probing by label yields ~25% recall, vs ~90%+
+    with learned cells). Each base vector lands in its nearest cell
+    (the inverted file); each query probes its IVF_PROBES nearest
+    centroids and runs the exact int64 kernel only inside those cells —
+    scanned fraction ≈ probes/cells. Centroids and the probed query set
+    broadcast; the inverted file is the only large table.
+
+    Rows-only check: result size is deterministic (k per query);
+    recall vs the exact baseline is pinned in tests/test_similarity.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     t = load_tables(spark, sf_dir)
     e = _quantized(t).withColumn("n2", norm2_q("v"))
-    # Coarse centroids: elementwise integer mean per label, re-quantized.
-    flat = e.select("label", F.posexplode("v").alias("pos", "val"))
-    cent = (
-        flat.groupBy("label", "pos")
-        .agg(F.round(F.sum("val").cast("double") / F.count("*"), 0).cast("bigint").alias("c"))
-        .groupBy("label")
-        .agg(
+    # L2-normalize in double for the quantizer only (the exact kernel
+    # below stays on the int64-quantized raw vectors).
+    normed = t["embeddings"].select(
+        "vec_id",
+        array_to_vector(
             F.expr(
-                "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
-            ).alias("cv")
+                "transform(embedding, x -> CAST(x AS DOUBLE) / "
+                "sqrt(aggregate(transform(embedding, y -> CAST(y AS DOUBLE) * y), "
+                "CAST(0 AS DOUBLE), (acc, z) -> acc + z)))"
+            )
+        ).alias("features"),
+    )
+    km = KMeans(k=IVF_CELLS, seed=42, maxIter=20, featuresCol="features").fit(normed)
+    inv_file = (
+        km.transform(normed)
+        .select("vec_id", F.col("prediction").alias("cell"))
+        .join(e, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.col("v").alias("vb"),
+            F.col("n2").alias("nb"),
         )
+    )
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "cell int, center array<double>",
     )
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("vq"), F.col("n2").alias("nq")
     )
-    wq = W.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("label").asc())
-    cells = (
-        queries.join(F.broadcast(cent))
-        .select("query_id", "vq", "nq", "label", dot_q("vq", "cv").alias("cdot"))
-        .withColumn("cell_rank", F.row_number().over(wq))
-        .filter(F.col("cell_rank") <= 3)
-        .select("query_id", "vq", "nq", "label")
+    # Probe scores: query (int64-quantized) · centroid (double) — only
+    # a ranking heuristic, so double math is fine here.
+    cdot = F.expr(
+        "aggregate(zip_with(vq, center, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
     )
-    base = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("cell"),
-        F.col("v").alias("vb"),
-        F.col("n2").alias("nb"),
+    wq = W.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
+    probed = (
+        queries.join(F.broadcast(centers))
+        .select("query_id", "vq", "nq", "cell", cdot.alias("cdot"))
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= IVF_PROBES)
+        .select("query_id", "vq", "nq", "cell")
     )
     scored = (
-        F.broadcast(cells)
-        .join(
-            base,
-            (F.col("label") == F.col("cell")) & (F.col("query_id") != F.col("neighbor_id")),
-        )
+        F.broadcast(probed)
+        .join(inv_file, ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",

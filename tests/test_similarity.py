@@ -1,0 +1,57 @@
+"""Approximate-ANN quality vs the exact baseline + misc rows-only checks."""
+
+from __future__ import annotations
+
+from hive_gateway_spark import registry
+
+registry.load_all()
+
+
+def _topk(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF probes 3 of 10 cells; recall vs exact brute-force top-5 must
+    clear 50% on the fixture (labels are weak clusters — cosine max
+    ≈0.47 — so this is a lower bound; tight clusters recall ~100%)."""
+    exact = _topk(registry.QUERIES["q_sim_topk"](spark, sf_dir).collect())
+    ivf = _topk(registry.QUERIES["q_sim_topk_ivf"](spark, sf_dir).collect())
+    assert set(ivf) == set(exact), "query sets differ"
+    total = hits = 0
+    for q, nn in exact.items():
+        total += len(nn)
+        hits += len(nn & ivf.get(q, set()))
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+    # result size is exactly k per query (the deterministic rows-only contract)
+    assert all(len(v) == 5 for v in ivf.values())
+
+
+def test_compression_report_sane(spark, sf_dir):
+    """q_gateway_compression rows-only invariants: deflate/gzip shrink
+    (fixture docs exceed the 1024 B gate only rarely — identity rows
+    must satisfy body == raw)."""
+    rows = registry.QUERIES["q_gateway_compression"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["content_encoding"] == "identity":
+            assert r["body_bytes"] == r["raw_bytes"], r
+        else:
+            assert r["body_bytes"] < r["raw_bytes"], r
+
+
+def test_queries_are_thread_safe(spark, sf_dir):
+    """The driver may invoke queries concurrently; view registration and
+    conf setting must not race."""
+    import concurrent.futures as cf
+
+    names = ["q_agg_group", "q_join_multiway", "q_text_stats", "q_filter_predicate"]
+    with cf.ThreadPoolExecutor(4) as ex:
+        counts = list(
+            ex.map(lambda n: registry.QUERIES[n](spark, sf_dir).count(), names)
+        )
+    assert all(c > 0 for c in counts)
