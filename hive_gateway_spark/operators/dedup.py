@@ -436,3 +436,108 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels.select(F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+_PIPELINE_ORACLE = f"""
+WITH {_DUCK_PAIRS},
+normed AS (
+    SELECT doc_id, lang, source, n_chars,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+quality AS (
+    SELECT * FROM normed WHERE n_tokens >= 10 AND lang IN ('en','fr','es','de','zh')
+),
+exact_kept AS (
+    SELECT * FROM quality
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM quality GROUP BY norm_text)
+),
+near_dropped AS (
+    -- drop the higher doc_id of every near-dup pair (canonical survivor)
+    SELECT * FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+),
+split AS (
+    SELECT *,
+           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                THEN 'train' ELSE 'val' END AS subset
+    FROM near_dropped
+)
+SELECT subset, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM split
+GROUP BY subset, lang
+"""
+
+
+@query("q_training_pipeline", oracle=_PIPELINE_ORACLE)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition: an end-to-end training-data curation
+    pipeline over `documents`, every stage one of the engine's verified
+    operators —
+
+      normalize (case/punct/whitespace canonicalization)
+      → quality gate (≥10 tokens) + language allowlist
+      → exact dedup on the normalized text (min-doc_id survivor)
+      → near-dup removal (shingle-Jaccard pairs; the doc_b of each
+        pair is dropped, keeping the canonical lower id)
+      → deterministic 90/10 train/val split (multiplicative hash —
+        reproducible and partition-stable, q_sample_hash's primitive)
+      → per-(subset, lang) corpus report.
+
+    Scale shape: two shuffles (dedup group-by, final report) plus the
+    near-dup pair join; everything else is narrow. At 100 TB the
+    near-dup stage swaps in the MinHash-LSH candidates
+    (q_dedup_fuzzy) with identical downstream plumbing."""
+    t = load_tables(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    normed = t["documents"].select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        norm.alias("norm_text"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    quality = normed.filter(
+        (F.col("n_tokens") >= 10)
+        & F.col("lang").isin("en", "fr", "es", "de", "zh")
+    )
+    keepers = quality.groupBy("norm_text").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = quality.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    # near-dup victims: doc_b side of the exact shingle-Jaccard pairs
+    sh = _shingles(t).select("doc_id", F.xxhash64("shingle").alias("h")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    victims = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))), "doc_a")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))), "doc_b")
+        .filter(2 * F.col("shared") >= (F.col("n_a") + F.col("n_b") - F.col("shared")))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    deduped = exact_kept.join(victims, "doc_id", "left_anti")
+    subset = F.when(
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 100 < 90, "train"
+    ).otherwise("val")
+    return (
+        deduped.withColumn("subset", subset)
+        .groupBy("subset", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
