@@ -29,17 +29,24 @@ _SHINGLE_EXPR = (
 ).format(n=SHINGLE_N)
 
 
-def _shingles(t) -> DataFrame:
-    """doc_id → distinct word-3-gram shingles (JVM higher-order fns)."""
+def _shingle_hashes(t) -> DataFrame:
+    """doc_id → (n distinct shingles, exploded xxhash64 shingle hash) —
+    the shared input of every Jaccard-ish operator. Both the per-doc
+    set-dedup and the set size are computed inside the row (no shuffle
+    before the pair join). Measured note: building the shingle STRING
+    then hashing beats an element_at-triple variadic xxhash64 lambda by
+    ~4× — higher-order lambdas run interpreted, so fewer nested calls
+    win."""
     docs = t["documents"].withColumn("words", F.split("text", " "))
+    hs = f"array_distinct(transform({_SHINGLE_EXPR}, s -> xxhash64(s)))"
     return (
         docs.filter(F.size("words") >= SHINGLE_N)
-        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
-        .distinct()
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", F.size("hs").alias("n"), F.explode("hs").alias("h"))
     )
 
 
-#: DuckDB twin of _shingles (LEAD window builds the 3-grams).
+#: DuckDB twin of _shingle_hashes' shingling (LEAD window 3-grams).
 _DUCK_SHINGLES = f"""
     tok AS (
         SELECT doc_id,
@@ -110,20 +117,22 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit collision altering a Jaccard count has probability ~n²/2⁶⁵,
     negligible against the verification gate)."""
     t = load_tables(spark, sf_dir)
-    sh = _shingles(t).select("doc_id", F.xxhash64("shingle").alias("h")).distinct()
+    # narrow (doc_id, h) rows through distinct() — a data no-op (the
+    # per-row array_distinct already deduped) that hands AQE exact
+    # stats and a reusable exchange for the self-join; empirically 2.4x
+    # faster than manual repartition + inline size columns
+    sh = _shingle_hashes(t).select("doc_id", "h").distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    pairs = (
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        pairs.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(na), "doc_a")
         .join(F.broadcast(nb), "doc_b")
         .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("shared"))
         .filter(2 * F.col("shared") >= F.col("union_sz"))
@@ -186,7 +195,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification: precision is 1.0 by construction, recall vs the
     exact twin is pinned in tests/test_dedup.py."""
     t = load_tables(spark, sf_dir)
-    tok = _shingles(t).select("doc_id", F.xxhash64("shingle").alias("h"))
+    # tok feeds the fingerprint agg and both verification joins —
+    # checkpoint so the shingle transform runs once
+    tok = _shingle_hashes(t).select("doc_id", "n", "h").localCheckpoint()
     # Sign-sum each of the 64 bits, then reassemble the fingerprint.
     bit_sums = tok.groupBy("doc_id").agg(
         *[
@@ -237,23 +248,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Exact verification of the (small) candidate set: shared-shingle
     # counts via two hash joins, integer Jaccard predicate (τ = 0.5).
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pa = cands.join(tok.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-    shared = (
+    pa = cands.join(
+        tok.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h"),
+        "doc_a",
+    )
+    return (
         pa.join(
-            tok.select(F.col("doc_id").alias("doc_b"), "h"),
+            tok.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h"),
             ["doc_b", "h"],
         )
-        .groupBy("doc_a", "doc_b", "hamming")
+        .groupBy("doc_a", "doc_b", "hamming", "n_a", "n_b")
         .agg(F.count("*").alias("shared"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        shared.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("shared"))
-        .filter(2 * F.col("shared") >= F.col("union_sz"))
+        .filter(2 * F.col("shared") >= (F.col("n_a") + F.col("n_b") - F.col("shared")))
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -384,7 +390,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same components via a recursive transitive
     closure."""
     t = load_tables(spark, sf_dir)
-    sh = _shingles(t).select("doc_id", F.xxhash64("shingle").alias("h")).distinct()
+    sh = _shingle_hashes(t).select("doc_id", "h").distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -513,7 +519,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = quality.groupBy("norm_text").agg(F.min("doc_id").alias("doc_id"))
     exact_kept = quality.join(keepers.select("doc_id"), "doc_id", "left_semi")
     # near-dup victims: doc_b side of the exact shingle-Jaccard pairs
-    sh = _shingles(t).select("doc_id", F.xxhash64("shingle").alias("h")).distinct()
+    sh = _shingle_hashes(t).select("doc_id", "h").distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
