@@ -1,0 +1,158 @@
+"""Property-based operator tests: the Spark operators against tiny pure-
+Python reference implementations over randomized event sets (hypothesis).
+These guard semantics, not parity — the DuckDB gate covers parity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Window as W, functions as F
+
+# One randomized dataframe strategy: (user_id, ts_us, value) events.
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),            # user_id
+        st.integers(min_value=0, max_value=10_000_000),   # ts offset (µs)
+        st.integers(min_value=0, max_value=500),          # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _df(spark, rows):
+    # unique, strictly increasing per-row ids; ts scaled to spread windows
+    data = [
+        (i, u, 1_700_000_000_000_000 + t * 3_600, float(v))
+        for i, (u, t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, ts_us long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+
+def _reference_admission(rows, limit):
+    """Pure-python: first `limit` events per (user, day) by (ts, id)."""
+    import collections
+
+    byday = collections.defaultdict(list)
+    for i, (u, t, v) in enumerate(rows):
+        ts_us = 1_700_000_000_000_000 + t * 3_600
+        day = ts_us // 86_400_000_000
+        byday[(u, day)].append((ts_us, i))
+    admitted = {}
+    for key, evs in byday.items():
+        for rank, (_, i) in enumerate(sorted(evs), start=1):
+            admitted[i] = rank <= limit
+    return admitted
+
+
+@given(events_strategy, st.integers(min_value=1, max_value=5))
+@settings(max_examples=12, deadline=None)
+def test_admission_window_matches_reference(spark_global, rows, limit):
+    spark = spark_global
+    df = _df(spark, rows)
+    w = W.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts", "event_id")
+    got = {
+        r["event_id"]: r["adm"]
+        for r in df.withColumn("adm", F.row_number().over(w) <= limit).collect()
+    }
+    assert got == _reference_admission(rows, limit)
+
+
+def _reference_sessions(rows, gap_us):
+    """Pure-python gap sessionizer → set of (user, n_events) multiset."""
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for i, (u, t, v) in enumerate(rows):
+        per_user[u].append((1_700_000_000_000_000 + t * 3_600, i))
+    out = []
+    for u, evs in per_user.items():
+        evs.sort()
+        n = 0
+        prev = None
+        for ts, _ in evs:
+            if prev is None or ts - prev > gap_us:
+                if n:
+                    out.append((u, n))
+                n = 0
+            n += 1
+            prev = ts
+        if n:
+            out.append((u, n))
+    return sorted(out)
+
+
+@given(events_strategy)
+@settings(max_examples=12, deadline=None)
+def test_sessionize_matches_reference(spark_global, rows):
+    spark = spark_global
+    gap_us = 30 * 60 * 1_000_000
+    df = _df(spark, rows)
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (us - F.lag(us).over(w)).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    got = sorted(
+        (r["user_id"], r["n"])
+        for r in flagged.withColumn("sid", F.sum("new_session").over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == _reference_sessions(rows, gap_us)
+
+
+def _reference_asof(rows, marker_users):
+    """Pure-python as-of: per event, most recent prior-or-equal marker ts."""
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for i, (u, t, v) in enumerate(rows):
+        per_user[u].append((1_700_000_000_000_000 + t * 3_600, i, v))
+    out = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        last_marker = None
+        for ts, i, v in evs:
+            if int(v) % 3 == 0:  # marker rows
+                last_marker = ts
+            out[i] = None if last_marker is None else ts - last_marker
+    return out
+
+
+@given(events_strategy)
+@settings(max_examples=12, deadline=None)
+def test_asof_carry_forward_matches_reference(spark_global, rows):
+    spark = spark_global
+    df = _df(spark, rows)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_marker = F.last(
+        F.when(F.col("value").cast("long") % 3 == 0, us), ignorenulls=True
+    ).over(w)
+    got = {
+        r["event_id"]: r["d"]
+        for r in df.select("event_id", (us - last_marker).alias("d")).collect()
+    }
+    assert got == _reference_asof(rows, None)
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
