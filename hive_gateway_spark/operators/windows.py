@@ -173,6 +173,46 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_hour_value,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS trailing_hour_calls
+    FROM events
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-range) window frame: per caller, the trailing-hour
+    request count and value total at every event — the sliding-window
+    admission statistic computed per row rather than per bucket. The
+    frame is over integer epoch-µs so both engines bound it identically;
+    the sum is decimal-exact. (RANGE frames need no tie-break: rows with
+    equal ordering values share a frame by definition.)"""
+    t = load_tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_hour_value"),
+        F.count("*").over(w).alias("trailing_hour_calls"),
+    )
+
+
+@query(
     "q_argmax",
     oracle="""
     SELECT user_id,

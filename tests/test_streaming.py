@@ -194,3 +194,45 @@ def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
     assert int(day1["n"].iloc[0]) == n_ontime_day1, (
         f"late rows leaked into a closed window: {day1}"
     )
+
+
+def test_streaming_gateway_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """Streaming flagship: events stream → stateful admission →
+    broadcast route join → per-region admitted counts → KV writeback
+    via foreachBatch. Results must equal the batch computation."""
+    from pyspark.sql import functions as F
+    from hive_gateway_spark.operators.windows import RATE_LIMIT_N
+    from hive_gateway_spark.sources.kv import FileKV, kv_sink_foreachBatch
+
+    t = load_tables(spark, sf_dir)
+    routes = F.broadcast(
+        t["nation"].join(
+            F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+    )
+
+    admitted = stream_admission(stream_events(spark, sf_dir), limit=RATE_LIMIT_N)
+    routed = admitted.filter(F.col("admitted")).join(
+        routes, F.pmod(F.col("user_id"), F.lit(25)).cast("int") == F.col("n_nationkey")
+    )
+    counts = routed.groupBy("r_name").agg(F.count("*").alias("n")).select(
+        F.col("r_name").alias("k"), F.col("n").cast("string").alias("v")
+    )
+    out_root = str(tmp_path / "kv_regions")
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(kv_sink_foreachBatch(lambda: FileKV(out_root), "k", "v"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = dict(FileKV(out_root).items())
+
+    batch = registry.QUERIES["q_gateway_pipeline"](spark, sf_dir)
+    want = {
+        r["route_region"]: str(r["n"])
+        for r in batch.groupBy("route_region")
+        .agg(F.sum("n_admitted").alias("n"))
+        .collect()
+    }
+    assert got == want
