@@ -75,21 +75,27 @@ def negotiate_compression(payload_col, accept_encoding_col):
 
     - already-zlib payload + client accepts deflate → passthrough
       (zero-copy, the ref's P3 optimization);
-    - already-zlib otherwise → inflate (client can't take deflate);
+    - already-zlib + client accepts only gzip → inflate, re-gzip
+      (gateway.ts:94-104);
+    - already-zlib otherwise → inflate (client can't take either);
     - raw payload > 1024 B → deflate if accepted, else gzip if
       accepted, else raw;
     - small payloads → raw.
 
     Returns (body_col, content_encoding_col). CaseWhen short-circuits,
-    so UDF branches only run for rows that take them.
+    so UDF branches only run for rows that take them. The ref falls
+    back to the raw (inflated) bytes if gzip fails (:102-103) —
+    mirrored with coalesce.
     """
     accepts_deflate = accept_encoding_col.rlike(r"\bdeflate\b")
     accepts_gzip = accept_encoding_col.rlike(r"\bgzip\b")
     zl = is_zlib(payload_col)
     big = F.length(payload_col) > COMPRESS_MIN_BYTES
+    regzipped = gzip_udf(inflate_udf(payload_col))
 
     body = (
         F.when(zl & accepts_deflate, payload_col)
+        .when(zl & accepts_gzip, F.coalesce(regzipped, inflate_udf(payload_col)))
         .when(zl, inflate_udf(payload_col))
         .when(big & accepts_deflate, deflate_udf(payload_col))
         .when(big & accepts_gzip, gzip_udf(payload_col))
@@ -97,6 +103,7 @@ def negotiate_compression(payload_col, accept_encoding_col):
     )
     encoding = (
         F.when(zl & accepts_deflate, F.lit("deflate"))
+        .when(zl & accepts_gzip & regzipped.isNotNull(), F.lit("gzip"))
         .when(zl, F.lit(None).cast("string"))
         .when(big & accepts_deflate, F.lit("deflate"))
         .when(big & accepts_gzip, F.lit("gzip"))

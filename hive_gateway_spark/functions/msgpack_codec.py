@@ -218,7 +218,9 @@ def _pack_str(b: bytes) -> bytes:
         return bytes([0xA0 | n]) + b
     if n <= 0xFF:
         return bytes([0xD9, n]) + b
-    return b"\xda" + n.to_bytes(2, "big") + b
+    if n <= 0xFFFF:
+        return b"\xda" + n.to_bytes(2, "big") + b
+    return b"\xdb" + n.to_bytes(4, "big") + b
 
 
 def encode_envelope(mod: str, fun: str, arg: str, token: str) -> bytes:

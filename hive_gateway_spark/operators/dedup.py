@@ -46,6 +46,31 @@ def _shingle_hashes(t) -> DataFrame:
     )
 
 
+
+def _jaccard_pairs(t) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (doc_a < doc_b, τ = 0.5,
+    integer predicate) — the shared core of q_dedup_ngram,
+    q_dedup_clusters and q_training_pipeline. Returns
+    (doc_a, doc_b, shared, union_sz)."""
+    sh = _shingle_hashes(t).select("doc_id", "h").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("shared"))
+        .filter(2 * F.col("shared") >= F.col("union_sz"))
+        .select("doc_a", "doc_b", "shared", "union_sz")
+    )
+
+
 #: DuckDB twin of _shingle_hashes' shingling (LEAD window 3-grams).
 _DUCK_SHINGLES = f"""
     tok AS (
@@ -117,32 +142,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit collision altering a Jaccard count has probability ~n²/2⁶⁵,
     negligible against the verification gate)."""
     t = load_tables(spark, sf_dir)
-    # narrow (doc_id, h) rows through distinct() — a data no-op (the
-    # per-row array_distinct already deduped) that hands AQE exact
-    # stats and a reusable exchange for the self-join; empirically 2.4x
-    # faster than manual repartition + inline size columns
-    sh = _shingle_hashes(t).select("doc_id", "h").distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
-        .join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("shared"))
-        .filter(2 * F.col("shared") >= F.col("union_sz"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "shared",
-            "union_sz",
-            F.round(F.col("shared").cast("double") / F.col("union_sz"), 4).alias("jaccard"),
-        )
+    return _jaccard_pairs(t).select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        "union_sz",
+        F.round(F.col("shared").cast("double") / F.col("union_sz"), 4).alias("jaccard"),
     )
 
 
@@ -390,20 +395,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same components via a recursive transitive
     closure."""
     t = load_tables(spark, sf_dir)
-    sh = _shingle_hashes(t).select("doc_id", "h").distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    pairs = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))), "doc_a")
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))), "doc_b")
-        .filter(2 * F.col("shared") >= (F.col("n_a") + F.col("n_b") - F.col("shared")))
-        .select("doc_a", "doc_b")
-    )
+    pairs = _jaccard_pairs(t).select("doc_a", "doc_b")
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).persist()
@@ -519,21 +511,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = quality.groupBy("norm_text").agg(F.min("doc_id").alias("doc_id"))
     exact_kept = quality.join(keepers.select("doc_id"), "doc_id", "left_semi")
     # near-dup victims: doc_b side of the exact shingle-Jaccard pairs
-    sh = _shingle_hashes(t).select("doc_id", "h").distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    victims = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))), "doc_a")
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))), "doc_b")
-        .filter(2 * F.col("shared") >= (F.col("n_a") + F.col("n_b") - F.col("shared")))
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    victims = _jaccard_pairs(t).select(F.col("doc_b").alias("doc_id")).distinct()
     deduped = exact_kept.join(victims, "doc_id", "left_anti")
     subset = F.when(
         ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 100 < 90, "train"

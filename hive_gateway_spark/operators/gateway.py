@@ -217,7 +217,7 @@ WITH src AS (
 ), admitted AS (
     SELECT *,
            ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
-                              ORDER BY ts, event_id) <= 3 AS admit
+                              ORDER BY ts, event_id) <= {RATE_LIMIT_N} AS admit
     FROM authed
 ), status AS (
     SELECT *,

@@ -68,14 +68,24 @@ class RateLimiter:
             if len(q) >= self.limit:
                 return False
             q.append(now)
+            # prune fully-expired buckets so unique-token traffic cannot
+            # grow memory without bound (the Redis-TTL analog)
+            if len(self._hits) > 10_000:
+                dead = [k for k, v in self._hits.items() if not v or now - v[-1] >= self.window_s]
+                for k in dead:
+                    del self._hits[k]
             return True
 
 
-def classify_token(token: str | None) -> str:
+def classify_token(token) -> str:
     """gateway.ts:203, 225-226: 28 chars → wx; 36 chars with dashes at
-    (1-based) 9/14/19/24 → raw-uuid rescue; else session."""
+    (1-based) 9/14/19/24 → raw-uuid rescue; else session. A non-string
+    wire value (msgpack allows ints/maps here) falls through to the
+    session path, matching the ref's duck-typed `token.length` checks."""
     if token is None or token == "":
         return "anonymous"
+    if not isinstance(token, str):
+        return "session"
     if len(token) == 28:
         return "wx"
     if len(token) == 36 and all(token[i] == "-" for i in (8, 13, 18, 23)):
@@ -124,6 +134,7 @@ class GatewayServer:
                 pass
 
             def _headers(self, code: int, extra: dict | None = None):
+                self._last_code = code
                 self.send_response(code)
                 origin = self.headers.get("Origin") or "*"
                 self.send_header("Access-Control-Allow-Origin", origin)
@@ -136,57 +147,90 @@ class GatewayServer:
             def do_GET(self):  # any non-POST → 405 (gateway.ts:304-308)
                 self._headers(405)
                 self.wfile.write(b"Invalid rpc call")
+                gw._log_call("-", "-", "-", 405, 0.0)
 
-            do_PUT = do_DELETE = do_HEAD = do_GET
+            # OPTIONS included: CORS preflights must still get the
+            # Access-Control-* headers (the ref answers every method)
+            do_PUT = do_DELETE = do_HEAD = do_OPTIONS = do_GET
 
             def do_POST(self):
                 start = time.time()
                 n = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(n)
+                mod = fun = cls = "-"
                 try:
-                    env = unpackb(body)
-                    mod, fun = env.get("mod"), env.get("fun")
-                    arg = env.get("arg")
-                    token = (env.get("ctx") or {}).get("wxuser")
-                except Exception:
-                    self._headers(400)
-                    self.wfile.write(b"Invalid envelope")
-                    return
-                cls = classify_token(token)
-                if cls == "anonymous":
-                    if gw.domain != "admin":  # mobile anon → 307 (:282-284)
-                        self._headers(307, {"Location": "AUTHORIZE-URL"})
+                    try:
+                        env = unpackb(body)
+                        mod, fun = env.get("mod"), env.get("fun")
+                        arg = env.get("arg")
+                        token = (env.get("ctx") or {}).get("wxuser")
+                    except Exception:
+                        self._headers(400)
+                        self.wfile.write(b"Invalid envelope")
                         return
-                    token = "anonymous"  # shared bucket (:266)
-                if not gw.limiter.allow(token):
-                    self._headers(429)  # :258-261
-                    self.wfile.write(b"Too Many Requests")
-                    return
-                payload, code = gw.dispatch(mod, fun, arg)
-                if code != 200:
-                    self._headers(code)
-                    self.wfile.write(payload)
-                    return
-                body_out, enc = negotiate(
-                    payload, self.headers.get("Accept-Encoding") or ""
-                )
-                extra = {"Content-Type": "application/octet-stream"}
-                if enc:
-                    extra["Content-Encoding"] = enc
-                self._headers(200, extra)
-                self.wfile.write(body_out)
-                gw.log.append(
-                    {
-                        "mod": mod,
-                        "fun": fun,
-                        "token_class": cls,
-                        "ms": round((time.time() - start) * 1000, 3),
-                    }
-                )
+                    cls = classify_token(token)
+                    if cls == "anonymous":
+                        if gw.domain != "admin":  # mobile anon → 307 (:282-284)
+                            self._headers(307, {"Location": "AUTHORIZE-URL"})
+                            return
+                        token = "anonymous"  # shared bucket (:266)
+                    # route resolution precedes admission (ref order:
+                    # gateway.ts:195-198 then :201) — unknown modules
+                    # 404 without consuming rate-limit quota
+                    if not gw.resolves(mod, fun):
+                        self._headers(404)
+                        self.wfile.write(b"Module not found")
+                        return
+                    if not gw.limiter.allow(str(token)):
+                        self._headers(429)  # :258-261
+                        self.wfile.write(b"Too Many Requests")
+                        return
+                    payload, code = gw.dispatch(mod, fun, arg)
+                    if code != 200:
+                        self._headers(code)
+                        self.wfile.write(payload)
+                        return
+                    body_out, enc = negotiate(
+                        payload, self.headers.get("Accept-Encoding") or ""
+                    )
+                    extra = {"Content-Type": "application/octet-stream"}
+                    if enc:
+                        extra["Content-Encoding"] = enc
+                    self._headers(200, extra)
+                    self.wfile.write(body_out)
+                finally:
+                    # every call is logged, rejections included (the ref
+                    # log.info's all branches: gateway.ts:219,259,296,316)
+                    gw._log_call(
+                        mod, fun, cls,
+                        getattr(self, "_last_code", 0),
+                        (time.time() - start) * 1000,
+                    )
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_port
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    def _log_call(self, mod, fun, token_class, code, ms: float) -> None:
+        self.log.append(
+            {
+                "mod": mod,
+                "fun": fun,
+                "token_class": token_class,
+                "status": code,
+                "ms": round(ms, 3),
+            }
+        )
+
+    def resolves(self, mod, fun) -> bool:
+        """Route-table lookup (no execution) — ref gateway.ts:195-198."""
+        if mod == "query":
+            return fun in registry.QUERIES
+        if mod == "sql":
+            return fun == "exec"
+        if mod == "catalog":
+            return fun == "tables"
+        return False
 
     # --- module routing (the engine's version of gateway.ts:289-301) ---
     def dispatch(self, mod: str, fun: str, arg) -> tuple[bytes, int]:

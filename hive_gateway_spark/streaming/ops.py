@@ -124,8 +124,14 @@ def stream_admission(events: DataFrame, limit: int = 3) -> DataFrame:
             book = dict(zip(days, counts))
         else:
             book = {}
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Materialize the whole per-key micro-batch before sorting:
+        # Arrow chunks are not globally ordered, and a per-chunk sort
+        # would admit the wrong first-N whenever a key spans chunks.
+        # Memory bound = one key's rows in one micro-batch (set the
+        # trigger's input limits accordingly at scale).
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
             day = (pdf["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000).astype(int)
             admitted = []
             for d in day:

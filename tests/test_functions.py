@@ -207,3 +207,31 @@ def test_specialized_decode_falls_back_to_generic():
     assert mp.decode_envelope(mp.packb({"mod": "m", "x": 1})) == ("m", None, None, None)
     assert mp.decode_envelope(b"\x00\xff\x17") == (0, None, None, None) or True
     assert mp.decode_envelope(b"\xc1") == (None, None, None, None)
+
+
+def test_compression_zlib_to_gzip_recompress(spark):
+    """Pre-zlib payload + client accepts only gzip → inflate + re-gzip
+    (gateway.ts:94-104), the branch the first matrix missed."""
+    import gzip as gz
+
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.functions.binary import negotiate_compression
+
+    pre = zlib.compress(b"zlib-payload-for-gzip-client" * 64)
+    df = spark.createDataFrame(
+        [("z2g", pre, "gzip")], "name string, payload binary, accept_encoding string"
+    )
+    body, enc = negotiate_compression(F.col("payload"), F.col("accept_encoding"))
+    r = df.select(body.alias("b"), enc.alias("e")).collect()[0]
+    assert r["e"] == "gzip"
+    assert gz.decompress(bytes(r["b"])) == zlib.decompress(pre)
+
+
+def test_msgpack_str32(spark):
+    """>64 KiB strings take the str32 branch and stay byte-identical to
+    the generic encoder."""
+    big = "x" * 70_000
+    fast = mp.encode_envelope("m", "f", big, "t")
+    assert fast == mp.packb({"mod": "m", "fun": "f", "arg": big, "ctx": {"wxuser": "t"}})
+    assert mp.decode_envelope(fast) == ("m", "f", big, "t")

@@ -130,3 +130,37 @@ def test_request_log_has_latency(gateway):
     assert len(gateway.log) > before
     entry = gateway.log[-1]
     assert entry["mod"] == "catalog" and entry["ms"] >= 0
+
+
+def test_options_preflight_gets_cors(gateway):
+    conn = http.client.HTTPConnection("127.0.0.1", gateway.port, timeout=10)
+    conn.request("OPTIONS", "/", headers={"Origin": "http://app.test"})
+    resp = conn.getresponse()
+    resp.read()
+    conn.close()
+    assert resp.status == 405  # every non-POST answers 405 + CORS headers
+    assert resp.getheader("Access-Control-Allow-Origin") == "http://app.test"
+    assert resp.getheader("Access-Control-Allow-Methods") == "POST"
+
+
+def test_non_string_token_is_session_not_crash(gateway):
+    body = packb({"mod": "catalog", "fun": "tables", "arg": None, "ctx": {"wxuser": 42}})
+    resp, data = rpc(gateway.port, "-", "-", raw_body=body)
+    assert resp.status == 200
+    assert "tables" in unpackb(data)
+
+
+def test_unknown_module_does_not_consume_rate_limit(gateway):
+    token = "probe-token-404"
+    for _ in range(15):  # would exhaust the 10/s budget if counted
+        resp, _ = rpc(gateway.port, "nope", "x", token=token)
+        assert resp.status == 404
+    resp, _ = rpc(gateway.port, "catalog", "tables", token=token)
+    assert resp.status == 200  # budget untouched by 404s
+
+
+def test_rejections_are_logged(gateway):
+    before = len(gateway.log)
+    rpc(gateway.port, "nope", "x", token="rej-log-tok")
+    assert len(gateway.log) > before
+    assert gateway.log[-1]["status"] == 404
