@@ -99,21 +99,40 @@ def get_spark(app_name: str = "hive-gateway-spark") -> SparkSession:
     return spark
 
 
+#: (session id, sf_dir) → loaded DataFrames. Schema reads cost ~0.5 s per
+#: call across the 10 tables; every query calls load_tables, so caching
+#: removes a constant from each operator's latency.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+#: session id → sf_dir whose tables currently own the temp views (SQL-
+#: string queries read views; switching sf_dir must re-register them).
+_VIEW_OWNER: dict[int, str] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register all fixture tables as temp views; return them by name.
 
-    Idempotent and cheap (schema-only reads — scans stay lazy). The
-    ``events`` view converts the nanos-as-long ``ts`` back to a µs
-    TimestampType column with integer division (codegen'd projection).
+    Idempotent and cheap — loaded tables are cached per (session,
+    sf_dir), and views are (re)registered only when the session's
+    current sf_dir changes. The ``events`` view converts the
+    nanos-as-long ``ts`` back to a µs TimestampType column with integer
+    division (codegen'd projection).
     """
     configure(spark)
-    out: dict[str, DataFrame] = {}
-    for name in TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # nanos → µs, integer division (no double round-trip: ns
-            # epoch values exceed 2^53 and would lose precision).
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        df.createOrReplaceTempView(name)
-        out[name] = df
+    sid = id(spark)
+    key = (sid, sf_dir)
+    out = _TABLE_CACHE.get(key)
+    if out is None:
+        out = {}
+        for name in TABLES:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # nanos → µs, integer division (no double round-trip: ns
+                # epoch values exceed 2^53 and would lose precision).
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            out[name] = df
+        _TABLE_CACHE[key] = out
+    if _VIEW_OWNER.get(sid) != sf_dir:
+        for name, df in out.items():
+            df.createOrReplaceTempView(name)
+        _VIEW_OWNER[sid] = sf_dir
     return out
