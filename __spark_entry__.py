@@ -31,8 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, priority-
+    ordered (the driver verifies the first 50 — registry.PRIORITY)."""
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

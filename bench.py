@@ -8,6 +8,12 @@ Timing = full plan execution materialized via a count-ish reduction
 (``df.toLocalIterator`` would serialize; ``collect`` on aggregates is
 tiny; per-row outputs are reduced with count()) — we charge the whole
 pipeline, not just planning.
+
+Hygiene (VERDICT r01 "Next round" #8): per query we record one COLD run
+(codegen compile + file-index setup) and the MEDIAN of 3 warm runs;
+``value``/``queries`` carry the warm medians (the steady-state number
+that scales and is comparable round-over-round under co-tenant noise),
+``queries_cold`` carries the cold runs.
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -59,18 +66,22 @@ def main() -> None:
     spark = get_spark("hive-gateway-spark-bench")
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        # one warm-up execution: whole-stage codegen compilation and
-        # file-index setup happen once per plan; steady-state latency is
-        # what scales, so that is what we measure
-        fn(spark, sf_dir).count()
+
         # time construction + execution together: iterative operators
         # (label propagation) do real work while building the plan
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        def run() -> float:
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            assert n >= 0
+            return time.perf_counter() - t0
+
+        # cold: whole-stage codegen compilation + file-index setup
+        cold[name] = round(run(), 3)
+        # warm steady state: median of 3 rides out co-tenant noise
+        timings[name] = round(statistics.median(run() for _ in range(3)), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -79,6 +90,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

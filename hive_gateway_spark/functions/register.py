@@ -10,7 +10,36 @@ operator surface without touching Python.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession, functions as F, types as T
+
+
+def make_wmean_udaf():
+    """pandas GROUPED_AGG UDAF: exact integer-weighted mean — the
+    engine's UDAF surface (SURVEY §2.1 "UDF/UDAF/UDTF"; scalar pandas
+    UDFs and the mapInPandas UDTF shape live elsewhere).
+
+    Deterministic by construction: the accumulation is int64 (numpy sum
+    over Arrow batches, exact for |Σ| < 2⁶³), with ONE float division at
+    the end — so the result is independent of row order and identical to
+    the oracle's CAST(SUM(x*w) AS DOUBLE)/CAST(SUM(w) AS DOUBLE) (both
+    correctly-rounded quotients of exactly-represented integers).
+
+    Scale note: GROUPED_AGG ships whole groups to one executor (no
+    partial aggregation) — it is the *extension* surface; built-in
+    aggregates remain the hot path."""
+
+    @F.pandas_udf("double")
+    def hg_wmean(x: pd.Series, w: pd.Series) -> float:
+        xi = x.to_numpy(dtype=np.int64)
+        wi = w.to_numpy(dtype=np.int64)
+        den = int(wi.sum())
+        if den == 0:
+            return float("nan")
+        return int((xi * wi).sum()) / den
+
+    return hg_wmean
 
 
 def register_all(spark: SparkSession) -> list[str]:
@@ -30,10 +59,12 @@ def register_all(spark: SparkSession) -> list[str]:
     spark.udf.register("hg_gzip", gzip_udf)
     spark.udf.register("hg_encode_envelope", encode_envelope_udf)
     spark.udf.register("hg_decode_envelope", decode_envelope_udf)
+    spark.udf.register("hg_wmean", make_wmean_udaf())
     return [
         "hg_deflate",
         "hg_inflate",
         "hg_gzip",
         "hg_encode_envelope",
         "hg_decode_envelope",
+        "hg_wmean",
     ]

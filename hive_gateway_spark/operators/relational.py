@@ -699,3 +699,47 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+@query(
+    "q_promo_revenue",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_revenue,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+                 4) AS promo_share_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share, monthly): fact ⋈
+    broadcast `part` dim (closes the last untouched fixture table —
+    VERDICT r01 "What's missing" #5). Exact-decimal revenue sums, one
+    shuffle for the monthly rollup; the dim join is a BHJ (plan-asserted
+    in tests/test_plans.py) so the fact table never shuffles for it."""
+    t = load_tables(spark, sf_dir)
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    zero = F.lit(0).cast("decimal(18,4)")
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+    total = F.sum(rev).cast("double")
+    return (
+        j.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            F.round(100.0 * promo / total, 4).alias("promo_share_pct"),
+        )
+    )

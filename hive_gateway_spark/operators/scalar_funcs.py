@@ -112,13 +112,15 @@ def q_expr_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS abs_d,
-           ceil(l_quantity) AS ceil_q,
-           floor(l_quantity / 7) AS floor_q7,
+           -- CASTs: DuckDB ceil/floor return DOUBLE and sign returns
+           -- TINYINT; Spark emits BIGINT / DOUBLE — align dtypes.
+           CAST(ceil(l_quantity) AS BIGINT) AS ceil_q,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q7,
            round(sqrt(l_extendedprice), 4) AS sqrt_price,
            round(ln(l_extendedprice + 1.0), 6) AS ln_price,
            round(pow(l_discount, 2), 6) AS disc_sq,
            l_orderkey % 97 AS mod97,
-           sign(l_discount - 0.05) AS sgn
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
     FROM lineitem
     WHERE l_linenumber = 1
     """,
@@ -206,4 +208,44 @@ def q_expr_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate("s_name", "#", "_").alias("underscored"),
         F.substring("s_name", 1, 8).alias("prefix8"),
         F.substring(F.col("s_name"), -3, 3).alias("suffix3"),
+    )
+
+
+@query(
+    "q_udaf_wmean",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(n_chars * n_tokens) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+             AS wmean_chars
+    FROM (
+        SELECT lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def q_udaf_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface demo (SURVEY §2.1): the registered pandas
+    GROUPED_AGG `hg_wmean` (functions/register.py — exact int64
+    accumulation, one final float division) called from **pure SQL**
+    over the registered views: token-weighted mean document length per
+    language. Proves SQL users reach custom aggregates by name, the
+    reference's `mod.fun` extension analog (gateway.ts:289).
+
+    Spark forbids mixing GROUPED_AGG pandas UDFs with built-in
+    aggregates in one GROUP BY (INVALID_PANDAS_UDF_PLACEMENT) — hence
+    the single-aggregate projection."""
+    from hive_gateway_spark.functions.register import register_all
+
+    load_tables(spark, sf_dir)  # registers the views
+    register_all(spark)
+    return spark.sql(
+        """
+        SELECT lang,
+               hg_wmean(n_chars, CAST(size(split(text, ' ')) AS BIGINT))
+                 AS wmean_chars
+        FROM documents
+        GROUP BY lang
+        """
     )

@@ -21,6 +21,7 @@ from hive_gateway_spark.functions.vectors import (
     SCALE,
     cosine_cond,
     dot_q,
+    gemm_pair_block,
     norm2_q,
     vec_q,
 )
@@ -74,37 +75,12 @@ def q_sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The threshold test is sqrt/division-free (dot² ≥ τ²·|a|²·|b|²) and
     evaluated in float64 on exact (< 2⁵³) integer inputs — identical in
-    both engines."""
-    import numpy as np
-    import pandas as pd
-
+    both engines. The kernel (functions/vectors.py:gemm_pair_block) is
+    shared with q_dedup_embedding."""
     t = load_tables(spark, sf_dir)
     e = _quantized(t)
-    tau2 = PAIR_TAU * PAIR_TAU
-
-    def block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        X = np.asarray(pdf["v"].tolist(), dtype=np.int64)[order]
-        G = X @ X.T  # exact int64
-        n2 = np.diag(G).astype(np.float64)
-        iu, ju = np.triu_indices(len(ids), 1)
-        dot = G[iu, ju].astype(np.float64)
-        keep = (dot > 0) & (dot * dot >= tau2 * n2[iu] * n2[ju])
-        return pd.DataFrame(
-            {
-                "vec_a": ids[iu][keep],
-                "vec_b": ids[ju][keep],
-                "cos_sim": np.round(
-                    dot[keep] / np.sqrt(n2[iu][keep] * n2[ju][keep]), 4
-                ),
-            }
-        )
-
-    return e.groupBy("label").applyInPandas(
-        block, "vec_a bigint, vec_b bigint, cos_sim double"
-    )
+    block, schema = gemm_pair_block(PAIR_TAU, with_sim=True)
+    return e.groupBy("label").applyInPandas(block, schema)
 
 
 @query(
@@ -138,31 +114,66 @@ def q_sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-k nearest neighbors for a query subset.
 
-    The query side is broadcast (small by construction); the base side
-    streams through the fused dot kernel + per-query top-k (window
-    rank) — the right baseline plan before any ANN index."""
+    Plan shape (VERDICT r01 "Next round" #2 — replaces a
+    BroadcastNestedLoopJoin cartesian O(N·Q) pair stream): the tiny
+    query block (1/QUERY_STRIDE of the table, the broadcast-dimension
+    idiom) is collected once and broadcast to executors; the base table
+    streams through a **mapInPandas int64-GEMM kernel** that scores one
+    Arrow batch against all queries and emits only each query's local
+    top-k per batch (K·Q rows per batch, not N·Q). A single tiny window
+    merge (row_number ≤ K over ~K·Q·n_batches candidate rows) yields the
+    global answer — same oracle, no cartesian.
+
+    Determinism: dot products are exact int64 (GEMM); sim = dot/sqrt(nq·nb)
+    in IEEE float64 from exact integers — bit-identical to the oracle's
+    expression, so ranks (with neighbor_id tie-break) agree."""
+    import numpy as np
+    import pandas as pd
+
     t = load_tables(spark, sf_dir)
     e = _quantized(t).withColumn("n2", norm2_q("v"))
-    queries = F.broadcast(
-        e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("vq"),
-            F.col("n2").alias("nq"),
-        )
+    q_rows = (
+        e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "v", "n2")
+        .collect()
     )
-    base = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("vb"),
-        F.col("n2").alias("nb"),
-    )
-    scored = queries.join(base, F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        (dot_q("vq", "vb") / F.sqrt(F.col("nq") * F.col("nb"))).alias("sim"),
+    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["v"] for r in q_rows], dtype=np.int64)
+    qn = np.asarray([r["n2"] for r in q_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, Q, qn))
+    k = TOP_K
+
+    def score_batches(batches):
+        qids, Q, qn = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            X = np.asarray(pdf["v"].tolist(), dtype=np.int64)
+            n2 = pdf["n2"].to_numpy(np.float64)
+            sim = (Q @ X.T).astype(np.float64) / np.sqrt(qn[:, None] * n2[None, :])
+            sim[qids[:, None] == ids[None, :]] = -np.inf  # self-pairs out
+            take = min(k, sim.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                # sim desc, neighbor_id asc (lexsort: last key is primary)
+                order = np.lexsort((ids, -sim[qi]))[:take]
+                keep = sim[qi][order] > -np.inf
+                out_q.append(np.full(keep.sum(), qids[qi]))
+                out_n.append(ids[order][keep])
+                out_s.append(sim[qi][order][keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = e.select("vec_id", "v", "n2").mapInPandas(
+        score_batches, "query_id bigint, neighbor_id bigint, sim double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank_k", F.row_number().over(w))
+        cand.withColumn("rank_k", F.row_number().over(w))
         .filter(F.col("rank_k") <= TOP_K)
         .select("query_id", "neighbor_id", "rank_k", F.round("sim", 4).alias("cos_sim"))
     )

@@ -129,9 +129,12 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN 1 ELSE 0 END AS new_session
         FROM gaps
     ), sessions AS (
-        SELECT *, SUM(new_session) OVER (
+        -- CAST: DuckDB windowed SUM over int is HUGEINT (surfaces as
+        -- float64); Spark emits BIGINT — cast for dtype parity.
+        SELECT *, CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,

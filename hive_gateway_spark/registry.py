@@ -19,6 +19,82 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: The driver verifies only the FIRST 50 entries of ``queries()`` (round-1
+#: CORRECTNESS truncated at 50 of 74 — VERDICT.md "What's wrong" #2), so
+#: exposure order is part of the verification contract. Priority order:
+#:   1. every SURVEY §2.2 + §2.3 declared-contract query (35),
+#:   2. the flagship LLM-pipeline / advanced operators the round-1 driver
+#:      never reached (dedup/similarity/multimodal/asof/pivot/…),
+#:   3. this round's new queries,
+#:   4. one rotation slot for the remaining never-verified tail.
+#: Queries past the window keep their oracles and stay in the local
+#: pytest parity gate (tests/test_parity.py runs ALL of them); rounds
+#: rotate the tail through the window so each gains a driver row.
+PRIORITY: tuple[str, ...] = (
+    # -- §2.2 relational core (driver-verified green in r01, unchanged) --
+    "q_scan_project",
+    "q_filter_predicate",
+    "q_expr_string",
+    "q_expr_case",
+    "q_expr_coalesce",
+    "q_expr_regex",
+    "q_json_extract",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_join_range",
+    "q_agg_group",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_window_rate_limit",
+    "q_window_rank",
+    "q_window_analytic",
+    "q_sessionize",  # oracle type fix this round — must re-verify
+    "q_latency_stats",
+    "q_sort_limit_topk",
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_except",
+    "q_dedup_exact",
+    "q_text_tokenize",
+    "q_text_stats",
+    # -- §2.3 LLM-extension contract --
+    "q_sim_cosine_pairs",
+    "q_sim_topk",
+    "q_dedup_fuzzy",
+    "q_embed_agg",
+    "q_text_lang_report",
+    # -- flagship LLM-pipeline / advanced ops unchecked in r01 --
+    "q_dedup_ngram",  # _jaccard_pairs DF-cap change this round — re-verify
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    "q_dedup_clusters",
+    "q_training_pipeline",
+    "q_sim_topk_ivf",
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    "q_join_asof",
+    "q_pivot",
+    "q_agg_grouping_sets",
+    "q_subquery_correlated",
+    # -- new this round --
+    "q_promo_revenue",
+    "q_udaf_wmean",
+    # -- rotation slot(s) --
+    "q_join_salted",
+)
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """QUERIES with PRIORITY entries first, the rest in registration order."""
+    out = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
+    out.update({n: f for n, f in QUERIES.items() if n not in out})
+    return out
+
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as queries()[name]; optionally its DuckDB oracle SQL."""

@@ -31,6 +31,7 @@ from __future__ import annotations
 import gzip
 import io
 import json
+import re
 import threading
 import time
 import zlib
@@ -79,10 +80,11 @@ class RateLimiter:
 
 def classify_token(token) -> str:
     """gateway.ts:203, 225-226: 28 chars → wx; 36 chars with dashes at
-    (1-based) 9/14/19/24 → raw-uuid rescue; else session. A non-string
-    wire value (msgpack allows ints/maps here) falls through to the
-    session path, matching the ref's duck-typed `token.length` checks."""
-    if token is None or token == "":
+    (1-based) 9/14/19/24 → raw-uuid rescue; else session. ANY falsy wire
+    value (None, "", 0, False — the ref's `if (token)` at gateway.ts:200
+    is a JS truthiness check) is anonymous; truthy non-strings fall
+    through to the session path like the ref's duck-typed `token.length`."""
+    if not token:
         return "anonymous"
     if not isinstance(token, str):
         return "session"
@@ -94,12 +96,16 @@ def classify_token(token) -> str:
 
 
 def negotiate(payload: bytes, accept_encoding: str) -> tuple[bytes, str | None]:
-    """gateway.ts:82-133 size-gated compression; deflate preferred."""
+    """gateway.ts:82-133 size-gated compression; deflate preferred.
+
+    Word-boundary match like the ref's /\\bdeflate\\b/ (gateway.ts:83)
+    and the column-level negotiate_compression (functions/binary.py) —
+    'x-deflate' must NOT select deflate."""
     if len(payload) <= COMPRESS_MIN_BYTES:
         return payload, None
-    if "deflate" in accept_encoding:
+    if re.search(r"\bdeflate\b", accept_encoding):
         return zlib.compress(payload), "deflate"
-    if "gzip" in accept_encoding:
+    if re.search(r"\bgzip\b", accept_encoding):
         buf = io.BytesIO()
         with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
             f.write(payload)
@@ -118,12 +124,23 @@ class GatewayServer:
         host: str = "127.0.0.1",
         port: int = 0,
         max_rows: int = 10_000,
+        enable_sql: bool = False,
+        allowed_origin: str | None = None,
     ):
+        """``enable_sql`` gates the ``sql.exec`` module (arbitrary Spark
+        SQL — including path-table file reads) behind an explicit opt-in:
+        combined with CORS origin-echo it would otherwise let any web
+        page in a local browser run SQL against the loopback port, a
+        surface the reference never had (it only routed to pre-registered
+        backend modules). ``allowed_origin`` pins CORS to one origin
+        instead of echoing; the server must only ever bind loopback."""
         registry.load_all()
         self.spark = spark
         self.sf_dir = sf_dir
         self.domain = domain
         self.max_rows = max_rows
+        self.enable_sql = enable_sql
+        self.allowed_origin = allowed_origin
         self.limiter = RateLimiter()
         self.log: list[dict] = []
         load_tables(spark, sf_dir)
@@ -136,7 +153,7 @@ class GatewayServer:
             def _headers(self, code: int, extra: dict | None = None):
                 self._last_code = code
                 self.send_response(code)
-                origin = self.headers.get("Origin") or "*"
+                origin = gw.allowed_origin or self.headers.get("Origin") or "*"
                 self.send_header("Access-Control-Allow-Origin", origin)
                 self.send_header("Access-Control-Allow-Credentials", "true")
                 self.send_header("Access-Control-Allow-Methods", "POST")
@@ -227,7 +244,7 @@ class GatewayServer:
         if mod == "query":
             return fun in registry.QUERIES
         if mod == "sql":
-            return fun == "exec"
+            return fun == "exec" and self.enable_sql
         if mod == "catalog":
             return fun == "tables"
         return False
@@ -241,7 +258,7 @@ class GatewayServer:
                 df = registry.QUERIES[fun](self.spark, self.sf_dir)
             elif mod == "sql":
                 sql = (arg or {}).get("sql") if isinstance(arg, dict) else arg
-                if fun != "exec" or not isinstance(sql, str):
+                if fun != "exec" or not self.enable_sql or not isinstance(sql, str):
                     return b"Module not found", 404
                 df = self.spark.sql(sql)
             elif mod == "catalog" and fun == "tables":
@@ -273,6 +290,8 @@ def _plain(v):
     import decimal
 
     if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):  # after datetime: date is its base class
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return float(v)

@@ -18,6 +18,7 @@ query buckets/orders through `date_trunc`/epoch-µs, never raw ns.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -99,13 +100,18 @@ def get_spark(app_name: str = "hive-gateway-spark") -> SparkSession:
     return spark
 
 
-#: (session id, sf_dir) → loaded DataFrames. Schema reads cost ~0.5 s per
+#: session → {sf_dir: loaded DataFrames}. Schema reads cost ~0.5 s per
 #: call across the 10 tables; every query calls load_tables, so caching
-#: removes a constant from each operator's latency.
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
-#: session id → sf_dir whose tables currently own the temp views (SQL-
+#: removes a constant from each operator's latency. Weak-keyed on the
+#: SparkSession object itself: a stopped/garbage-collected session drops
+#: its entries, so a new session can never inherit DataFrames bound to a
+#: dead SparkContext (id(spark) reuse would allow exactly that).
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+#: session → sf_dir whose tables currently own the temp views (SQL-
 #: string queries read views; switching sf_dir must re-register them).
-_VIEW_OWNER: dict[int, str] = {}
+_VIEW_OWNER: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
@@ -118,9 +124,8 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     division (codegen'd projection).
     """
     configure(spark)
-    sid = id(spark)
-    key = (sid, sf_dir)
-    out = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    out = per_session.get(sf_dir)
     if out is None:
         out = {}
         for name in TABLES:
@@ -130,9 +135,9 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
                 # epoch values exceed 2^53 and would lose precision).
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
             out[name] = df
-        _TABLE_CACHE[key] = out
-    if _VIEW_OWNER.get(sid) != sf_dir:
+        per_session[sf_dir] = out
+    if _VIEW_OWNER.get(spark) != sf_dir:
         for name, df in out.items():
             df.createOrReplaceTempView(name)
-        _VIEW_OWNER[sid] = sf_dir
+        _VIEW_OWNER[spark] = sf_dir
     return out

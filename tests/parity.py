@@ -43,6 +43,17 @@ def assert_parity(spark_df, oracle_sql: str, sf_dir: str, name: str = "") -> Non
     assert list(actual.columns) == list(expected.columns), (
         f"{name}: columns {list(actual.columns)} != oracle {list(expected.columns)}"
     )
+    # dtype-kind parity: the driver hashes values dtype-sensitively, so an
+    # int64 Spark column vs a float64 oracle column (e.g. DuckDB windowed
+    # SUM → HUGEINT → float64) hash-mismatches even when every value is
+    # equal. Catch that class locally. 'i'/'u' are interchangeable ints.
+    kind = lambda s: "i" if s.dtype.kind in "iu" else s.dtype.kind  # noqa: E731
+    drift = {
+        c: (actual[c].dtype, expected[c].dtype)
+        for c in actual.columns
+        if kind(actual[c]) != kind(expected[c])
+    }
+    assert not drift, f"{name}: dtype drift (spark, oracle): {drift}"
     pd.testing.assert_frame_equal(
         actual, expected, check_dtype=False, check_exact=True, obj=name or "parity"
     )

@@ -49,3 +49,42 @@ def test_embedding_dedup_canonical_survivor(spark, sf_dir):
     """keep_id < dup_id invariant (lower id is the canonical survivor)."""
     rows = registry.QUERIES["q_dedup_embedding"](spark, sf_dir).collect()
     assert all(r["keep_id"] < r["dup_id"] for r in rows)
+
+
+def test_jaccard_df_cap_drops_boilerplate_not_dups(spark):
+    """The hot-shingle DF cap (dedup.JACCARD_DF_CAP): shingles above the
+    cap leave pair generation (bounding join fan-out), union sizes stay
+    exact, and genuine near-dups — which share *rare* shingles — are
+    unaffected. Synthetic corpus: every doc carries the same boilerplate
+    sentence (hot shingles, DF = n_docs); docs 0/1 are near-identical."""
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.operators.dedup import _jaccard_pairs
+
+    boiler = "please read our terms of service before continuing today"
+    body = " ".join(f"shared{j}" for j in range(40))
+    rows = []
+    for i in range(30):
+        uniq = " ".join(f"u{i}w{j}" for j in range(40))
+        text = f"{boiler} {body if i in (0, 1) else uniq}"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    t = {"documents": docs}
+
+    uncapped_rows = _jaccard_pairs(t, df_cap=10**9).collect()
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in uncapped_rows}
+    capped_rows = _jaccard_pairs(t, df_cap=10).collect()
+    capped = {(r["doc_a"], r["doc_b"]) for r in capped_rows}
+
+    # the planted rare-shingle near-dup survives the cap
+    assert (0, 1) in capped and (0, 1) in uncapped
+    # capped shingles leave `shared` (they're treated as non-matching —
+    # conservative: union grows by the same amount, never shrinks)
+    pair = next(r for r in capped_rows if (r["doc_a"], r["doc_b"]) == (0, 1))
+    uncapped_pair = next(
+        r for r in uncapped_rows if (r["doc_a"], r["doc_b"]) == (0, 1)
+    )
+    assert pair["shared"] < uncapped_pair["shared"]
+    assert pair["union_sz"] > uncapped_pair["union_sz"]
+    # no boilerplate-only false pairs in either mode
+    assert capped == {(0, 1)} and uncapped == {(0, 1)}

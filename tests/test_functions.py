@@ -235,3 +235,22 @@ def test_msgpack_str32(spark):
     fast = mp.encode_envelope("m", "f", big, "t")
     assert fast == mp.packb({"mod": "m", "fun": "f", "arg": big, "ctx": {"wxuser": "t"}})
     assert mp.decode_envelope(fast) == ("m", "f", big, "t")
+
+
+def test_udaf_wmean_sql_usability(spark, sf_dir):
+    """The GROUPED_AGG UDAF is callable from pure SQL by name and is
+    order-independent (exact int64 accumulation)."""
+    from hive_gateway_spark.functions.register import register_all
+    from hive_gateway_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    assert "hg_wmean" in register_all(spark)
+    rows = spark.sql(
+        "SELECT hg_wmean(x, w) AS m FROM VALUES (10, 1), (20, 3) AS t(x, w)"
+    ).collect()
+    assert rows[0]["m"] == (10 * 1 + 20 * 3) / 4
+    # zero total weight → NaN from the kernel → SQL NULL via Arrow
+    zero = spark.sql(
+        "SELECT hg_wmean(x, w) AS m FROM VALUES (10, 0) AS t(x, w)"
+    ).collect()
+    assert zero[0]["m"] is None

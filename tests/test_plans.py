@@ -76,3 +76,28 @@ def test_multimodal_meta_prunes_unused_columns(spark, sf_dir):
     assert m, plan
     schema = m.group(1)
     assert "source" in schema and "lang" not in schema, schema
+
+
+def test_sim_topk_has_no_cartesian(spark, sf_dir):
+    """VERDICT r01 #3: the exact top-k must NOT plan as a broadcast
+    nested-loop cartesian — the GEMM kernel + local top-k replaces it."""
+    plan = plan_of(spark, sf_dir, "q_sim_topk")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_dedup_embedding_is_kernel_not_join(spark, sf_dir):
+    """VERDICT r01 #4: embedding near-dup runs in the blocked GEMM
+    kernel (FlatMapGroupsInPandas), not a per-label row join."""
+    plan = plan_of(spark, sf_dir, "q_dedup_embedding")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_promo_revenue_broadcasts_part(spark, sf_dir):
+    """Q14 shape: the part dim joins as a BHJ — the fact side never
+    shuffles for the join."""
+    plan = plan_of(spark, sf_dir, "q_promo_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

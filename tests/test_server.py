@@ -14,7 +14,7 @@ from hive_gateway_spark.server import GatewayServer, classify_token
 
 @pytest.fixture(scope="module")
 def gateway(spark, sf_dir):
-    srv = GatewayServer(spark, sf_dir, domain="admin").start()
+    srv = GatewayServer(spark, sf_dir, domain="admin", enable_sql=True).start()
     yield srv
     srv.stop()
 
@@ -47,6 +47,38 @@ def test_sql_module(gateway):
     assert resp.status == 200
     out = unpackb(data)
     assert out["rows"][0][0] > 0
+
+
+def test_sql_module_disabled_by_default(spark, sf_dir):
+    srv = GatewayServer(spark, sf_dir, domain="admin").start()
+    try:
+        resp, body = rpc(srv.port, "sql", "exec", {"sql": "SELECT 1 AS one"})
+        assert resp.status == 404 and b"Module not found" in body
+    finally:
+        srv.stop()
+
+
+def test_sql_module_serializes_date_columns(gateway):
+    resp, data = rpc(
+        gateway.port, "sql", "exec",
+        {"sql": "SELECT CAST('2024-03-01' AS DATE) AS d"},
+    )
+    assert resp.status == 200
+    assert unpackb(data)["rows"][0][0] == "2024-03-01"
+
+
+def test_pinned_cors_origin(spark, sf_dir):
+    srv = GatewayServer(
+        spark, sf_dir, domain="admin", allowed_origin="http://pinned.test"
+    ).start()
+    try:
+        resp, _ = rpc(
+            srv.port, "catalog", "tables",
+            token="pin-tok-1", headers={"Origin": "http://evil.test"},
+        )
+        assert resp.getheader("Access-Control-Allow-Origin") == "http://pinned.test"
+    finally:
+        srv.stop()
 
 
 def test_catalog_module(gateway):
@@ -97,6 +129,23 @@ def test_compression_negotiation_deflate(gateway):
     assert out["n"] > 0
 
 
+def test_negotiate_word_boundary():
+    from hive_gateway_spark.server import negotiate
+
+    big = b"x" * 2048
+    # 'nodeflate' must not select deflate (ref /\bdeflate\b/, gateway.ts:83
+    # — substring matching would); 'x-deflate' DOES match \bdeflate\b (the
+    # hyphen is a word boundary), same as the ref regex and binary.py:90.
+    body, enc = negotiate(big, "nodeflate")
+    assert enc is None and body == big
+    _, enc = negotiate(big, "nodeflate, gzip")
+    assert enc == "gzip"
+    _, enc = negotiate(big, "deflate")
+    assert enc == "deflate"
+    _, enc = negotiate(big, "x-deflate")
+    assert enc == "deflate"
+
+
 def test_cors_echoes_origin(gateway):
     resp, _ = rpc(
         gateway.port, "catalog", "tables",
@@ -120,6 +169,11 @@ def test_token_classifier_matches_reference_shapes():
     assert classify_token("00000013-0013-0013-0013-000000000013") == "uuid"
     assert classify_token("sess:42") == "session"
     assert classify_token(None) == "anonymous"
+    # JS `if (token)` truthiness (gateway.ts:200): every falsy wire value
+    # is anonymous, not session
+    assert classify_token(0) == "anonymous"
+    assert classify_token(False) == "anonymous"
+    assert classify_token("") == "anonymous"
     # 36 chars with wrong dash positions → session (ref checks positions only)
     assert classify_token("a" * 36) == "session"
 
