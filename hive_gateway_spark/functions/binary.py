@@ -110,3 +110,54 @@ def negotiate_compression(payload_col, accept_encoding_col):
         .otherwise(F.lit(None).cast("string"))
     )
     return body, encoding
+
+
+class CodecExpr:
+    """Peephole-simplifying codec expression builder — the engine-layer
+    analog of SURVEY §4.2d's optional Catalyst rule `inflate(deflate(x))
+    → x`.
+
+    PySpark cannot inject JVM optimizer rules, and Catalyst cannot see
+    through opaque Python UDFs anyway — so the algebraic rewrite runs
+    where the engine *builds* codec chains: ops accumulate symbolically,
+    a directly-adjacent inflate cancels a deflate (always sound: inflate
+    is deflate's exact inverse; the converse deflate∘inflate is NOT
+    cancelled — an arbitrary zlib stream need not be byte-identical to
+    our level-6 re-compression), and only the surviving ops lower to UDF
+    calls. A fully-cancelled chain contributes ZERO Python evaluation
+    nodes to the physical plan (asserted in tests/test_functions.py).
+
+        codec_plan(col).deflate().inflate().column()   # → col, no UDF
+        codec_plan(col).deflate().column()             # → deflate_udf(col)
+    """
+
+    def __init__(self, col, ops: tuple = ()):
+        self._col = col
+        self._ops = ops
+
+    def deflate(self) -> "CodecExpr":
+        return CodecExpr(self._col, self._ops + ("deflate",))
+
+    def gzip(self) -> "CodecExpr":
+        return CodecExpr(self._col, self._ops + ("gzip",))
+
+    def inflate(self) -> "CodecExpr":
+        if self._ops and self._ops[-1] == "deflate":
+            return CodecExpr(self._col, self._ops[:-1])  # the rewrite
+        return CodecExpr(self._col, self._ops + ("inflate",))
+
+    @property
+    def ops(self) -> tuple:
+        return self._ops
+
+    def column(self):
+        lower = {"deflate": deflate_udf, "gzip": gzip_udf, "inflate": inflate_udf}
+        col = self._col
+        for op in self._ops:
+            col = lower[op](col)
+        return col
+
+
+def codec_plan(col) -> CodecExpr:
+    """Start a simplifying codec chain over a binary column."""
+    return CodecExpr(col)

@@ -66,7 +66,23 @@ def _jaccard_pairs(t, df_cap: int = JACCARD_DF_CAP) -> DataFrame:
     integer predicate) — the shared core of q_dedup_ngram,
     q_dedup_clusters and q_training_pipeline. Returns
     (doc_a, doc_b, shared, union_sz)."""
-    sh = _shingle_hashes(t).select("doc_id", "h").distinct()
+    # Materialize the (doc_id, shingle-hash) set ONCE: it feeds sizes,
+    # the DF histogram AND both sides of the pair join — without the
+    # checkpoint the shingle transform re-executes per consumer (~6×).
+    # At cluster scale this is the standard stage-once-reuse pattern
+    # (a staging table on a real cluster; executor-local blocks here).
+    # No distinct(): _shingle_hashes array_distincts inside the row, so
+    # (doc_id, h) is already unique — a distinct here is a wasted full
+    # shuffle (verified equal counts at sf0.1).
+    #
+    # Design note: the DF histogram + broadcast anti-join costs one
+    # extra (tiny: map-side combine → distinct shingles) shuffle vs
+    # folding the cap into a groupBy(h)+collect_list pair generator,
+    # but stays memory-bounded under arbitrary skew — collect_list on a
+    # boilerplate shingle present in 10M docs would materialize the
+    # whole doc list in one aggregation buffer before any size filter
+    # could drop it.
+    sh = _shingle_hashes(t).select("doc_id", "h").localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = (
         sh.groupBy("h")

@@ -254,3 +254,42 @@ def test_udaf_wmean_sql_usability(spark, sf_dir):
         "SELECT hg_wmean(x, w) AS m FROM VALUES (10, 0) AS t(x, w)"
     ).collect()
     assert zero[0]["m"] is None
+
+
+def test_codec_peephole_cancels_inflate_of_deflate(spark, sf_dir):
+    """SURVEY §4.2d: inflate(deflate(x)) → x as an engine-layer rewrite.
+    The cancelled chain must add NO Python evaluation node to the plan;
+    a non-cancelling chain must still compute real bytes."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.functions.binary import codec_plan
+    from hive_gateway_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].limit(20).select(F.encode("text", "utf-8").alias("payload"))
+
+    chain = codec_plan(F.col("payload")).deflate().inflate()
+    assert chain.ops == ()  # symbolically cancelled
+    df = docs.select(chain.column().alias("out"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan, plan
+    rows = df.collect()
+    orig = docs.collect()
+    assert [bytes(r["out"]) for r in rows] == [bytes(r["payload"]) for r in orig]
+
+    # deflate alone still lowers to the real UDF and compresses correctly
+    one = codec_plan(F.col("payload")).deflate()
+    assert one.ops == ("deflate",)
+    got = docs.select(one.column().alias("z")).collect()
+    assert [bytes(r["z"]) for r in got] == [
+        zlib.compress(bytes(r["payload"]), 6) for r in orig
+    ]
+
+    # deflate(inflate(x)) is NOT cancelled (not an identity in general)
+    back = codec_plan(F.col("payload")).inflate().deflate()
+    assert back.ops == ("inflate", "deflate")

@@ -155,3 +155,69 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_resp_kv_roundtrip_and_lists():
+    """RespKV speaks real RESP2 over a socket (FakeRespServer): MSET/GET/
+    SCAN+MGET snapshot, plus the list/TTL commands the reference's rate
+    limiter script uses — including the RPUSHX-on-missing-key no-op that
+    made the reference's limiter never trip (gateway.ts:139-171,
+    SURVEY §2.1 O16: we implement the *intended* semantics engine-side)."""
+    from hive_gateway_spark.sources.kv import FakeRespServer, RespKV
+
+    srv = FakeRespServer().start()
+    try:
+        kv = RespKV(port=srv.port)
+        kv.mset([("tok:1", "u1"), ("tok:2", "u2")])
+        assert kv.get("tok:1") == "u1"
+        assert kv.get("missing") is None
+        assert kv.items() == [("tok:1", "u1"), ("tok:2", "u2")]
+
+        # the reference's rate-limit recipe: RPUSHX + EXPIRE. RPUSHX on a
+        # missing key is a no-op returning 0 — the list never exists, so
+        # LLEN stays 0 and the limiter never fires. The intended recipe
+        # needs an unconditional RPUSH to create the window list.
+        assert kv.rpushx("rl:tokA", "hit") == 0
+        assert kv.llen("rl:tokA") == 0  # ref bug reproduced on real protocol
+        assert kv.rpush("rl:tokA", "hit") == 1
+        assert kv.rpushx("rl:tokA", "hit") == 2  # works once the key exists
+        assert kv.expire("rl:tokA", 1) == 1
+        kv.close()
+    finally:
+        srv.stop()
+
+
+def test_resp_kv_dimension_and_executor_writeback(spark):
+    """The same connector paths as FileKV, over the wire protocol:
+    snapshot → broadcastable dimension, and foreachPartition writeback
+    where each executor partition opens its own RESP connection (the
+    connection-pool idiom; local-mode workers are separate processes,
+    so this proves the client construction pickles)."""
+    from functools import partial
+
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.sources.kv import (
+        FakeRespServer,
+        RespKV,
+        kv_dimension,
+        kv_sink_foreachBatch,
+    )
+
+    srv = FakeRespServer().start()
+    try:
+        seed = RespKV(port=srv.port)
+        seed.mset([("a", "1"), ("b", "2")])
+        dim = kv_dimension(spark, seed, "k", "v")
+        assert {(r["k"], r["v"]) for r in dim.collect()} == {("a", "1"), ("b", "2")}
+
+        out = spark.range(10).select(
+            F.concat(F.lit("key"), "id").alias("k"), F.col("id").cast("string").alias("v")
+        )
+        write_batch = kv_sink_foreachBatch(partial(RespKV, "127.0.0.1", srv.port), "k", "v")
+        write_batch(out, 0)
+        assert seed.get("key7") == "7"
+        assert len(seed.items()) == 12  # 2 seeds + 10 written
+        seed.close()
+    finally:
+        srv.stop()
