@@ -543,3 +543,50 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+#: Benchmark-set selector (every 97th doc plays "eval benchmark") and the
+#: minimum shared-shingle count that flags contamination.
+CONTAM_BENCH_MOD = 97
+CONTAM_MIN_SHARED = 5
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES}
+    SELECT b.doc_id AS bench_id, tr.doc_id AS train_id,
+           COUNT(*) AS shared_ngrams
+    FROM sh b
+    JOIN sh tr ON b.shingle = tr.shingle
+    WHERE b.doc_id % {CONTAM_BENCH_MOD} = 0
+      AND tr.doc_id % {CONTAM_BENCH_MOD} <> 0
+    GROUP BY b.doc_id, tr.doc_id
+    HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check — the train/eval leakage audit every
+    LLM training pipeline needs: flag training documents sharing ≥K
+    word-n-gram hashes with any benchmark document (here the benchmark
+    set is the deterministic doc_id % CONTAM_BENCH_MOD == 0 slice; in
+    production it's the eval suites).
+
+    Scale shape: the benchmark side is a small fraction (1/97) of the
+    corpus, so its shingle set broadcasts and the training corpus never
+    shuffles — a broadcast hash join per shingle hash + one count
+    aggregation."""
+    t = load_tables(spark, sf_dir)
+    sh = _shingle_hashes(t).select("doc_id", "h")
+    bench = sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    train = sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0).select(
+        F.col("doc_id").alias("train_id"), "h"
+    )
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("bench_id", "train_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= CONTAM_MIN_SHARED)
+    )

@@ -395,3 +395,157 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("doc_id")
         .agg((F.sum(term) % _FP_MOD).cast("bigint").alias("fingerprint"))
     )
+
+
+#: Sub-linear mixing exponent via sqrt (alpha = 0.5): sqrt is an IEEE
+#: correctly-rounded operation (pow(x, 0.7) is NOT guaranteed identical
+#: across engines — sqrt keeps the oracle bit-exact).
+_MIX_ROUND = 6
+
+
+@query(
+    "q_domain_mix",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE)
+                 / CAST(SUM(total_tokens) OVER () AS DOUBLE), {_MIX_ROUND}) AS token_share,
+           ROUND(sqrt(CAST(total_tokens AS DOUBLE)
+                      / CAST(MAX(total_tokens) OVER () AS DOUBLE)), {_MIX_ROUND}) AS mix_weight
+    FROM per
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report per (source, lang): raw token share plus the
+    sub-linear sampling weight w = (tokens/max_tokens)^0.5 that
+    up-weights small domains in a multilingual training mix (largest
+    domain normalizes to 1.0). One aggregation shuffle; the normalizing
+    window runs over the tiny per-domain table.
+
+    Determinism: every window aggregate here is over exact integers
+    (SUM/MAX of bigint — order-independent), and sqrt/division are
+    correctly-rounded IEEE ops, so no float accumulation order can
+    differ between engines (a SUM over sqrt values would — that's why
+    the weight normalizes by MAX, not by the sqrt sum)."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    per = t["documents"].groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+    )
+    w = W.partitionBy()
+    tok = F.col("total_tokens").cast("double")
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(tok / F.sum("total_tokens").over(w).cast("double"), _MIX_ROUND)
+        .alias("token_share"),
+        F.round(F.sqrt(tok / F.max("total_tokens").over(w).cast("double")), _MIX_ROUND)
+        .alias("mix_weight"),
+    )
+
+
+#: Planted PII rows (appended identically on both engines — the fixture
+#: corpus is synthetic word-salad with no digits at all).
+_PII_ROWS = [
+    (9_000_001, "contact me at alice.smith@example.com or bob@test.org today"),
+    (9_000_002, "my card number is 4111111111111111 and pin 123456 thanks"),
+    (9_000_003, "clean text with no personal identifiers at all"),
+]
+_PII_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _PII_ROWS)
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+_DIGITS_RE = "[0-9]{6,}"
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES {_PII_VALUES}) AS v(doc_id, text)
+    ),
+    scrubbed AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_DIGITS_RE}', '<NUM>', 'g') AS clean_text,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{_DIGITS_RE}')) AS n_long_numbers
+        FROM corpus
+    )
+    SELECT doc_id, clean_text,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_long_numbers AS BIGINT) AS n_long_numbers
+    FROM scrubbed
+    WHERE n_emails > 0 OR n_long_numbers > 0
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: regex redaction of emails and
+    long digit runs, reporting redaction counts per affected doc — all
+    JVM regexp_replace/regexp_count, no UDF. The fixture corpus has no
+    PII by construction, so known rows are planted identically on both
+    engines (the oracle UNION ALLs the same VALUES)."""
+    t = load_tables(spark, sf_dir)
+    planted = spark.createDataFrame(_PII_ROWS, "doc_id bigint, text string")
+    corpus = t["documents"].select("doc_id", "text").unionByName(planted)
+    scrub = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _DIGITS_RE, "<NUM>"
+    )
+    return (
+        corpus.select(
+            "doc_id",
+            scrub.alias("clean_text"),
+            F.regexp_count("text", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+            F.regexp_count("text", F.lit(_DIGITS_RE)).cast("bigint").alias("n_long_numbers"),
+        )
+        .filter((F.col("n_emails") > 0) | (F.col("n_long_numbers") > 0))
+    )
+
+
+@query(
+    "q_doc_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                      / CAST(len(words) AS DOUBLE), 4) AS repetition_ratio
+    FROM w
+    WHERE len(words) > 0
+      AND 1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+              / CAST(len(words) AS DOUBLE) >= 0.5
+    """,
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gate (boilerplate/loop detector for training
+    corpora): flag docs with ≥50% repeated tokens (1 − distinct/total).
+    Pure array expressions inside the row — a narrow, scan-side filter
+    with no shuffle at any scale."""
+    t = load_tables(spark, sf_dir)
+    words = F.split("text", " ")
+    rep = 1.0 - F.size(F.array_distinct(words)).cast("double") / F.size(words).cast("double")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(words).cast("bigint").alias("n_words"),
+            F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct"),
+            F.round(rep, 4).alias("repetition_ratio"),
+        )
+        .filter(F.size(words) > 0)
+        .filter(rep >= 0.5)
+    )

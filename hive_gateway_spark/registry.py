@@ -84,8 +84,9 @@ PRIORITY: tuple[str, ...] = (
     # -- new this round --
     "q_promo_revenue",
     "q_udaf_wmean",
-    # -- rotation slot(s) --
-    "q_join_salted",
+    # -- rotation slot(s): r03+ cycles q_join_salted, q_window_sliding,
+    # q_time_bucket, q_join_full, q_unpivot, q_agg_sketch, q_expr_* here --
+    "q_contamination",
 )
 
 
