@@ -204,3 +204,45 @@ def stream_correlate(
         (F.unix_micros(p["resp_ts"]) - F.unix_micros(r["req_ts"])).alias("latency_us"),
         "resp_value",
     )
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` as a stream — the ingestion side of a continuous
+    training-data pipeline (files landing from a crawler; Kafka on a
+    real cluster, same transformations)."""
+    from hive_gateway_spark.session import configure
+
+    configure(spark)
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first-arrival-wins per content key —
+    the continuous twin of q_dedup_exact's batch survivor pick.
+
+    The state key is sha2(text) (32 B/doc), not the text: at 100 TB the
+    dedup state must hold hashes, never payloads. State is unbounded
+    here because the fixture stream replays a finite corpus; a
+    production pipeline bounds it with dropDuplicatesWithinWatermark
+    over the ingest timestamp (same plan, bounded state store) — the
+    within-watermark variant is exercised in tests/test_streaming.py's
+    late-data suite for events."""
+    return docs.withColumn("content_key", F.sha2(F.col("text"), 256)).dropDuplicates(
+        ["content_key"]
+    )

@@ -236,3 +236,19 @@ def test_streaming_gateway_pipeline_end_to_end(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_exact_dedup_equals_batch(spark, sf_dir):
+    """Streaming first-arrival dedup keeps exactly one doc per distinct
+    text — the kept TEXT set equals the batch distinct set (survivor
+    *identity* legitimately differs: arrival order vs min doc_id)."""
+    from hive_gateway_spark.session import load_tables
+    from hive_gateway_spark.streaming.ops import stream_documents, stream_exact_dedup
+
+    out = drain(
+        stream_exact_dedup(stream_documents(spark, sf_dir)), "dedup_stream_docs"
+    )
+    t = load_tables(spark, sf_dir)
+    batch = t["documents"].select("text").distinct().toPandas()
+    assert len(out) == len(batch)
+    assert set(out["text"]) == set(batch["text"])
