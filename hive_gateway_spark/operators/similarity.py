@@ -146,6 +146,8 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score_batches(batches):
         qids, Q, qn = bc.value
         for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:  # degenerate Arrow batch
+                continue
             ids = pdf["vec_id"].to_numpy(np.int64)
             X = np.asarray(pdf["v"].tolist(), dtype=np.int64)
             n2 = pdf["n2"].to_numpy(np.float64)
