@@ -619,3 +619,76 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= CONTAM_MIN_SHARED)
     )
+
+
+#: MinHash signature geometry for the SQL-verifiable signature operator:
+#: k universal-hash permutations h_i(x) = (a_i·x + b_i) mod p over a
+#: portable integer shingle fingerprint. p is Mersenne 2³¹−1 so a_i·hv
+#: stays < 2⁶² — inside exact int64 range on BOTH engines (Spark runs
+#: ANSI overflow-checked multiply); a_i/b_i come from a fixed LCG seed.
+MINHASH_K = 8
+_MH_P = (1 << 31) - 1
+_MH_COEF = []
+_s = 0x9E3779B97F4A7C15
+for _i in range(MINHASH_K):
+    _s = (_s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    _a = (_s % (_MH_P - 1)) + 1
+    _s = (_s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    _b = _s % _MH_P
+    _MH_COEF.append((_a, _b))
+
+#: Portable per-char polynomial fingerprint of a shingle, mod p — the
+#: engine-neutral stand-in for xxhash64 (whose seeds differ by engine).
+#: Per-term products are < 2¹⁹; the un-modded list sum fits easily.
+_MH_HV_DUCK = f"""
+    CAST(list_sum(list_transform(range(1, length(shingle) + 1),
+         i -> (ord(substr(shingle, i, 1)) * (i * 131 + 7)) % {_MH_P})) AS BIGINT)
+    % {_MH_P}
+"""
+
+
+@query(
+    "q_minhash_signatures",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    hv AS (
+        SELECT doc_id, {_MH_HV_DUCK} AS hv
+        FROM sh
+    )
+    SELECT doc_id,
+           {", ".join(f"MIN((({a} * hv + {b}) % {_MH_P})) AS mh{i}" for i, (a, b) in enumerate(_MH_COEF))}
+    FROM hv
+    GROUP BY doc_id
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-verifiable MinHash signatures: k=8 universal-hash permutations
+    (h_i(x) = (a_i·x + b_i) mod 2³¹−1, fixed coefficients) minimized per
+    doc over a PORTABLE integer shingle fingerprint (per-char polynomial
+    — xxhash64 seeds differ between engines, so the verified operator
+    uses engine-neutral arithmetic; the production path q_dedup_fuzzy
+    keeps xxhash64 speed and is recall-tested instead).
+
+    This closes the verification gap LSH normally has: signature
+    computation itself is exact integer math with a DuckDB oracle; only
+    the banding/probing step remains rows-only. One map-side-combinable
+    aggregation shuffle; signatures are 64 B/doc at any scale."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("words", F.split("text", " "))
+    shingles = docs.filter(F.size("words") >= SHINGLE_N).select(
+        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLE_EXPR})")).alias("shingle")
+    )
+    # portable polynomial fingerprint: (Σ (ord(char_i)·(i·131+7)) % p) % p
+    # — modding each addition step equals modding the final sum
+    hv = F.expr(
+        "aggregate(zip_with(split(shingle, ''), sequence(1, length(shingle)), "
+        f"(c, i) -> (ascii(c) * (CAST(i AS BIGINT) * 131 + 7)) % {_MH_P}), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc + x) % {_MH_P})"
+    )
+    sig = shingles.select("doc_id", hv.alias("hv"))
+    return sig.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % _MH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MH_COEF)
+        ]
+    )
