@@ -85,7 +85,9 @@ def _shingles_checkpointed(t) -> DataFrame:
     if out is None:
         if len(per) > 8:
             per.clear()
-        out = _shingle_hashes(t).select("doc_id", "h").localCheckpoint()
+        # keep the in-row set size n too: q_dedup_simhash's verification
+        # joins need it, and it rides along for free (8 B/row)
+        out = _shingle_hashes(t).select("doc_id", "n", "h").localCheckpoint()
         per[key] = out
     return out
 
@@ -111,7 +113,7 @@ def _jaccard_pairs(t, df_cap: int = JACCARD_DF_CAP) -> DataFrame:
     # boilerplate shingle present in 10M docs would materialize the
     # whole doc list in one aggregation buffer before any size filter
     # could drop it.
-    sh = _shingles_checkpointed(t)
+    sh = _shingles_checkpointed(t).select("doc_id", "h")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = (
         sh.groupBy("h")
@@ -268,7 +270,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # tok feeds the fingerprint agg and both verification joins —
     # checkpoint so the shingle transform runs once
-    tok = _shingle_hashes(t).select("doc_id", "n", "h").localCheckpoint()
+    tok = _shingles_checkpointed(t)  # shared staging (doc_id, n, h)
     # Sign-sum each of the 64 bits, then reassemble the fingerprint.
     bit_sums = tok.groupBy("doc_id").agg(
         *[
@@ -606,7 +608,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles — a broadcast hash join per shingle hash + one count
     aggregation."""
     t = load_tables(spark, sf_dir)
-    sh = _shingles_checkpointed(t)  # both sides derive from one staging
+    sh = _shingles_checkpointed(t).select("doc_id", "h")  # shared staging
     bench = sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "h"
     )

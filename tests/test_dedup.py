@@ -88,3 +88,22 @@ def test_jaccard_df_cap_drops_boilerplate_not_dups(spark):
     assert pair["union_sz"] > uncapped_pair["union_sz"]
     # no boilerplate-only false pairs in either mode
     assert capped == {(0, 1)} and uncapped == {(0, 1)}
+
+
+def test_shingle_staging_cache_keys_on_plan(spark):
+    """The checkpointed shingle staging set is reused for the same
+    documents plan and NOT shared across different corpora."""
+    from hive_gateway_spark.operators.dedup import _shingles_checkpointed
+
+    docs_a = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id bigint, text string"
+    )
+    docs_b = spark.createDataFrame(
+        [(2, "seven eight nine ten eleven twelve")], "doc_id bigint, text string"
+    )
+    sa1 = _shingles_checkpointed({"documents": docs_a})
+    sa2 = _shingles_checkpointed({"documents": docs_a})
+    sb = _shingles_checkpointed({"documents": docs_b})
+    assert sa1 is sa2          # cache hit on identical plan
+    assert sa1 is not sb       # different corpus → different staging
+    assert sa1.count() == 4 and sb.count() == 4
