@@ -411,6 +411,73 @@ _DUCK_PAIRS = f"""
 """
 
 
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 25, stats: dict | None = None
+) -> DataFrame:
+    """(doc_a, doc_b) undirected pair graph → (doc_id, cluster_id) with
+    cluster_id = min doc_id in the component.
+
+    Iterative min-label propagation (Pregel/BSP shape) with **pointer
+    jumping** (path halving): each round a vertex takes the min of (a)
+    its label, (b) its neighbors' labels, and (c) the label OF its
+    current label — (c) shortcuts label-chains, so convergence is
+    O(log diameter) rounds instead of O(diameter). Near-dup clusters
+    are usually shallow, but a 100 TB crawl produces chain-shaped
+    clusters (doc_i ≈ doc_{i+1}) where the log bound is the difference
+    between 4 rounds and 40 (tests/test_dedup.py pins a 12-link chain).
+
+    Labels are node ids and only ever decrease within a component, so
+    the fixpoint is the component minimum. The loop is driver-side
+    control flow only; each round's data work is joins/aggregations
+    with O(edges) shuffle. localCheckpoint per round cuts lineage —
+    without it round N re-executes rounds 1..N-1 (quadratic blow-up)."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("lbl"))
+        .select("src", F.least(F.col("src"), F.col("lbl")).alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):  # log₂(diameter) effective bound
+        neigh = (
+            edges.join(labels.withColumnRenamed("src", "dst2"), F.col("dst") == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        cand = labels.join(neigh, "src", "left").select(
+            "src",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+        )
+        # pointer jump: look up the label of the candidate label (labels
+        # are node ids, and every node id in the graph is a labels key)
+        jump = labels.select(F.col("src").alias("jsrc"), F.col("lbl").alias("jlbl"))
+        new_labels = (
+            cand.join(jump, F.col("lbl") == F.col("jsrc"), "left")
+            .select(
+                "src",
+                F.least(F.col("lbl"), F.coalesce(F.col("jlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if stats is not None:
+            stats["rounds"] = stats.get("rounds", 0) + 1
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+
 @query(
     "q_dedup_clusters",
     oracle=f"""
@@ -436,53 +503,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that turns pairwise matches into keep/drop decisions.
 
     Spark has no recursive CTE, and at 100 TB you would not want one:
-    this is **iterative min-label propagation** (Pregel/BSP shape) —
-    each round joins current labels across edges and takes the min;
-    rounds needed = graph diameter (near-dup clusters are tiny, so 2-3).
-    The loop is driver-side control flow only; all data work is joins/
-    aggregations, and each round's shuffle is O(edges). The DuckDB
-    oracle computes the same components via a recursive transitive
-    closure."""
+    see connected_components (min-label propagation + pointer jumping).
+    The DuckDB oracle computes the same components via a recursive
+    transitive closure."""
     t = load_tables(spark, sf_dir)
-    pairs = _jaccard_pairs(t).select("doc_a", "doc_b")
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
-    # label propagation: label(v) = min(v, labels of neighbors), iterate.
-    # localCheckpoint after each round cuts the lineage — without it each
-    # iteration re-executes every previous round (quadratic blow-up).
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("lbl"))
-        .select("src", F.least(F.col("src"), F.col("lbl")).alias("lbl"))
-        .localCheckpoint()
-    )
-    for _ in range(20):  # diameter bound; near-dup clusters are tiny
-        neigh = (
-            edges.join(labels.withColumnRenamed("src", "dst2"), F.col("dst") == F.col("dst2"))
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_labels = (
-            labels.join(neigh, "src", "left")
-            .select(
-                "src",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    return connected_components(_jaccard_pairs(t).select("doc_a", "doc_b"))
 
 
 _PIPELINE_ORACLE = f"""

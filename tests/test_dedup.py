@@ -107,3 +107,27 @@ def test_shingle_staging_cache_keys_on_plan(spark):
     assert sa1 is sa2          # cache hit on identical plan
     assert sa1 is not sb       # different corpus → different staging
     assert sa1.count() == 4 and sb.count() == 4
+
+
+def test_connected_components_chain_star_multi(spark):
+    """Pointer-jumping components: a 12-link chain (the adversarial
+    shape for plain propagation — diameter 11), a star, and an isolated
+    pair, all labeled with their component minimum, converging in
+    O(log diameter) rounds."""
+    from hive_gateway_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 112)]        # 100..112
+    star = [(200, x) for x in (201, 202, 203)]
+    duo = [(300, 301)]
+    pairs = spark.createDataFrame(chain + star + duo, "doc_a bigint, doc_b bigint")
+    stats = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, stats=stats).collect()
+    }
+    assert all(got[n] == 100 for n in range(100, 113))
+    assert all(got[n] == 200 for n in (200, 201, 202, 203))
+    assert got[300] == 301 or got[300] == 300
+    assert got[300] == got[301] == 300
+    # path halving: diameter-11 chain must converge well under 11 rounds
+    assert stats["rounds"] <= 7, stats
