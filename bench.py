@@ -57,6 +57,18 @@ HEADLINE = [
     "q_tpch_q3",
 ]
 
+#: Round-2 additions — benched separately so `value_r01_comparable`
+#: (sum over the original 22) stays comparable across rounds.
+HEADLINE_R2 = [
+    "q_promo_revenue",
+    "q_udaf_wmean",
+    "q_contamination",
+    "q_domain_mix",
+    "q_pii_scrub",
+    "q_doc_repetition",
+    "q_minhash_signatures",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,7 +79,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_R2:
         fn = registry.QUERIES[name]
 
         # time construction + execution together: iterative operators
@@ -83,12 +95,14 @@ def main() -> None:
         # warm steady state: median of 3 rides out co-tenant noise
         timings[name] = round(statistics.median(run() for _ in range(3)), 3)
     total = round(sum(timings.values()), 3)
+    r01_comparable = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_clock_total",
                 "value": total,
                 "unit": "sec",
+                "value_r01_comparable": r01_comparable,
                 "queries": timings,
                 "queries_cold": cold,
                 "sf": sf,

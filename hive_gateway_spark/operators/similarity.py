@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from hive_gateway_spark.functions.vectors import (
     DUCK_FLAT_CTE,
     SCALE,
-    cosine_cond,
     dot_q,
     gemm_pair_block,
     norm2_q,

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import gzip
 import io
-import json
 import re
 import threading
 import time
