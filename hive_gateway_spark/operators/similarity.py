@@ -180,9 +180,17 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: IVF geometry: number of coarse cells and cells probed per query.
+#: IVF geometry: number of coarse cells, cells probed per query, and the
+#: number of cells each BASE vector is assigned to (multi-assignment /
+#: replication — the standard recall fix when the corpus has weak
+#: cluster structure, as this fixture does: measured single-assignment
+#: recall 0.57 at sf0.1 vs 0.84 with assign=2 at identical probe
+#: geometry). Storage cost ×IVF_ASSIGN; at production geometry
+#: (cells ≈ √N, probes ≪ cells) the scanned fraction stays
+#: ≈ assign·probes/cells.
 IVF_CELLS = 10
 IVF_PROBES = 3
+IVF_ASSIGN = 2
 
 
 @query("q_sim_topk_ivf")  # rows-only: IVF is approximate — no SQL oracle
@@ -191,13 +199,14 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Coarse quantizer: **learned** with MLlib KMeans (fixed seed) over
     L2-normalized vectors (unit sphere ⇒ L2 cells ≈ cosine cells; the
-    fixture's `label` column is NOT a usable quantizer — its clusters
-    are so loose that probing by label yields ~25% recall, vs ~90%+
-    with learned cells). Each base vector lands in its nearest cell
-    (the inverted file); each query probes its IVF_PROBES nearest
-    centroids and runs the exact int64 kernel only inside those cells —
-    scanned fraction ≈ probes/cells. Centroids and the probed query set
-    broadcast; the inverted file is the only large table.
+    fixture's `label` column is NOT a usable quantizer). Each base
+    vector lands in its IVF_ASSIGN nearest cells (**multi-assignment**
+    — replication lifts recall 0.57 → 0.84 at sf0.1 on this weakly-
+    clustered corpus at identical probe geometry); each query probes
+    its IVF_PROBES nearest centroids and runs the exact int64 kernel
+    only inside those cells — scanned fraction ≈ assign·probes/cells
+    at production geometry (cells ≈ √N). Centroids and the probed
+    query set broadcast; the inverted file is the only large table.
 
     Rows-only check: result size is deterministic (k per query);
     recall vs the exact baseline is pinned in tests/test_similarity.py."""
@@ -219,20 +228,30 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("features"),
     )
     km = KMeans(k=IVF_CELLS, seed=42, maxIter=20, featuresCol="features").fit(normed)
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    # Multi-assignment inverted file: each base vector lands in its
+    # IVF_ASSIGN nearest cells (by centroid dot — same ranking heuristic
+    # as the probe step), replicated via a broadcast-centroid join + per-
+    # vector row_number — no KMeans.transform single-cell limitation.
+    cdot_b = F.expr(
+        "aggregate(zip_with(v, center, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+    wb = W.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
     inv_file = (
-        km.transform(normed)
-        .select("vec_id", F.col("prediction").alias("cell"))
-        .join(e, "vec_id")
+        e.join(F.broadcast(centers))
+        .select("vec_id", "v", "n2", "cell", cdot_b.alias("cdot"))
+        .withColumn("arank", F.row_number().over(wb))
+        .filter(F.col("arank") <= IVF_ASSIGN)
         .select(
             F.col("vec_id").alias("neighbor_id"),
             "cell",
             F.col("v").alias("vb"),
             F.col("n2").alias("nb"),
         )
-    )
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
-        "cell int, center array<double>",
     )
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("vq"), F.col("n2").alias("nq")
@@ -260,6 +279,9 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             (dot_q("vq", "vb") / F.sqrt(F.col("nq") * F.col("nb"))).alias("sim"),
         )
+        # multi-assignment: the same (query, neighbor) can meet in up to
+        # min(assign, probes) cells with identical sim — dedup before rank
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -15,9 +15,10 @@ def _topk(rows):
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
-    """IVF probes 3 of 10 cells; recall vs exact brute-force top-5 must
-    clear 50% on the fixture (labels are weak clusters — cosine max
-    ≈0.47 — so this is a lower bound; tight clusters recall ~100%)."""
+    """IVF probes 3 of 10 cells with assign=2 multi-assignment; recall
+    vs exact brute-force top-5 must clear 75% on the fixture (the corpus
+    is weakly clustered — measured 0.84 at sf0.1, 0.5 was the old
+    single-assignment bound; tight clusters recall ~100%)."""
     exact = _topk(registry.QUERIES["q_sim_topk"](spark, sf_dir).collect())
     ivf = _topk(registry.QUERIES["q_sim_topk_ivf"](spark, sf_dir).collect())
     assert set(ivf) == set(exact), "query sets differ"
@@ -26,7 +27,7 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         total += len(nn)
         hits += len(nn & ivf.get(q, set()))
     recall = hits / total
-    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+    assert recall >= 0.75, f"IVF recall {recall:.2f}"
     # result size is exactly k per query (the deterministic rows-only contract)
     assert all(len(v) == 5 for v in ivf.values())
 
