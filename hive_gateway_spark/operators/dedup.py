@@ -719,3 +719,128 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b) in enumerate(_MH_COEF)
         ]
     )
+
+
+_CURATION_V2_ORACLE = f"""
+WITH {_DUCK_PAIRS},
+contam AS (
+    SELECT DISTINCT tr.doc_id
+    FROM sh b JOIN sh tr ON b.shingle = tr.shingle
+    WHERE b.doc_id % {CONTAM_BENCH_MOD} = 0
+      AND tr.doc_id % {CONTAM_BENCH_MOD} <> 0
+    GROUP BY b.doc_id, tr.doc_id
+    HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+),
+normed AS (
+    SELECT doc_id, lang, n_chars,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+    FROM documents
+),
+gated AS (
+    SELECT * FROM normed
+    WHERE n_tokens >= 10
+      AND lang IN ('en','fr','es','de','zh')
+      -- repetition gate: < 50% repeated tokens
+      AND 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.5
+),
+exact_kept AS (
+    SELECT * FROM gated
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY norm_text)
+),
+near_kept AS (
+    SELECT * FROM exact_kept WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+),
+decontaminated AS (
+    SELECT * FROM near_kept WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+split AS (
+    SELECT *,
+           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                THEN 'train' ELSE 'val' END AS subset
+    FROM decontaminated
+)
+SELECT subset, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM split
+GROUP BY subset, lang
+"""
+
+
+@query("q_curation_v2", oracle=_CURATION_V2_ORACLE)
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2 — q_training_pipeline plus the round-2 gates,
+    every stage a verified operator:
+
+      normalize → quality gate (≥10 tokens, lang allowlist)
+      → repetition gate (< 50% repeated tokens, q_doc_repetition's
+        predicate) → exact dedup on normalized text (min-id survivor)
+      → near-dup drop (shingle-Jaccard doc_b victims)
+      → benchmark decontamination (q_contamination's ≥5-shared-shingle
+        train docs dropped) → deterministic 90/10 hash split
+      → per-(subset, lang) corpus report.
+
+    Scale shape: the gates are narrow scan-side filters; dedup is one
+    shuffle; near-dup and contamination reuse the SAME cached shingle
+    staging (one materialization feeds both); the benchmark side of the
+    contamination join broadcasts. Nothing new shuffles beyond
+    q_training_pipeline."""
+    t = load_tables(spark, sf_dir)
+    words = F.split("text", " ")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    rep = (
+        1.0
+        - F.size(F.array_distinct(words)).cast("double")
+        / F.size(words).cast("double")
+    )
+    normed = t["documents"].select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        norm.alias("norm_text"),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        rep.alias("repetition"),
+    )
+    gated = normed.filter(
+        (F.col("n_tokens") >= 10)
+        & F.col("lang").isin("en", "fr", "es", "de", "zh")
+        & (F.col("repetition") < 0.5)
+    )
+    keepers = gated.groupBy("norm_text").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = gated.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    near_victims = _jaccard_pairs(t).select(F.col("doc_b").alias("doc_id")).distinct()
+    near_kept = exact_kept.join(near_victims, "doc_id", "left_anti")
+    sh = _shingles_checkpointed(t).select("doc_id", "h")
+    bench = sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    contam = (
+        sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= CONTAM_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = near_kept.join(contam, "doc_id", "left_anti")
+    subset = F.when(
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 100 < 90, "train"
+    ).otherwise("val")
+    return (
+        clean.withColumn("subset", subset)
+        .groupBy("subset", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
