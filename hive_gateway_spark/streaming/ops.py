@@ -246,3 +246,35 @@ def stream_exact_dedup(docs: DataFrame) -> DataFrame:
     return docs.withColumn("content_key", F.sha2(F.col("text"), 256)).dropDuplicates(
         ["content_key"]
     )
+
+
+def stream_near_dup_candidates(
+    docs_stream: DataFrame, corpus_shingles: DataFrame, min_shared: int = 5
+) -> DataFrame:
+    """Continuous-ingest near-dup screening: shingle each arriving doc
+    and join against the STATIC corpus shingle staging (the same cached
+    (doc_id, h) checkpoint the batch dedup family shares) — a
+    stream-static inner join, which Structured Streaming runs stateless
+    (only the stream side is incremental), then a per-(new, corpus)
+    shared-shingle count with a candidate threshold.
+
+    This is the ingest-time gate of a training pipeline: a new crawl
+    shard is screened against the accepted corpus before admission.
+    At 100 TB the static side is the bucketed staging table; the join
+    is shuffle-on-h with the stream side tiny per micro-batch."""
+    from hive_gateway_spark.operators.dedup import SHINGLE_N, _SHINGLE_EXPR
+
+    hs = f"array_distinct(transform({_SHINGLE_EXPR}, s -> xxhash64(s)))"
+    sh_new = (
+        docs_stream.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= SHINGLE_N)
+        .select(F.col("doc_id").alias("new_doc"), F.explode(F.expr(hs)).alias("h"))
+    )
+    corpus = corpus_shingles.select(F.col("doc_id").alias("corpus_doc"), "h")
+    return (
+        sh_new.join(corpus, "h")
+        .filter(F.col("new_doc") != F.col("corpus_doc"))
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -252,3 +252,38 @@ def test_stream_exact_dedup_equals_batch(spark, sf_dir):
     batch = t["documents"].select("text").distinct().toPandas()
     assert len(out) == len(batch)
     assert set(out["text"]) == set(batch["text"])
+
+
+def test_stream_near_dup_candidates_equal_batch(spark, sf_dir):
+    """Stream-static ingest screening equals the batch shared-shingle
+    count at the same threshold (replaying the corpus against itself:
+    every true near-dup pair must surface in both directions)."""
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.operators.dedup import _shingles_checkpointed
+    from hive_gateway_spark.session import load_tables
+    from hive_gateway_spark.streaming.ops import (
+        stream_documents,
+        stream_near_dup_candidates,
+    )
+
+    t = load_tables(spark, sf_dir)
+    corpus = _shingles_checkpointed(t).select("doc_id", "h")
+    out = drain(
+        stream_near_dup_candidates(stream_documents(spark, sf_dir), corpus),
+        "near_dup_stream",
+        mode="complete",
+    )
+    got = {(r.new_doc, r.corpus_doc, r.shared) for r in out.itertuples(index=False)}
+
+    a = corpus.select(F.col("doc_id").alias("new_doc"), "h")
+    b = corpus.select(F.col("doc_id").alias("corpus_doc"), "h")
+    batch = (
+        a.join(b, "h")
+        .filter(F.col("new_doc") != F.col("corpus_doc"))
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 5)
+    )
+    want = {(r["new_doc"], r["corpus_doc"], r["shared"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
