@@ -94,15 +94,19 @@ def main() -> None:
         cold[name] = round(run(), 3)
         # warm steady state: median of 3 rides out co-tenant noise
         timings[name] = round(statistics.median(run() for _ in range(3)), 3)
-    total = round(sum(timings.values()), 3)
+    # "value" stays the sum over the SAME 22 queries r01 benched, so the
+    # round-over-round headline compares like-for-like; the round-2
+    # additions are reported separately (and inside "queries").
     r01_comparable = round(sum(timings[n] for n in HEADLINE), 3)
+    r2_total = round(sum(timings[n] for n in HEADLINE_R2), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_clock_total",
-                "value": total,
+                "value": r01_comparable,
                 "unit": "sec",
-                "value_r01_comparable": r01_comparable,
+                "value_r2_ops": r2_total,
+                "value_all": round(r01_comparable + r2_total, 3),
                 "queries": timings,
                 "queries_cold": cold,
                 "sf": sf,

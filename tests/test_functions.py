@@ -293,3 +293,22 @@ def test_codec_peephole_cancels_inflate_of_deflate(spark, sf_dir):
     # deflate(inflate(x)) is NOT cancelled (not an identity in general)
     back = codec_plan(F.col("payload")).inflate().deflate()
     assert back.ops == ("inflate", "deflate")
+
+
+@given(st.lists(st.sampled_from(["deflate", "inflate", "gzip"]), max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_codec_peephole_algebra(seq):
+    """The symbolic op stack after any chain equals the one-rule rewrite
+    system's normal form: inflate cancels a directly-preceding deflate,
+    nothing else commutes or cancels."""
+    from hive_gateway_spark.functions.binary import CodecExpr
+
+    c = CodecExpr(None)
+    stack = []
+    for op in seq:
+        c = getattr(c, op)()
+        if op == "inflate" and stack and stack[-1] == "deflate":
+            stack.pop()
+        else:
+            stack.append(op)
+    assert c.ops == tuple(stack)

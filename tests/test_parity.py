@@ -64,3 +64,17 @@ def test_priority_window_covers_contract(spark):
     }
     out = contract - window
     assert not out, f"contract queries outside the 50-row window: {out}"
+
+
+def test_registry_hygiene():
+    """Every query has a sane name; every oracle belongs to a registered
+    query; PRIORITY has no duplicates."""
+    import re
+
+    from hive_gateway_spark import registry
+
+    registry.load_all()
+    for name in registry.QUERIES:
+        assert re.fullmatch(r"q_[a-z0-9_]+", name), name
+    assert set(registry.ORACLES) <= set(registry.QUERIES)
+    assert len(registry.PRIORITY) == len(set(registry.PRIORITY))
