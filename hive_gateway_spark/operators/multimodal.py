@@ -7,10 +7,14 @@ resize / frame-sample run as Arrow-batched pandas functions over
 bytes — the bytes never hit the driver or a shuffle unless explicitly
 repartitioned.
 
-The container has no image/audio codecs, so the *decode kernel* is
-stubbed (NotImplementedError) behind a deterministic fake
-(_fake_decode) while the Spark-side plumbing — schemas, batch iteration,
-partitioning — is real and tested (tests/test_multimodal.py). The
+The decode kernel is REAL for codec-free formats — binary PPM (P6)
+and uncompressed 24-bit BMP parse to exact pixels with stdlib + numpy
+(decode_image), and resize_image is a real nearest-neighbor kernel —
+while codec-dependent formats (JPEG/PNG) still raise
+NotImplementedError behind the deterministic fake (_fake_decode): the
+container has no image codecs and nothing silently ships fake pixels.
+The Spark-side plumbing — schemas, batch iteration, partitioning — is
+identical for both kernels and tested (tests/test_multimodal.py). The
 fixture payloads are synthesized from documents.text with a fake media
 header, which also lets q_multimodal_meta keep a real SQL oracle.
 """
@@ -92,12 +96,111 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real decode kernel — STUB. Needs PIL/libvips, absent here.
+    """Real decode kernel for codec-free formats: binary PPM (P6) and
+    uncompressed 24-bit BMP, parsed with stdlib + numpy only. Returns
+    {width, height, channels, pixels: HxWx3 uint8 ndarray}.
 
-    Raises NotImplementedError so nothing silently ships fake pixels;
-    production swaps this single function.
-    """
-    raise NotImplementedError("image codecs not available in this environment")
+    Compressed formats (JPEG/PNG/...) still raise NotImplementedError —
+    they need PIL/libvips, absent in this container; nothing silently
+    ships fake pixels. Production adds those branches to this single
+    function; every mapInPandas operator above it is unchanged."""
+    import numpy as np
+
+    if payload.startswith(b"P6"):
+        # P6 <ws> width <ws> height <ws> maxval <single-ws> raw RGB.
+        # '#' comments may appear between tokens.
+        tokens: list[bytes] = []
+        i = 2
+        while len(tokens) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+        i += 1  # the single whitespace after maxval
+        w, h, maxval = (int(x) for x in tokens)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+        return {
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "pixels": px.reshape(h, w, 3).copy(),
+        }
+    if payload.startswith(b"BM"):
+        import struct
+
+        pix_off = struct.unpack_from("<I", payload, 10)[0]
+        w = struct.unpack_from("<i", payload, 18)[0]
+        h = struct.unpack_from("<i", payload, 22)[0]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP supported")
+        flipped = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=pix_off
+        ).reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        if flipped:
+            img = img[::-1]
+        return {"width": w, "height": h, "channels": 3, "pixels": img.copy()}
+    raise NotImplementedError(
+        "compressed image codecs (JPEG/PNG/...) not available in this environment"
+    )
+
+
+def resize_image(pixels, width: int, height: int):
+    """Real nearest-neighbor resize over an HxWxC uint8 array — pure
+    numpy fancy indexing, no codec libs."""
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    ys = np.minimum((np.arange(height) + 0.5) * h / height, h - 1).astype(np.int64)
+    xs = np.minimum((np.arange(width) + 0.5) * w / width, w - 1).astype(np.int64)
+    return pixels[ys][:, xs]
+
+
+def decode_assets_real(assets: DataFrame) -> DataFrame:
+    """mapInPandas decode using the REAL kernel (PPM/BMP): same schema
+    and batching as decode_assets; rows whose payload is a format the
+    kernel cannot decode are dropped (a production pipeline would route
+    them to a side output)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_image(bytes(b))
+                except NotImplementedError:
+                    continue
+                rows.append(
+                    (
+                        doc_id,
+                        d["width"],
+                        d["height"],
+                        d["channels"],
+                        float(np.mean(d["pixels"])),
+                        1,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "mean_byte", "n_frames"],
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(run, DECODED_SCHEMA)
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float, int]:
