@@ -67,6 +67,7 @@ HEADLINE_R2 = [
     "q_pii_scrub",
     "q_doc_repetition",
     "q_minhash_signatures",
+    "q_curation_v2",
 ]
 
 
