@@ -221,3 +221,22 @@ def test_resp_kv_dimension_and_executor_writeback(spark):
         seed.close()
     finally:
         srv.stop()
+
+
+def test_resp_kv_error_reply_raises():
+    """A RESP -ERR reply surfaces as a RuntimeError, and the connection
+    stays usable afterwards."""
+    import pytest
+
+    from hive_gateway_spark.sources.kv import FakeRespServer, RespKV
+
+    srv = FakeRespServer().start()
+    try:
+        kv = RespKV(port=srv.port)
+        with pytest.raises(RuntimeError, match="unknown command"):
+            kv._cmd("NOSUCHCMD", "x")
+        kv.mset([("k", "v")])
+        assert kv.get("k") == "v"
+        kv.close()
+    finally:
+        srv.stop()
