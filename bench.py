@@ -78,10 +78,21 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("hive-gateway-spark-bench")
 
+    import gc
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE + HEADLINE_R2:
         fn = registry.QUERIES[name]
+        # drop the previous query's dead broadcasts/UDF workers before
+        # timing this one — without it, late queries in a 30-query
+        # session measure the earlier queries' GC debt (observed 2.7 s
+        # standalone vs 9.3 s late-session for the same plan)
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # pragma: no cover
+            pass
 
         # time construction + execution together: iterative operators
         # (label propagation) do real work while building the plan
