@@ -240,3 +240,51 @@ def test_resp_kv_error_reply_raises():
         kv.close()
     finally:
         srv.stop()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC source/sink (bundled with Spark, no extra jars): exact
+    round-trip of a fixture table, and predicate pushdown reaches the
+    ORC scan like it does for parquet."""
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "orders_orc")
+    t["orders"].write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == t["orders"].count()
+    assert set(back.columns) == set(t["orders"].columns)
+    filtered = back.filter(F.col("o_orderkey") == 42)
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "o_orderkey" in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must prune at PLANNING time (PartitionFilters / partition count),
+    never scan-and-discard — the main storage-layout lever at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "events_by_type")
+    t["events"].withColumn("etype", F.col("event_type")).write.mode(
+        "overwrite"
+    ).partitionBy("etype").parquet(path)
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("etype") == "purchase")
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "etype" in m.group(1), plan
+    # pruned read returns exactly the batch-filtered count
+    want = t["events"].filter(F.col("event_type") == "purchase").count()
+    assert one.count() == want
