@@ -139,13 +139,17 @@ def _jaccard_pairs(t, df_cap: int = JACCARD_DF_CAP) -> DataFrame:
     )
 
 
-#: DuckDB twin of _shingle_hashes' shingling (LEAD window 3-grams).
-_DUCK_SHINGLES = f"""
+def _duck_shingles(src: str = "documents") -> str:
+    """DuckDB twin of _shingle_hashes' shingling (LEAD window 3-grams)
+    over ``src`` — parametrized so oracles that plant extra rows (e.g.
+    q_contamination's cross-benchmark near-dups) shingle an augmented
+    corpus CTE with the exact same logic."""
+    return f"""
     tok AS (
         SELECT doc_id,
                unnest(string_split(text, ' ')) AS word,
                generate_subscripts(string_split(text, ' '), 1) AS pos
-        FROM documents
+        FROM {src}
     ),
     sh AS (
         SELECT DISTINCT doc_id,
@@ -156,6 +160,9 @@ _DUCK_SHINGLES = f"""
         QUALIFY LEAD(word, {SHINGLE_N - 1}) OVER w IS NOT NULL
     )
 """
+
+
+_DUCK_SHINGLES = _duck_shingles()
 
 
 @query(
@@ -606,11 +613,33 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAM_BENCH_MOD = 97
 CONTAM_MIN_SHARED = 5
 
+#: Planted contamination evidence (VERDICT r03 "What's wrong" #2): the
+#: fixture corpus happens to contain no cross-%97 near-dup pair at
+#: sf0.01, so the green driver row was vacuous (0 rows vs 0 rows — a
+#: sign/threshold bug producing always-empty output would "pass").
+#: Plant two benchmark docs (doc_id % 97 == 0) plus a near-dup and an
+#: exact-dup training twin, UNION'd identically into both engines (the
+#: _PII_ROWS pattern, text.py): family A shares 7 of 8 shingles, family
+#: B all 8 — both ≥ CONTAM_MIN_SHARED, so the row is provably non-empty.
+#: IDs sit far above the fixture range (fixture max doc_id ≪ 9.7M).
+_CONTAM_ROWS = [
+    (9_700_000, "zeta omega theta sigma lambda kappa epsilon upsilon gamma delta"),
+    (9_700_001, "zeta omega theta sigma lambda kappa epsilon upsilon gamma rho"),
+    (9_700_097, "quark lepton boson hadron photon gluon neutrino meson baryon tau"),
+    (9_700_098, "quark lepton boson hadron photon gluon neutrino meson baryon tau"),
+]
+_CONTAM_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _CONTAM_ROWS)
+
 
 @query(
     "q_contamination",
     oracle=f"""
-    WITH {_DUCK_SHINGLES}
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES {_CONTAM_VALUES}) AS v(doc_id, text)
+    ),
+    {_duck_shingles("corpus")}
     SELECT b.doc_id AS bench_id, tr.doc_id AS train_id,
            COUNT(*) AS shared_ngrams
     FROM sh b
@@ -625,15 +654,23 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check — the train/eval leakage audit every
     LLM training pipeline needs: flag training documents sharing ≥K
     word-n-gram hashes with any benchmark document (here the benchmark
-    set is the deterministic doc_id % CONTAM_BENCH_MOD == 0 slice; in
-    production it's the eval suites).
+    set is the deterministic doc_id % CONTAM_BENCH_MOD == 0 slice plus
+    planted known-contaminated pairs; in production it's the eval
+    suites).
 
     Scale shape: the benchmark side is a small fraction (1/97) of the
     corpus, so its shingle set broadcasts and the training corpus never
     shuffles — a broadcast hash join per shingle hash + one count
-    aggregation."""
+    aggregation. The planted rows are shingled through the same
+    _shingle_hashes kernel on a 4-row local relation and unioned AFTER
+    the shared checkpointed staging, so the session-wide shingle cache
+    stays pristine for the other Jaccard-family queries."""
     t = load_tables(spark, sf_dir)
-    sh = _shingles_checkpointed(t).select("doc_id", "h")  # shared staging
+    planted = spark.createDataFrame(_CONTAM_ROWS, "doc_id bigint, text string")
+    sh_planted = _shingle_hashes({"documents": planted}).select("doc_id", "h")
+    sh = (
+        _shingles_checkpointed(t).select("doc_id", "h").unionByName(sh_planted)
+    )  # shared staging + planted evidence
     bench = sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "h"
     )

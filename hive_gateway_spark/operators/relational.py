@@ -92,7 +92,15 @@ def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(c_name) AS name_len,
            substr(c_name, 1, length(c_name) - 1)
              || CAST(CAST(substr(c_name, length(c_name), 1) AS INTEGER) + 1 AS VARCHAR)
-             AS addr_next
+             AS addr_next,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           reverse(c_name) AS rev_name,
+           repeat('-', 3) || c_name AS dashed,
+           split_part(c_name, '#', 2) AS name_num,
+           strpos(c_name, '#') AS hash_pos,
+           translate(c_name, '#', '_') AS underscored,
+           left(c_name, 8) AS prefix8,
+           right(c_name, 3) AS suffix3
     FROM customer
     """,
 )
@@ -100,7 +108,13 @@ def q_expr_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String expr suite replicating the reference's connect_address
     rewrite (gateway.ts:45-53): increment the last digit of a string —
     including its digit-9 lengthening quirk ('…9' → '…10'), which we
-    reproduce faithfully as documented semantics (SURVEY §7.4.4)."""
+    reproduce faithfully as documented semantics (SURVEY §7.4.4).
+
+    Also carries the extended string-function surface (lpad/reverse/
+    repeat/split_part/strpos/translate/left/right — q_expr_string2's
+    family) so the whole string suite is driver-verified from one
+    contract window slot; q_expr_string2 itself stays in the local
+    parity gate past the window (registry.PRIORITY note)."""
     t = load_tables(spark, sf_dir)
     c = t["customer"]
     last = F.substring(F.col("c_name"), -1, 1)
@@ -112,6 +126,14 @@ def q_expr_string(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(c_name, 1, length(c_name) - 1)"),
             (last.cast("int") + 1).cast("string"),
         ).alias("addr_next"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("c_name").alias("rev_name"),
+        F.concat(F.lit("---"), F.col("c_name")).alias("dashed"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
+        F.translate("c_name", "#", "_").alias("underscored"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.substring(F.col("c_name"), -3, 3).alias("suffix3"),
     )
 
 

@@ -68,25 +68,31 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_fuzzy",
     "q_embed_agg",
     "q_text_lang_report",
-    # -- flagship LLM-pipeline / advanced ops unchecked in r01 --
-    "q_dedup_ngram",  # _jaccard_pairs DF-cap change this round — re-verify
-    "q_dedup_simhash",
-    "q_dedup_embedding",
-    "q_dedup_clusters",
-    "q_training_pipeline",
-    "q_sim_topk_ivf",
-    "q_multimodal_meta",
-    "q_multimodal_decode",
-    "q_join_asof",
-    "q_pivot",
-    "q_agg_grouping_sets",
-    "q_subquery_correlated",
-    # -- new this round --
-    "q_promo_revenue",
-    "q_udaf_wmean",
-    # -- rotation slot(s): r03+ cycles q_join_salted, q_window_sliding,
-    # q_time_bucket, q_join_full, q_unpivot, q_agg_sketch, q_expr_* here --
-    "q_contamination",
+    # -- r04 rotation: the 15 tail queries that had never received a
+    # driver CORRECTNESS row (VERDICT r03 "Next round" #1). The r02/r03
+    # window occupants (q_dedup_ngram … q_udaf_wmean) rotate OUT — each
+    # already holds two green driver rows — and stay in the local pytest
+    # parity gate like every past-window query. q_expr_string2's function
+    # surface (lpad/reverse/repeat/split_part/strpos/translate/left/
+    # right) was folded into the contract slot q_expr_string so that all
+    # fifteen tail queries' semantics get driver rows while
+    # q_contamination (de-vacuated this round with planted cross-%97
+    # near-dups — spark_rows must be > 0 now) keeps slot 50: 35 + 14 + 1.
+    "q_expr_array",
+    "q_expr_math",
+    "q_expr_datetime",
+    "q_join_full",
+    "q_unpivot",
+    "q_window_sliding",
+    "q_join_salted",
+    "q_time_bucket",
+    "q_agg_sketch",
+    "q_minhash_signatures",
+    "q_domain_mix",
+    "q_pii_scrub",
+    "q_doc_repetition",
+    "q_curation_v2",
+    "q_contamination",  # de-vacuated r04 — must re-verify non-empty
 )
 
 
