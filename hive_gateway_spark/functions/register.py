@@ -20,11 +20,18 @@ def make_wmean_udaf():
     engine's UDAF surface (SURVEY §2.1 "UDF/UDAF/UDTF"; scalar pandas
     UDFs and the mapInPandas UDTF shape live elsewhere).
 
-    Deterministic by construction: the accumulation is int64 (numpy sum
-    over Arrow batches, exact for |Σ| < 2⁶³), with ONE float division at
-    the end — so the result is independent of row order and identical to
-    the oracle's CAST(SUM(x*w) AS DOUBLE)/CAST(SUM(w) AS DOUBLE) (both
-    correctly-rounded quotients of exactly-represented integers).
+    Deterministic AND overflow-safe (VERDICT r03 "What's wrong" #6: the
+    old int64 numpy product could silently wrap where the DuckDB
+    oracle's HUGEINT does not). Two exact paths:
+      - fast path: when the conservative bound max|x|·max|w|·n < 2⁶²
+        proves no intermediate can overflow, accumulate in int64 numpy;
+      - otherwise: exact arbitrary-precision Python-int accumulation
+        (object-dtype sum — the GROUPED_AGG surface is the declared
+        slow path, so per-row Python cost here is acceptable).
+    Both end in float(num)/float(den) — numerator and denominator each
+    rounded to double FIRST, then divided, mirroring the oracle's
+    CAST(SUM(x*w) AS DOUBLE)/CAST(SUM(w) AS DOUBLE) bit-for-bit (a
+    single correctly-rounded big-int quotient can differ by 1 ulp).
 
     Scale note: GROUPED_AGG ships whole groups to one executor (no
     partial aggregation) — it is the *extension* surface; built-in
@@ -34,10 +41,20 @@ def make_wmean_udaf():
     def hg_wmean(x: pd.Series, w: pd.Series) -> float:
         xi = x.to_numpy(dtype=np.int64)
         wi = w.to_numpy(dtype=np.int64)
-        den = int(wi.sum())
+        if len(xi) == 0:
+            return float("nan")
+        xmax = int(np.abs(xi).max())
+        wmax = int(np.abs(wi).max())
+        # max(xmax,1) keeps the bound covering den=Σw even when all x=0
+        if max(xmax, 1) * wmax * len(xi) < 1 << 62:  # no int64 wrap possible
+            num = int((xi * wi).sum())
+            den = int(wi.sum())
+        else:  # exact big-int accumulation, HUGEINT-equivalent
+            num = sum(int(a) * int(b) for a, b in zip(xi, wi))
+            den = sum(int(b) for b in wi)
         if den == 0:
             return float("nan")
-        return int((xi * wi).sum()) / den
+        return float(num) / float(den)
 
     return hg_wmean
 
