@@ -202,3 +202,23 @@ def test_jaccard_df_cap_modeled_in_oracle(spark):
     finally:
         con.close()
     assert got == want, f"spark={got} oracle={want}"
+
+
+def test_contam_planted_hashes_match_kernel(spark):
+    """The baked _CONTAM_HASHES literals (VERDICT r04 "What's wrong" #2
+    — plan-construction overhead fix) must stay bit-identical to what
+    the runtime shingle kernel produces for _CONTAM_ROWS; a change to
+    the planted text, SHINGLE_N, or the hash function must fail here,
+    not silently desync engine and oracle."""
+    from hive_gateway_spark.operators.dedup import (
+        _CONTAM_HASHES,
+        _CONTAM_ROWS,
+        _shingle_hashes,
+    )
+
+    planted = spark.createDataFrame(_CONTAM_ROWS, "doc_id bigint, text string")
+    live = {
+        (r["doc_id"], r["h"])
+        for r in _shingle_hashes({"documents": planted}).select("doc_id", "h").collect()
+    }
+    assert live == set(_CONTAM_HASHES)

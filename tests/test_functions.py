@@ -334,7 +334,7 @@ def test_udaf_wmean_huge_values_match_hugeint_oracle(spark):
     con = duckdb.connect()
     try:
         want = con.execute(
-            f"SELECT CAST(SUM(x * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) "
+            f"SELECT CAST(SUM(CAST(x AS HUGEINT) * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) "
             f"FROM (VALUES {vals}) AS t(x, w)"
         ).fetchone()[0]
     finally:
