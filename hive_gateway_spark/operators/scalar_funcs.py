@@ -178,37 +178,11 @@ def q_expr_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_expr_string2",
-    oracle="""
-    SELECT s_suppkey,
-           lpad(CAST(s_suppkey AS VARCHAR), 10, '0') AS padded,
-           reverse(s_name) AS rev_name,
-           repeat('-', 3) || s_name AS dashed,
-           split_part(s_name, '#', 2) AS name_num,
-           strpos(s_name, '#') AS hash_pos,
-           translate(s_name, '#', '_') AS underscored,
-           left(s_name, 8) AS prefix8,
-           right(s_name, 3) AS suffix3
-    FROM supplier
-    """,
-)
-def q_expr_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extended string-function suite (lpad/reverse/repeat/split_part/
-    strpos/translate/left/right)."""
-    t = load_tables(spark, sf_dir)
-    s = t["supplier"]
-    return s.select(
-        "s_suppkey",
-        F.lpad(F.col("s_suppkey").cast("string"), 10, "0").alias("padded"),
-        F.reverse("s_name").alias("rev_name"),
-        F.concat(F.lit("---"), F.col("s_name")).alias("dashed"),
-        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_num"),
-        F.instr("s_name", "#").cast("bigint").alias("hash_pos"),
-        F.translate("s_name", "#", "_").alias("underscored"),
-        F.substring("s_name", 1, 8).alias("prefix8"),
-        F.substring(F.col("s_name"), -3, 3).alias("suffix3"),
-    )
+# q_expr_string2 was deleted in r6 (VERDICT r05 #7): its entire function
+# surface (lpad/reverse/repeat/split_part/strpos/translate/left/right)
+# is driver-verified inside the contract slot q_expr_string
+# (relational.py), so the separate registration could never earn a
+# driver row and only padded the registry.
 
 
 @query(

@@ -114,6 +114,28 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataF
 _VIEW_OWNER: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
+def _normalize_timestamps(name: str, df: DataFrame) -> DataFrame:
+    """Normalize fixture timestamp encodings to TimestampType (LTZ).
+
+    The driver regenerates the parquet fixtures between rounds and the
+    physical encoding of ``events.ts`` has drifted across three forms so
+    far: int64 nanos-as-long, TIMESTAMP_MICROS isAdjustedToUTC=0 (read
+    as TIMESTAMP_NTZ), and plain TIMESTAMP (LTZ). Operators assume LTZ
+    ``timestamp`` (``unix_micros`` rejects NTZ), so every timestamp-ish
+    column is coerced here, in one place. With the session timezone
+    pinned to UTC (``configure``), the NTZ→LTZ cast is value-identical
+    and the DuckDB oracles (naive-UTC epoch_us) need no change.
+    """
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif name == "events" and col == "ts" and dtype == "bigint":
+            # nanos → µs, integer division (no double round-trip: ns
+            # epoch values exceed 2^53 and would lose precision).
+            df = df.withColumn(col, F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register all fixture tables as temp views; return them by name.
 
@@ -130,10 +152,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         out = {}
         for name in TABLES:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-                # nanos → µs, integer division (no double round-trip: ns
-                # epoch values exceed 2^53 and would lose precision).
-                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df = _normalize_timestamps(name, df)
             out[name] = df
         per_session[sf_dir] = out
     if _VIEW_OWNER.get(spark) != sf_dir:

@@ -17,33 +17,31 @@ WATERMARK_DELAY = "30 seconds"
 #: Streaming session gap — matches the batch q_sessionize gap.
 SESSION_GAP = "30 minutes"
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see session.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a stream: parquet readStream (one file = one batch
     with availableNow; on a cluster this is a Kafka/files source — the
-    transformations are source-agnostic)."""
-    from hive_gateway_spark.session import configure
+    transformations are source-agnostic).
+
+    readStream requires an explicit schema, but the fixture's physical
+    ``ts`` encoding drifts between rounds (nanos-as-long, NTZ µs, LTZ —
+    see session._normalize_timestamps). A one-time batch schema read
+    captures whatever the file actually stores; the same normalization
+    then coerces to LTZ timestamp so every downstream builder sees the
+    identical dtype the batch path sees.
+    """
+    from hive_gateway_spark.session import _normalize_timestamps, configure
 
     configure(spark)
+    path = f"{sf_dir}/events.parquet"
+    physical_schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(physical_schema)
         .option("maxFilesPerTrigger", 1)
         # the file source requires a directory; select just events.parquet
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _normalize_timestamps("events", raw)
 
 
 def stream_rate_limit_counts(events: DataFrame, limit: int = 10) -> DataFrame:

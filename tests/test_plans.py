@@ -101,3 +101,16 @@ def test_promo_revenue_broadcasts_part(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_promo_revenue")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_join_range_is_equi_not_bnlj(spark, sf_dir):
+    """VERDICT r04 #8 / r05 #9: the range join must plan as an EQUI
+    join on l_orderkey with the date range as a residual predicate —
+    never a BroadcastNestedLoopJoin/cartesian, which would be O(n·m)
+    at 100 TB."""
+    plan = plan_of(spark, sf_dir, "q_join_range")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan

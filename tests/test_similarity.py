@@ -56,3 +56,42 @@ def test_queries_are_thread_safe(spark, sf_dir):
             ex.map(lambda n: registry.QUERIES[n](spark, sf_dir).count(), names)
         )
     assert all(c > 0 for c in counts)
+
+
+def test_gemm_tiling_matches_full_gemm():
+    """VERDICT r04 #3 / r05 #3: the blocked-GEMM kernel sweeps the Gram
+    matrix in GEMM_CHUNK tiles so peak memory is bounded by the chunk,
+    not the blocking-key size. Equivalence gate: a block much larger
+    than the chunk (forced by shrinking GEMM_CHUNK) produces the exact
+    pair set + similarities a single full GEMM produces."""
+    import numpy as np
+    import pandas as pd
+
+    from hive_gateway_spark.functions import vectors
+
+    rng = np.random.default_rng(7)
+    n, dim = 1201, 16  # not a chunk multiple; >> the shrunken chunk
+    X = rng.integers(-1000, 1000, size=(n, dim)).astype(np.int64)
+    pdf = pd.DataFrame(
+        {"vec_id": (np.arange(n) * 13 % (n * 7)).astype(np.int64), "v": list(X)}
+    )
+
+    def run(chunk, with_sim):
+        old = vectors.GEMM_CHUNK
+        vectors.GEMM_CHUNK = chunk
+        try:
+            block, _ = vectors.gemm_pair_block(0.4, with_sim=with_sim)
+            return (
+                block(pdf)
+                .sort_values(["vec_a", "vec_b"])
+                .reset_index(drop=True)
+            )
+        finally:
+            vectors.GEMM_CHUNK = old
+
+    for with_sim in (True, False):
+        want = run(1 << 20, with_sim)  # one tile == full GEMM
+        assert len(want) > 0, "threshold produced no pairs — test is vacuous"
+        for chunk in (128, 500):  # many tiles, incl. ragged edges
+            got = run(chunk, with_sim)
+            pd.testing.assert_frame_equal(got, want)

@@ -146,11 +146,23 @@ def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
     import os
     import pandas as pd
     from pyspark.sql import functions as F
-    from hive_gateway_spark.streaming.ops import EVENTS_SCHEMA
+    from pyspark.sql import types as T
+
+    # this test writes its own fixture files with raw nanos-as-long ts
+    ns_long_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
     t = load_tables(spark, sf_dir)
     pdf = t["events"].toPandas().sort_values("event_id")
-    # ns-long ts back (EVENTS_SCHEMA expects raw nanos-as-long)
+    # ns-long ts back (the local schema expects raw nanos-as-long)
     pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("int64")
     first_day = pdf["ts"].min() // 86_400_000_000_000
     is_day1 = (pdf["ts"] // 86_400_000_000_000) == first_day
@@ -173,7 +185,7 @@ def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
         os.utime(f, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
 
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(ns_long_schema)
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
         .parquet(str(d))
