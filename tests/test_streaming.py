@@ -299,3 +299,64 @@ def test_stream_near_dup_candidates_equal_batch(spark, sf_dir):
     )
     want = {(r["new_doc"], r["corpus_doc"], r["shared"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_quality_gates_equal_batch(spark, sf_dir):
+    """VERDICT r04 #4 / r05 #6: the ingest-time quality/repetition gates
+    drained over the fixture stream keep exactly the rows q_curation_v2's
+    batch gates keep (same predicates, stateless → row-identical)."""
+    from hive_gateway_spark.streaming.ops import (
+        stream_documents,
+        stream_quality_gates,
+    )
+
+    got = drain(
+        stream_quality_gates(stream_documents(spark, sf_dir)), "s_qgates"
+    )
+    t = load_tables(spark, sf_dir)
+    want = stream_quality_gates(t["documents"]).toPandas()
+    assert len(got) == len(want) > 0
+    assert set(got["doc_id"]) == set(want["doc_id"])
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[["doc_id", "n_tokens", "norm_text"]], w[["doc_id", "n_tokens", "norm_text"]]
+    )
+
+
+def test_stream_decontaminate_equals_batch(spark, sf_dir):
+    """Ingest-time decontamination equals the batch contamination gate:
+    the flagged (doc, bench, shared) triples match q_curation_v2's
+    contam subquery exactly."""
+    from hive_gateway_spark.operators.dedup import (
+        CONTAM_BENCH_MOD,
+        CONTAM_MIN_SHARED,
+        _shingles_checkpointed,
+    )
+    from hive_gateway_spark.streaming.ops import (
+        stream_documents,
+        stream_decontaminate,
+    )
+
+    t = load_tables(spark, sf_dir)
+    corpus = _shingles_checkpointed(t).select("doc_id", "h")
+    got = drain(
+        stream_decontaminate(stream_documents(spark, sf_dir), corpus),
+        "s_decontam",
+        mode="complete",
+    )
+    bench = corpus.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    want = (
+        corpus.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= CONTAM_MIN_SHARED)
+        .toPandas()
+    )
+    got_set = {tuple(r) for r in got[["doc_id", "bench_id", "shared"]].itertuples(index=False)}
+    want_set = {tuple(r) for r in want[["doc_id", "bench_id", "shared"]].itertuples(index=False)}
+    assert got_set == want_set
+    assert len(want_set) > 0, "decontamination gate is vacuous on the fixture"
