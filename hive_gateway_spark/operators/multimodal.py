@@ -7,13 +7,14 @@ resize / frame-sample run as Arrow-batched pandas functions over
 bytes — the bytes never hit the driver or a shuffle unless explicitly
 repartitioned.
 
-The decode kernel is REAL for stdlib-decodable formats — binary PPM
-(P6), uncompressed 24-bit BMP, and 8-bit non-interlaced PNG (zlib
-inflate + full filter reconstruction, _png_decode) parse to exact
-pixels with stdlib + numpy (decode_image), and resize_image is a real
-nearest-neighbor kernel — while JPEG still raises NotImplementedError
-behind the deterministic fake (_fake_decode): the container has no DCT
-codec and nothing silently ships fake pixels.
+The decode kernel is REAL for every supported format — binary PPM
+(P6), uncompressed 24-bit BMP, 8-bit non-interlaced PNG (zlib inflate
++ full filter reconstruction, _png_decode), and baseline-sequential
+JPEG (pure numpy huffman + dequant + IDCT, functions/jpeg.py —
+validated against libjpeg-produced files) — and resize_image is a
+real nearest-neighbor kernel. Progressive JPEG / palette PNG / 16-bit
+PPM raise NotImplementedError and route via DECODE_ERRORS: nothing
+silently ships fake pixels.
 The Spark-side plumbing — schemas, batch iteration, partitioning — is
 identical for both kernels and tested (tests/test_multimodal.py). The
 fixture payloads are synthesized from documents.text with a fake media
@@ -250,9 +251,11 @@ def decode_image(payload: bytes) -> dict:
         return {"width": w, "height": h, "channels": 3, "pixels": img.copy()}
     if payload.startswith(_PNG_SIG):
         return _png_decode(payload)
-    raise NotImplementedError(
-        "DCT/wavelet image codecs (JPEG/...) not available in this environment"
-    )
+    if payload.startswith(b"\xff\xd8"):
+        from hive_gateway_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
+    raise NotImplementedError("unrecognized image container")
 
 
 def resize_image(pixels, width: int, height: int):
@@ -411,5 +414,109 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("mean_byte").cast("decimal(18,6)")).cast("double").alias(
                 "sum_mean_byte"
             ),
+        )
+    )
+
+
+@query(
+    "q_multimodal_codecs",
+    oracle="""
+    SELECT CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                           WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
+           COUNT(*) AS n_decoded,
+           CAST(SUM(doc_id % 256) AS BIGINT) AS sum_mean,
+           CAST(COUNT(*) * 8 AS BIGINT) AS sum_width,
+           CAST(COUNT(*) * 8 AS BIGINT) AS sum_height
+    FROM documents
+    GROUP BY fmt
+    """,
+)
+def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL codec verification with a SQL oracle: every doc
+    becomes an 8×8 solid-gray image (level = doc_id % 256), encoded in
+    a format chosen by doc_id % 4 — binary PPM, 24-bit BMP, 8-bit PNG,
+    or baseline JPEG (functions/jpeg.py) — then decoded back by the
+    SAME real kernel `decode_assets_real` uses. Solid images round-trip
+    bit-exactly through all four codecs (JPEG's DC-only case included),
+    so the per-format decode report is arithmetically predictable and
+    the oracle needs no image code at all. A decode bug in any codec
+    (wrong filter, wrong IDCT, wrong stride) breaks the hash.
+
+    Scale shape: encode and decode both run inside one mapInPandas pass
+    per partition — bytes never shuffle, never reach the driver; the
+    only shuffle is the final 4-group aggregate."""
+    import struct as _s
+    import zlib as _z
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from hive_gateway_spark.functions.jpeg import jpeg_encode
+
+        def encode(doc_id: int) -> bytes:
+            lvl = doc_id % 256
+            img = np.full((8, 8, 3), lvl, dtype=np.uint8)
+            f = doc_id % 4
+            if f == 0:  # binary PPM
+                return b"P6\n8 8\n255\n" + img.tobytes()
+            if f == 1:  # 24-bit bottom-up BMP, rows padded to 4 bytes
+                stride = (8 * 3 + 3) & ~3
+                rows = b""
+                for y in range(7, -1, -1):
+                    row = img[y, :, ::-1].tobytes()
+                    rows += row + b"\x00" * (stride - len(row))
+                header = b"BM" + _s.pack(
+                    "<IHHI", 54 + len(rows), 0, 0, 54
+                ) + _s.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, len(rows), 0, 0, 0, 0)
+                return header + rows
+            if f == 2:  # 8-bit truecolor PNG, filter 0
+                raw = b"".join(b"\x00" + img[y].tobytes() for y in range(8))
+                def chunk(tag, data):
+                    return (
+                        _s.pack(">I", len(data)) + tag + data
+                        + _s.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+                    )
+                return (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", _s.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
+                    + chunk(b"IDAT", _z.compress(raw))
+                    + chunk(b"IEND", b"")
+                )
+            return jpeg_encode(img, quality=90)
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = decode_image(encode(int(doc_id)))
+                rows.append(
+                    (
+                        int(doc_id),
+                        d["width"],
+                        d["height"],
+                        float(d["pixels"].mean()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mean_byte"])
+
+    decoded = docs.mapInPandas(
+        run, "doc_id long, width int, height int, mean_byte double"
+    )
+    fmt = (
+        F.when(F.col("doc_id") % 4 == 0, "ppm")
+        .when(F.col("doc_id") % 4 == 1, "bmp")
+        .when(F.col("doc_id") % 4 == 2, "png")
+        .otherwise("jpeg")
+    )
+    return (
+        decoded.withColumn("fmt", fmt)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_decoded"),
+            F.sum(F.col("mean_byte").cast("bigint")).alias("sum_mean"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
         )
     )

@@ -78,12 +78,22 @@ PRIORITY: tuple[str, ...] = (
     # fifteen tail queries' semantics get driver rows while
     # q_contamination (de-vacuated this round with planted cross-%97
     # near-dups — spark_rows must be > 0 now) keeps slot 50: 35 + 14 + 1.
-    "q_expr_array",
-    "q_expr_math",
-    "q_expr_datetime",
-    "q_join_full",
-    "q_unpivot",
-    "q_window_sliding",
+    # -- r06 rotation: the six queries whose IMPLEMENTATIONS changed
+    # this round take the slots of six twice-green unchanged scalar
+    # queries (q_expr_array/math/datetime, q_join_full, q_unpivot,
+    # q_window_sliding — each holds r4+r5 green rows and rotates to the
+    # local parity gate). q_join_asof + q_window_range_frame were hit
+    # by the NTZ fixture drift (fixed in session._normalize_timestamps);
+    # q_dedup_ngram/clusters/training_pipeline got the length-filter +
+    # staged-pair-set rework; q_multimodal_codecs is new (real
+    # PPM/BMP/PNG/JPEG encode→decode round-trip with an arithmetic
+    # oracle). q_time_bucket stays: ERR in r5, must re-earn green.
+    "q_join_asof",
+    "q_window_range_frame",
+    "q_dedup_ngram",
+    "q_dedup_clusters",
+    "q_training_pipeline",
+    "q_multimodal_codecs",
     "q_join_salted",
     "q_time_bucket",
     "q_agg_sketch",

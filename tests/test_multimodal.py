@@ -247,3 +247,83 @@ def test_real_decode_png_through_spark(spark):
     r = rows[0]
     assert (r["width"], r["height"], r["channels"]) == (4, 4, 3)
     assert abs(r["mean_byte"] - float(img.mean())) < 1e-9
+
+
+class TestJpeg:
+    """Baseline JPEG codec (functions/jpeg.py — VERDICT r04 #6/r05 #8)."""
+
+    def test_solid_color_roundtrips_exactly(self):
+        import numpy as np
+
+        from hive_gateway_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        img = np.full((24, 33, 3), 120, dtype=np.uint8)
+        d = jpeg_decode(jpeg_encode(img, quality=95))
+        assert (d["width"], d["height"], d["channels"]) == (33, 24, 3)
+        assert np.array_equal(d["pixels"], img), "DC-only image must be exact"
+
+    def test_gradient_roundtrip_bounded_error(self):
+        import numpy as np
+
+        from hive_gateway_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        yy, xx = np.mgrid[0:40, 0:56]
+        img = np.stack(
+            [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=-1
+        ).astype(np.uint8)
+        for sub, tol in (("444", 4), ("420", 8)):
+            d = jpeg_decode(jpeg_encode(img, quality=90, subsample=sub))
+            err = np.abs(d["pixels"].astype(int) - img.astype(int))
+            assert err.max() <= tol, (sub, err.max())
+
+    def test_grayscale_and_odd_dims(self):
+        import numpy as np
+
+        from hive_gateway_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (17, 19)).astype(np.uint8)
+        d = jpeg_decode(jpeg_encode(img, quality=95))
+        assert d["channels"] == 1 and d["pixels"].shape == (17, 19, 1)
+        err = np.abs(d["pixels"][..., 0].astype(int) - img.astype(int))
+        assert err.mean() < 6
+
+    def test_foreign_encoder_decodes(self):
+        """A libjpeg-produced file (not our encoder) must decode: pins
+        marker parsing (APP segments, 4:2:0 sampling, file-supplied
+        huffman/quant tables) against an independent implementation."""
+        import os
+
+        import pytest
+
+        from hive_gateway_spark.functions.jpeg import jpeg_decode
+
+        path = (
+            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "python3.11/test/test_email/data/python.jpg"
+        )
+        if not os.path.exists(path):
+            pytest.skip("no foreign sample on this host")
+        d = jpeg_decode(open(path, "rb").read())
+        assert (d["width"], d["height"], d["channels"]) == (16, 16, 3)
+        assert 0 < float(d["pixels"].mean()) < 255
+
+    def test_malformed_routes_not_raises(self, spark, sf_dir):
+        """A truncated JPEG payload drops its row via DECODE_ERRORS —
+        the mapInPandas task must not fail."""
+        import numpy as np
+
+        from hive_gateway_spark.functions.jpeg import jpeg_encode
+        from hive_gateway_spark.operators.multimodal import decode_assets_real
+
+        img = np.full((8, 8, 3), 77, dtype=np.uint8)
+        good = jpeg_encode(img, quality=90)
+        rows = [
+            (1, bytearray(good)),
+            (2, bytearray(good[: len(good) // 2])),  # truncated
+            (3, bytearray(b"\xff\xd8\xff\xc2junk")),  # progressive-ish
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = decode_assets_real(df).toPandas()
+        assert set(out["doc_id"]) == {1}
+        assert out.iloc[0]["mean_byte"] == 77.0
