@@ -70,6 +70,11 @@ HEADLINE_R2 = [
     "q_curation_v2",
 ]
 
+#: Round-6 additions — same isolation rationale.
+HEADLINE_R6 = [
+    "q_multimodal_codecs",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,7 +87,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2:
+    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R6:
         fn = registry.QUERIES[name]
         # drop the previous query's dead broadcasts/UDF workers before
         # timing this one — without it, late queries in a 30-query
@@ -111,6 +116,7 @@ def main() -> None:
     # additions are reported separately (and inside "queries").
     r01_comparable = round(sum(timings[n] for n in HEADLINE), 3)
     r2_total = round(sum(timings[n] for n in HEADLINE_R2), 3)
+    r6_total = round(sum(timings[n] for n in HEADLINE_R6), 3)
     print(
         json.dumps(
             {
@@ -118,7 +124,8 @@ def main() -> None:
                 "value": r01_comparable,
                 "unit": "sec",
                 "value_r2_ops": r2_total,
-                "value_all": round(r01_comparable + r2_total, 3),
+                "value_r6_ops": r6_total,
+                "value_all": round(r01_comparable + r2_total + r6_total, 3),
                 "queries": timings,
                 "queries_cold": cold,
                 "sf": sf,

@@ -245,3 +245,83 @@ def q_agg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
         )
     )
+
+
+#: KMV (k-minimum-values) sketch geometry: portable universal hash
+#: h(x) = (a·x + b) mod p with p = 2³¹−1 (a·x < 2⁶² for bigint user
+#: ids at fixture scale — exact int64 on both engines), k = 64 minima.
+KMV_K = 64
+KMV_P = (1 << 31) - 1
+KMV_A = 1_103_515_245
+KMV_B = 12_345
+
+
+@query(
+    "q_agg_kmv",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               (({KMV_A} * user_id + {KMV_B}) % {KMV_P}) AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ),
+    mins AS (
+        SELECT event_type,
+               COUNT(*) AS n_mins,
+               MAX(h) AS h_k
+        FROM ranked WHERE rn <= {KMV_K}
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_mins AS BIGINT) AS n_mins,
+           CAST(h_k AS BIGINT) AS h_k,
+           CASE WHEN n_mins < {KMV_K}
+                THEN CAST(n_mins AS DOUBLE)
+                ELSE (CAST({KMV_K} AS DOUBLE) - 1.0) * CAST({KMV_P} AS DOUBLE)
+                     / CAST(h_k AS DOUBLE)
+           END AS est_users
+    FROM mins
+    """,
+)
+def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch — the DETERMINISTIC,
+    cross-engine-verifiable counterpart of q_agg_sketch's HLL++: hash
+    each key with a portable universal hash, keep the k smallest distinct
+    hashes per group, estimate |distinct| = (k−1)·p / h_(k). Unlike
+    HLL++ the whole computation is plain SQL, so the driver hash-checks
+    it exactly against DuckDB (same integers, same double expression
+    shapes → bit-identical).
+
+    Scale shape: the distinct + windowed top-k shuffle O(groups · k)
+    rows after partial aggregation; at 100 TB the per-group state is k
+    longs — the same reason one uses a sketch at all. Accuracy vs the
+    exact count is pinned in tests/test_sketches.py (~1/√k ≈ 12%)."""
+    t = load_tables(spark, sf_dir)
+    h = (F.lit(KMV_A) * F.col("user_id") + F.lit(KMV_B)) % F.lit(KMV_P)
+    hashed = (
+        t["events"].select("event_type", h.alias("h")).distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    mins = (
+        hashed.withColumn("rn", rn)
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_mins"), F.max("h").alias("h_k"))
+    )
+    est = F.when(
+        F.col("n_mins") < KMV_K, F.col("n_mins").cast("double")
+    ).otherwise(
+        (F.lit(float(KMV_K)) - F.lit(1.0))
+        * F.lit(float(KMV_P))
+        / F.col("h_k").cast("double")
+    )
+    return mins.select(
+        "event_type",
+        F.col("n_mins").cast("bigint").alias("n_mins"),
+        F.col("h_k").cast("bigint").alias("h_k"),
+        est.alias("est_users"),
+    )

@@ -96,7 +96,11 @@ PRIORITY: tuple[str, ...] = (
     "q_multimodal_codecs",
     "q_join_salted",
     "q_time_bucket",
-    "q_agg_sketch",
+    # q_agg_kmv (r6): deterministic KMV distinct sketch — takes the
+    # sketch-family slot with a full SQL oracle; the HLL++ q_agg_sketch
+    # (engine-specific values, rows-only by nature) rotates to the
+    # local parity gate where its error bounds are asserted.
+    "q_agg_kmv",
     "q_minhash_signatures",
     "q_domain_mix",
     "q_pii_scrub",

@@ -121,16 +121,47 @@ def test_connected_components_chain_star_multi(spark):
     duo = [(300, 301)]
     pairs = spark.createDataFrame(chain + star + duo, "doc_a bigint, doc_b bigint")
     stats = {}
+    # local_max_edges=0 forces the distributed BSP path — that's the
+    # code under test here (the driver union-find path is covered by
+    # test_cc_local_equals_distributed).
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(pairs, stats=stats).collect()
+        for r in connected_components(pairs, stats=stats, local_max_edges=0).collect()
     }
+    assert stats["local"] is False
     assert all(got[n] == 100 for n in range(100, 113))
     assert all(got[n] == 200 for n in (200, 201, 202, 203))
     assert got[300] == 301 or got[300] == 300
     assert got[300] == got[301] == 300
     # path halving: diameter-11 chain must converge well under 11 rounds
     assert stats["rounds"] <= 7, stats
+
+
+def test_cc_local_equals_distributed(spark):
+    """The size-adaptive driver union-find must produce the identical
+    labeling the distributed pointer-jumping loop produces — including
+    chains, stars, merged components and duplicate/reversed edges."""
+    import random
+
+    from hive_gateway_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(0, 40)]                      # one long chain
+    edges += [(100 + rng.randrange(30), 100 + rng.randrange(30)) for _ in range(60)]
+    edges += [(b, a) for a, b in edges[:10]]                        # reversed dups
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    s_loc, s_dist = {}, {}
+    loc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, stats=s_loc).collect()
+    }
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, stats=s_dist, local_max_edges=0).collect()
+    }
+    assert s_loc["local"] is True and s_dist["local"] is False
+    assert loc == dist
 
 
 def _hot_corpus(spark, n_docs: int, near_dup_pair: bool = True):

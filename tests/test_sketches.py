@@ -23,3 +23,34 @@ def test_sketch_deterministic(spark, sf_dir):
     a = registry.QUERIES["q_agg_sketch"](spark, sf_dir).collect()
     b = registry.QUERIES["q_agg_sketch"](spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmv_accuracy_and_invariance(spark, sf_dir):
+    """q_agg_kmv's estimate must sit within the ~1/sqrt(k) KMV error
+    band of the exact distinct count, and with fewer than k distinct
+    keys it must be EXACT (the sketch degenerates to a count)."""
+    import pyspark.sql.functions as F
+
+    from hive_gateway_spark import registry
+    from hive_gateway_spark.operators.advanced import KMV_K
+    from hive_gateway_spark.session import load_tables
+
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["q_agg_kmv"](spark, sf_dir).collect()
+    }
+    t = load_tables(spark, sf_dir)
+    exact = {
+        r["event_type"]: r["e"]
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("e"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, r in got.items():
+        if exact[et] < KMV_K:
+            assert r["est_users"] == float(exact[et]), (et, r)
+        else:
+            rel = abs(r["est_users"] - exact[et]) / exact[et]
+            assert rel < 3.0 / (KMV_K ** 0.5), (et, r["est_users"], exact[et])
