@@ -549,3 +549,145 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(words) > 0)
         .filter(rep >= 0.5)
     )
+
+
+@query(
+    "q_text_unigram_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    tok2 AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+    vocab AS (SELECT word, COUNT(*) AS df FROM tok2 GROUP BY word),
+    scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               SUM(v.df) AS sum_df,
+               SUM(CASE WHEN v.df < 3 THEN 1 ELSE 0 END) AS n_rare
+        FROM tok2 t JOIN vocab v ON t.word = v.word
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_df AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_df,
+           CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_ratio
+    FROM scored
+    """,
+)
+def q_text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality score — the exact-arithmetic sibling of
+    CCNet/Gopher-style unigram-LM filtering: per doc, the mean corpus
+    document frequency of its tokens (low = rare-token gibberish,
+    high = boilerplate) and the fraction of near-OOV tokens (df < 3).
+    Deliberately NO log/perplexity: transcendental functions aren't
+    bit-stable across engines, while these integer ratios hash-match
+    exactly (single IEEE division of exact < 2⁵³ integers).
+
+    Scale shape: one shuffle builds the token→df vocab (map-side
+    combined), the tokens join the vocab on word — a zipfian-skewed
+    key, so at 100 TB the vocab's heavy head broadcasts (AQE skew-join
+    handles the rest) — and one groupBy(doc_id) folds the score. The
+    fixture plan keeps the vocab join a plain shuffle join (vocab ≈
+    corpus-token scale here)."""
+    t = load_tables(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = tok.groupBy("word").agg(F.count("*").alias("df"))
+    return (
+        tok.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("df").alias("sum_df"),
+            F.sum(F.when(F.col("df") < 3, 1).otherwise(0)).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("sum_df").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "mean_tok_df"
+            ),
+            (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "rare_ratio"
+            ),
+        )
+    )
+
+
+#: Context length for the packing report (tokens per training sequence).
+PACK_CONTEXT = 512
+
+
+@query(
+    "q_doc_length_buckets",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                 AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens <= 16 THEN 16
+                    WHEN n_tokens <= 32 THEN 32
+                    WHEN n_tokens <= 64 THEN 64
+                    WHEN n_tokens <= 128 THEN 128
+                    WHEN n_tokens <= 256 THEN 256
+                    ELSE {PACK_CONTEXT} END AS bucket
+        FROM sized WHERE n_tokens > 0 AND n_tokens <= {PACK_CONTEXT}
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+               / CAST(COUNT(*) * bucket AS DOUBLE) AS pad_waste
+    FROM bucketed
+    GROUP BY bucket
+    """,
+)
+def q_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing report — the batch-packing planner's
+    input: docs binned into power-of-two token-length buckets up to the
+    training context ({PACK_CONTEXT}), with per-bucket padding waste
+    (1 − real/padded tokens). High waste in a bucket means the packer
+    should concatenate that bucket's docs instead of padding them.
+    Narrow scan-side arithmetic; one 6-group aggregate — free at any
+    scale."""
+    t = load_tables(spark, sf_dir)
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    sized = t["documents"].select("doc_id", n_tok.cast("bigint").alias("n_tokens"))
+    bucket = (
+        F.when(F.col("n_tokens") <= 16, 16)
+        .when(F.col("n_tokens") <= 32, 32)
+        .when(F.col("n_tokens") <= 64, 64)
+        .when(F.col("n_tokens") <= 128, 128)
+        .when(F.col("n_tokens") <= 256, 256)
+        .otherwise(PACK_CONTEXT)
+        .cast("bigint")
+    )
+    return (
+        sized.filter((F.col("n_tokens") > 0) & (F.col("n_tokens") <= PACK_CONTEXT))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.count("*") * F.col("bucket").cast("bigint")).alias("_pt"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            F.col("_pt").cast("bigint").alias("padded_tokens"),
+            (
+                F.lit(1.0)
+                - F.col("total_tokens").cast("double") / F.col("_pt").cast("double")
+            ).alias("pad_waste"),
+        )
+    )
