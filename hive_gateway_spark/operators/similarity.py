@@ -332,3 +332,101 @@ def q_embed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("val").cast("double") / F.count("*") / SCALE, 6).alias("centroid"),
         )
     )
+
+
+#: Random-hyperplane LSH geometry (the OTHER scale path next to IVF):
+#: L tables × B sign-bits. Rademacher (±1) hyperplanes drawn from a
+#: fixed LCG seed — the projection dot(v, r) stays exact int64 on the
+#: quantized vectors (|dot| ≤ 64·3·10⁷ ≪ 2⁶³), so bucket ids are
+#: deterministic and engine-independent. B controls bucket occupancy
+#: (≈ N/2^B per table), L the number of independent chances a true
+#: neighbor has to collide.
+LSH_TABLES = 16
+LSH_BITS = 6
+
+
+def _lsh_planes(dim: int = 64):
+    """(table, bit) → ±1 sign vector of length dim, seeded LCG."""
+    s = 0x2545F4914F6CDD1D
+    out = []
+    for p in range(LSH_TABLES * LSH_BITS):
+        signs = []
+        for d in range(dim):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            signs.append(1 if (s >> 32) & 1 else -1)
+        out.append((p // LSH_BITS, p % LSH_BITS, signs))
+    return out
+
+
+@query("q_sim_topk_lsh")  # rows-only: ANN recall pinned in tests/test_similarity.py
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-LSH top-k — the bucketed ANN alternative to
+    q_sim_topk_ivf (the mandate names both: "IVF or LSH-bucketed").
+
+    Each vector hashes to one B-bit sign bucket per table (sign of the
+    exact int64 Rademacher projection); a query only scores candidates
+    sharing a (table, bucket) cell — expected scanned fraction
+    ≈ L·N/2^B / N = L/2^B per table geometry. Candidates met in
+    several tables dedup before the exact int64 kernel scores them, so
+    the expensive arithmetic runs once per distinct candidate.
+
+    Scale shape: the planes table is 128 tiny rows (broadcast); the
+    inverted index is ONE shuffle by (table, bucket); queries are the
+    bounded broadcast dimension (≤ MAX_QUERIES, same contract as
+    q_sim_topk). No KMeans fit — bucketing is stateless, so this
+    variant also works streaming (hash on ingest)."""
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    planes = F.broadcast(
+        t["embeddings"].sparkSession.createDataFrame(
+            _lsh_planes(), "tbl int, bit int, s array<bigint>"
+        )
+    )
+    proj = F.expr(
+        "aggregate(zip_with(v, s, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+    )
+    bucketed = (
+        e.join(planes)
+        .select(
+            "vec_id",
+            "tbl",
+            (
+                F.when(proj >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("bitval"),
+        )
+        .groupBy("vec_id", "tbl")
+        .agg(F.sum("bitval").alias("bucket"))
+    )
+    base = bucketed.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"), F.col("n2").alias("nb")),
+        F.col("vec_id") == F.col("neighbor_id"),
+    ).select("neighbor_id", "tbl", "bucket", "vb", "nb")
+    queries = (
+        bucketed.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < QUERY_ID_CAP)
+        )
+        .join(
+            e.select(F.col("vec_id").alias("qid"), F.col("v").alias("vq"), F.col("n2").alias("nq")),
+            F.col("vec_id") == F.col("qid"),
+        )
+        .select(F.col("qid").alias("query_id"), "tbl", "bucket", "vq", "nq")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(base, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_q("vq", "vb") / F.sqrt(F.col("nq") * F.col("nb"))).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank_k", F.round("sim", 4).alias("cos_sim"))
+    )

@@ -327,3 +327,53 @@ class TestJpeg:
         out = decode_assets_real(df).toPandas()
         assert set(out["doc_id"]) == {1}
         assert out.iloc[0]["mean_byte"] == 77.0
+
+
+def test_jpeg_roundtrip_property():
+    """Property fuzz: random dims (incl. 1x1 and non-multiples of 8/16),
+    both subsamplings, random content — decode must return the exact
+    dims and stay within a quality-bounded error of the input."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from hive_gateway_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        sub=st.sampled_from(["444", "420"]),
+        seed=st.integers(0, 2**31),
+        smooth=st.booleans(),
+    )
+    def case(w, h, sub, seed, smooth):
+        rng = np.random.default_rng(seed)
+        if smooth:
+            base = rng.integers(30, 220, 3)
+            img = np.clip(
+                base[None, None, :]
+                + np.arange(h)[:, None, None] * 2
+                + np.arange(w)[None, :, None],
+                0,
+                255,
+            ).astype(np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        d = jpeg_decode(jpeg_encode(img, quality=92, subsample=sub))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        if sub == "444":
+            err = np.abs(d["pixels"].astype(int) - img.astype(int))
+        else:
+            # 4:2:0 box-averages chroma (per-pixel chroma on noise is
+            # unrecoverable BY DESIGN — real JPEG behaves identically);
+            # luma is full-resolution in both modes, so it carries the
+            # quality bound.
+            def luma(a):
+                return (
+                    0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+                )
+
+            err = np.abs(luma(d["pixels"].astype(float)) - luma(img.astype(float)))
+        assert err.mean() < 12, (sub, smooth, err.mean())
+
+    case()

@@ -95,3 +95,24 @@ def test_gemm_tiling_matches_full_gemm():
         for chunk in (128, 500):  # many tiles, incl. ragged edges
             got = run(chunk, with_sim)
             pd.testing.assert_frame_equal(got, want)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """q_sim_topk_lsh recall vs the exact baseline: the fixture
+    embeddings are weakly clustered (hostile to hyperplane LSH), so the
+    pinned floor is 0.5 at the shipped L=16/B=6 geometry — the point of
+    the test is that bucketing yields k deterministic rows per query
+    and catches geometry regressions, not that LSH beats IVF here."""
+    from collections import defaultdict
+
+    lsh_rows = registry.QUERIES["q_sim_topk_lsh"](spark, sf_dir).collect()
+    exact_rows = registry.QUERIES["q_sim_topk"](spark, sf_dir).collect()
+    L, E = defaultdict(set), defaultdict(set)
+    for r in lsh_rows:
+        L[r["query_id"]].add(r["neighbor_id"])
+    for r in exact_rows:
+        E[r["query_id"]].add(r["neighbor_id"])
+    assert set(L) == set(E), "every query must produce LSH results"
+    assert all(len(v) == 5 for v in L.values())
+    recall = sum(len(L[q] & E[q]) for q in E) / sum(len(E[q]) for q in E)
+    assert recall >= 0.5, f"LSH recall {recall:.2f}"
