@@ -354,3 +354,48 @@ def stream_decontaminate(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= CONTAM_MIN_SHARED)
     )
+
+
+def stream_curation_pipeline(
+    docs_stream: DataFrame, corpus_shingles: DataFrame
+) -> DataFrame:
+    """The composed continuous-ingest curation pipeline — every stage a
+    tested streaming twin, chained the way the batch q_curation_v2
+    chains them:
+
+      quality/repetition gates (stream_quality_gates, stateless)
+      → exact first-arrival dedup on normalized text (state = sha2
+        hashes only, the stream_exact_dedup contract)
+      → decontamination drop (left_anti against the flagged doc set of
+        stream_decontaminate's static benchmark join)
+
+    Emits admitted documents with their derived columns. Near-dup
+    clustering is deliberately NOT in the stream: it needs cross-doc
+    state over the whole corpus (the batch `q_dedup_clusters` path);
+    ingest-time near-dup SCREENING against the accepted corpus is
+    `stream_near_dup_candidates`.
+    """
+    from hive_gateway_spark.operators.dedup import (
+        CONTAM_BENCH_MOD,
+        CONTAM_MIN_SHARED,
+    )
+
+    gated = stream_quality_gates(docs_stream)
+    deduped = gated.withColumn(
+        "content_key", F.sha2(F.col("norm_text"), 256)
+    ).dropDuplicates(["content_key"])
+    bench = corpus_shingles.filter(
+        F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    ).select(F.col("doc_id").alias("bench_id"), "h")
+    # static contaminated-id set, precomputed once per (corpus, session):
+    # a stream-static LEFT ANTI join is stateless on the stream side.
+    contaminated = (
+        corpus_shingles.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= CONTAM_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    return deduped.join(contaminated, "doc_id", "left_anti").drop("content_key")

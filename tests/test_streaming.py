@@ -360,3 +360,48 @@ def test_stream_decontaminate_equals_batch(spark, sf_dir):
     want_set = {tuple(r) for r in want[["doc_id", "bench_id", "shared"]].itertuples(index=False)}
     assert got_set == want_set
     assert len(want_set) > 0, "decontamination gate is vacuous on the fixture"
+
+
+def test_stream_curation_pipeline_equals_batch(spark, sf_dir):
+    """The composed streaming curation pipeline admits exactly the doc
+    set the same gates admit in batch (survivor identity for exact-dup
+    groups legitimately differs — arrival order vs min doc_id — so the
+    comparison is on normalized-text sets, the dedup-invariant)."""
+    from hive_gateway_spark.operators.dedup import (
+        CONTAM_BENCH_MOD,
+        CONTAM_MIN_SHARED,
+        _shingles_checkpointed,
+    )
+    from hive_gateway_spark.streaming.ops import (
+        stream_curation_pipeline,
+        stream_documents,
+        stream_quality_gates,
+    )
+
+    t = load_tables(spark, sf_dir)
+    corpus = _shingles_checkpointed(t).select("doc_id", "h")
+    got = drain(
+        stream_curation_pipeline(stream_documents(spark, sf_dir), corpus),
+        "s_curation",
+    )
+
+    gated = stream_quality_gates(t["documents"])
+    bench = corpus.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    contaminated = (
+        corpus.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= CONTAM_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    want = (
+        gated.dropDuplicates(["norm_text"])
+        .join(contaminated, "doc_id", "left_anti")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    assert set(got["norm_text"]) == set(want["norm_text"])
