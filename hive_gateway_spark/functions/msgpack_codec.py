@@ -303,3 +303,24 @@ def decode_envelope_udf(payload: pd.Series) -> pd.DataFrame:
         [decode_envelope(bytes(b)) for b in payload],
         columns=["mod", "fun", "arg", "token"],
     )
+
+
+@F.pandas_udf(ENVELOPE_SCHEMA)
+def roundtrip_envelope_udf(
+    mod: pd.Series, fun: pd.Series, arg: pd.Series, token: pd.Series
+) -> pd.DataFrame:
+    """encode → REAL bytes → decode in one Arrow pass. Exactly the
+    encode_envelope_udf ∘ decode_envelope_udf composition (the bytes
+    exist and are parsed; identity is what the oracles verify), minus
+    shipping the intermediate binary column through the JVM twice.
+    A/B-measured ≈ equal wall-clock at sf0.1 — the per-row Python codec
+    dominates, not the Arrow hop — kept for the simpler one-UDF plan.
+    The split UDFs remain for pipelines that genuinely persist the wire
+    bytes (server.py does)."""
+    return pd.DataFrame(
+        [
+            decode_envelope(encode_envelope(m, f, a, t))
+            for m, f, a, t in zip(mod, fun, arg, token)
+        ],
+        columns=["mod", "fun", "arg", "token"],
+    )

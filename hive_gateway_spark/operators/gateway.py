@@ -113,21 +113,17 @@ def q_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/msgpack_codec.py); the aggregate over the *decoded*
     fields must equal the oracle's aggregate over the *source* fields —
     i.e., the codec is the identity, verified at fixture scale."""
-    from hive_gateway_spark.functions.msgpack_codec import (
-        decode_envelope_udf,
-        encode_envelope_udf,
-    )
+    from hive_gateway_spark.functions.msgpack_codec import roundtrip_envelope_udf
 
     t = load_tables(spark, sf_dir)
-    enc = t["events"].select(
-        encode_envelope_udf(
+    dec = t["events"].select(
+        roundtrip_envelope_udf(
             F.col("event_type"),
             F.lit("call"),
             F.get_json_object("props", "$.k"),
             F.col("user_id").cast("string"),
-        ).alias("payload")
-    )
-    dec = enc.select(decode_envelope_udf("payload").alias("env")).select("env.*")
+        ).alias("env")
+    ).select("env.*")
     return dec.groupBy("mod").agg(
         F.count("*").alias("n"),
         F.countDistinct(F.col("arg").cast("int")).alias("n_args"),
@@ -258,10 +254,7 @@ def q_gateway_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly — the msgpack round trip must therefore be the identity
     for the hashes to match (and the codec is additionally
     property-tested in tests/test_functions.py)."""
-    from hive_gateway_spark.functions.msgpack_codec import (
-        decode_envelope_udf,
-        encode_envelope_udf,
-    )
+    from hive_gateway_spark.functions.msgpack_codec import roundtrip_envelope_udf
     from hive_gateway_spark.operators.windows import RATE_LIMIT_N
 
     t = load_tables(spark, sf_dir)
@@ -290,13 +283,11 @@ def q_gateway_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "value",
-        decode_envelope_udf(
-            encode_envelope_udf(
-                "event_type",
-                F.lit("call"),
-                F.coalesce("token", F.lit("\x00null")),  # msgpack str field;
-                F.coalesce("token", F.lit("\x00null")),  # NULL marked by sentinel
-            )
+        roundtrip_envelope_udf(
+            "event_type",
+            F.lit("call"),
+            F.coalesce("token", F.lit("\x00null")),  # msgpack str field;
+            F.coalesce("token", F.lit("\x00null")),  # NULL marked by sentinel
         ).alias("env"),
     ).select(
         "event_id",
