@@ -418,6 +418,51 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_image_payload(doc_id: int) -> bytes:
+    """Deterministic 8×8 solid-gray test asset (level = doc_id % 256),
+    containered by doc_id % 4: binary PPM / 24-bit BMP / 8-bit PNG /
+    baseline JPEG. Shared by q_multimodal_codecs and q_multimodal_thumbs
+    so both oracles stay pure arithmetic."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from hive_gateway_spark.functions.jpeg import jpeg_encode
+
+    lvl = doc_id % 256
+    img = np.full((8, 8, 3), lvl, dtype=np.uint8)
+    f = doc_id % 4
+    if f == 0:  # binary PPM
+        return b"P6\n8 8\n255\n" + img.tobytes()
+    if f == 1:  # 24-bit bottom-up BMP, rows padded to 4 bytes
+        stride = (8 * 3 + 3) & ~3
+        rows = b""
+        for y in range(7, -1, -1):
+            row = img[y, :, ::-1].tobytes()
+            rows += row + b"\x00" * (stride - len(row))
+        header = b"BM" + _s.pack(
+            "<IHHI", 54 + len(rows), 0, 0, 54
+        ) + _s.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        return header + rows
+    if f == 2:  # 8-bit truecolor PNG, filter 0
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(8))
+
+        def chunk(tag, data):
+            return (
+                _s.pack(">I", len(data)) + tag + data
+                + _s.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _s.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", _z.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+    return jpeg_encode(img, quality=90)
+
+
 @query(
     "q_multimodal_codecs",
     oracle="""
@@ -445,47 +490,11 @@ def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: encode and decode both run inside one mapInPandas pass
     per partition — bytes never shuffle, never reach the driver; the
     only shuffle is the final 4-group aggregate."""
-    import struct as _s
-    import zlib as _z
-
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from hive_gateway_spark.functions.jpeg import jpeg_encode
-
-        def encode(doc_id: int) -> bytes:
-            lvl = doc_id % 256
-            img = np.full((8, 8, 3), lvl, dtype=np.uint8)
-            f = doc_id % 4
-            if f == 0:  # binary PPM
-                return b"P6\n8 8\n255\n" + img.tobytes()
-            if f == 1:  # 24-bit bottom-up BMP, rows padded to 4 bytes
-                stride = (8 * 3 + 3) & ~3
-                rows = b""
-                for y in range(7, -1, -1):
-                    row = img[y, :, ::-1].tobytes()
-                    rows += row + b"\x00" * (stride - len(row))
-                header = b"BM" + _s.pack(
-                    "<IHHI", 54 + len(rows), 0, 0, 54
-                ) + _s.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, len(rows), 0, 0, 0, 0)
-                return header + rows
-            if f == 2:  # 8-bit truecolor PNG, filter 0
-                raw = b"".join(b"\x00" + img[y].tobytes() for y in range(8))
-                def chunk(tag, data):
-                    return (
-                        _s.pack(">I", len(data)) + tag + data
-                        + _s.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
-                    )
-                return (
-                    b"\x89PNG\r\n\x1a\n"
-                    + chunk(b"IHDR", _s.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
-                    + chunk(b"IDAT", _z.compress(raw))
-                    + chunk(b"IEND", b"")
-                )
-            return jpeg_encode(img, quality=90)
+        encode = _synth_image_payload
 
         for pdf in batches:
             rows = []
@@ -518,5 +527,70 @@ def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("mean_byte").cast("bigint")).alias("sum_mean"),
             F.sum("width").cast("bigint").alias("sum_width"),
             F.sum("height").cast("bigint").alias("sum_height"),
+        )
+    )
+
+
+#: Thumbnail geometry for q_multimodal_thumbs.
+THUMB_W, THUMB_H = 5, 4
+
+
+@query(
+    "q_multimodal_thumbs",
+    oracle=f"""
+    SELECT CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                           WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
+           COUNT(*) AS n_thumbs,
+           CAST(SUM(doc_id % 256) AS BIGINT) AS sum_mean,
+           CAST(COUNT(*) * (11 + {THUMB_W} * {THUMB_H} * 3) AS BIGINT)
+             AS thumb_bytes
+    FROM documents
+    GROUP BY fmt
+    """,
+)
+def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → REAL nearest-neighbor resize → re-encode, driver-hash-
+    verified: each synthetic asset (_synth_image_payload) is decoded by
+    the real kernel, resized to {THUMB_W}×{THUMB_H} with resize_image
+    (real fancy-indexing kernel), and re-containered as binary PPM.
+    Solid images survive every step exactly, so per-format thumb count,
+    mean level, and total thumb bytes (PPM header "P6\\n5 4\\n255\\n" =
+    11 B + W·H·3 payload) are pure arithmetic for the oracle. A resize
+    bug (wrong axis order, off-by-one sampling grid) changes mean or
+    byte totals and breaks the hash.
+
+    Same scale shape as q_multimodal_codecs: encode/decode/resize all
+    inside one mapInPandas pass; only the 4-group report shuffles."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = decode_image(_synth_image_payload(int(doc_id)))
+                thumb = resize_image(d["pixels"], THUMB_W, THUMB_H)
+                ppm = (
+                    f"P6\n{THUMB_W} {THUMB_H}\n255\n".encode() + thumb.tobytes()
+                )
+                rows.append((int(doc_id), float(np.mean(thumb)), len(ppm)))
+            yield pd.DataFrame(rows, columns=["doc_id", "mean_byte", "nbytes"])
+
+    decoded = docs.mapInPandas(run, "doc_id long, mean_byte double, nbytes int")
+    fmt = (
+        F.when(F.col("doc_id") % 4 == 0, "ppm")
+        .when(F.col("doc_id") % 4 == 1, "bmp")
+        .when(F.col("doc_id") % 4 == 2, "png")
+        .otherwise("jpeg")
+    )
+    return (
+        decoded.withColumn("fmt", fmt)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_thumbs"),
+            F.sum(F.col("mean_byte").cast("bigint")).alias("sum_mean"),
+            F.sum("nbytes").cast("bigint").alias("thumb_bytes"),
         )
     )
