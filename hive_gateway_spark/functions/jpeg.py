@@ -2,16 +2,21 @@
 
 Closes the one multimodal format gap the decode family had (VERDICT
 r04 #6 / r05 #8): `jpeg_decode` parses the marker stream (SOI/DQT/
-SOF0/DHT/DRI/SOS), huffman-decodes the interleaved MCU entropy stream
+SOF0/SOF2/DHT/DRI/SOS), huffman-decodes the interleaved MCU entropy stream
 (with byte unstuffing and restart-marker handling), dequantizes,
 inverse-DCTs each 8×8 block, reassembles the component planes with
 sampling-factor upsampling (4:4:4 / 4:2:2 / 4:2:0), and converts
 JFIF YCbCr→RGB. Quant/huffman tables are read from the FILE (DQT/DHT),
 never assumed, so any spec-conformant baseline JPEG decodes.
 
+Progressive (SOF2, huffman) is fully supported: spectral-selection
+and successive-approximation scans accumulate into the same per-block
+coefficient store the baseline path uses, and decoding an image's
+progressive encoding is pixel-identical to decoding its baseline
+encoding (pinned by tests against ImageIO-produced twin files).
 Out of scope — explicit NotImplementedError, routed by DECODE_ERRORS
-exactly like palette-PNG: progressive (SOF2), arithmetic coding
-(SOF9+), 12-bit precision, DNL. A production cluster swaps this kernel
+exactly like palette-PNG: arithmetic coding, 12-bit precision,
+lossless/hierarchical, DNL. A production cluster swaps this kernel
 for libjpeg-turbo behind the same `decode_image` signature; the pure
 Python bit loop is the correctness baseline the fixture tests pin.
 
@@ -35,10 +40,17 @@ __all__ = ["jpeg_decode", "jpeg_encode"]
 # --------------------------------------------------------------------------
 
 def _zigzag() -> np.ndarray:
-    """The 64-entry zigzag scan order, generated (not transcribed)."""
+    """The 64-entry zigzag scan order, generated (not transcribed).
+
+    T.81 figure 5: odd anti-diagonals (y+x odd) are walked top-right →
+    bottom-left (y ascending), even ones bottom-left → top-right
+    (x ascending). Getting this backwards is invisible to same-codec
+    round trips (encoder and decoder cancel) but scrambles every
+    foreign file's AC coefficients within each diagonal — caught by
+    the cross-decoder tests against ImageIO/libjpeg files."""
     order = sorted(
         ((y, x) for y in range(8) for x in range(8)),
-        key=lambda p: (p[0] + p[1], p[1] if (p[0] + p[1]) % 2 else p[0]),
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else p[1]),
     )
     return np.array([y * 8 + x for y, x in order], dtype=np.int64)
 
@@ -161,24 +173,196 @@ class _BitReader:
             raise ValueError("expected restart marker")
 
 
+class _ScanDecoder:
+    """Entropy decoding for one SOS into the per-component coefficient
+    store — handles baseline (Ss=0, Se=63, Ah=Al=0) and every
+    progressive scan kind (DC first/refine, AC first/refine) with one
+    block dispatcher, so SOF0 and SOF2 share the machinery (T.81 F.2 /
+    Annex G, huffman only)."""
+
+    def __init__(self, state: "_JpegState", scan, ss, se, ah, al):
+        self.st = state
+        self.scan = scan  # [(cid, td, ta)]
+        self.ss, self.se, self.ah, self.al = ss, se, ah, al
+        self.pred = {cid: 0 for cid, _, _ in scan}
+        self.eobrun = 0
+
+    def _block_first(self, reader, coef, td, ta, cid):
+        ss, se, al = self.ss, self.se, self.al
+        k = ss
+        if ss == 0:
+            s = reader.decode(self.st.huff_dc[td])
+            diff = _extend(reader.bits(s), s) if s else 0
+            self.pred[cid] += diff
+            coef[0] = self.pred[cid] << al
+            k = 1
+        if self.eobrun > 0:  # whole block inside an EOB run
+            self.eobrun -= 1
+            return
+        while k <= se:
+            rs = reader.decode(self.st.huff_ac[ta])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                self.eobrun = (1 << r) - 1  # EOBn: this block + 2^r-1 more
+                if r:
+                    self.eobrun += reader.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band")
+            coef[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def _block_dc_refine(self, reader, coef):
+        if reader.bit():
+            coef[0] |= 1 << self.al
+
+    def _block_ac_refine(self, reader, coef, ta):
+        """T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine shape: correction
+        bits ride along every nonzero coefficient the scan passes over;
+        an EOB run corrects the remaining band of each covered block."""
+        ss, se = self.ss, self.se
+        p1 = 1 << self.al
+        m1 = -p1
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = reader.decode(self.st.huff_ac[ta])
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s:
+                    newval = p1 if reader.bit() else m1
+                elif r != 15:
+                    self.eobrun = 1 << r  # incl. this block's tail below
+                    if r:
+                        self.eobrun += reader.bits(r)
+                    break
+                # advance past r zero-history slots (16 for ZRL),
+                # correcting nonzeros on the way; insert newval at the
+                # landing zero slot
+                while k <= se:
+                    c = int(coef[k])
+                    if c != 0:
+                        if reader.bit() and (abs(c) & p1) == 0:
+                            coef[k] = c + (p1 if c > 0 else m1)
+                    else:
+                        if r == 0:
+                            if newval:
+                                coef[k] = newval
+                            break
+                        r -= 1
+                    k += 1
+                k += 1
+        if self.eobrun > 0:
+            # this block's tail (and each subsequent block wholly inside
+            # the run): correct every remaining nonzero coefficient
+            while k <= se:
+                c = int(coef[k])
+                if c != 0 and reader.bit() and (abs(c) & p1) == 0:
+                    coef[k] = c + (p1 if c > 0 else m1)
+                k += 1
+            self.eobrun -= 1
+
+    def block(self, reader, coef, td, ta, cid):
+        if self.ah == 0:
+            self._block_first(reader, coef, td, ta, cid)
+        elif self.ss == 0:
+            self._block_dc_refine(reader, coef)
+        else:
+            self._block_ac_refine(reader, coef, ta)
+
+    def reset(self):
+        self.pred = {cid: 0 for cid, _, _ in self.scan}
+        self.eobrun = 0
+
+
+class _JpegState:
+    def __init__(self):
+        self.qt: dict[int, np.ndarray] = {}
+        self.huff_dc: dict[int, _HuffTable] = {}
+        self.huff_ac: dict[int, _HuffTable] = {}
+        self.dri = 0
+        self.frame = None  # (w, h, comps, progressive)
+        self.coefs: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) int32
+
+
+def _decode_scan(payload, pos, st, scan, ss, se, ah, al):
+    """Decode one SOS's entropy segment into st.coefs; returns the
+    offset of the next marker. Interleaved scans walk MCUs; single-
+    component scans (every progressive AC scan; also grayscale) walk
+    that component's own block grid (T.81 A.2.2)."""
+    w, h, comps, _prog = st.frame
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dec = _ScanDecoder(st, scan, ss, se, ah, al)
+    reader = _BitReader(payload, pos)
+    if len(scan) == 1:
+        cid, td, ta = scan[0]
+        _, chs, cvs, _tq = by_id[cid]
+        cw = -(-(w * chs) // hmax)
+        chh = -(-(h * cvs) // vmax)
+        bw = -(-cw // 8)
+        bh = -(-chh // 8)
+        for m in range(bw * bh):
+            if st.dri and m and m % st.dri == 0:
+                reader.sync_restart()
+                dec.reset()
+            by, bx = divmod(m, bw)
+            dec.block(reader, st.coefs[cid][by, bx], td, ta, cid)
+    else:
+        for m in range(mcux * mcuy):
+            if st.dri and m and m % st.dri == 0:
+                reader.sync_restart()
+                dec.reset()
+            my, mx = divmod(m, mcux)
+            for cid, td, ta in scan:
+                _, chs, cvs, _tq = by_id[cid]
+                for byy in range(cvs):
+                    for bxx in range(chs):
+                        dec.block(
+                            reader,
+                            st.coefs[cid][my * cvs + byy, mx * chs + bxx],
+                            td,
+                            ta,
+                            cid,
+                        )
+    # byte-align and find the next true marker (skip stuffed FFs / RSTs)
+    p = reader.pos
+    while p + 1 < len(payload):
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return len(payload)
+
+
 def jpeg_decode(payload: bytes) -> dict:
-    """Baseline JPEG → {"width", "height", "channels", "pixels"}.
+    """Baseline OR progressive (huffman) JPEG → {"width", "height",
+    "channels", "pixels"}.
 
     pixels: HxWx3 uint8 RGB (3-component YCbCr) or HxWx1 (grayscale).
-    Raises NotImplementedError for progressive/arithmetic/12-bit, and
-    ValueError for malformed streams — both in DECODE_ERRORS, so a bad
-    asset routes its row instead of failing the Spark task.
+    Progressive (SOF2) decodes through the same coefficient store as
+    baseline — spectral-selection and successive-approximation scans
+    accumulate per-block coefficients, validated against ImageIO-
+    produced SOF2 files and ImageIO's own decoded pixels (tests).
+    Raises NotImplementedError for arithmetic coding / 12-bit /
+    hierarchical, ValueError for malformed streams — both in
+    DECODE_ERRORS, so a bad asset routes its row instead of failing
+    the Spark task.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
+    st = _JpegState()
     pos = 2
-    qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, _HuffTable] = {}
-    huff_ac: dict[int, _HuffTable] = {}
-    dri = 0
-    frame = None  # (w, h, comps) where comps = [(cid, h, v, tq)]
-    scan = None
-
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -201,7 +385,7 @@ def jpeg_decode(payload: bytes) -> dict:
                 else:
                     tab = np.frombuffer(seg, ">u2", 64, i).astype(np.float64)
                     i += 128
-                qt[tq] = tab  # zigzag order
+                st.qt[tq] = tab  # zigzag order
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -209,11 +393,11 @@ def jpeg_decode(payload: bytes) -> dict:
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + n])
-                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+                (st.huff_dc if tc == 0 else st.huff_ac)[th] = _HuffTable(bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
-            dri = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            st.dri = struct.unpack_from(">H", seg, 0)[0]
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG not supported")
@@ -221,74 +405,53 @@ def jpeg_decode(payload: bytes) -> dict:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-            frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            st.frame = (w, h, comps, marker == 0xC2)
+            if w == 0 or h == 0:
+                raise NotImplementedError("DNL-deferred dimensions not supported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, chs, cvs, _tq in comps:
+                st.coefs[cid] = np.zeros((mcuy * cvs, mcux * chs, 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/1) supported"
+                "lossless/arithmetic/hierarchical JPEG not supported"
             )
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            if st.frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF) for i in range(ns)]
-            pos += seglen
-            break
+            scan = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_scan(payload, pos + seglen, st, scan, ss, se, ahal >> 4, ahal & 0xF)
+            continue
         pos += seglen
 
-    if frame is None or scan is None:
+    if st.frame is None or not st.coefs:
         raise ValueError("missing SOF/SOS")
-    w, h, comps = frame
-    if w == 0 or h == 0:
-        raise NotImplementedError("DNL-deferred dimensions not supported")
+    w, h, comps, _prog = st.frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    by_id = {c[0]: c for c in comps}
-    planes = {}
-    order = []
-    for cid, td, ta in scan:
-        _, ch, cv, tq = by_id[cid]
-        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
-        order.append((cid, ch, cv, tq, td, ta))
-
-    reader = _BitReader(payload, pos)
-    pred = {cid: 0 for cid, *_ in order}
-    for m in range(mcux * mcuy):
-        if dri and m and m % dri == 0:
-            reader.sync_restart()
-            pred = {cid: 0 for cid, *_ in order}
-        my, mx = divmod(m, mcux)
-        for cid, ch, cv, tq, td, ta in order:
-            for by in range(cv):
-                for bx in range(ch):
-                    zz = np.zeros(64, dtype=np.float64)
-                    s = reader.decode(huff_dc[td])
-                    diff = _extend(reader.bits(s), s) if s else 0
-                    pred[cid] += diff
-                    zz[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode(huff_ac[ta])
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL: skip 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        zz[k] = _extend(reader.bits(s), s)
-                        k += 1
-                    block = _idct2((zz * qt[tq])[UNZIGZAG].reshape(8, 8))
-                    y0 = (my * cv + by) * 8
-                    x0 = (mx * ch + bx) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
 
     out = []
-    for cid, ch, cv, tq, td, ta in order:
-        p = planes[cid] + 128.0
-        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+    for cid, chs, cvs, tq in comps:
+        grid = st.coefs[cid]
+        bh, bw = grid.shape[:2]
+        plane = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        q = st.qt[tq]
+        for by in range(bh):
+            for bx in range(bw):
+                zz = grid[by, bx].astype(np.float64) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct2(
+                    zz[UNZIGZAG].reshape(8, 8)
+                )
+        p = plane + 128.0
+        p = np.repeat(np.repeat(p, vmax // cvs, axis=0), hmax // chs, axis=1)
         out.append(p[:h, :w])
     if len(out) == 1:
         pix = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)[..., None]

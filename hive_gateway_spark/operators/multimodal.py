@@ -9,12 +9,13 @@ repartitioned.
 
 The decode kernel is REAL for every supported format — binary PPM
 (P6), uncompressed 24-bit BMP, 8-bit non-interlaced PNG (zlib inflate
-+ full filter reconstruction, _png_decode), and baseline-sequential
-JPEG (pure numpy huffman + dequant + IDCT, functions/jpeg.py —
-validated against libjpeg-produced files) — and resize_image is a
-real nearest-neighbor kernel. Progressive JPEG / palette PNG / 16-bit
-PPM raise NotImplementedError and route via DECODE_ERRORS: nothing
-silently ships fake pixels.
++ full filter reconstruction, _png_decode), and baseline AND
+progressive JPEG (pure numpy huffman + dequant + IDCT + successive-
+approximation scans, functions/jpeg.py — validated against libjpeg/
+ImageIO-produced files) — and resize_image is a real nearest-neighbor
+kernel. Arithmetic-coded JPEG / palette PNG / 16-bit PPM raise
+NotImplementedError and route via DECODE_ERRORS: nothing silently
+ships fake pixels.
 The Spark-side plumbing — schemas, batch iteration, partitioning — is
 identical for both kernels and tested (tests/test_multimodal.py). The
 fixture payloads are synthesized from documents.text with a fake media

@@ -377,3 +377,63 @@ def test_jpeg_roundtrip_property():
         assert err.mean() < 12, (sub, smooth, err.mean())
 
     case()
+
+
+def test_jpeg_progressive_equals_baseline_twin():
+    """tests/data/{progressive,baseline}.jpg are ImageIO encodings of
+    the SAME image with identical tables — progressive encoding is a
+    scan-reordering of the identical quantized coefficients, so our
+    decoder must produce pixel-IDENTICAL output for both. This pins the
+    whole progressive machinery (DC/AC first scans, successive-
+    approximation refinement, EOB runs) against a foreign encoder."""
+    import os
+
+    import numpy as np
+
+    from hive_gateway_spark.functions.jpeg import jpeg_decode
+
+    d = os.path.join(os.path.dirname(__file__), "data")
+    prog = jpeg_decode(open(os.path.join(d, "progressive.jpg"), "rb").read())
+    base = jpeg_decode(open(os.path.join(d, "baseline.jpg"), "rb").read())
+    assert (prog["width"], prog["height"]) == (37, 23)
+    assert np.array_equal(prog["pixels"], base["pixels"])
+    # and the content is the known synthetic gradient family, not noise
+    assert 0 < float(prog["pixels"].mean()) < 255
+
+
+def test_jpeg_zigzag_is_canonical():
+    """The T.81 zigzag order, first 16 entries — a reversed-diagonal
+    zigzag is invisible to same-codec round trips (encode/decode
+    cancel) but scrambles every foreign file; this pin makes the
+    mistake impossible to reintroduce silently."""
+    from hive_gateway_spark.functions.jpeg import ZIGZAG
+
+    assert ZIGZAG[:16].tolist() == [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    ]
+
+
+def test_jpeg_foreign_decoder_agreement():
+    """Cross-decoder validation: our decode of the bundled ImageIO-
+    encoded progressive file must agree with ImageIO's own decode of
+    it (bundled as .npy) to within chroma-upsampling differences
+    (ImageIO interpolates chroma, we replicate — a few levels near
+    edges, tiny mean)."""
+    import os
+
+    import numpy as np
+
+    from hive_gateway_spark.functions.jpeg import jpeg_decode
+
+    d = os.path.join(os.path.dirname(__file__), "data")
+    truth = np.load(os.path.join(d, "progressive_imageio.npy"))
+    ours = jpeg_decode(open(os.path.join(d, "progressive.jpg"), "rb").read())[
+        "pixels"
+    ]
+    assert ours.shape == truth.shape
+    err = np.abs(ours.astype(int) - truth.astype(int))
+    corr = np.corrcoef(
+        ours.astype(float).ravel(), truth.astype(float).ravel()
+    )[0, 1]
+    assert corr > 0.99, corr
+    assert err.mean() < 8, err.mean()
