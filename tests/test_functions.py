@@ -356,3 +356,44 @@ def test_udaf_wmean_fast_path_bound_covers_denominator(spark):
         f"SELECT hg_wmean(x, w) AS m FROM VALUES (0, {w}), (0, {w}) AS t(x, w)"
     ).collect()[0]["m"]
     assert got == 0.0
+
+
+def test_msgpack_spec_literal_vectors():
+    """Wire-format literals straight from the public msgpack spec —
+    round-trip tests can't catch a self-cancelling tag bug (both sides
+    share it); these vectors pin interop with every real msgpack
+    implementation. Same bug class as the JPEG zigzag reversal."""
+    vectors = [
+        (7, b"\x07"),                          # positive fixint
+        (127, b"\x7f"),
+        (-1, b"\xff"),                         # negative fixint
+        (-32, b"\xe0"),
+        (None, b"\xc0"),
+        (False, b"\xc2"),
+        (True, b"\xc3"),
+        (200, b"\xcc\xc8"),                    # uint8
+        (65535, b"\xcd\xff\xff"),              # uint16
+        (1 << 20, b"\xce\x00\x10\x00\x00"),    # uint32
+        (1 << 40, b"\xcf\x00\x00\x01\x00\x00\x00\x00\x00"),  # uint64
+        (-100, b"\xd0\x9c"),                   # int8
+        (-1000, b"\xd1\xfc\x18"),              # int16
+        (-(1 << 20), b"\xd2\xff\xf0\x00\x00"),  # int32
+        (1.5, b"\xcb\x3f\xf8\x00\x00\x00\x00\x00\x00"),      # float64
+        ("hello", b"\xa5hello"),               # fixstr
+        ("x" * 40, b"\xd9\x28" + b"x" * 40),   # str8
+        (b"\x01\x02", b"\xc4\x02\x01\x02"),    # bin8
+        ([1, 2, 3], b"\x93\x01\x02\x03"),      # fixarray
+        ({"a": 1}, b"\x81\xa1a\x01"),          # fixmap
+        (
+            {"mod": "user", "fun": "call", "arg": "1", "ctx": {"wxuser": "tok"}},
+            b"\x84\xa3mod\xa4user\xa3fun\xa4call\xa3arg\xa11"
+            b"\xa3ctx\x81\xa6wxuser\xa3tok",
+        ),
+    ]
+    for obj, wire in vectors:
+        assert mp.packb(obj) == wire, (obj, mp.packb(obj), wire)
+        got = mp.unpackb(wire)
+        assert got == obj and type(got) is type(obj), (wire, got, obj)
+    # the specialized envelope fast path emits the identical wire bytes
+    env_wire = vectors[-1][1]
+    assert mp.encode_envelope("user", "call", "1", "tok") == env_wire

@@ -437,3 +437,22 @@ def test_jpeg_foreign_decoder_agreement():
     )[0, 1]
     assert corr > 0.99, corr
     assert err.mean() < 8, err.mean()
+
+
+def test_png_foreign_decoder_exact():
+    """Cross-decoder PNG validation: tests/data/foreign.png was written
+    by Java ImageIO (foreign filter choices); PNG is lossless so our
+    decode must match ImageIO's pixel dump BIT-EXACTLY — the test that
+    would have caught a self-cancelling filter/zigzag-class bug in the
+    PNG path (our other PNG tests use our own test encoder)."""
+    import os
+
+    import numpy as np
+
+    from hive_gateway_spark.operators.multimodal import decode_image
+
+    d = os.path.join(os.path.dirname(__file__), "data")
+    truth = np.load(os.path.join(d, "foreign_png_pixels.npy"))
+    got = decode_image(open(os.path.join(d, "foreign.png"), "rb").read())
+    assert got["pixels"].shape == truth.shape
+    assert np.array_equal(got["pixels"], truth)
