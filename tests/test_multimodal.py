@@ -456,3 +456,18 @@ def test_png_foreign_decoder_exact():
     got = decode_image(open(os.path.join(d, "foreign.png"), "rb").read())
     assert got["pixels"].shape == truth.shape
     assert np.array_equal(got["pixels"], truth)
+
+
+def test_bmp_foreign_decoder_exact():
+    """Cross-decoder BMP validation (ImageIO-written, odd width →
+    stride padding exercised): lossless, bit-exact required."""
+    import os
+
+    import numpy as np
+
+    from hive_gateway_spark.operators.multimodal import decode_image
+
+    d = os.path.join(os.path.dirname(__file__), "data")
+    truth = np.load(os.path.join(d, "foreign_bmp_pixels.npy"))
+    got = decode_image(open(os.path.join(d, "foreign.bmp"), "rb").read())
+    assert np.array_equal(got["pixels"], truth)
