@@ -1088,3 +1088,84 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+#: Integer PageRank geometry: fixed-point scale, damping 85/100,
+#: exactly PR_ITERS unrolled iterations. Everything is integer
+#: arithmetic (div = truncating division on positives == floor), so
+#: Spark and DuckDB produce bit-identical ranks — no float order
+#: dependence, unlike a classic double PageRank.
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+
+
+def _pr_oracle() -> str:
+    it = """
+    r{n} AS (
+        SELECT e.dst AS doc_id,
+               ({s} * 15) // 100 + (85 * SUM(r.rank // d.deg)) // 100 AS rank
+        FROM edges e
+        JOIN r{p} r ON r.doc_id = e.src
+        JOIN deg d ON d.doc_id = e.src
+        GROUP BY e.dst
+    )"""
+    iters = ",".join(
+        it.format(n=i + 1, p=i, s=PR_SCALE) for i in range(PR_ITERS)
+    )
+    return f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),
+    {iters}
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank
+    FROM r{PR_ITERS}
+    """
+
+
+@query("q_dedup_rank", oracle=_pr_oracle())
+def q_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the near-dup graph — ranks each document
+    inside its duplicate neighborhood (a canonicalization signal: keep
+    the hub of a near-dup cluster, drop satellites). Deterministic by
+    construction: fixed-point int64 ranks, truncating division for both
+    the per-neighbor contribution (rank div deg) and the damping
+    (85·sum div 100), {PR_ITERS} unrolled iterations — the oracle runs
+    the identical integer recurrence, so this is a driver-hash-
+    verifiable ITERATIVE graph algorithm (q_dedup_clusters' CC is the
+    other; its convergence is data-dependent so it verifies via the
+    recursive-CTE oracle instead).
+
+    Scale shape: per iteration one shuffle (groupBy dst over O(edges)
+    contributions) with map-side combine; edges and degrees reuse the
+    session-cached pair staging. Driver-side loop is plan construction
+    only — {PR_ITERS} chained joins, no action per iteration."""
+    t = load_tables(spark, sf_dir)
+    pairs = _jaccard_pairs(t).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    rank = deg.select("src", F.lit(PR_SCALE).cast("bigint").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(rank, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+        )
+        rank = (
+            contrib.groupBy("dst")
+            .agg(F.expr("(85 * sum(c)) div 100").alias("_damp"))
+            .select(
+                F.col("dst").alias("src"),
+                (
+                    F.expr(f"CAST(({PR_SCALE} * 15) div 100 AS BIGINT)")
+                    + F.col("_damp")
+                ).alias("rank"),
+            )
+        )
+    return rank.select(F.col("src").alias("doc_id"), F.col("rank").cast("bigint").alias("rank"))
