@@ -109,6 +109,12 @@ PRIORITY: tuple[str, ...] = (
     "q_contamination",  # de-vacuated r04 — must re-verify non-empty
 )
 
+#: r7 rotation candidates (registered this round, currently past the
+#: window, each with a full oracle in the local parity gate):
+#: q_multimodal_thumbs, q_text_unigram_score, q_doc_length_buckets,
+#: q_dedup_rank (all SQL-verified), q_sim_topk_lsh (rows + recall).
+#: Swap them against r6-green occupants per the two-green-rows policy.
+
 
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES with PRIORITY entries first, the rest in registration order."""

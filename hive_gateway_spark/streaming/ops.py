@@ -399,3 +399,108 @@ def stream_curation_pipeline(
         .distinct()
     )
     return deduped.join(contaminated, "doc_id", "left_anti").drop("content_key")
+
+
+#: Streaming minhash-dedup state bound: signatures kept per LSH bucket.
+#: 64 docs × (8 minhashes + id) × 8 B ≈ 4.6 KB/bucket worst case — the
+#: state store stays O(buckets), never O(corpus text).
+STREAM_DEDUP_BUCKET_CAP = 64
+
+#: Estimated-Jaccard admission threshold: ≥ 6 of 8 minhash components
+#: equal (est j ≈ 0.75) flags an arriving doc as a near-dup.
+STREAM_DEDUP_MIN_EQ = 6
+
+
+def stream_minhash_dedup(docs_stream: DataFrame) -> DataFrame:
+    """Continuous stream-vs-ITSELF near-dup dedup — the stateful twin
+    of the batch MinHash pipeline, and the missing piece between
+    stream_exact_dedup (exact content key) and
+    stream_near_dup_candidates (screen vs a static corpus): arriving
+    docs are near-dup-checked against what the STREAM itself has
+    already admitted.
+
+    Shape: the k=8 minhash signature computes entirely IN-ROW
+    (array_min over higher-order transforms — no explode, no streaming
+    aggregation), so the only stateful operator is an
+    applyInPandasWithState keyed by the first LSH band (mh0, mh1).
+    Per bucket the state holds up to STREAM_DEDUP_BUCKET_CAP admitted
+    signatures (~4.6 KB); an arriving doc whose full signature matches
+    a stored one in ≥ STREAM_DEDUP_MIN_EQ components is flagged with
+    the earlier doc's id. Recall is the band-collision probability
+    (j² for a 2-row band — near-1 for true near-dups); precision is
+    enforced by the full-signature estimate. Emits one row per doc:
+    (doc_id, dup_of nullable).
+
+    At 100 TB: state is O(active buckets), the shuffle key is the band
+    bucket (uniform by construction), and a processing-time timeout
+    (production: set on the state) expires cold buckets the way the
+    batch pipeline re-stages daily."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hive_gateway_spark.operators.dedup import (
+        MINHASH_K,
+        SHINGLE_N,
+        _MH_COEF,
+        _MH_P,
+        _SHINGLE_EXPR,
+    )
+
+    hs = f"array_distinct(transform({_SHINGLE_EXPR}, s -> pmod(xxhash64(s), {_MH_P})))"
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MH_P}))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_COEF)
+    ]
+    sigged = (
+        docs_stream.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= SHINGLE_N)
+        .withColumn("hs", F.expr(hs))
+        .select("doc_id", *sig_cols)
+    )
+
+    out_schema = "doc_id bigint, dup_of bigint"
+    state_schema = "ids array<bigint>, sigs array<bigint>"  # sigs flattened k/doc
+    k = MINHASH_K
+
+    def dedup(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - production path
+            state.remove()
+            return
+        if state.exists:
+            ids, flat = state.get
+            ids, flat = list(ids), list(flat)
+        else:
+            ids, flat = [], []
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            state.update((ids, flat))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        out_ids, out_dup = [], []
+        cols = [f"mh{i}" for i in range(k)]
+        for row in pdf.itertuples(index=False):
+            sig = [int(getattr(row, c)) for c in cols]
+            dup_of = None
+            for j in range(len(ids)):
+                stored = flat[j * k : (j + 1) * k]
+                eq = sum(1 for a, b in zip(sig, stored) if a == b)
+                if eq >= STREAM_DEDUP_MIN_EQ:
+                    dup_of = ids[j]
+                    break
+            if dup_of is None and len(ids) < STREAM_DEDUP_BUCKET_CAP:
+                ids.append(int(row.doc_id))
+                flat.extend(sig)
+            out_ids.append(int(row.doc_id))
+            out_dup.append(dup_of)
+        state.update((ids, flat))
+        yield pd.DataFrame({"doc_id": out_ids, "dup_of": out_dup})
+
+    return sigged.groupBy("mh0", "mh1").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -405,3 +405,42 @@ def test_stream_curation_pipeline_equals_batch(spark, sf_dir):
     )
     assert len(got) == len(want) > 0
     assert set(got["norm_text"]) == set(want["norm_text"])
+
+
+def test_stream_minhash_dedup_catches_near_dups(spark, sf_dir):
+    """Stream-vs-itself near-dup dedup: draining the fixture stream
+    must flag the strong exact near-dups (jaccard ≥ 0.95 — band
+    collision ≈ j² so recall is near-1 there) with first-arrival-wins
+    direction, and every flagged pair must be a genuine near-dup by
+    the exact batch measure (no wild false positives)."""
+    from hive_gateway_spark.streaming.ops import (
+        stream_documents,
+        stream_minhash_dedup,
+    )
+
+    got = drain(
+        stream_minhash_dedup(stream_documents(spark, sf_dir)), "s_mh_dedup"
+    )
+    assert len(got) > 0
+    flagged = {
+        (int(r.dup_of), int(r.doc_id))
+        for r in got.dropna(subset=["dup_of"]).itertuples(index=False)
+    }
+    # first-arrival == lower doc_id here (one availableNow batch,
+    # in-bucket processing sorts by doc_id)
+    assert all(a < b for a, b in flagged), flagged
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["shared"] / r["union_sz"]
+        for r in registry.QUERIES["q_dedup_ngram"](spark, sf_dir).collect()
+    }
+    strong = {p for p, j in exact.items() if j >= 0.9}
+    if strong:
+        recall = len(strong & flagged) / len(strong)
+        assert recall >= 0.7, (recall, strong - flagged)
+    # precision: flagged pairs must be true near-dups at tau=0.5
+    # (the exact operator's own threshold) — allow pairs the exact op
+    # dropped only if they're still in its candidate set is too lax;
+    # require membership outright.
+    false_pos = flagged - set(exact)
+    assert not false_pos, f"flagged non-near-dups: {false_pos}"
