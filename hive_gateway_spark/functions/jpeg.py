@@ -593,6 +593,14 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 85, subsample: str = "444") -
             cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "422":
+            # horizontal-only chroma subsampling (the f3.jpg family)
+            pw = (w + 1) & ~1
+            cbp = np.pad(cb, ((0, 0), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, 0), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(h, pw // 2, 2).mean(axis=2)
+            cr = crp.reshape(h, pw // 2, 2).mean(axis=2)
+            samp = [(2, 1), (1, 1), (1, 1)]
         elif subsample == "444":
             samp = [(1, 1), (1, 1), (1, 1)]
         else:

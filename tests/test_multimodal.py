@@ -342,7 +342,7 @@ def test_jpeg_roundtrip_property():
     @given(
         w=st.integers(1, 40),
         h=st.integers(1, 40),
-        sub=st.sampled_from(["444", "420"]),
+        sub=st.sampled_from(["444", "420", "422"]),
         seed=st.integers(0, 2**31),
         smooth=st.booleans(),
     )
@@ -363,7 +363,7 @@ def test_jpeg_roundtrip_property():
         assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
         if sub == "444":
             err = np.abs(d["pixels"].astype(int) - img.astype(int))
-        else:
+        else:  # 420/422: chroma is subsampled — bound the full-res luma
             # 4:2:0 box-averages chroma (per-pixel chroma on noise is
             # unrecoverable BY DESIGN — real JPEG behaves identically);
             # luma is full-resolution in both modes, so it carries the
