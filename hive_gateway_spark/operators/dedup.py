@@ -1169,3 +1169,103 @@ def q_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rank.select(F.col("src").alias("doc_id"), F.col("rank").cast("bigint").alias("rank"))
+
+
+def _canonical_oracle() -> str:
+    it = """
+    r{n} AS (
+        SELECT e.dst AS doc_id,
+               ({s} * 15) // 100 + (85 * SUM(r.rank // d.deg)) // 100 AS rank
+        FROM edges e
+        JOIN r{p} r ON r.doc_id = e.src
+        JOIN deg d ON d.doc_id = e.src
+        GROUP BY e.dst
+    )"""
+    iters = ",".join(it.format(n=i + 1, p=i, s=PR_SCALE) for i in range(PR_ITERS))
+    return f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),
+    {iters},
+    ranked AS (
+        SELECT l.cluster_id, l.doc_id, r.rank,
+               row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY r.rank DESC, l.doc_id ASC) AS rn
+        FROM labels l JOIN r{PR_ITERS} r ON r.doc_id = l.doc_id
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+           MAX(CASE WHEN rn = 1 THEN rank END) AS canonical_rank,
+           COUNT(*) AS n_members
+    FROM ranked
+    GROUP BY cluster_id
+    """
+
+
+@query("q_dedup_canonical", oracle=_canonical_oracle())
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor election — the composition that turns the
+    dedup family into a keep/drop decision: connected components pick
+    the cluster, integer PageRank picks the member to KEEP (the hub of
+    the near-dup neighborhood — highest rank, doc_id tie-break), the
+    rest are drop candidates. Per cluster: (canonical_id,
+    canonical_rank, n_members).
+
+    Every stage is itself a verified operator (q_dedup_clusters,
+    q_dedup_rank); the composed oracle runs the identical recursive-CTE
+    labeling + unrolled integer recurrence, so the election is
+    hash-verified end-to-end. Plan: both inputs reuse the session
+    pair staging; one window + one aggregate on top."""
+    t = load_tables(spark, sf_dir)
+    pairs = _jaccard_pairs(t).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    rank = deg.select("src", F.lit(PR_SCALE).cast("bigint").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(rank, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+        )
+        rank = (
+            contrib.groupBy("dst")
+            .agg(F.expr("(85 * sum(c)) div 100").alias("_damp"))
+            .select(
+                F.col("dst").alias("src"),
+                (
+                    F.expr(f"CAST(({PR_SCALE} * 15) div 100 AS BIGINT)")
+                    + F.col("_damp")
+                ).alias("rank"),
+            )
+        )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.col("rank").desc(), F.col("doc_id").asc())
+    )
+    ranked = (
+        labels.join(rank.withColumnRenamed("src", "doc_id"), "doc_id")
+        .withColumn("rn", rn)
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("rank"))).alias("canonical_rank"),
+        F.count("*").alias("n_members"),
+    )
