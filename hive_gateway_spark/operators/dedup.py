@@ -1209,7 +1209,7 @@ def _canonical_oracle() -> str:
     )
     SELECT cluster_id,
            MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
-           MAX(CASE WHEN rn = 1 THEN rank END) AS canonical_rank,
+           CAST(MAX(CASE WHEN rn = 1 THEN rank END) AS BIGINT) AS canonical_rank,
            COUNT(*) AS n_members
     FROM ranked
     GROUP BY cluster_id
