@@ -595,3 +595,66 @@ def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nbytes").cast("bigint").alias("thumb_bytes"),
         )
     )
+
+
+@query(
+    "q_warc_ingest",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_records,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS body_bytes,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest round trip, hash-verified: every doc becomes a real
+    WARC/1.0 response record (sources/warc.py), records are packed into
+    multi-record blobs by doc_id % 8 (exercising the concatenated-
+    record walk, not just single records), the blobs are parsed back by
+    the REAL parser, and the per-source report (record count, body
+    bytes, id sum recovered FROM THE PARSED URIs) must equal pure
+    arithmetic over the source table. A parser bug — wrong
+    Content-Length handling, header split, record-boundary scan —
+    breaks the hash.
+
+    Scale shape: build and parse both run inside executor-local pandas
+    stages (blobs never shuffle whole — only the groupBy doc_id % 8
+    pack shuffles doc-sized rows); the final aggregate is per-source."""
+    from hive_gateway_spark.sources.warc import build_warc_record, parse_warc
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", "source", "text", (F.col("doc_id") % 8).alias("shard")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = b"".join(
+            build_warc_record(
+                f"https://{r.source}/doc/{int(r.doc_id)}",
+                r.text.encode("utf-8"),
+                record_id=f"urn:doc:{int(r.doc_id)}",
+            )
+            for r in pdf.sort_values("doc_id").itertuples(index=False)
+        )
+        return pd.DataFrame({"shard": [pdf["shard"].iloc[0]], "blob": [blob]})
+
+    blobs = docs.groupBy("shard").applyInPandas(pack, "shard bigint, blob binary")
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["blob"]:
+                for rec in parse_warc(bytes(blob)):
+                    uri = rec["headers"]["WARC-Target-URI"]
+                    host, _, doc_part = uri.removeprefix("https://").partition("/doc/")
+                    rows.append((host, int(doc_part), len(rec["body"])))
+            yield pd.DataFrame(rows, columns=["source", "doc_id", "body_len"])
+
+    parsed = blobs.mapInPandas(unpack, "source string, doc_id bigint, body_len bigint")
+    return parsed.groupBy("source").agg(
+        F.count("*").alias("n_records"),
+        F.sum("body_len").cast("bigint").alias("body_bytes"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+    )

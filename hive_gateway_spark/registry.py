@@ -112,7 +112,8 @@ PRIORITY: tuple[str, ...] = (
 #: r7 rotation candidates (registered this round, currently past the
 #: window, each with a full oracle in the local parity gate):
 #: q_multimodal_thumbs, q_text_unigram_score, q_doc_length_buckets,
-#: q_dedup_rank, q_dedup_canonical (all SQL-verified), q_sim_topk_lsh
+#: q_dedup_rank, q_dedup_canonical, q_warc_ingest (all SQL-verified),
+#: q_sim_topk_lsh
 #: (rows + recall).
 #: Swap them against r6-green occupants per the two-green-rows policy.
 

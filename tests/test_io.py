@@ -288,3 +288,38 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # pruned read returns exactly the batch-filtered count
     want = t["events"].filter(F.col("event_type") == "purchase").count()
     assert one.count() == want
+
+
+def test_warc_parser_roundtrip_and_malformed():
+    """sources/warc.py: multi-record blobs round-trip exactly (headers
+    + bodies, inter-record padding tolerated); truncated headers,
+    missing Content-Length, and short bodies raise ValueError (routed
+    by callers, never a task failure)."""
+    import pytest
+
+    from hive_gateway_spark.sources.warc import build_warc_record, parse_warc
+
+    recs = [
+        ("https://a.example/doc/1", b"hello world"),
+        ("https://b.example/doc/2", b""),                    # empty body
+        ("https://c.example/doc/3", b"\x00\xff binary \r\n\r\n ok"),  # CRLFs in body
+    ]
+    blob = b"".join(
+        build_warc_record(u, b, record_id=f"urn:test:{i}")
+        for i, (u, b) in enumerate(recs)
+    ) + b"\r\n"  # trailing padding
+    got = parse_warc(blob)
+    assert len(got) == 3
+    for (u, b), rec in zip(recs, got):
+        assert rec["headers"]["WARC-Target-URI"] == u
+        assert rec["headers"]["WARC-Type"] == "response"
+        assert rec["body"] == b
+
+    with pytest.raises(ValueError):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response")          # truncated
+    with pytest.raises(ValueError):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\nbody")     # no length
+    with pytest.raises(ValueError):
+        parse_warc(build_warc_record("u", b"full body")[:-12])  # short body
+    with pytest.raises(ValueError):
+        parse_warc(b"NOTWARC\r\n\r\n")                          # bad magic
