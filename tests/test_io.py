@@ -323,3 +323,32 @@ def test_warc_parser_roundtrip_and_malformed():
         parse_warc(build_warc_record("u", b"full body")[:-12])  # short body
     with pytest.raises(ValueError):
         parse_warc(b"NOTWARC\r\n\r\n")                          # bad magic
+
+
+def test_warc_parser_property_fuzz():
+    """Property fuzz: any list of records with arbitrary binary bodies
+    (CRLF runs, WARC-like magic inside bodies, empty bodies) must
+    round-trip exactly through build + parse."""
+    from hypothesis import given, settings, strategies as st
+
+    from hive_gateway_spark.sources.warc import build_warc_record, parse_warc
+
+    body = st.binary(max_size=200)
+    adversarial = st.sampled_from(
+        [b"\r\n\r\n", b"WARC/1.0\r\n", b"Content-Length: 99\r\n\r\n", b"\r\n" * 5]
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(bodies=st.lists(st.one_of(body, adversarial), min_size=0, max_size=8))
+    def case(bodies):
+        blob = b"".join(
+            build_warc_record(f"https://h/doc/{i}", b, record_id=f"urn:f:{i}")
+            for i, b in enumerate(bodies)
+        )
+        recs = parse_warc(blob)
+        assert len(recs) == len(bodies)
+        for i, (b, rec) in enumerate(zip(bodies, recs)):
+            assert rec["body"] == b
+            assert rec["headers"]["WARC-Target-URI"] == f"https://h/doc/{i}"
+
+    case()
