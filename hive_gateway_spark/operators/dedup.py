@@ -944,6 +944,12 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation itself is exact integer math with a DuckDB oracle; only
     the banding/probing step remains rows-only. One map-side-combinable
     aggregation shuffle; signatures are 64 B/doc at any scale."""
+    return _minhash_sig_frame(spark, sf_dir)
+
+
+def _minhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) — the portable-arithmetic signature frame
+    shared by q_minhash_signatures and q_lsh_candidates."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"].withColumn("words", F.split("text", " "))
     shingles = docs.filter(F.size("words") >= SHINGLE_N).select(
@@ -962,6 +968,106 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min((F.lit(a) * F.col("hv") + F.lit(b)) % _MH_P).alias(f"mh{i}")
             for i, (a, b) in enumerate(_MH_COEF)
         ]
+    )
+
+
+#: LSH band geometry over the k=8 verified signature: 4 bands × 2 rows.
+#: r=2 gives collision probability s² per band (s = Jaccard), so the
+#: 1−(1−s²)⁴ S-curve crosses 0.5 near s≈0.4 — matched to JACCARD_TAU.
+_LSH_BANDS: tuple[tuple[int, int], ...] = ((0, 1), (2, 3), (4, 5), (6, 7))
+
+#: Band-bucket membership cap, same role (and default) as JACCARD_DF_CAP:
+#: a degenerate bucket with k members emits k² candidate pairs, so
+#: buckets above the cap are dropped from candidate generation. Modeled
+#: in the DuckDB oracle so parity is corpus-independent.
+_LSH_BUCKET_CAP = 512
+
+_LSH_SIG_CTE = f"""
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"MIN((({a} * hv + {b}) % {_MH_P})) AS mh{i}" for i, (a, b) in enumerate(_MH_COEF))}
+        FROM hv
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, mh{i1} * {_MH_P} + mh{i2} AS bkey FROM sig" for j, (i1, i2) in enumerate(_LSH_BANDS))}
+    ),
+    small_buckets AS (
+        SELECT band, bkey FROM bands
+        GROUP BY band, bkey HAVING COUNT(*) <= {_LSH_BUCKET_CAP}
+    ),
+    bounded AS (
+        SELECT bands.* FROM bands JOIN small_buckets USING (band, bkey)
+    )
+"""
+
+
+@query(
+    "q_lsh_candidates",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    hv AS (
+        SELECT doc_id, {_MH_HV_DUCK} AS hv
+        FROM sh
+    ),
+    {_LSH_SIG_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_bands
+    FROM bounded a JOIN bounded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified LSH candidate pairs — the banding step of MinHash
+    LSH made SQL-checkable (VERDICT r6 task #4): the k=8 portable
+    signature is split into 4 bands × 2 rows, each band key packed as
+    mh_lo·p + mh_hi (< 2⁶², exact int64 on both engines), docs sharing
+    any band bucket become a candidate pair.
+
+    Scale shape (100 TB): one shuffle to build signatures, one
+    equi-join on (band, bkey) — never all-pairs. Degenerate buckets are
+    capped at {_LSH_BUCKET_CAP} members (same policy as JACCARD_DF_CAP;
+    the cap is modeled in the oracle). Recall vs the exact Jaccard
+    pair set is pinned in tests/test_dedup.py."""
+    sig = _minhash_sig_frame(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        (F.col(f"mh{i1}") * F.lit(_MH_P) + F.col(f"mh{i2}")).alias(
+                            "bkey"
+                        ),
+                    )
+                    for j, (i1, i2) in enumerate(_LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    # cap degenerate buckets (window count beats a groupBy+join: one
+    # shuffle on the same key the join needs anyway)
+    from pyspark.sql import Window
+
+    sz = F.count("*").over(Window.partitionBy("band", "bkey"))
+    bounded = bands.withColumn("_sz", sz).filter(F.col("_sz") <= _LSH_BUCKET_CAP)
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bkey") == F.col("b.bkey"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
     )
 
 

@@ -94,28 +94,31 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_training_pipeline",
     "q_multimodal_codecs",
-    "q_join_salted",
-    "q_time_bucket",
-    # q_agg_kmv (r6): deterministic KMV distinct sketch — takes the
-    # sketch-family slot with a full SQL oracle; the HLL++ q_agg_sketch
-    # (engine-specific values, rows-only by nature) rotates to the
-    # local parity gate where its error bounds are asserted.
+    # q_agg_kmv stays in-window (single green row, r6) because the r7
+    # overflow fix (hash reduces user_id mod KMV_P before the affine map,
+    # per ADVICE) changes its values — it must re-earn green.
     "q_agg_kmv",
-    "q_minhash_signatures",
-    "q_domain_mix",
-    "q_pii_scrub",
-    "q_doc_repetition",
-    "q_curation_v2",
-    "q_contamination",  # de-vacuated r04 — must re-verify non-empty
+    # -- r07 rotation (VERDICT r6 "Next round" #1): the seven queries
+    # that had never received a driver CORRECTNESS row, plus the new
+    # SQL-verified LSH band-bucket candidate-pairs query. The eight
+    # twice-green unchanged occupants (q_join_salted, q_time_bucket,
+    # q_minhash_signatures, q_domain_mix, q_pii_scrub, q_doc_repetition,
+    # q_curation_v2, q_contamination — each green in r4 AND r6) rotate
+    # to the local pytest parity gate per the two-green-rows policy.
+    "q_dedup_canonical",
+    "q_dedup_rank",
+    "q_warc_ingest",
+    "q_multimodal_thumbs",
+    "q_text_unigram_score",
+    "q_doc_length_buckets",
+    "q_sim_topk_lsh",
+    "q_lsh_candidates",  # new r7: band-bucket pairs with DuckDB oracle
 )
 
-#: r7 rotation candidates (registered this round, currently past the
-#: window, each with a full oracle in the local parity gate):
-#: q_multimodal_thumbs, q_text_unigram_score, q_doc_length_buckets,
-#: q_dedup_rank, q_dedup_canonical, q_warc_ingest (all SQL-verified),
-#: q_sim_topk_lsh
-#: (rows + recall).
-#: Swap them against r6-green occupants per the two-green-rows policy.
+#: r8 rotation candidates: after r7 every registered query will hold at
+#: least one driver row (see tests/test_registry.py's debt ledger);
+#: future rotations swap never-or-once-green queries against
+#: twice-green unchanged occupants.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -297,3 +297,26 @@ def test_pagerank_hub_outranks_satellites(spark):
     assert r1 == r2, "integer PageRank must be exactly reproducible"
     hub = r1[500]
     assert all(hub > r1[s] for s in (501, 502, 503, 504, 505)), r1
+
+
+def test_lsh_candidates_recall_vs_exact(spark, sf_dir):
+    """q_lsh_candidates (the SQL-verified 4×2 banding over the portable
+    k=8 signature) must recover the strong exact near-dups: with r=2 a
+    jaccard≥0.95 pair collides in a band with p≈1−(1−0.95²)⁴ ≈ 0.9998,
+    so full recall on the strong set is the expectation, not luck. Weak
+    pairs (τ≈0.5) may legitimately miss — the S-curve midpoint sits
+    near 0.4 but k=8 is a coarse signature — so only the strong floor
+    is pinned."""
+    exact = _exact_pairs(spark, sf_dir)
+    strong = {p for p, j in exact.items() if j >= 0.95}
+    assert strong, "fixture has no strong near-dup pairs — assumptions broke"
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["q_lsh_candidates"](spark, sf_dir).collect()
+    }
+    missed = strong - cand
+    assert not missed, f"banding missed strong near-dups: {missed}"
+    # overall recall floor on the full τ=0.5 set — keeps the S-curve
+    # honest without demanding full recall of borderline pairs
+    recall = len(set(exact) & cand) / len(exact)
+    assert recall >= 0.6, f"candidate recall {recall:.2f} on exact pairs"

@@ -1,0 +1,59 @@
+"""Registry window-rotation debt ledger (VERDICT r6 task #7).
+
+The driver verifies only the first 50 entries of ``queries()``, so a
+registered query can silently live forever outside the window with no
+driver CORRECTNESS row. This ledger makes that state impossible to
+grow: every registered query must EITHER already hold a driver row in
+some ``CORRECTNESS_r*.json`` OR sit inside the current PRIORITY window
+(i.e. be scheduled to earn its row this round). The "never verified"
+set can therefore only shrink.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from hive_gateway_spark import registry
+
+registry.load_all()
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_rows() -> set[str]:
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            seen.update(json.load(f).keys())
+    return seen
+
+
+def test_every_query_has_driver_row_or_window_slot():
+    seen = _driver_rows()
+    window = set(list(registry.ordered_queries())[:50])
+    debt = [
+        name
+        for name in registry.QUERIES
+        if name not in seen and name not in window
+    ]
+    assert not debt, (
+        "registered queries with no driver CORRECTNESS row and no slot in "
+        f"the current 50-entry window (rotate them in): {sorted(debt)}"
+    )
+
+
+def test_priority_names_are_registered():
+    """A PRIORITY entry that doesn't resolve to a registered query is a
+    silent no-op (ordered_queries skips it and the window pulls an
+    arbitrary next query up) — fail loudly instead."""
+    ghosts = [n for n in registry.PRIORITY if n not in registry.QUERIES]
+    assert not ghosts, f"PRIORITY names with no registered query: {ghosts}"
+
+
+def test_window_is_exactly_fifty():
+    """The driver contract truncates at 50; fewer wastes verification
+    slots, and PRIORITY longer than 50 silently pushes the tail out."""
+    assert len(registry.PRIORITY) == 50
+    assert len(set(registry.PRIORITY)) == 50, "duplicate PRIORITY entries"
