@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import functions as F, types as T
 
 
@@ -285,24 +287,255 @@ def decode_envelope(b: bytes):
             return (None, None, None, None)
 
 
+# --- numpy byte-level batch codec (VERDICT r6 task #2) --------------------
+#
+# The envelope layout is FIXED: fixmap(4) with literal keys mod/fun/arg/
+# ctx and a nested fixmap(1) with literal key wxuser — only the four
+# string VALUES vary. Encoding is therefore "interleave 4 ragged utf-8
+# runs between constant literals", and decoding is offset arithmetic.
+# Both run as whole-batch numpy over the Arrow buffers pandas hands us:
+# no per-row Python in the hot path (the old per-value pack loop was the
+# scale-killer the r6 verdict flagged). Per-row equivalence is
+# property-tested against encode_envelope/decode_envelope.
+
+_LIT_HEAD = np.frombuffer(b"\x84\xa3mod", dtype=np.uint8)
+_LIT_FUN = np.frombuffer(b"\xa3fun", dtype=np.uint8)
+_LIT_ARG = np.frombuffer(b"\xa3arg", dtype=np.uint8)
+_LIT_CTX = np.frombuffer(b"\xa3ctx\x81\xa6wxuser", dtype=np.uint8)
+#: fixed bytes per envelope: 5 + 4 + 4 + 12
+_LIT_TOTAL = len(_LIT_HEAD) + len(_LIT_FUN) + len(_LIT_ARG) + len(_LIT_CTX)
+
+
+def _utf8_view(series: pd.Series):
+    """pandas str Series → (data: uint8[], starts: int64[], lens: int64[])
+    over the Arrow-encoded utf-8 buffer, or None when the column has
+    nulls / non-strings (caller falls back to the per-row codec)."""
+    try:
+        arr = pa.array(series, type=pa.large_string())
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return None
+    if arr.null_count:
+        return None
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    dbuf = arr.buffers()[2]
+    data = (
+        np.frombuffer(dbuf, dtype=np.uint8)
+        if dbuf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, off[:-1].copy(), (off[1:] - off[:-1])
+
+
+def _str_header_sizes(lens: np.ndarray) -> np.ndarray:
+    """msgpack str header width for each length: fixstr 1 B, str8 2 B,
+    str16 3 B, str32 5 B."""
+    return np.select([lens <= 31, lens <= 0xFF, lens <= 0xFFFF], [1, 2, 3], 5)
+
+
+def _write_str_headers(out, pos, lens, hs) -> None:
+    m = hs == 1
+    out[pos[m]] = 0xA0 | lens[m]
+    m = hs == 2
+    out[pos[m]] = 0xD9
+    out[pos[m] + 1] = lens[m]
+    m = hs == 3
+    out[pos[m]] = 0xDA
+    out[pos[m] + 1] = lens[m] >> 8
+    out[pos[m] + 2] = lens[m] & 0xFF
+    m = hs == 5
+    p5, l5 = pos[m], lens[m]
+    out[p5] = 0xDB
+    out[p5 + 1] = (l5 >> 24) & 0xFF
+    out[p5 + 2] = (l5 >> 16) & 0xFF
+    out[p5 + 3] = (l5 >> 8) & 0xFF
+    out[p5 + 4] = l5 & 0xFF
+
+
+def _ragged_copy(out, dst_starts, src_data, src_starts, lens) -> None:
+    """out[dst_i : dst_i+len_i] = src[src_i : src_i+len_i] for all rows
+    in one fancy-indexed assignment (the repeat/arange gather trick)."""
+    total = int(lens.sum())
+    if total == 0:
+        return
+    rel = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    out[np.repeat(dst_starts, lens) + rel] = src_data[np.repeat(src_starts, lens) + rel]
+
+
+def _str_header_array(lens: np.ndarray) -> "pa.Array":
+    """Per-row msgpack str header bytes as a LargeBinaryArray (1–5 B per
+    row). The header pool is tiny (≈n bytes), so the masked scatter here
+    is off the critical path; the payload copy itself is left to Arrow's
+    join kernel."""
+    hs = _str_header_sizes(lens)
+    ends = np.cumsum(hs)
+    pos = ends - hs
+    buf = np.empty(int(ends[-1]), dtype=np.uint8)
+    _write_str_headers(buf, pos, lens, hs)
+    offsets = np.empty(len(lens) + 1, dtype=np.int64)
+    offsets[0] = 0
+    offsets[1:] = ends
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(lens), [None, pa.py_buffer(offsets), pa.py_buffer(buf)]
+    )
+
+
+def encode_envelope_batch(
+    mod: pd.Series, fun: pd.Series, arg: pd.Series, token: pd.Series
+) -> pd.Series:
+    """Whole-batch envelope encoder: byte-identical to mapping
+    encode_envelope over the rows (property-tested). numpy builds only
+    the per-row header bytes; the actual interleaved concatenation
+    (literal keys + headers + utf-8 payloads) is ONE Arrow C kernel
+    (binary_join_element_wise) — no per-row Python, no per-byte scatter.
+    Falls back per-row when a column carries nulls."""
+    import pyarrow.compute as pc
+
+    n = len(mod)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    cols = []
+    for s in (mod, fun, arg, token):
+        try:
+            arr = pa.array(s, type=pa.large_string())
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            arr = None
+        if arr is None or arr.null_count:
+            return pd.Series(
+                [
+                    encode_envelope(m, f, a, t)
+                    for m, f, a, t in zip(mod, fun, arg, token)
+                ],
+                dtype=object,
+            )
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        cols.append((arr.cast(pa.large_binary()), off[1:] - off[:-1]))
+    (mb, ml), (fb, fl), (ab, al), (tb, tl) = cols
+    lit = lambda b: pa.scalar(b, pa.large_binary())  # noqa: E731
+    return pc.binary_join_element_wise(
+        lit(b"\x84\xa3mod"), _str_header_array(ml), mb,
+        lit(b"\xa3fun"), _str_header_array(fl), fb,
+        lit(b"\xa3arg"), _str_header_array(al), ab,
+        lit(b"\xa3ctx\x81\xa6wxuser"), _str_header_array(tl), tb,
+        lit(b""),  # element-wise separator
+    ).to_pandas()
+
+
+def _batch_expect_lit(data, p, lit, row_ends, ok) -> np.ndarray:
+    """Vectorized `payload[p:p+len(lit)] == lit` check; returns p advanced.
+    Reads are index-clamped — rows already invalid just stay invalid."""
+    guard = len(data) - 1 if len(data) else 0
+    for i, byte in enumerate(lit):
+        ok &= data[np.minimum(p + i, guard)] == byte
+    ok &= p + len(lit) <= row_ends
+    return p + len(lit)
+
+
+def _batch_read_str(data, p, row_ends, ok):
+    """Vectorized msgpack-str parse at positions p → (val_start, val_len,
+    next_p). Non-str tags or out-of-bounds lengths clear ok."""
+    guard = len(data) - 1 if len(data) else 0
+    t = data[np.minimum(p, guard)]
+    b1 = data[np.minimum(p + 1, guard)].astype(np.int64)
+    b2 = data[np.minimum(p + 2, guard)].astype(np.int64)
+    b3 = data[np.minimum(p + 3, guard)].astype(np.int64)
+    b4 = data[np.minimum(p + 4, guard)].astype(np.int64)
+    is_fix = (t >= 0xA0) & (t <= 0xBF)
+    hs = np.select([is_fix, t == 0xD9, t == 0xDA, t == 0xDB], [1, 2, 3, 5], 0)
+    ln = np.select(
+        [is_fix, t == 0xD9, t == 0xDA, t == 0xDB],
+        [t & 0x1F, b1, (b1 << 8) | b2, (b1 << 24) | (b2 << 16) | (b3 << 8) | b4],
+        0,
+    ).astype(np.int64)
+    ok &= hs > 0
+    vs = p + hs
+    ve = vs + ln
+    ok &= ve <= row_ends
+    # clamp invalid rows so downstream gathers stay in-bounds
+    vs = np.where(ok, vs, 0)
+    ln = np.where(ok, ln, 0)
+    return vs, ln, np.where(ok, ve, 0)
+
+
+def decode_envelope_batch(payload: pd.Series) -> pd.DataFrame:
+    """Whole-batch envelope decoder: vectorized offset parsing of the
+    fixed request layout; rows that deviate (other msgpack shapes,
+    malformed bytes, nulls) fall back row-wise to decode_envelope —
+    the same fast-path/generic split the per-row codec has."""
+    n = len(payload)
+    cols = ["mod", "fun", "arg", "token"]
+    if n == 0:
+        return pd.DataFrame(columns=cols, dtype=object)
+    arr = pa.array(payload, type=pa.large_binary())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    dbuf = arr.buffers()[2]
+    data = (
+        np.frombuffer(dbuf, dtype=np.uint8)
+        if dbuf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    row_starts, row_ends = off[:-1], off[1:]
+    ok = np.ones(n, dtype=bool)
+    if arr.null_count:
+        ok &= ~np.asarray(arr.is_null())
+
+    p = _batch_expect_lit(data, row_starts.copy(), _LIT_HEAD, row_ends, ok)
+    fields = []
+    for lit in (None, _LIT_FUN, _LIT_ARG, _LIT_CTX):
+        if lit is not None:
+            p = _batch_expect_lit(data, p, lit, row_ends, ok)
+        vs, ln, p = _batch_read_str(data, p, row_ends, ok)
+        fields.append((vs, ln))
+
+    out = {}
+    try:
+        for name, (vs, ln) in zip(cols, fields):
+            vs = np.where(ok, vs, 0)
+            ln = np.where(ok, ln, 0)
+            buf = np.empty(int(ln.sum()), dtype=np.uint8)
+            _ragged_copy(buf, np.cumsum(ln) - ln, data, vs, ln)
+            offsets = np.empty(n + 1, dtype=np.int64)
+            offsets[0] = 0
+            offsets[1:] = np.cumsum(ln)
+            sarr = pa.Array.from_buffers(
+                pa.large_string(), n, [None, pa.py_buffer(offsets), pa.py_buffer(buf)]
+            )
+            sarr.validate(full=True)  # utf-8 check — mirrors .decode()
+            out[name] = sarr.to_pandas()
+    except pa.ArrowInvalid:
+        # invalid utf-8 inside a structurally-valid envelope: rare and
+        # adversarial — take the per-row path for the whole batch
+        return pd.DataFrame(
+            [decode_envelope(bytes(b) if b is not None else b"") for b in payload],
+            columns=cols,
+        )
+    df = pd.DataFrame(out)
+    if not ok.all():
+        bad = np.flatnonzero(~ok)
+        vals = payload.to_numpy()
+        for i in bad:
+            b = vals[i]
+            df.iloc[i] = decode_envelope(bytes(b) if b is not None else b"")
+    return df
+
+
 @F.pandas_udf(T.BinaryType())
 def encode_envelope_udf(
     mod: pd.Series, fun: pd.Series, arg: pd.Series, token: pd.Series
 ) -> pd.Series:
     """{mod, fun, arg, ctx:{wxuser}} → msgpack bytes (ref request shape)."""
-    return pd.Series(
-        [encode_envelope(m, f, a, t) for m, f, a, t in zip(mod, fun, arg, token)],
-        dtype=object,
-    )
+    return encode_envelope_batch(mod, fun, arg, token)
 
 
 @F.pandas_udf(ENVELOPE_SCHEMA)
 def decode_envelope_udf(payload: pd.Series) -> pd.DataFrame:
     """msgpack bytes → (mod, fun, arg, token) — gateway.ts:189-194."""
-    return pd.DataFrame(
-        [decode_envelope(bytes(b)) for b in payload],
-        columns=["mod", "fun", "arg", "token"],
-    )
+    return decode_envelope_batch(payload)
 
 
 @F.pandas_udf(ENVELOPE_SCHEMA)
@@ -313,14 +546,5 @@ def roundtrip_envelope_udf(
     encode_envelope_udf ∘ decode_envelope_udf composition (the bytes
     exist and are parsed; identity is what the oracles verify), minus
     shipping the intermediate binary column through the JVM twice.
-    A/B-measured ≈ equal wall-clock at sf0.1 — the per-row Python codec
-    dominates, not the Arrow hop — kept for the simpler one-UDF plan.
-    The split UDFs remain for pipelines that genuinely persist the wire
-    bytes (server.py does)."""
-    return pd.DataFrame(
-        [
-            decode_envelope(encode_envelope(m, f, a, t))
-            for m, f, a, t in zip(mod, fun, arg, token)
-        ],
-        columns=["mod", "fun", "arg", "token"],
-    )
+    Both legs are the whole-batch numpy kernels."""
+    return decode_envelope_batch(encode_envelope_batch(mod, fun, arg, token))

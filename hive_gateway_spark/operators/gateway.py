@@ -116,6 +116,11 @@ def q_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_gateway_spark.functions.msgpack_codec import roundtrip_envelope_udf
 
     t = load_tables(spark, sf_dir)
+    # No repartition before the UDF: the whole-batch numpy codec costs
+    # ~0.5 µs/row, so even the fixture's single-file one-task scan beats
+    # paying a 100k-row exchange + 32 Python workers (A/B-measured 0.53 s
+    # vs 0.80 s warm at sf0.1). At 100 TB the scan is many-split and the
+    # codec parallelizes for free.
     dec = t["events"].select(
         roundtrip_envelope_udf(
             F.col("event_type"),
@@ -275,7 +280,26 @@ def q_gateway_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.concat(F.lit("sess:"), uid_s))
     )
-    src = t["events"].select("event_id", "user_id", "event_type", "ts", "value", token.alias("token"))
+    src = t["events"].select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        token.alias("token"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+
+    # Admission window FIRST: its keys (user_id, day, ts, event_id) are
+    # wire-invariant, so running it before the codec changes nothing
+    # semantically (the oracle replays the lifecycle in reference order
+    # and still hash-matches) — but it means the window's own exchange
+    # spreads the single-file scan across the cluster BEFORE the Python
+    # stage, so the codec runs 32-way with ZERO added shuffles. (An
+    # explicit pre-UDF repartition doesn't work: ArrowEvalPython erases
+    # outputPartitioning, so EnsureRequirements re-shuffles anyway.)
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    src = src.withColumn("admit", F.row_number().over(w) <= RATE_LIMIT_N)
 
     # --- the wire: encode the request envelope, then decode it back ---
     wired = src.select(
@@ -283,6 +307,7 @@ def q_gateway_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "value",
+        "admit",
         roundtrip_envelope_udf(
             "event_type",
             F.lit("call"),
@@ -294,6 +319,7 @@ def q_gateway_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "value",
+        "admit",
         F.col("env.mod").alias("event_type"),
         F.when(F.col("env.arg") == "\x00null", None).otherwise(F.col("env.arg")).alias("token"),
     )
@@ -319,9 +345,7 @@ def q_gateway_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("user_id") % 5 != 2, F.concat(F.lit("u"), uid_s))
         .otherwise(F.lit(None).cast("string"))
     )
-    authed = classified.withColumn("uid", uid)
-    w = W.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts", "event_id")
-    admitted = authed.withColumn("admit", F.row_number().over(w) <= RATE_LIMIT_N)
+    admitted = classified.withColumn("uid", uid)
     status = (
         F.when(F.col("uid").isNull(), "307_auth_redirect")
         .when(~F.col("admit"), "429_rate_limited")

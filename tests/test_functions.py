@@ -397,3 +397,54 @@ def test_msgpack_spec_literal_vectors():
     # the specialized envelope fast path emits the identical wire bytes
     env_wire = vectors[-1][1]
     assert mp.encode_envelope("user", "call", "1", "tok") == env_wire
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(max_size=300), st.text(max_size=40),
+            st.text(max_size=300), st.text(max_size=300),
+        ),
+        min_size=0, max_size=40,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_batch_envelope_codec_matches_per_row(rows):
+    """The numpy whole-batch kernels (VERDICT r6 task #2) are byte- and
+    value-identical to mapping the per-row codec over the batch —
+    including empty batches, empty strings, unicode, and str8/str16
+    header boundaries (hypothesis shrinks onto 31/32 and 255/256)."""
+    import pandas as pd
+
+    cols = list(zip(*rows)) if rows else ([], [], [], [])
+    m, f, a, t = (pd.Series(list(c), dtype=object) for c in cols)
+    enc = mp.encode_envelope_batch(m, f, a, t)
+    expected = [mp.encode_envelope(*r) for r in rows]
+    assert [bytes(b) for b in enc] == expected
+    dec = mp.decode_envelope_batch(pd.Series(expected, dtype=object))
+    assert [tuple(r) for r in dec.itertuples(index=False)] == [tuple(r) for r in rows]
+
+
+def test_batch_envelope_decode_str32_and_malformed_fallback():
+    """Rows the vectorized fast path can't parse (foreign msgpack,
+    truncated bytes, nulls, str32 headers, invalid utf-8) must come back
+    exactly as the per-row decoder returns them."""
+    import pandas as pd
+
+    big = "x" * 70000  # str32 header (0xDB) — above the batch encoder's str16
+    payloads = [
+        mp.encode_envelope("m", "f", "a", "t"),
+        mp.packb({"mod": big, "fun": "f", "arg": "a", "ctx": {"wxuser": "t"}}),
+        mp.packb({"mod": "m", "x": 1}),
+        mp.packb([1, 2, 3]),
+        b"",
+        b"\x84\xa3mod\xff",
+        None,
+        # structurally valid envelope whose bin-typed field is invalid utf-8
+        b"\x84\xa3mod\xa2\xff\xfe\xa3fun\xa1f\xa3arg\xa1a\xa3ctx\x81\xa6wxuser\xa1t",
+    ]
+    dec = mp.decode_envelope_batch(pd.Series(payloads, dtype=object))
+    for i, b in enumerate(payloads):
+        expected = mp.decode_envelope(bytes(b) if b is not None else b"")
+        got = tuple(None if pd.isna(x) else x for x in dec.iloc[i])
+        assert got == expected, (i, got, expected)
