@@ -366,6 +366,11 @@ def jpeg_decode(payload: bytes) -> dict:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code — skip padding so a conformant padded file doesn't
+        # misparse (0xFF is "fill", not a marker of its own)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -248,8 +248,12 @@ def q_agg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: KMV (k-minimum-values) sketch geometry: portable universal hash
-#: h(x) = (a·x + b) mod p with p = 2³¹−1 (a·x < 2⁶² for bigint user
-#: ids at fixture scale — exact int64 on both engines), k = 64 minima.
+#: h(x) = (a·(x mod p) + b) mod p with p = 2³¹−1, k = 64 minima. The
+#: input is reduced mod p FIRST (x mod p is a bijection on Z_p, so the
+#: hash family is unchanged — and identical for every fixture id, which
+#: are all < p): a·(x mod p) < 2⁶² stays exact int64 for ANY bigint id,
+#: where the unreduced a·x would overflow Spark's ANSI multiply once
+#: ids reach ~2³³ at production scale.
 KMV_K = 64
 KMV_P = (1 << 31) - 1
 KMV_A = 1_103_515_245
@@ -261,7 +265,7 @@ KMV_B = 12_345
     oracle=f"""
     WITH hashed AS (
         SELECT DISTINCT event_type,
-               (({KMV_A} * user_id + {KMV_B}) % {KMV_P}) AS h
+               (({KMV_A} * (user_id % {KMV_P}) + {KMV_B}) % {KMV_P}) AS h
         FROM events
     ),
     ranked AS (
@@ -301,7 +305,9 @@ def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs — the same reason one uses a sketch at all. Accuracy vs the
     exact count is pinned in tests/test_sketches.py (~1/√k ≈ 12%)."""
     t = load_tables(spark, sf_dir)
-    h = (F.lit(KMV_A) * F.col("user_id") + F.lit(KMV_B)) % F.lit(KMV_P)
+    h = (F.lit(KMV_A) * F.pmod(F.col("user_id"), F.lit(KMV_P)) + F.lit(KMV_B)) % F.lit(
+        KMV_P
+    )
     hashed = (
         t["events"].select("event_type", h.alias("h")).distinct()
     )

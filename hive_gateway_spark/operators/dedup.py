@@ -1121,6 +1121,38 @@ GROUP BY subset, lang
 """
 
 
+def curation_gates(docs: DataFrame) -> DataFrame:
+    """The scan-side gate stage of q_curation_v2 — normalize → quality
+    gate (≥10 tokens, lang allowlist) → repetition gate (<50% repeated
+    tokens) — as ONE shared function. Both the batch pipeline and the
+    streaming twin (streaming/ops.stream_quality_gates) call this, so
+    the gate predicates cannot drift between engines (ADVICE r6 #3).
+    Stateless narrow filters: valid on a streaming DataFrame as-is."""
+    words = F.split("text", " ")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    rep = (
+        1.0
+        - F.size(F.array_distinct(words)).cast("double")
+        / F.size(words).cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        norm.alias("norm_text"),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        rep.alias("repetition"),
+    ).filter(
+        (F.col("n_tokens") >= 10)
+        & F.col("lang").isin("en", "fr", "es", "de", "zh")
+        & (F.col("repetition") < 0.5)
+    )
+
+
 @query("q_curation_v2", oracle=_CURATION_V2_ORACLE)
 def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation pipeline v2 — q_training_pipeline plus the round-2 gates,
@@ -1140,30 +1172,7 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination join broadcasts. Nothing new shuffles beyond
     q_training_pipeline."""
     t = load_tables(spark, sf_dir)
-    words = F.split("text", " ")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", ""), r" +", " "
-        )
-    )
-    rep = (
-        1.0
-        - F.size(F.array_distinct(words)).cast("double")
-        / F.size(words).cast("double")
-    )
-    normed = t["documents"].select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        norm.alias("norm_text"),
-        F.size(words).cast("bigint").alias("n_tokens"),
-        rep.alias("repetition"),
-    )
-    gated = normed.filter(
-        (F.col("n_tokens") >= 10)
-        & F.col("lang").isin("en", "fr", "es", "de", "zh")
-        & (F.col("repetition") < 0.5)
-    )
+    gated = curation_gates(t["documents"])
     keepers = gated.groupBy("norm_text").agg(F.min("doc_id").alias("doc_id"))
     exact_kept = gated.join(keepers.select("doc_id"), "doc_id", "left_semi")
     near_victims = _jaccard_pairs(t).select(F.col("doc_b").alias("doc_id")).distinct()
@@ -1205,8 +1214,10 @@ PR_SCALE = 1_000_000
 PR_ITERS = 3
 
 
-def _pr_oracle() -> str:
-    it = """
+#: The one SQL body of the unrolled integer-PageRank iteration — both
+#: oracles (_pr_oracle, _canonical_oracle) splice the SAME template, so
+#: the recurrence can't drift between them (ADVICE r6 #4).
+_PR_ITER_SQL = """
     r{n} AS (
         SELECT e.dst AS doc_id,
                ({s} * 15) // 100 + (85 * SUM(r.rank // d.deg)) // 100 AS rank
@@ -1215,43 +1226,20 @@ def _pr_oracle() -> str:
         JOIN deg d ON d.doc_id = e.src
         GROUP BY e.dst
     )"""
-    iters = ",".join(
-        it.format(n=i + 1, p=i, s=PR_SCALE) for i in range(PR_ITERS)
+
+
+def _pr_iters_sql() -> str:
+    return ",".join(
+        _PR_ITER_SQL.format(n=i + 1, p=i, s=PR_SCALE) for i in range(PR_ITERS)
     )
-    return f"""
-    WITH RECURSIVE {_DUCK_PAIRS},
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs
-    ),
-    deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
-    r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),
-    {iters}
-    SELECT doc_id, CAST(rank AS BIGINT) AS rank
-    FROM r{PR_ITERS}
-    """
 
 
-@query("q_dedup_rank", oracle=_pr_oracle())
-def q_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer PageRank over the near-dup graph — ranks each document
-    inside its duplicate neighborhood (a canonicalization signal: keep
-    the hub of a near-dup cluster, drop satellites). Deterministic by
-    construction: fixed-point int64 ranks, truncating division for both
-    the per-neighbor contribution (rank div deg) and the damping
-    (85·sum div 100), {PR_ITERS} unrolled iterations — the oracle runs
-    the identical integer recurrence, so this is a driver-hash-
-    verifiable ITERATIVE graph algorithm (q_dedup_clusters' CC is the
-    other; its convergence is data-dependent so it verifies via the
-    recursive-CTE oracle instead).
-
-    Scale shape: per iteration one shuffle (groupBy dst over O(edges)
-    contributions) with map-side combine; edges and degrees reuse the
-    session-cached pair staging. Driver-side loop is plan construction
-    only — {PR_ITERS} chained joins, no action per iteration."""
-    t = load_tables(spark, sf_dir)
-    pairs = _jaccard_pairs(t).select("doc_a", "doc_b")
+def _pagerank(pairs: DataFrame) -> DataFrame:
+    """(doc_id, rank): the one implementation of the integer-PageRank
+    recurrence, shared by q_dedup_rank, q_dedup_canonical, and the
+    topology test (ADVICE r6 #4 — previously triplicated). Per
+    iteration: one groupBy(dst) shuffle over O(edges) contributions
+    with map-side combine; the driver loop is plan construction only."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -1277,17 +1265,44 @@ def q_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.select(F.col("src").alias("doc_id"), F.col("rank").cast("bigint").alias("rank"))
 
 
+def _pr_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),
+    {_pr_iters_sql()}
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank
+    FROM r{PR_ITERS}
+    """
+
+
+@query("q_dedup_rank", oracle=_pr_oracle())
+def q_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the near-dup graph — ranks each document
+    inside its duplicate neighborhood (a canonicalization signal: keep
+    the hub of a near-dup cluster, drop satellites). Deterministic by
+    construction: fixed-point int64 ranks, truncating division for both
+    the per-neighbor contribution (rank div deg) and the damping
+    (85·sum div 100), {PR_ITERS} unrolled iterations — the oracle runs
+    the identical integer recurrence, so this is a driver-hash-
+    verifiable ITERATIVE graph algorithm (q_dedup_clusters' CC is the
+    other; its convergence is data-dependent so it verifies via the
+    recursive-CTE oracle instead).
+
+    Scale shape: per iteration one shuffle (groupBy dst over O(edges)
+    contributions) with map-side combine; edges and degrees reuse the
+    session-cached pair staging. Driver-side loop is plan construction
+    only — {PR_ITERS} chained joins, no action per iteration."""
+    t = load_tables(spark, sf_dir)
+    return _pagerank(_jaccard_pairs(t).select("doc_a", "doc_b"))
+
+
 def _canonical_oracle() -> str:
-    it = """
-    r{n} AS (
-        SELECT e.dst AS doc_id,
-               ({s} * 15) // 100 + (85 * SUM(r.rank // d.deg)) // 100 AS rank
-        FROM edges e
-        JOIN r{p} r ON r.doc_id = e.src
-        JOIN deg d ON d.doc_id = e.src
-        GROUP BY e.dst
-    )"""
-    iters = ",".join(it.format(n=i + 1, p=i, s=PR_SCALE) for i in range(PR_ITERS))
     return f"""
     WITH RECURSIVE {_DUCK_PAIRS},
     edges AS (
@@ -1306,7 +1321,7 @@ def _canonical_oracle() -> str:
     ),
     deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
     r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),
-    {iters},
+    {_pr_iters_sql()},
     ranked AS (
         SELECT l.cluster_id, l.doc_id, r.rank,
                row_number() OVER (PARTITION BY l.cluster_id
@@ -1339,37 +1354,13 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     pairs = _jaccard_pairs(t).select("doc_a", "doc_b")
     labels = connected_components(pairs)
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    rank = deg.select("src", F.lit(PR_SCALE).cast("bigint").alias("rank"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(rank, "src")
-            .join(deg, "src")
-            .select("dst", F.expr("rank div deg").alias("c"))
-        )
-        rank = (
-            contrib.groupBy("dst")
-            .agg(F.expr("(85 * sum(c)) div 100").alias("_damp"))
-            .select(
-                F.col("dst").alias("src"),
-                (
-                    F.expr(f"CAST(({PR_SCALE} * 15) div 100 AS BIGINT)")
-                    + F.col("_damp")
-                ).alias("rank"),
-            )
-        )
+    rank = _pagerank(pairs)
     from pyspark.sql import Window as W
 
     rn = F.row_number().over(
         W.partitionBy("cluster_id").orderBy(F.col("rank").desc(), F.col("doc_id").asc())
     )
-    ranked = (
-        labels.join(rank.withColumnRenamed("src", "doc_id"), "doc_id")
-        .withColumn("rn", rn)
-    )
+    ranked = labels.join(rank, "doc_id").withColumn("rn", rn)
     return ranked.groupBy("cluster_id").agg(
         F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_id"),
         F.max(F.when(F.col("rn") == 1, F.col("rank"))).alias("canonical_rank"),

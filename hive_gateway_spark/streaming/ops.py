@@ -287,33 +287,13 @@ def stream_quality_gates(docs: DataFrame) -> DataFrame:
     before any stateful dedup stage sees it.
 
     Emits the gated rows with the same derived columns the batch
-    pipeline computes (norm_text, n_tokens, repetition)."""
-    words = F.split("text", " ")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", ""), r" +", " "
-        )
-    )
-    rep = (
-        1.0
-        - F.size(F.array_distinct(words)).cast("double")
-        / F.size(words).cast("double")
-    )
-    return (
-        docs.select(
-            "doc_id",
-            "lang",
-            "n_chars",
-            norm.alias("norm_text"),
-            F.size(words).cast("bigint").alias("n_tokens"),
-            rep.alias("repetition"),
-        )
-        .filter(
-            (F.col("n_tokens") >= 10)
-            & F.col("lang").isin("en", "fr", "es", "de", "zh")
-            & (F.col("repetition") < 0.5)
-        )
-    )
+    pipeline computes (norm_text, n_tokens, repetition). This IS the
+    batch gate stage — dedup.curation_gates — applied to the stream
+    (shared implementation, so the predicates cannot drift; ADVICE r6
+    #3)."""
+    from hive_gateway_spark.operators.dedup import curation_gates
+
+    return curation_gates(docs)
 
 
 def stream_decontaminate(

@@ -258,40 +258,17 @@ def test_contam_planted_hashes_match_kernel(spark):
 def test_pagerank_hub_outranks_satellites(spark):
     """Integer PageRank sanity on a known topology: in a star graph the
     hub (in-degree n) must outrank every satellite (in-degree 1), and
-    ranks are exactly reproducible (integer recurrence — run twice)."""
-    import pyspark.sql.functions as F
-
-    from hive_gateway_spark.operators.dedup import PR_ITERS, PR_SCALE
+    ranks are exactly reproducible (integer recurrence — run twice).
+    Runs the operator's OWN _pagerank helper (the one q_dedup_rank and
+    q_dedup_canonical share), so the tested recurrence can't drift from
+    the shipped one."""
+    from hive_gateway_spark.operators.dedup import _pagerank
 
     star = [(500, x) for x in (501, 502, 503, 504, 505)]
     pairs = spark.createDataFrame(star, "doc_a bigint, doc_b bigint")
 
     def run():
-        edges = pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        ).unionAll(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        rank = deg.select("src", F.lit(PR_SCALE).cast("bigint").alias("rank"))
-        for _ in range(PR_ITERS):
-            contrib = (
-                edges.join(rank, "src")
-                .join(deg, "src")
-                .select("dst", F.expr("rank div deg").alias("c"))
-            )
-            rank = (
-                contrib.groupBy("dst")
-                .agg(F.expr("(85 * sum(c)) div 100").alias("_damp"))
-                .select(
-                    F.col("dst").alias("src"),
-                    (
-                        F.expr(f"CAST(({PR_SCALE} * 15) div 100 AS BIGINT)")
-                        + F.col("_damp")
-                    ).alias("rank"),
-                )
-            )
-        return {r["src"]: r["rank"] for r in rank.collect()}
+        return {r["doc_id"]: r["rank"] for r in _pagerank(pairs).collect()}
 
     r1, r2 = run(), run()
     assert r1 == r2, "integer PageRank must be exactly reproducible"

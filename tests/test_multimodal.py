@@ -291,22 +291,23 @@ class TestJpeg:
     def test_foreign_encoder_decodes(self):
         """A libjpeg-produced file (not our encoder) must decode: pins
         marker parsing (APP segments, 4:2:0 sampling, file-supplied
-        huffman/quant tables) against an independent implementation."""
+        huffman/quant tables) against an independent implementation.
+        The sample is bundled under tests/data/ (ADVICE r6 #5 — the old
+        host-specific path made this silently skip elsewhere); it's
+        CPython's public 16×16 test_email/data/python.jpg. Decoded
+        pixels are pinned as a regression baseline."""
         import os
 
-        import pytest
+        import numpy as np
 
         from hive_gateway_spark.functions.jpeg import jpeg_decode
 
-        path = (
-            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-            "python3.11/test/test_email/data/python.jpg"
-        )
-        if not os.path.exists(path):
-            pytest.skip("no foreign sample on this host")
-        d = jpeg_decode(open(path, "rb").read())
+        here = os.path.dirname(os.path.abspath(__file__))
+        d = jpeg_decode(open(os.path.join(here, "data", "foreign.jpg"), "rb").read())
         assert (d["width"], d["height"], d["channels"]) == (16, 16, 3)
         assert 0 < float(d["pixels"].mean()) < 255
+        pinned = np.load(os.path.join(here, "data", "foreign_jpg_pixels.npy"))
+        assert np.array_equal(d["pixels"], pinned)
 
     def test_malformed_routes_not_raises(self, spark, sf_dir):
         """A truncated JPEG payload drops its row via DECODE_ERRORS —
@@ -471,3 +472,21 @@ def test_bmp_foreign_decoder_exact():
     truth = np.load(os.path.join(d, "foreign_bmp_pixels.npy"))
     got = decode_image(open(os.path.join(d, "foreign.bmp"), "rb").read())
     assert np.array_equal(got["pixels"], truth)
+
+
+def test_jpeg_fill_bytes_before_marker_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code (ADVICE r6 #1). A conformant padded file must decode to
+    the same pixels as the unpadded original, not misparse."""
+    import numpy as np
+
+    from hive_gateway_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    data = jpeg_encode(img, quality=90)
+    # pad before the first DQT marker and before EOI
+    padded = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    padded = padded[:-2] + b"\xff\xff" + padded[-2:]
+    base = jpeg_decode(data)
+    dec = jpeg_decode(padded)
+    assert np.array_equal(dec["pixels"], base["pixels"])

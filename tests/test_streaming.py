@@ -302,9 +302,14 @@ def test_stream_near_dup_candidates_equal_batch(spark, sf_dir):
 
 
 def test_stream_quality_gates_equal_batch(spark, sf_dir):
-    """VERDICT r04 #4 / r05 #6: the ingest-time quality/repetition gates
+    """VERDICT r04 #4 / r05 #6 / ADVICE r6 #3: the ingest-time gates
     drained over the fixture stream keep exactly the rows q_curation_v2's
-    batch gates keep (same predicates, stateless → row-identical)."""
+    batch gate stage keeps. Expected rows come from dedup.curation_gates
+    — the function q_curation_v2 itself calls — not from re-invoking the
+    streaming twin, so a drift between the batch pipeline's gates and
+    the streaming path would fail here (and the two share one
+    implementation besides)."""
+    from hive_gateway_spark.operators.dedup import curation_gates
     from hive_gateway_spark.streaming.ops import (
         stream_documents,
         stream_quality_gates,
@@ -314,7 +319,7 @@ def test_stream_quality_gates_equal_batch(spark, sf_dir):
         stream_quality_gates(stream_documents(spark, sf_dir)), "s_qgates"
     )
     t = load_tables(spark, sf_dir)
-    want = stream_quality_gates(t["documents"]).toPandas()
+    want = curation_gates(t["documents"]).toPandas()
     assert len(got) == len(want) > 0
     assert set(got["doc_id"]) == set(want["doc_id"])
     g = got.sort_values("doc_id").reset_index(drop=True)
