@@ -44,7 +44,56 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_timestamps("events", raw)
 
 
-def stream_rate_limit_counts(events: DataFrame, limit: int = 10) -> DataFrame:
+#: Epoch base for the live demo's synthesized event time.
+_LIVE_BASE = "2026-01-01 00:00:00"
+
+
+def _live_events(df: DataFrame, seq_col: str, user_mod: int) -> DataFrame:
+    """events-shaped projection of a monotonic sequence: user = seq mod
+    user_mod, event time = base + seq seconds. Shared by the live rate
+    stream and its batch twin so both derive the identical rows from the
+    same sequence prefix."""
+    return df.select(
+        F.col(seq_col).alias("event_id"),
+        F.pmod(F.col(seq_col), F.lit(user_mod)).alias("user_id"),
+        F.expr(f"timestampadd(SECOND, {seq_col}, TIMESTAMP'{_LIVE_BASE}')").alias(
+            "ts"
+        ),
+    )
+
+
+def live_rate_events(
+    spark: SparkSession, rows_per_second: int = 400, user_mod: int = 5
+) -> DataFrame:
+    """LIVE events stream (VERDICT r6 task #3) off Spark's built-in
+    `rate` source — a genuinely continuous source driven by a real
+    processing-time trigger, unlike the file-source + availableNow
+    twins. Event time is synthesized deterministically from the rate
+    sequence number (NOT wall clock), so (a) the watermark advances
+    ~rows_per_second event-seconds per wall-second — the reference's
+    30 s receive timeout (gateway.ts:56) plays out in a few real
+    seconds — and (b) any processed prefix 0..n-1 is exactly
+    reproducible in batch via live_rate_batch_twin(spark, n), which is
+    what the live-vs-batch equivalence test compares against."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return _live_events(rate, "value", user_mod)
+
+
+def live_rate_batch_twin(
+    spark: SparkSession, n_rows: int, user_mod: int = 5
+) -> DataFrame:
+    """The batch DataFrame holding EXACTLY the rows live_rate_events
+    emits for sequence numbers 0..n_rows-1."""
+    return _live_events(spark.range(n_rows), "id", user_mod)
+
+
+def stream_rate_limit_counts(
+    events: DataFrame, limit: int = 10, window: str = "1 day"
+) -> DataFrame:
     """Tumbling-window request counts per token with an over-limit flag —
     the reference's rate limiter (O16 *intended* semantics) as a
     watermarked windowed aggregation. Output: one row per
@@ -57,7 +106,7 @@ def stream_rate_limit_counts(events: DataFrame, limit: int = 10) -> DataFrame:
     """
     return (
         events.withWatermark("ts", WATERMARK_DELAY)
-        .groupBy(F.window("ts", "1 day").alias("win"), F.col("user_id"))
+        .groupBy(F.window("ts", window).alias("win"), F.col("user_id"))
         .agg(F.count("*").alias("n_calls"))
         .select(
             F.col("win.start").alias("window_start"),
