@@ -76,6 +76,32 @@ HEADLINE_R6 = [
 ]
 
 
+#: Regression gate (VERDICT r6 task #6): warm ratio vs the previous
+#: round's recorded bench above which the run FAILS (rc != 0), so a perf
+#: regression can't hide behind a green correctness gate. The absolute
+#: floor keeps sub-100 ms queries from flapping on scheduler noise.
+REGRESSION_RATIO = 1.5
+REGRESSION_FLOOR_SEC = 0.2
+
+
+def _previous_bench() -> tuple[str, dict] | None:
+    """Latest committed BENCH_r*.json with a queries block, or None."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+            doc = doc["parsed"]  # driver-recorded shape wraps the JSON line
+        if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
+            return os.path.basename(path), doc
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -117,6 +143,24 @@ def main() -> None:
     r01_comparable = round(sum(timings[n] for n in HEADLINE), 3)
     r2_total = round(sum(timings[n] for n in HEADLINE_R2), 3)
     r6_total = round(sum(timings[n] for n in HEADLINE_R6), 3)
+
+    # per-query regression gate vs the previous round's recorded bench
+    prev = _previous_bench()
+    regressions: dict[str, dict] = {}
+    if prev is not None:
+        prev_name, prev_doc = prev
+        for name, now in timings.items():
+            before = prev_doc["queries"].get(name)
+            if (
+                before
+                and now > before * REGRESSION_RATIO
+                and now - before > REGRESSION_FLOOR_SEC
+            ):
+                regressions[name] = {
+                    "prev": before,
+                    "now": now,
+                    "ratio": round(now / before, 2),
+                }
     print(
         json.dumps(
             {
@@ -129,10 +173,15 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": cold,
                 "sf": sf,
+                "regression_baseline": prev[0] if prev else None,
+                "regressions": regressions,
+                "regression_gate": "fail" if regressions else "pass",
             }
         )
     )
     spark.stop()
+    if regressions:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
