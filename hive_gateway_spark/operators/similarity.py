@@ -46,8 +46,23 @@ QUERY_ID_CAP = QUERY_STRIDE * MAX_QUERIES
 TOP_K = 5
 
 
+#: Corpus size above which the embeddings staging repartitions to the
+#: session's shuffle width. The fixtures (≤6.4k vectors) stay below it —
+#: single-digit-k inputs lose more to an exchange than they gain — but a
+#: production corpus arrives spread; the threshold only repairs the
+#: degenerate one-file local case (the 100k smoke measured the LSH plane
+#: projection 86 s single-partition vs ~4 s spread).
+_REPARTITION_MIN_ROWS = 10_000
+
+
 def _quantized(t) -> DataFrame:
-    return t["embeddings"].select("vec_id", "label", vec_q("embedding").alias("v"))
+    e = t["embeddings"]
+    out = e.select("vec_id", "label", vec_q("embedding").alias("v"))
+    # parquet row count is metadata — one cheap job per (session, dir)
+    if e.count() > _REPARTITION_MIN_ROWS:
+        width = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        out = out.repartition(width, "vec_id")
+    return out
 
 
 @query(
@@ -230,19 +245,39 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     e = _quantized(t).withColumn("n2", norm2_q("v"))
+    # Train the coarse quantizer on a BOUNDED, MATERIALIZED sample: at
+    # corpus scale you never k-means the full table for an IVF coarse
+    # index (faiss trains on ~max(10k, 50·cells) points). Order matters
+    # three ways (each measured on the 100k smoke): sample the RAW table
+    # BEFORE the normalization projection (Catalyst does not reorder
+    # Sample below Project, so the interpreted per-element expression
+    # would otherwise run over the full corpus single-partition, ~28 s);
+    # repartition before projecting (spread the expression work); and
+    # localCheckpoint before the fit (KMeans makes ~2·maxIter passes —
+    # 114 s re-evaluated vs 3 s materialized). Seeded → deterministic.
+    n_vecs = t["embeddings"].count()
+    train_cap = max(10_000, 50 * IVF_CELLS)
+    train_src = t["embeddings"]
+    if n_vecs > train_cap:
+        train_src = train_src.sample(fraction=min(1.0, train_cap / n_vecs), seed=42)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # L2-normalize in double for the quantizer only (the exact kernel
     # below stays on the int64-quantized raw vectors).
-    normed = t["embeddings"].select(
-        "vec_id",
-        array_to_vector(
-            F.expr(
-                "transform(embedding, x -> CAST(x AS DOUBLE) / "
-                "sqrt(aggregate(transform(embedding, y -> CAST(y AS DOUBLE) * y), "
-                "CAST(0 AS DOUBLE), (acc, z) -> acc + z)))"
-            )
-        ).alias("features"),
+    train = (
+        train_src.repartition(width)
+        .select(
+            "vec_id",
+            array_to_vector(
+                F.expr(
+                    "transform(embedding, x -> CAST(x AS DOUBLE) / "
+                    "sqrt(aggregate(transform(embedding, y -> CAST(y AS DOUBLE) * y), "
+                    "CAST(0 AS DOUBLE), (acc, z) -> acc + z)))"
+                )
+            ).alias("features"),
+        )
+        .localCheckpoint()
     )
-    km = KMeans(k=IVF_CELLS, seed=42, maxIter=20, featuresCol="features").fit(normed)
+    km = KMeans(k=IVF_CELLS, seed=42, maxIter=20, featuresCol="features").fit(train)
     centers = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         "cell int, center array<double>",
@@ -286,20 +321,71 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cell_rank", F.row_number().over(wq))
         .filter(F.col("cell_rank") <= IVF_PROBES)
         .select("query_id", "vq", "nq", "cell")
+        .collect()  # bounded: ≤ MAX_QUERIES · IVF_PROBES rows
     )
-    scored = (
-        F.broadcast(probed)
-        .join(inv_file, ["cell"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_q("vq", "vb") / F.sqrt(F.col("nq") * F.col("nb"))).alias("sim"),
+    # Score with the SAME vectorized int64-GEMM kernel the exact path
+    # uses, restricted to probed cells: IVF's job is pruning which rows
+    # the kernel sees, not re-deriving the arithmetic — the earlier
+    # per-row interpreted dot made the "fast path" 4× slower than brute
+    # force at the 100k smoke (SCALE.md). Per-cell query blocks are
+    # broadcast; each Arrow batch of the inverted file group-by's on
+    # cell and GEMMs against that cell's probing queries only, emitting
+    # local top-k per (query, batch).
+    import numpy as np
+    import pandas as pd
+
+    by_cell: dict[int, list] = {}
+    for r in probed:
+        by_cell.setdefault(r["cell"], []).append(r)
+    cell_q = {
+        c: (
+            np.asarray([r["query_id"] for r in rows], dtype=np.int64),
+            np.asarray([r["vq"] for r in rows], dtype=np.int64),
+            np.asarray([r["nq"] for r in rows], dtype=np.float64),
         )
-        # multi-assignment: the same (query, neighbor) can meet in up to
-        # min(assign, probes) cells with identical sim — dedup before rank
-        .dropDuplicates(["query_id", "neighbor_id"])
+        for c, rows in by_cell.items()
+    }
+    bc = spark.sparkContext.broadcast(cell_q)
+    k = TOP_K
+
+    def score_cells(batches):
+        cq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for c, grp in pdf.groupby("cell"):
+                block = cq.get(c)
+                if block is None:
+                    continue
+                qids, Q, qn = block
+                ids = grp["neighbor_id"].to_numpy(np.int64)
+                X = np.asarray(grp["vb"].tolist(), dtype=np.int64)
+                nb = grp["nb"].to_numpy(np.float64)
+                sim = (Q @ X.T).astype(np.float64) / np.sqrt(qn[:, None] * nb[None, :])
+                sim[qids[:, None] == ids[None, :]] = -np.inf
+                take = min(k, sim.shape[1])
+                out_q, out_n, out_s = [], [], []
+                for qi in range(len(qids)):
+                    order = np.lexsort((ids, -sim[qi]))[:take]
+                    keep = sim[qi][order] > -np.inf
+                    out_q.append(np.full(int(keep.sum()), qids[qi]))
+                    out_n.append(ids[order][keep])
+                    out_s.append(sim[qi][order][keep])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    cand = inv_file.select("neighbor_id", "cell", "vb", "nb").mapInPandas(
+        score_cells, "query_id bigint, neighbor_id bigint, sim double"
     )
+    # multi-assignment: the same (query, neighbor) can meet in up to
+    # min(assign, probes) cells with identical sim — dedup the K·Q·batch
+    # candidate stream before the final rank merge
+    scored = cand.dropDuplicates(["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank_k", F.row_number().over(w))
@@ -366,64 +452,121 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each vector hashes to one B-bit sign bucket per table (sign of the
     exact int64 Rademacher projection); a query only scores candidates
     sharing a (table, bucket) cell — expected scanned fraction
-    ≈ L·N/2^B / N = L/2^B per table geometry. Candidates met in
-    several tables dedup before the exact int64 kernel scores them, so
-    the expensive arithmetic runs once per distinct candidate.
+    ≈ L·N/2^B / N = L/2^B per table geometry.
 
-    Scale shape: the planes table is 128 tiny rows (broadcast); the
-    inverted index is ONE shuffle by (table, bucket); queries are the
-    bounded broadcast dimension (≤ MAX_QUERIES, same contract as
-    q_sim_topk). No KMeans fit — bucketing is stateless, so this
-    variant also works streaming (hash on ingest)."""
+    Scale shape: ONE fused mapInPandas pass over the corpus — each
+    Arrow batch is sign-packed (X @ S.T int64 GEMM) and scored per
+    (table, bucket) group against the broadcast query index (built
+    driver-side from the bounded ≤ MAX_QUERIES block, same contract as
+    q_sim_topk), emitting local top-k. The only shuffles are the tiny
+    candidate dedup + rank merge over K·Q·batch rows. No KMeans fit —
+    bucketing is stateless, so this variant also works streaming (hash
+    on ingest)."""
+    import numpy as np
+    import pandas as pd
+
     t = load_tables(spark, sf_dir)
     e = _quantized(t).withColumn("n2", norm2_q("v"))
-    planes = F.broadcast(
-        t["embeddings"].sparkSession.createDataFrame(
-            _lsh_planes(), "tbl int, bit int, s array<bigint>"
+    # All 128 plane projections per vector in ONE numpy int64 GEMM
+    # (X @ S.T, exact — quantized ints × ±1 signs), then pack sign bits
+    # into per-table buckets; the earlier per-(vector, plane) interpreted
+    # zip_with was 12.8M higher-order evaluations at the 100k smoke and
+    # made the "scale path" slower than brute force. Bucket values are
+    # bit-identical to the expression version (same signs, same bits).
+    # The plane matrix is 128×64 int8-sized — broadcast. mapInPandas
+    # keeps this ingest-compatible (stateless, streaming-safe).
+    S = np.asarray(
+        [signs for _tbl, _bit, signs in _lsh_planes()], dtype=np.int64
+    )  # (TABLES·BITS, dim) in (tbl, bit) row order
+    n_tables, n_bits = LSH_TABLES, LSH_BITS
+    weights = 1 << np.arange(n_bits, dtype=np.int64)  # bit j → 2^j
+
+    def pack_buckets(X: "np.ndarray") -> "np.ndarray":
+        bits = (X @ S.T) >= 0  # exact int64 Rademacher signs
+        return (bits.reshape(len(X), n_tables, n_bits) * weights[None, None, :]).sum(
+            axis=2
         )
+
+    # Query side: bounded block (≤ MAX_QUERIES), bucketed driver-side
+    # with the same pack — a 256×128 GEMM, trivially cheap.
+    q_rows = (
+        e.filter((F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < QUERY_ID_CAP))
+        .select("vec_id", "v", "n2")
+        .collect()
     )
-    proj = F.expr(
-        "aggregate(zip_with(v, s, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, z) -> acc + z)"
-    )
-    bucketed = (
-        e.join(planes)
-        .select(
-            "vec_id",
-            "tbl",
-            (
-                F.when(proj >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                    F.lit(0).cast("bigint")
+    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Qm = np.asarray([r["v"] for r in q_rows], dtype=np.int64)
+    qn = np.asarray([r["n2"] for r in q_rows], dtype=np.float64)
+    qb = pack_buckets(Qm) if len(q_rows) else np.empty((0, n_tables), np.int64)
+    cells: dict[tuple[int, int], list[int]] = {}
+    for qi in range(len(qids)):
+        for tbl in range(n_tables):
+            cells.setdefault((tbl, int(qb[qi, tbl])), []).append(qi)
+    cell_q = {
+        key: (qids[idx], Qm[idx], qn[idx]) for key, idx in ((k, np.asarray(v)) for k, v in cells.items())
+    }
+    bc = spark.sparkContext.broadcast((S, cell_q))
+    k = TOP_K
+
+    # One fused kernel pass over the corpus: bucket each Arrow batch
+    # (X @ S.T sign-pack), then per (table, bucket) group present in the
+    # query index run the exact int64 GEMM against just that bucket's
+    # probing queries and emit local top-k. No exploded 16×N bucket
+    # stream, no join — the only shuffles left are the tiny candidate
+    # dedup + rank merge. (The earlier broadcast-join form evaluated
+    # ~6M interpreted dots at the 100k smoke and ran slower than brute
+    # force; the kernel scores the same candidates vectorized.)
+    def score_kernel(batches):
+        S_, cq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or not cq:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            X = np.asarray(pdf["v"].tolist(), dtype=np.int64)
+            n2 = pdf["n2"].to_numpy(np.float64)
+            bits = (X @ S_.T) >= 0
+            buckets = (
+                bits.reshape(len(X), n_tables, n_bits) * weights[None, None, :]
+            ).sum(axis=2)
+            out_q, out_n, out_s = [], [], []
+            for tbl in range(n_tables):
+                b = buckets[:, tbl]
+                order = np.argsort(b, kind="stable")
+                bs = b[order]
+                starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+                ends = np.r_[starts[1:], len(bs)]
+                for si, ei in zip(starts, ends):
+                    blk = cq.get((tbl, int(bs[si])))
+                    if blk is None:
+                        continue
+                    rows = order[si:ei]
+                    bqids, bQ, bqn = blk
+                    rid = ids[rows]
+                    sim = (bQ @ X[rows].T).astype(np.float64) / np.sqrt(
+                        bqn[:, None] * n2[rows][None, :]
+                    )
+                    sim[bqids[:, None] == rid[None, :]] = -np.inf
+                    take = min(k, sim.shape[1])
+                    for qi in range(len(bqids)):
+                        o = np.lexsort((rid, -sim[qi]))[:take]
+                        keep = sim[qi][o] > -np.inf
+                        out_q.append(np.full(int(keep.sum()), bqids[qi]))
+                        out_n.append(rid[o][keep])
+                        out_s.append(sim[qi][o][keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "sim": np.concatenate(out_s),
+                    }
                 )
-            ).alias("bitval"),
-        )
-        .groupBy("vec_id", "tbl")
-        .agg(F.sum("bitval").alias("bucket"))
+
+    cand = e.select("vec_id", "v", "n2").mapInPandas(
+        score_kernel, "query_id bigint, neighbor_id bigint, sim double"
     )
-    base = bucketed.join(
-        e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"), F.col("n2").alias("nb")),
-        F.col("vec_id") == F.col("neighbor_id"),
-    ).select("neighbor_id", "tbl", "bucket", "vb", "nb")
-    queries = (
-        bucketed.filter(
-            (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < QUERY_ID_CAP)
-        )
-        .join(
-            e.select(F.col("vec_id").alias("qid"), F.col("v").alias("vq"), F.col("n2").alias("nq")),
-            F.col("vec_id") == F.col("qid"),
-        )
-        .select(F.col("qid").alias("query_id"), "tbl", "bucket", "vq", "nq")
-    )
-    scored = (
-        F.broadcast(queries)
-        .join(base, ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_q("vq", "vb") / F.sqrt(F.col("nq") * F.col("nb"))).alias("sim"),
-        )
-    )
+    # the same pair meets in up to LSH_TABLES tables with identical sim
+    scored = cand.dropDuplicates(["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank_k", F.row_number().over(w))
