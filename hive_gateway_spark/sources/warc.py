@@ -36,14 +36,16 @@ def build_warc_record(
     return _CRLF.join(headers) + _CRLF + _CRLF + body + _CRLF + _CRLF
 
 
-def parse_warc(blob: bytes) -> list[dict]:
+def parse_warc(blob: bytes, permissive: bool = False) -> list[dict]:
     """Concatenated WARC records → list of {headers: dict, body: bytes}.
 
     Tolerates trailing padding CRLFs between records; raises ValueError
     on a truncated header block, a missing/invalid Content-Length, or a
     body shorter than declared — the caller routes the blob's row.
+    With ``permissive=True`` the cleanly-parsed record prefix is
+    returned instead of raising (the data source's permissive mode).
     """
-    out = []
+    out: list[dict] = []
     pos = 0
     n = len(blob)
     while pos < n:
@@ -52,25 +54,37 @@ def parse_warc(blob: bytes) -> list[dict]:
             pos += 2
         if pos >= n:
             break
-        end = blob.find(_CRLF + _CRLF, pos)
-        if end < 0:
-            raise ValueError("truncated WARC header block")
-        header_lines = blob[pos:end].split(_CRLF)
-        if not header_lines or not header_lines[0].startswith(b"WARC/"):
-            raise ValueError("missing WARC version line")
-        headers = {}
-        for line in header_lines[1:]:
-            k, sep, v = line.partition(b": ")
-            if not sep:
-                raise ValueError(f"bad WARC header line: {line!r}")
-            headers[k.decode()] = v.decode()
         try:
-            clen = int(headers["Content-Length"])
-        except (KeyError, ValueError) as e:
-            raise ValueError("missing/invalid Content-Length") from e
-        body_start = end + 4
-        if body_start + clen > n:
-            raise ValueError("WARC body shorter than Content-Length")
-        out.append({"headers": headers, "body": blob[body_start : body_start + clen]})
-        pos = body_start + clen
+            rec, pos = _parse_record(blob, pos, n)
+        except ValueError:
+            if permissive:
+                return out
+            raise
+        out.append(rec)
     return out
+
+
+def _parse_record(blob: bytes, pos: int, n: int) -> tuple[dict, int]:
+    end = blob.find(_CRLF + _CRLF, pos)
+    if end < 0:
+        raise ValueError("truncated WARC header block")
+    header_lines = blob[pos:end].split(_CRLF)
+    if not header_lines or not header_lines[0].startswith(b"WARC/"):
+        raise ValueError("missing WARC version line")
+    headers = {}
+    for line in header_lines[1:]:
+        k, sep, v = line.partition(b": ")
+        if not sep:
+            raise ValueError(f"bad WARC header line: {line!r}")
+        headers[k.decode()] = v.decode()
+    try:
+        clen = int(headers["Content-Length"])
+    except (KeyError, ValueError) as e:
+        raise ValueError("missing/invalid Content-Length") from e
+    body_start = end + 4
+    if body_start + clen > n:
+        raise ValueError("WARC body shorter than Content-Length")
+    return (
+        {"headers": headers, "body": blob[body_start : body_start + clen]},
+        body_start + clen,
+    )

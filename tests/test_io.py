@@ -352,3 +352,62 @@ def test_warc_parser_property_fuzz():
             assert rec["headers"]["WARC-Target-URI"] == f"https://h/doc/{i}"
 
     case()
+
+
+def test_warc_datasource_reads_files(spark, tmp_path):
+    """format('warc') — the Python DataSource wraps the fuzz-tested
+    parser as a first-class reader: one partition per file, Arrow-batch
+    hand-off, promoted header columns, failfast/permissive modes."""
+    import pytest
+
+    from hive_gateway_spark.sources.warc import build_warc_record
+    from hive_gateway_spark.sources.warc_datasource import register_warc_source
+
+    register_warc_source(spark)
+    d = tmp_path / "crawl"
+    d.mkdir()
+    bodies = {}
+    for fno in range(3):
+        recs = b""
+        for r in range(4):
+            body = (b"payload-%d-%d " % (fno, r)) * (r + 1)
+            bodies[(str(d / f"part{fno}.warc"), r)] = body
+            recs += build_warc_record(
+                f"https://ex.test/{fno}/{r}", body, record_id=f"id-{fno}-{r}"
+            )
+        (d / f"part{fno}.warc").write_bytes(recs)
+
+    df = spark.read.format("warc").load(str(d))
+    rows = df.collect()
+    assert len(rows) == 12
+    assert df.rdd.getNumPartitions() == 3  # one per file
+    got = {(r["file"], r["record_no"]): bytes(r["body"]) for r in rows}
+    assert got == bodies
+    one = rows[0]
+    assert one["warc_type"] == "response"
+    assert one["target_uri"].startswith("https://ex.test/")
+    assert one["record_id"].startswith("<id-")
+    assert one["content_length"] == len(bytes(one["body"]))
+    assert one["headers"]["WARC-Type"] == "response"
+    assert one["error"] is None
+    # SQL over the source works like any table
+    df.createOrReplaceTempView("crawl")
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM crawl WHERE target_uri LIKE '%/2'"
+    ).first()["n"]
+    assert n == 3
+
+    # corrupt tail: failfast raises, permissive keeps the clean prefix
+    bad = d / "part9.warc"
+    bad.write_bytes(
+        build_warc_record("https://ex.test/ok", b"fine")
+        + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    )
+    with pytest.raises(Exception):
+        spark.read.format("warc").load(str(bad)).collect()
+    perm = (
+        spark.read.format("warc").option("mode", "permissive").load(str(bad)).collect()
+    )
+    assert len(perm) == 1
+    assert bytes(perm[0]["body"]) == b"fine"
+    assert "Content-Length" in perm[0]["error"]
