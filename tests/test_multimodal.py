@@ -602,3 +602,30 @@ def test_ppm_16bit_decode():
     v10 = np.array([[0, 511, 1023]], dtype=">u2")
     d10 = decode_image(b"P6\n1 1\n1023\n" + v10.tobytes())
     assert d10["pixels"].reshape(-1).tolist() == [0, 127, 255]
+
+
+def test_png_16bit_decode():
+    """16-bit PNG decodes through the same filter path (bpp = 2·ch
+    bytes) and scales round(v·255/65535) into the 8-bit pixel domain;
+    byte-level Sub filtering on 16-bit samples reconstructs exactly."""
+    import numpy as np
+
+    from hive_gateway_spark.operators.multimodal import decode_image
+
+    vals = np.array([[0, 32768, 65535], [257, 13107, 52428]], dtype=">u2")
+    # 2x1 RGB rows, filter None
+    raw = b"\x00" + vals[0].tobytes() + b"\x00" + vals[1].tobytes()
+    d = decode_image(_png_raw(1, 2, 16, 2, raw))
+    assert (d["width"], d["height"], d["channels"]) == (1, 2, 3)
+    assert d["pixels"].reshape(-1).tolist() == [0, 128, 255, 1, 51, 204]
+
+    # Sub filter on a 2-pixel 16-bit gray row: second sample stored as
+    # byte-wise delta from the first (bpp = 2)
+    first = (1000).to_bytes(2, "big")
+    second_val = 1003
+    delta = bytes(
+        (b - a) & 0xFF for a, b in zip(first, second_val.to_bytes(2, "big"))
+    )
+    d2 = decode_image(_png_raw(2, 1, 16, 0, b"\x01" + first + delta))
+    got = d2["pixels"].reshape(-1).tolist()
+    assert got == [round(1000 * 255 / 65535), round(second_val * 255 / 65535)]
