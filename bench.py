@@ -75,6 +75,13 @@ HEADLINE_R6 = [
     "q_multimodal_codecs",
 ]
 
+#: Round-7 additions: the new SQL-verified LSH banding and the composed
+#: canonical election (the heaviest of the freshly window-rotated ops).
+HEADLINE_R7 = [
+    "q_lsh_candidates",
+    "q_dedup_canonical",
+]
+
 
 #: Regression gate (VERDICT r6 task #6): warm ratio vs the previous
 #: round's recorded bench above which the run FAILS (rc != 0), so a perf
@@ -113,7 +120,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R6:
+    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R6 + HEADLINE_R7:
         fn = registry.QUERIES[name]
         # drop the previous query's dead broadcasts/UDF workers before
         # timing this one — without it, late queries in a 30-query
@@ -143,6 +150,7 @@ def main() -> None:
     r01_comparable = round(sum(timings[n] for n in HEADLINE), 3)
     r2_total = round(sum(timings[n] for n in HEADLINE_R2), 3)
     r6_total = round(sum(timings[n] for n in HEADLINE_R6), 3)
+    r7_total = round(sum(timings[n] for n in HEADLINE_R7), 3)
 
     # per-query regression gate vs the previous round's recorded bench
     prev = _previous_bench()
@@ -169,7 +177,10 @@ def main() -> None:
                 "unit": "sec",
                 "value_r2_ops": r2_total,
                 "value_r6_ops": r6_total,
-                "value_all": round(r01_comparable + r2_total + r6_total, 3),
+                "value_r7_ops": r7_total,
+                "value_all": round(
+                    r01_comparable + r2_total + r6_total + r7_total, 3
+                ),
                 "queries": timings,
                 "queries_cold": cold,
                 "sf": sf,

@@ -947,10 +947,36 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sig_frame(spark, sf_dir)
 
 
+#: session → {documents-plan key: checkpointed signature frame}. The
+#: portable per-char polynomial fingerprint is interpreted expression
+#: work over every exploded shingle (~250k × ~25 chars at sf0.1), and
+#: TWO queries start from the identical frame (q_minhash_signatures,
+#: q_lsh_candidates) — same staging-table pattern as _SHINGLE_CACHE; on
+#: a cluster this is the materialized signatures table every LSH job
+#: reads. Bounded like the other caches.
+_MINHASH_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def _minhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, mh0..mh{k-1}) — the portable-arithmetic signature frame
-    shared by q_minhash_signatures and q_lsh_candidates."""
+    shared by q_minhash_signatures and q_lsh_candidates (session-cached,
+    checkpointed staging)."""
     t = load_tables(spark, sf_dir)
+    per = _MINHASH_CACHE.setdefault(spark, {})
+    try:
+        key = t["documents"].semanticHash()
+    except Exception:  # pragma: no cover - non-classic session fallback
+        key = id(t["documents"])
+    out = per.get(key)
+    if out is None:
+        if len(per) > 8:
+            per.clear()
+        out = _minhash_sig_build(t).localCheckpoint()
+        per[key] = out
+    return out
+
+
+def _minhash_sig_build(t) -> DataFrame:
     docs = t["documents"].withColumn("words", F.split("text", " "))
     shingles = docs.filter(F.size("words") >= SHINGLE_N).select(
         "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLE_EXPR})")).alias("shingle")
