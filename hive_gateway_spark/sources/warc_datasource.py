@@ -133,8 +133,49 @@ WARC_SCHEMA_ARROW = [
 ]
 
 
+class _WarcStreamReader:
+    """readStream.format("warc") — the crawl-ingest shape: new .warc
+    files appearing in the directory become micro-batch partitions.
+
+    Offset model: the count of files processed from the LEXICOGRAPHIC
+    listing — valid because crawl segment names are monotonically
+    increasing (the CommonCrawl layout) and files are append-only; a
+    renamed/earlier-sorting late file would be missed, which production
+    solves with a manifest log, not a listing. Each new file is one
+    InputPartition; read() runs in executors with the same Arrow-batch
+    parse as the batch reader (executor-side heavy lifting, unlike
+    SimpleDataSourceStreamReader's driver-side read)."""
+
+    def __init__(self, batch_reader: _WarcReader):
+        self._r = batch_reader
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def latestOffset(self) -> dict:
+        try:
+            return {"n_files": len(self._r._files())}
+        except ValueError:  # no files yet — empty stream start
+            return {"n_files": 0}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._r._files()[start["n_files"] : end["n_files"]]
+        return [_WarcPartition(f) for f in files] or [_WarcPartition("")]
+
+    def read(self, partition: _WarcPartition):
+        if not partition.path:  # empty micro-batch placeholder
+            return iter(())
+        return self._r.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # listing-based offsets need no cleanup
+
+    def stop(self) -> None:
+        pass
+
+
 class WarcDataSource(DataSource):
-    """spark.read.format("warc") — see module docstring."""
+    """spark.read.format("warc") / readStream — see module docstring."""
 
     @classmethod
     def name(cls) -> str:
@@ -145,6 +186,14 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema):
         return _WarcReader(self.options)
+
+    def streamReader(self, schema):
+        from pyspark.sql.datasource import DataSourceStreamReader
+
+        class _Impl(_WarcStreamReader, DataSourceStreamReader):
+            pass
+
+        return _Impl(_WarcReader(self.options))
 
 
 def register_warc_source(spark) -> None:

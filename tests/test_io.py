@@ -411,3 +411,54 @@ def test_warc_datasource_reads_files(spark, tmp_path):
     assert len(perm) == 1
     assert bytes(perm[0]["body"]) == b"fine"
     assert "Content-Length" in perm[0]["error"]
+
+
+def test_warc_datasource_streaming_ingest(spark, tmp_path):
+    """readStream.format('warc') — files appearing in the directory are
+    ingested incrementally: batch 0 sees the first file, a file added
+    mid-stream arrives in a later micro-batch, nothing is re-read."""
+    import time
+
+    from hive_gateway_spark.sources.warc import build_warc_record
+    from hive_gateway_spark.sources.warc_datasource import register_warc_source
+
+    register_warc_source(spark)
+    d = tmp_path / "crawlstream"
+    d.mkdir()
+    (d / "seg00.warc").write_bytes(
+        build_warc_record("https://ex.test/a", b"alpha")
+        + build_warc_record("https://ex.test/b", b"beta")
+    )
+    stream = spark.readStream.format("warc").load(str(d))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("warc_stream").count() >= 2:
+                break
+            time.sleep(0.3)
+        assert spark.table("warc_stream").count() == 2
+        # a new segment arrives mid-stream
+        (d / "seg01.warc").write_bytes(
+            build_warc_record("https://ex.test/c", b"gamma")
+        )
+        while time.time() < deadline:
+            if spark.table("warc_stream").count() >= 3:
+                break
+            time.sleep(0.3)
+        rows = spark.table("warc_stream").collect()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert len(rows) == 3  # no re-reads, no misses
+    assert {bytes(r["body"]) for r in rows} == {b"alpha", b"beta", b"gamma"}
+    assert {r["target_uri"] for r in rows} == {
+        "https://ex.test/a", "https://ex.test/b", "https://ex.test/c",
+    }
