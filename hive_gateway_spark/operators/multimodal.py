@@ -775,3 +775,98 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("body_len").cast("bigint").alias("body_bytes"),
         F.sum("doc_id").cast("bigint").alias("sum_ids"),
     )
+
+
+@query(
+    "q_audio_features",
+    oracle="""
+    WITH idx AS (SELECT i FROM range(128) t(i)),
+    samples AS (
+        SELECT d.doc_id, i,
+               CASE WHEN d.doc_id % 2 = 0
+                    THEN ((d.doc_id * 31 + i * 17) % 65536) - 32768
+                    ELSE ((d.doc_id * 31 + i * 17) % 256) - 128 END AS s
+        FROM documents d JOIN idx ON i < 64 + d.doc_id % 64
+    ),
+    feats AS (
+        SELECT doc_id,
+               COUNT(*) AS n_samples,
+               SUM(ABS(s)) AS sum_abs,
+               SUM(s * s) AS sum_sq
+        FROM samples GROUP BY doc_id
+    )
+    SELECT CASE WHEN doc_id % 2 = 0 THEN '16bit' ELSE '8bit' END AS fmt,
+           COUNT(*) AS n_clips,
+           CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+           CAST(SUM(n_samples) * 125 AS BIGINT) AS total_duration_us,
+           CAST(SUM(sum_abs) AS BIGINT) AS total_abs,
+           CAST(SUM(sum_sq) AS BIGINT) AS total_sq
+    FROM feats
+    GROUP BY fmt
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal family, driver-hash-verified like
+    q_multimodal_codecs: every doc synthesizes a deterministic PCM clip
+    (s_i = ((doc_id·31 + i·17) mod M) − M/2, n = 64 + doc_id mod 64
+    samples at 8 kHz; M = 2¹⁶ for even ids → 16-bit WAV, M = 2⁸ for odd
+    → 8-bit WAV), containerizes it through the REAL RIFF encoder
+    (functions/wav.py), decodes it back with the REAL parser, and
+    computes integer features (Σ|s|, Σs², duration µs) from the DECODED
+    samples. The oracle replays the formula in SQL — any container/PCM
+    bug breaks the hash. 8 kHz ⇒ duration_us = n·125 exactly.
+
+    Scale shape: one mapInPandas pass per partition (bytes never
+    shuffle); only the 2-row report aggregates."""
+    import numpy as np
+
+    from hive_gateway_spark.functions.wav import wav_decode, wav_encode
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                i = np.arange(n, dtype=np.int64)
+                if doc_id % 2 == 0:
+                    s = (doc_id * 31 + i * 17) % 65536 - 32768
+                    payload = wav_encode(s.astype(np.int16), 8000, sample_width=2)
+                else:
+                    s = (doc_id * 31 + i * 17) % 256 - 128
+                    payload = wav_encode(s.astype(np.int16), 8000, sample_width=1)
+                d = wav_decode(payload)
+                pcm = d["pcm"].astype(np.int64).ravel()
+                rows.append(
+                    (
+                        doc_id,
+                        d["n_samples"],
+                        d["n_samples"] * 1_000_000 // d["sample_rate"],
+                        int(np.abs(pcm).sum()),
+                        int((pcm * pcm).sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_samples", "duration_us", "sum_abs", "sum_sq"],
+        )
+
+    feats = docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, duration_us long, sum_abs long, sum_sq long",
+    )
+    fmt = F.when(F.col("doc_id") % 2 == 0, "16bit").otherwise("8bit")
+    return (
+        feats.withColumn("fmt", fmt)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum("duration_us").alias("total_duration_us"),
+            F.sum("sum_abs").alias("total_abs"),
+            F.sum("sum_sq").alias("total_sq"),
+        )
+    )

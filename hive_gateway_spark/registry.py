@@ -115,10 +115,14 @@ PRIORITY: tuple[str, ...] = (
     "q_lsh_candidates",  # new r7: band-bucket pairs with DuckDB oracle
 )
 
-#: r8 rotation candidates: after r7 every registered query will hold at
-#: least one driver row (see tests/test_registry.py's debt ledger);
-#: future rotations swap never-or-once-green queries against
-#: twice-green unchanged occupants.
+#: r8 rotation candidates — queries REGISTERED AFTER the r7 window was
+#: frozen, next in line for a driver slot (tests/test_registry.py's
+#: debt ledger requires every registered query to hold a driver row, a
+#: window slot, or an entry here; the candidate list must drain into
+#: the window next round, so the never-verified set can only shrink).
+ROTATION_CANDIDATES: tuple[str, ...] = (
+    "q_audio_features",  # r7 late addition: WAV codec + feature report
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -629,3 +629,45 @@ def test_png_16bit_decode():
     d2 = decode_image(_png_raw(2, 1, 16, 0, b"\x01" + first + delta))
     got = d2["pixels"].reshape(-1).tolist()
     assert got == [round(1000 * 255 / 65535), round(second_val * 255 / 65535)]
+
+
+def test_wav_codec_roundtrip_and_boundaries():
+    """RIFF/WAV PCM: 16-bit mono/stereo and 8-bit round-trip exactly;
+    word-aligned odd-size chunks parse; non-PCM tags and truncated
+    containers raise the routed DECODE_ERRORS classes."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from hive_gateway_spark.functions.wav import wav_decode, wav_encode
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32768, 777, dtype=np.int16)
+    d = wav_decode(wav_encode(mono, 44100, 2))
+    assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == (44100, 1, 777)
+    assert np.array_equal(d["pcm"].ravel(), mono)
+
+    stereo = rng.integers(-32768, 32768, (100, 2), dtype=np.int16)
+    d2 = wav_decode(wav_encode(stereo, 16000, 2))
+    assert d2["n_channels"] == 2 and np.array_equal(d2["pcm"], stereo)
+
+    small = rng.integers(-128, 128, 33, dtype=np.int16)  # odd data size
+    d3 = wav_decode(wav_encode(small, 8000, 1))
+    assert d3["sample_width"] == 1
+    assert np.array_equal(d3["pcm"].ravel(), small)
+
+    # non-PCM format tag (µ-law = 7) → honest NotImplementedError
+    good = wav_encode(mono, 8000, 2)
+    ulaw = bytearray(good)
+    fmt_at = good.index(b"fmt ") + 8
+    struct.pack_into("<H", ulaw, fmt_at, 7)
+    with pytest.raises(NotImplementedError):
+        wav_decode(bytes(ulaw))
+    # truncated container / garbage route as ValueError
+    with pytest.raises(ValueError):
+        wav_decode(good[: len(good) // 2])
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFFxxxxWAVE" + b"data\xff\xff\xff\xff")
+    with pytest.raises(ValueError):
+        wav_decode(b"not audio")

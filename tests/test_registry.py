@@ -33,15 +33,30 @@ def _driver_rows() -> set[str]:
 def test_every_query_has_driver_row_or_window_slot():
     seen = _driver_rows()
     window = set(list(registry.ordered_queries())[:50])
+    candidates = set(registry.ROTATION_CANDIDATES)
     debt = [
         name
         for name in registry.QUERIES
-        if name not in seen and name not in window
+        if name not in seen and name not in window and name not in candidates
     ]
     assert not debt, (
-        "registered queries with no driver CORRECTNESS row and no slot in "
-        f"the current 50-entry window (rotate them in): {sorted(debt)}"
+        "registered queries with no driver CORRECTNESS row, no slot in the "
+        "current 50-entry window, and no ROTATION_CANDIDATES entry "
+        f"(rotate them in): {sorted(debt)}"
     )
+
+
+def test_rotation_candidates_are_registered_and_unverified():
+    """The candidate list is a queue, not a dumping ground: every entry
+    must resolve to a registered query, and a query that already holds
+    a driver row must not linger there (it belongs to normal rotation
+    policy instead)."""
+    seen = _driver_rows()
+    window = set(list(registry.ordered_queries())[:50])
+    for name in registry.ROTATION_CANDIDATES:
+        assert name in registry.QUERIES, f"unknown rotation candidate {name}"
+        assert name not in window, f"{name} already holds a window slot"
+        assert name not in seen, f"{name} already driver-verified — drop it"
 
 
 def test_priority_names_are_registered():
