@@ -462,3 +462,40 @@ def test_warc_datasource_streaming_ingest(spark, tmp_path):
     assert {r["target_uri"] for r in rows} == {
         "https://ex.test/a", "https://ex.test/b", "https://ex.test/c",
     }
+
+
+def test_dataset_export_manifest_and_verify(spark, sf_dir, tmp_path):
+    """Curated-dataset export: partitioned parquet + a manifest computed
+    from the WRITTEN files; verify_dataset passes on an intact export,
+    fails when a partition disappears or a file is tampered with."""
+    import shutil
+
+    from hive_gateway_spark.operators.dedup import curation_gates
+    from hive_gateway_spark.session import load_tables
+    from hive_gateway_spark.sources.dataset_export import (
+        verify_dataset,
+        write_dataset,
+    )
+
+    t = load_tables(spark, sf_dir)
+    curated = curation_gates(t["documents"]).withColumn(
+        "subset",
+        F.when(F.col("doc_id") % 10 < 9, "train").otherwise("val"),
+    )
+    out = str(tmp_path / "export")
+    manifest = write_dataset(curated, out, partition_by=["subset", "lang"])
+    assert manifest["n_rows"] == curated.count()
+    assert manifest["n_rows"] == sum(manifest["partitions"].values())
+    assert any(k.startswith("subset=train/lang=") for k in manifest["partitions"])
+
+    res = verify_dataset(spark, out)
+    assert res["ok"], res
+
+    # consumer-side detection: drop one partition directory
+    victim = sorted(
+        p for p in (tmp_path / "export").glob("subset=val/lang=*") if p.is_dir()
+    )[0]
+    shutil.rmtree(victim)
+    res2 = verify_dataset(spark, out)
+    assert not res2["ok"]
+    assert res2["actual"]["n_rows"] < res2["expected"]["n_rows"]
