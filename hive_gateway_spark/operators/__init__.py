@@ -14,4 +14,5 @@ def load_all() -> None:
         multimodal,
         advanced,
         scalar_funcs,
+        sampling,
     )

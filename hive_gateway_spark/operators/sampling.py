@@ -1,0 +1,217 @@
+"""Corpus sampling / splitting / packing operators — the selection
+stages of a training-data pipeline that sit between curation
+(operators/dedup.py) and export (sources/dataset_export.py).
+
+Reference parity: the reference gateway (src/gateway.ts) has no
+sampling layer; these implement the mandate's "operations a
+large-scale training-data pipeline would need" as first-class,
+driver-verifiable operators.
+
+Design rules shared by all three:
+
+* **Content-hash determinism, never RNG.** Split/sample membership is
+  a pure function of ``doc_id`` through the same portable affine hash
+  used by the MinHash family (p = 2³¹−1, exact int64 in both engines),
+  so a re-run, a different cluster size, or a different partition
+  layout yields the SAME split — the property that makes train/test
+  splits reproducible and contamination-auditable at 100 TB.
+* **No driver round trips.** Everything is scan → map → one shuffle
+  (partial-agg or per-group window); nothing collects.
+* **Skew-safe windows.** Anything windowed "per language" would
+  serialize a 100 TB corpus into ~30 language partitions; windows here
+  partition by (lang, shard) where shard is hash-derived, keeping
+  per-partition work bounded while staying deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hive_gateway_spark.registry import query
+from hive_gateway_spark.session import load_tables
+
+#: Portable affine hash over Z_p (p Mersenne 2³¹−1): A·x+B fits int64
+#: for any x < p, and pmod-reducing doc_id first keeps it overflow-free
+#: for arbitrary bigint ids (same fix as the KMV sketch, ADVICE r6).
+_P = (1 << 31) - 1
+_A = 1_103_515_245 % _P
+_B = 12_345
+
+#: Split thresholds over h % 1000: 80 / 10 / 10.
+_TRAIN_LT = 800
+_VAL_LT = 900
+
+#: Sequence-packing geometry: contiguous greedy fill of fixed token
+#: budgets, sharded for parallelism (see q_pack_sequences docstring).
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
+def _h(col):
+    """Spark-side portable hash of a bigint id column → [0, p)."""
+    return (F.lit(_A) * F.pmod(col, F.lit(_P)) + F.lit(_B)) % F.lit(_P)
+
+
+def _h_sql(expr: str) -> str:
+    """The identical hash as DuckDB SQL (exact int64 both engines)."""
+    return f"(({_A} * (({expr}) % {_P}) + {_B}) % {_P})"
+
+
+@query(
+    "q_split_assign",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN {_h_sql('doc_id')} % 1000 < {_TRAIN_LT} THEN 'train'
+                  WHEN {_h_sql('doc_id')} % 1000 < {_VAL_LT} THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, n_chars
+      FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY split, lang
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by content hash.
+
+    The split is a pure function of doc_id — not rand(): membership
+    survives re-runs, repartitions, and incremental appends (a new doc
+    lands in a split without moving any existing doc), which is the
+    invariant a decontamination audit (q_contamination) depends on.
+    Plan shape: scan → project (hash CASE) → partial-agg shuffle on
+    (split, lang). No window, no join — linear at any scale.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = _h(F.col("doc_id")) % 1000
+    split = (
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_h_sql('doc_id')} ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 25
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-language sample: the 25 lowest-hash docs per lang.
+
+    Hash-ordered top-N is the deterministic analog of uniform sampling
+    (the hash is uniform over Z_p, so "lowest 25 hashes" is an unbiased
+    25-doc sample) with two properties rand() lacks: reproducibility
+    and bounded-churn under appends (a new doc evicts at most one).
+
+    Scale shape: per-group top-N is rank-then-filter; with ~30
+    language strata the window sort would serialize, so at 100 TB this
+    runs as the two-phase idiom — per-partition local top-25 heap
+    (partial TakeOrdered per stratum), then a final per-stratum merge
+    of ≤25·n_partitions candidate rows. Spark's window + filter(rn<=k)
+    plan achieves the same bound via WindowGroupLimit pushdown
+    (rank-limit partial evaluation before the shuffle).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("lang").orderBy(
+        _h(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             {_h_sql('doc_id')} % {_PACK_SHARDS} AS shard,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    placed AS (
+      SELECT lang, shard, n_tok,
+             CAST(FLOOR(CAST(SUM(n_tok) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id ASC
+               ROWS UNBOUNDED PRECEDING
+             ) - n_tok AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS bin
+      FROM sized
+    )
+    SELECT lang, shard, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM placed
+    GROUP BY lang, shard, bin
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: fill fixed token budgets by contiguous cumsum.
+
+    Training dataloaders concatenate documents into fixed-length
+    sequences; the deterministic streaming analog assigns each doc to
+    bin = floor((running_token_total − own_tokens) / budget) within
+    its (lang, shard) stream, ordered by doc_id. Token counts use the
+    same BPE-ish regex as q_text_quality (letter runs / digits /
+    punctuation singletons).
+
+    Skew design: packing "per language" would make the window sort a
+    ~30-partition serialization at 100 TB; sharding each language into
+    {_PACK_SHARDS} hash-derived streams (deterministic, content-keyed)
+    keeps every window partition bounded while each shard still packs
+    optimally-contiguously. At cluster scale the shard count scales
+    with executor count (here fixed for oracle parity); the trade is
+    ≤1 underfilled tail bin per shard instead of per corpus.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    from hive_gateway_spark.operators.text import _BPE_RE
+
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        (_h(F.col("doc_id")) % _PACK_SHARDS).alias("shard"),
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.select(
+        "lang",
+        "shard",
+        "n_tok",
+        F.floor(
+            ((F.sum("n_tok").over(w) - F.col("n_tok")).cast("double"))
+            / F.lit(_PACK_BUDGET)
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return placed.groupBy("lang", "shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+    )

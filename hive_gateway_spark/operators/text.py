@@ -691,3 +691,90 @@ def q_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_waste"),
         )
     )
+
+
+@query(
+    "q_tf_idf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tok AS (
+      SELECT doc_id, word FROM toks WHERE word <> ''
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             ROUND(CAST(tf.tf AS DOUBLE)
+                   * ln((CAST(n.n AS DOUBLE) + 1.0)
+                        / (CAST(df.df AS DOUBLE) + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, df, tfidf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, word ASC
+             ) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (the classic relevance score,
+    here as the keyword-extraction stage of a curation pipeline).
+
+    Cross-engine determinism: tf/df/N are exact integers; the only
+    transcendental (ln) is rounded to 6 places before ranking — the
+    repo's standing rule for non-correctly-rounded libm ops (see
+    q_domain_mix) — and the rank tiebreak is (rounded score desc, word
+    asc), so both engines rank identically.
+
+    Scale shape: tokenize → two partial-agg shuffles (tf on
+    (doc_id, word), df on word) → df-side join. The df table is
+    vocabulary-sized (≪ corpus; Heaps' law), so Spark broadcasts it —
+    at 100 TB the tf side never reshuffles for the join. N arrives as
+    a broadcast 1-row cross join. The final per-doc top-3 window
+    partitions on doc_id (max cardinality, no skew) and prunes with
+    WindowGroupLimit before the shuffle.
+    """
+    t = load_tables(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n = t["documents"].agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -122,6 +122,13 @@ PRIORITY: tuple[str, ...] = (
 #: the window next round, so the never-verified set can only shrink).
 ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_audio_features",  # r7 late addition: WAV codec + feature report
+    # r7 sampling/selection family (operators/sampling.py + q_tf_idf):
+    # the selection stages between curation and export — deterministic
+    # content-hash split, stratified sample, sequence packing, TF-IDF.
+    "q_split_assign",
+    "q_sample_stratified",
+    "q_pack_sequences",
+    "q_tf_idf",
 )
 
 

@@ -114,3 +114,24 @@ def test_join_range_is_equi_not_bnlj(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_tf_idf_broadcasts_df_table_and_prunes_topk(spark, sf_dir):
+    """The vocabulary-sized df table must broadcast (the tf side never
+    reshuffles for the join at 100 TB) and the per-doc top-3 must prune
+    via WindowGroupLimit before the window exchange."""
+    plan = plan_of(spark, sf_dir, "q_tf_idf")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_split_assign_is_scan_project_agg(spark, sf_dir):
+    """Hash-split assignment is one linear pass: no join, no window —
+    just scan → project → partial agg → exchange → final agg."""
+    plan = plan_of(spark, sf_dir, "q_split_assign")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m and "text" not in m.group(1), plan  # never reads the body
