@@ -131,6 +131,11 @@ def _shingles_checkpointed(t) -> DataFrame:
 #: every downstream dedup job reads.
 _PAIRS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
+#: session → {pairs-plan key: checkpointed weighted edge list} for the
+#: PageRank family (see _pagerank) — degree folded in, partitioned on
+#: src, shared by q_dedup_rank / q_dedup_canonical.
+_EDGES_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
 
 def _jaccard_pairs(
     t, df_cap: int = JACCARD_DF_CAP, stats: dict | None = None
@@ -1270,12 +1275,35 @@ def _pagerank(pairs: DataFrame) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # The degree is loop-invariant: fold it into the edge list ONCE so
+    # each iteration pays a single join (edges_w ⋈ rank on src) plus
+    # the groupBy(dst) shuffle, instead of the two joins the naive loop
+    # chains. The staging is session-cached (same idiom as the pair
+    # set: both q_dedup_rank and q_dedup_canonical start from the
+    # identical edge list, one materialization feeds both and every
+    # warm re-run) and hash-partitioned on src size-adaptively — tiny
+    # fixtures stay at 1 partition, production saturates the shuffle
+    # width — so across iterations the big static side never
+    # re-shuffles; only the small rank frame moves.
+    spark = pairs.sparkSession
+    per = _EDGES_CACHE.setdefault(spark, {})
+    try:
+        key = pairs.semanticHash()
+    except Exception:  # pragma: no cover - non-classic session fallback
+        key = id(pairs)
+    edges_w = per.get(key)
+    if edges_w is None:
+        if len(per) > 8:
+            per.clear()
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        edges_w = edges.join(deg, "src").select("src", "dst", "deg")
+        npart = max(1, min(cap, edges_w.count() // 100_000))
+        edges_w = edges_w.repartition(npart, "src").localCheckpoint()
+        per[key] = edges_w
     rank = deg.select("src", F.lit(PR_SCALE).cast("bigint").alias("rank"))
     for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(rank, "src")
-            .join(deg, "src")
-            .select("dst", F.expr("rank div deg").alias("c"))
+        contrib = edges_w.join(rank, "src").select(
+            "dst", F.expr("rank div deg").alias("c")
         )
         rank = (
             contrib.groupBy("dst")
