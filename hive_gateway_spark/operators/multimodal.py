@@ -870,3 +870,140 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_sq").alias("total_sq"),
         )
     )
+
+
+@query(
+    "q_video_framesample",
+    oracle="""
+    WITH fr AS (SELECT i AS f FROM range(12) t(i)),
+    yx AS (SELECT a.i AS y, b.i AS x FROM range(4) a(i) CROSS JOIN range(8) b(i)),
+    docs AS (SELECT doc_id, 4 + doc_id % 8 AS nf FROM documents),
+    lum_s AS (
+        SELECT d.doc_id, d.nf, f, y, x,
+               (d.doc_id * 7 + f * 13 + y * 3 + x) % 256 AS yv
+        FROM docs d JOIN fr ON f < d.nf CROSS JOIN yx
+        WHERE f % 2 = 0
+    ),
+    luma AS (
+        SELECT doc_id, MAX(nf) AS nf,
+               COUNT(DISTINCT f) AS n_sampled, SUM(yv) AS luma_sum
+        FROM lum_s GROUP BY doc_id
+    ),
+    motion AS (
+        SELECT c.doc_id, SUM(ABS(c.yv - p.yv)) AS motion_sum
+        FROM lum_s c
+        JOIN lum_s p ON p.doc_id = c.doc_id AND p.y = c.y AND p.x = c.x
+                     AND p.f = c.f - 2
+        GROUP BY c.doc_id
+    ),
+    cyx AS (SELECT a.i AS y, b.i AS x FROM range(2) a(i) CROSS JOIN range(4) b(i)),
+    chroma AS (
+        SELECT d.doc_id,
+               SUM((d.doc_id * 11 + f * 5 + y * 7 + x * 2) % 256
+                   + (d.doc_id * 13 + f * 3 + y * 2 + x * 5) % 256) AS chroma_sum
+        FROM docs d JOIN fr ON f < d.nf CROSS JOIN cyx
+        WHERE d.doc_id % 2 = 0 AND f % 2 = 0
+        GROUP BY d.doc_id
+    )
+    SELECT CASE WHEN l.doc_id % 2 = 0 THEN '420' ELSE 'mono' END AS mode,
+           COUNT(*) AS n_videos,
+           CAST(SUM(l.nf) AS BIGINT) AS total_frames,
+           CAST(SUM(l.n_sampled) AS BIGINT) AS total_sampled,
+           CAST(SUM(l.luma_sum) AS BIGINT) AS luma_total,
+           CAST(SUM(COALESCE(c.chroma_sum, 0)) AS BIGINT) AS chroma_total,
+           CAST(SUM(COALESCE(m.motion_sum, 0)) AS BIGINT) AS motion_total
+    FROM luma l
+    LEFT JOIN chroma c ON c.doc_id = l.doc_id
+    LEFT JOIN motion m ON m.doc_id = l.doc_id
+    GROUP BY 1
+    """,
+)
+def q_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video leg of the multimodal family, driver-hash-verified like the
+    image and audio legs: every doc synthesizes a deterministic raw
+    clip (8×4, n = 4 + doc_id mod 8 frames; Y[f,y,x] = (doc_id·7 +
+    f·13 + y·3 + x) mod 256, analogous U/V for even ids → C420jpeg,
+    odd ids → Cmono), containerizes it through the REAL YUV4MPEG2
+    encoder (functions/y4m.py), decodes it back with the REAL parser,
+    temporally samples every 2nd DECODED frame, and computes integer
+    features from the sampled planes: luma sum, chroma sum, and a
+    motion metric (Σ|Y_f − Y_{f−2}| between consecutive sampled
+    frames — the scene-change signal a video curation pipeline keys
+    on). The oracle replays the formulas in SQL — any container,
+    plane-layout, or sampling-stride bug breaks the hash.
+
+    Scale shape: one mapInPandas pass per partition (frame bytes never
+    shuffle — decode, sample, and reduce happen where the blob lives,
+    the only viable layout when a shard of 100 TB of video transits an
+    executor); only the 2-row report aggregates. Frame sampling drops
+    half the decode-side payload BEFORE any feature work, the same
+    early-projection rule as column pruning."""
+    import numpy as np
+
+    from hive_gateway_spark.functions.y4m import y4m_decode, y4m_encode
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 4 + doc_id % 8
+                f = np.arange(nf, dtype=np.int64)[:, None, None]
+                yy = np.arange(4, dtype=np.int64)[None, :, None]
+                xx = np.arange(8, dtype=np.int64)[None, None, :]
+                yp = ((doc_id * 7 + f * 13 + yy * 3 + xx) % 256).astype(np.uint8)
+                if doc_id % 2 == 0:
+                    cy = np.arange(2, dtype=np.int64)[None, :, None]
+                    cx = np.arange(4, dtype=np.int64)[None, None, :]
+                    up = ((doc_id * 11 + f * 5 + cy * 7 + cx * 2) % 256).astype(
+                        np.uint8
+                    )
+                    vp = ((doc_id * 13 + f * 3 + cy * 2 + cx * 5) % 256).astype(
+                        np.uint8
+                    )
+                    payload = y4m_encode(yp, up, vp, colourspace="420jpeg")
+                else:
+                    payload = y4m_encode(yp, colourspace="mono")
+                d = y4m_decode(payload)
+                ys = d["y"][::2].astype(np.int64)  # temporal sample: every 2nd
+                luma = int(ys.sum())
+                motion = int(np.abs(np.diff(ys, axis=0)).sum())
+                if d["u"] is not None:
+                    chroma = int(
+                        d["u"][::2].astype(np.int64).sum()
+                        + d["v"][::2].astype(np.int64).sum()
+                    )
+                else:
+                    chroma = 0
+                rows.append(
+                    (doc_id, d["n_frames"], len(ys), luma, chroma, motion)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "nf", "n_sampled", "luma_sum", "chroma_sum",
+                "motion_sum",
+            ],
+        )
+
+    feats = docs.mapInPandas(
+        run,
+        "doc_id long, nf long, n_sampled long, luma_sum long,"
+        " chroma_sum long, motion_sum long",
+    )
+    mode = F.when(F.col("doc_id") % 2 == 0, "420").otherwise("mono")
+    return (
+        feats.withColumn("mode", mode)
+        .groupBy("mode")
+        .agg(
+            F.count("*").alias("n_videos"),
+            F.sum("nf").alias("total_frames"),
+            F.sum("n_sampled").alias("total_sampled"),
+            F.sum("luma_sum").alias("luma_total"),
+            F.sum("chroma_sum").alias("chroma_total"),
+            F.sum("motion_sum").alias("motion_total"),
+        )
+    )

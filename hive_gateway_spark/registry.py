@@ -129,6 +129,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_sample_stratified",
     "q_pack_sequences",
     "q_tf_idf",
+    # r7: video leg of the multimodal family (real Y4M codec,
+    # functions/y4m.py) — frame-sampled integer features.
+    "q_video_framesample",
 )
 
 

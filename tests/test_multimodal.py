@@ -671,3 +671,59 @@ def test_wav_codec_roundtrip_and_boundaries():
         wav_decode(b"RIFFxxxxWAVE" + b"data\xff\xff\xff\xff")
     with pytest.raises(ValueError):
         wav_decode(b"not audio")
+
+
+def test_y4m_codec_roundtrip_and_boundaries():
+    """Y4M container (functions/y4m.py): bit-exact plane round trips
+    across all three supported colourspaces, header metadata recovery,
+    and the honest NotImplementedError / ValueError boundaries."""
+    import numpy as np
+
+    from hive_gateway_spark.functions.y4m import y4m_decode, y4m_encode
+
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, (6, 8, 16), dtype=np.uint8)
+    u = rng.integers(0, 256, (6, 4, 8), dtype=np.uint8)
+    v = rng.integers(0, 256, (6, 4, 8), dtype=np.uint8)
+    d = y4m_decode(y4m_encode(y, u, v, fps=(30, 1001), colourspace="420jpeg"))
+    assert d["n_frames"] == 6 and (d["width"], d["height"]) == (16, 8)
+    assert d["fps"] == (30, 1001) and d["colourspace"] == "420jpeg"
+    assert (d["y"] == y).all() and (d["u"] == u).all() and (d["v"] == v).all()
+
+    full = rng.integers(0, 256, (3, 8, 16), dtype=np.uint8)
+    d444 = y4m_decode(y4m_encode(y[:3], full, full, colourspace="444"))
+    assert (d444["u"] == full).all()
+
+    dm = y4m_decode(y4m_encode(y, colourspace="mono"))
+    assert dm["u"] is None and (dm["y"] == y).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):  # interlaced
+        y4m_decode(b"YUV4MPEG2 W16 H8 F25:1 It C420jpeg\n")
+    with _pytest.raises(NotImplementedError):  # unsupported chroma
+        y4m_decode(b"YUV4MPEG2 W16 H8 C411\nFRAME\n" + bytes(16 * 8 * 2))
+    with _pytest.raises(ValueError):  # not y4m
+        y4m_decode(b"RIFF....")
+    with _pytest.raises(ValueError):  # truncated frame payload
+        good = y4m_encode(y, u, v)
+        y4m_decode(good[: len(good) - 5])
+    with _pytest.raises(ValueError):  # odd geometry for 420 chroma
+        y4m_decode(b"YUV4MPEG2 W15 H8 C420jpeg\n")
+
+
+def test_y4m_frame_params_tolerated_overrides_rejected():
+    """FRAME-level X extension params are legal Y4M; per-frame I/C
+    overrides are an honest boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_gateway_spark.functions.y4m import y4m_decode, y4m_encode
+
+    y = np.arange(32, dtype=np.uint8).reshape(1, 4, 8)
+    payload = y4m_encode(y, colourspace="mono")
+    tagged = payload.replace(b"FRAME\n", b"FRAME Xsecret\n")
+    assert (y4m_decode(tagged)["y"] == y).all()
+    bad = payload.replace(b"FRAME\n", b"FRAME C444\n")
+    with _pytest.raises(NotImplementedError):
+        y4m_decode(bad)
