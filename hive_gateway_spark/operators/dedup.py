@@ -1420,3 +1420,93 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 1, F.col("rank"))).alias("canonical_rank"),
         F.count("*").alias("n_members"),
     )
+
+
+#: Containment threshold: shared/min-set ≥ 0.8 as the integer predicate
+#: 5·shared ≥ 4·min. (Lee et al.'s dedup taxonomy: containment catches
+#: the doc-in-doc case — boilerplate wrapping, quote-inflation, page
+#: templates — that symmetric Jaccard structurally misses.)
+CONTAIN_NUM, CONTAIN_DEN = 4, 5
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_duck_shingles()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) > {JACCARD_DF_CAP}),
+    shc AS (
+        SELECT doc_id, shingle FROM sh
+        WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shingle = sh.shingle)
+    ),
+    rawpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CASE WHEN na.n <= nb.n THEN p.doc_a ELSE p.doc_b END AS inner_id,
+           p.shared,
+           LEAST(na.n, nb.n) AS min_sz,
+           (100 * p.shared) // LEAST(na.n, nb.n) AS contain_pct
+    FROM rawpairs p
+    JOIN sizes na ON na.doc_id = p.doc_a
+    JOIN sizes nb ON nb.doc_id = p.doc_b
+    WHERE {CONTAIN_DEN} * p.shared >= {CONTAIN_NUM} * LEAST(na.n, nb.n)
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: shared-shingles / min-set-size ≥ 0.8
+    (exact integer predicate). The asymmetric complement of
+    q_dedup_ngram's Jaccard: a short doc fully embedded in a long one
+    has tiny Jaccard (shared/union ≈ |small|/|big|) and is even PRUNED
+    by the Jaccard path's ppjoin length filter (max ≤ 2·min) — so
+    doc-in-doc duplication (template wrap, quote inflation) needs its
+    own operator. ``inner_id`` names the contained (smaller) doc — the
+    drop candidate a curation gate acts on.
+
+    Scale shape: reuses the session shingle staging and the identical
+    hot-shingle DF cap (modeled in the oracle, same as the Jaccard
+    path). No length filter is sound here — that asymmetry is the
+    semantics — so the DF cap is the only fan-out bound; the candidate
+    join stays bucketed on shingle hash and the groupBy is map-side
+    combined. Pairs that also pass Jaccard appear in both operators by
+    design (the curation pipeline unions the victim sets)."""
+    return containment_pairs(load_tables(spark, sf_dir))
+
+
+def containment_pairs(t) -> DataFrame:
+    """Core of q_dedup_containment over a {'documents': df} table dict
+    (directly callable on synthetic frames, like _jaccard_pairs)."""
+    sh = _shingles_checkpointed(t).select("doc_id", "n", "h")
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > JACCARD_DF_CAP)
+        .select("h")
+    )
+    shc = sh.join(F.broadcast(hot), "h", "left_anti")
+    a = shc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("sn_a"), "h")
+    b = shc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("sn_b"), "h")
+    cond = (F.col("a.h") == F.col("b.h")) & (F.col("doc_a") < F.col("doc_b"))
+    pairs = (
+        a.alias("a")
+        .join(b.alias("b"), cond)
+        .groupBy("doc_a", "doc_b", "sn_a", "sn_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    min_sz = F.least("sn_a", "sn_b")
+    return (
+        pairs.filter(CONTAIN_DEN * F.col("shared") >= CONTAIN_NUM * min_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("sn_a") <= F.col("sn_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("inner_id"),
+            "shared",
+            min_sz.alias("min_sz"),
+            F.expr("(100 * shared) div least(sn_a, sn_b)").alias("contain_pct"),
+        )
+    )

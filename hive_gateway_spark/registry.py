@@ -132,6 +132,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # r7: video leg of the multimodal family (real Y4M codec,
     # functions/y4m.py) — frame-sampled integer features.
     "q_video_framesample",
+    # r7: asymmetric containment dedup (doc-in-doc; shared/min ≥ 0.8).
+    "q_dedup_containment",
 )
 
 

@@ -297,3 +297,40 @@ def test_lsh_candidates_recall_vs_exact(spark, sf_dir):
     # honest without demanding full recall of borderline pairs
     recall = len(set(exact) & cand) / len(exact)
     assert recall >= 0.6, f"candidate recall {recall:.2f} on exact pairs"
+
+
+def test_containment_catches_doc_in_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment = 100%,
+    Jaccard ≈ |small|/|big| < 0.5 — q_dedup_containment must flag it
+    with the SMALL doc as inner_id, while the Jaccard path (whose
+    length filter prunes max > 2·min pairs outright) must not."""
+    import pandas as pd
+
+    from hive_gateway_spark.operators.dedup import (
+        _jaccard_pairs,
+        containment_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [small, big, "totally different content here entirely"],
+                "lang": ["en"] * 3,
+                "source": ["t"] * 3,
+                "n_chars": [len(small), len(big), 39],
+            }
+        )
+    )
+    t = {"documents": docs}
+    contain = {
+        (r["doc_a"], r["doc_b"], r["inner_id"], r["contain_pct"])
+        for r in containment_pairs(t).collect()
+    }
+    assert (1, 2, 1, 100) in contain, contain
+    jacc = {
+        (r["doc_a"], r["doc_b"]) for r in _jaccard_pairs(t).collect()
+    }
+    assert (1, 2) not in jacc, jacc
