@@ -573,3 +573,87 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_k") <= TOP_K)
         .select("query_id", "neighbor_id", "rank_k", F.round("sim", 4).alias("cos_sim"))
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    m AS (
+        SELECT vec_id, label, MAX(ABS(val)) AS m
+        FROM v GROUP BY vec_id, label
+    ),
+    q AS (
+        SELECT v.vec_id, v.label, m.m,
+               CASE WHEN v.val >= 0 THEN (v.val * 127) // m.m
+                    ELSE -((-v.val * 127) // m.m) END AS qv,
+               (ABS(v.val) * 127) % m.m AS resid
+        FROM v JOIN m ON m.vec_id = v.vec_id
+        WHERE m.m > 0
+    ),
+    per_vec AS (
+        SELECT vec_id, label,
+               SUM(qv) AS sum_q, SUM(ABS(qv)) AS abs_q, SUM(resid) AS resid,
+               MAX(m) AS m
+        FROM q GROUP BY vec_id, label
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(sum_q) AS BIGINT) AS total_q,
+           CAST(SUM(abs_q) AS BIGINT) AS total_abs_q,
+           CAST(SUM(resid) AS BIGINT) AS total_residual,
+           CAST(MAX(m) AS BIGINT) AS max_scale
+    FROM per_vec
+    GROUP BY label
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization report — the 4× memory lever that
+    makes a 100 TB ANN index fit: store/ship int8 codes + one scale per
+    vector, rescore the few candidates in full precision. Each vector's
+    code is q_i = sign(v_i)·⌊|v_i|·127 / m⌋ with m = max|v_i| over the
+    already-exact int64 staging, so the codes, their sums, AND the
+    reconstruction residual (Σ (|v_i|·127) mod m — the truncation error
+    in 1/127-of-scale units) are pure integer arithmetic: exactly
+    hash-verifiable, no float rounding anywhere. The sign-split
+    division keeps Spark's truncating `div` and DuckDB's flooring `//`
+    on positive operands only, where they agree.
+
+    Scale shape: one narrow projection over the embeddings staging
+    (higher-order transform/aggregate, whole-stage codegen, no UDF) →
+    per-label partial agg. Zero-vectors are excluded (m = 0 has no
+    code), mirrored in the oracle."""
+    t = load_tables(spark, sf_dir)
+    vq = _quantized(t)
+    m = F.expr("array_max(transform(v, x -> abs(x)))")
+    q = F.expr(
+        "transform(v, x -> CASE WHEN x >= 0 THEN (x * 127) div m"
+        " ELSE -((-x * 127) div m) END)"
+    )
+    resid = F.expr(
+        "aggregate(transform(v, x -> (abs(x) * 127) % m),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    per_vec = (
+        vq.withColumn("m", m)
+        .filter(F.col("m") > 0)
+        .withColumn("q", q)
+        .select(
+            "label",
+            "m",
+            F.expr(
+                "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("sum_q"),
+            F.expr(
+                "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))"
+            ).alias("abs_q"),
+            resid.alias("resid"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("sum_q").cast("bigint").alias("total_q"),
+        F.sum("abs_q").cast("bigint").alias("total_abs_q"),
+        F.sum("resid").cast("bigint").alias("total_residual"),
+        F.max("m").cast("bigint").alias("max_scale"),
+    )

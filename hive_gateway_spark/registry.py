@@ -134,6 +134,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_video_framesample",
     # r7: asymmetric containment dedup (doc-in-doc; shared/min ≥ 0.8).
     "q_dedup_containment",
+    # r7: int8 embedding quantization (integer-exact codes + residual).
+    "q_embed_quantize",
 )
 
 

@@ -116,3 +116,30 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert all(len(v) == 5 for v in L.values())
     recall = sum(len(L[q] & E[q]) for q in E) / sum(len(E[q]) for q in E)
     assert recall >= 0.5, f"LSH recall {recall:.2f}"
+
+
+def test_embed_quantize_codes_in_int8_range(spark, sf_dir):
+    """Every code fits int8 ([-127, 127]), the max-|v| component maps to
+    exactly ±127, and the per-element residual is < m (the division
+    remainder bound) — the invariants that make the int8 codes a valid
+    4× compression of the int64 staging."""
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.operators.similarity import _quantized
+    from hive_gateway_spark.session import load_tables
+
+    vq = _quantized(load_tables(spark, sf_dir)).withColumn(
+        "m", F.expr("array_max(transform(v, x -> abs(x)))")
+    ).filter(F.col("m") > 0)
+    q = vq.withColumn(
+        "q",
+        F.expr(
+            "transform(v, x -> CASE WHEN x >= 0 THEN (x * 127) div m"
+            " ELSE -((-x * 127) div m) END)"
+        ),
+    )
+    bad = q.filter(
+        F.expr("exists(q, x -> abs(x) > 127)")
+        | ~F.expr("exists(q, x -> abs(x) = 127)")
+    ).count()
+    assert bad == 0
