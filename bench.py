@@ -80,6 +80,14 @@ HEADLINE_R6 = [
 HEADLINE_R7 = [
     "q_lsh_candidates",
     "q_dedup_canonical",
+    # late-r7 additions: the heaviest of the new selection/multimodal
+    # family — tokenize-join (tf-idf), window packing, shingle-join
+    # containment, codec mapInPandas (video), HOF quantization.
+    "q_tf_idf",
+    "q_pack_sequences",
+    "q_dedup_containment",
+    "q_video_framesample",
+    "q_embed_quantize",
 ]
 
 
