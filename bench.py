@@ -88,6 +88,12 @@ HEADLINE_R7 = [
     "q_dedup_containment",
     "q_video_framesample",
     "q_embed_quantize",
+    # corpus-statistics family: gram inverted file (substring dedup),
+    # chunk rebuild (boilerplate), bigram LM scoring, DSIR selection.
+    "q_dedup_substring",
+    "q_boilerplate_chunks",
+    "q_lm_perplexity",
+    "q_dsir_weights",
 ]
 
 

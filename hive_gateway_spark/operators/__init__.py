@@ -15,4 +15,5 @@ def load_all() -> None:
         advanced,
         scalar_funcs,
         sampling,
+        corpus,
     )

@@ -1,0 +1,530 @@
+"""Corpus-level statistical curation operators — the published-recipe
+stages a 100 TB training-data pipeline runs between raw ingest and
+selection:
+
+- exact duplicated-span detection (suffix-style substring dedup, after
+  Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+  Better" — theirs is a suffix array over the concatenated corpus; the
+  Spark-first equivalent is a rolling token-k-gram inverted index),
+- shared-chunk boilerplate removal (after CCNet's duplicated-paragraph
+  filter: drop text blocks that recur across many documents),
+- bigram-LM negative-log-likelihood scoring (the KenLM-perplexity
+  quality signal, add-1 smoothed, made hash-verifiable by the repo's
+  round-6 libm rule + exact decimal summation),
+- DSIR importance weights (Xie et al. 2023 "Data Selection for
+  Language Models via Importance Resampling": hashed unigram-feature
+  log-ratio of a target domain vs the raw corpus, deterministic top-N
+  selection).
+
+Reference parity: the reference gateway (src/gateway.ts) has no corpus
+analytics at all — these extend SURVEY §2.3's LLM-pipeline mandate
+(dedup/quality family) with the cross-document statistical passes the
+§2.3 operators feed.
+
+All four stay entirely JVM-side (split/posexplode/higher-order
+functions, no Python UDFs). Cross-engine determinism follows the
+module rules of text.py: counts are exact integers, every ln() is
+rounded to 6 dp before use (q_tf_idf precedent), and sums of rounded
+doubles go through exact DECIMAL casts so addition order cannot drift
+the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hive_gateway_spark.registry import query
+from hive_gateway_spark.session import load_tables
+
+#: Duplicated-span width in tokens. Lee et al. use 50-token character
+#: spans on web corpora; the fixture docs run 10-99 tokens, so k=8
+#: keeps spans long enough to be non-accidental (random 8-gram
+#: collision over the fixture vocabulary is ~0) and short enough that
+#: every doc carries spans.
+SPAN_K = 8
+
+#: Boilerplate chunk geometry: non-overlapping windows of CHUNK_W
+#: tokens (a "paragraph" of the newline-free fixture text); a chunk is
+#: boilerplate when its exact text occurs in >= BOILER_DF distinct docs.
+CHUNK_W = 10
+BOILER_DF = 3
+
+#: DSIR hashed-feature geometry: unigram features hashed into B buckets
+#: (the paper's hashed n-gram features), target domain = lang 'en',
+#: deterministic selection of the DSIR_TOP highest-weight docs.
+DSIR_B = 64
+DSIR_TARGET_LANG = "en"
+DSIR_TOP = 100
+
+#: Portable per-char polynomial word fingerprint mod p — same
+#: engine-neutral arithmetic as dedup._MH_HV_DUCK (xxhash64 seeds
+#: differ between engines, so hash-verified bucketing must not use it).
+_HV_P = (1 << 31) - 1
+
+_HV_SPARK = (
+    "aggregate(zip_with(split(word, ''), sequence(1, length(word)), "
+    f"(c, i) -> (ascii(c) * (CAST(i AS BIGINT) * 131 + 7)) % {_HV_P}), "
+    f"CAST(0 AS BIGINT), (acc, x) -> (acc + x) % {_HV_P})"
+)
+
+_HV_DUCK = f"""
+    CAST(list_sum(list_transform(range(1, length(word) + 1),
+         i -> (ord(substr(word, i, 1)) * (i * 131 + 7)) % {_HV_P})) AS BIGINT)
+    % {_HV_P}
+"""
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(list_slice(words, i + 1, i + {SPAN_K}), ' ')
+                 AS gram
+        FROM w, UNNEST(range(len(words) - {SPAN_K} + 1)) AS t(i)
+        WHERE len(words) >= {SPAN_K}
+    ),
+    dup AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    spans AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    cover AS (
+        SELECT doc_id, COUNT(DISTINCT pos + j) AS dup_tokens
+        FROM spans, UNNEST(range({SPAN_K})) AS t(j)
+        GROUP BY doc_id
+    ),
+    per AS (
+        SELECT doc_id, COUNT(*) AS n_spans FROM g GROUP BY doc_id
+    ),
+    base AS (
+        SELECT doc_id, len(words) AS n_tokens FROM w
+        WHERE len(words) >= {SPAN_K}
+    )
+    SELECT base.doc_id,
+           CAST(base.n_tokens AS BIGINT) AS n_tokens,
+           CAST(per.n_spans AS BIGINT) AS n_spans,
+           CAST(COALESCE(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(cover.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(cover.dup_tokens, 0) AS DOUBLE)
+             / CAST(base.n_tokens AS DOUBLE) AS dup_ratio
+    FROM base
+    JOIN per USING (doc_id)
+    LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_dup_spans FROM spans GROUP BY doc_id
+    ) d USING (doc_id)
+    LEFT JOIN cover USING (doc_id)
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span report (Lee et al. 2022, Spark-first): for
+    every doc, how many of its rolling {SPAN_K}-token spans also occur
+    verbatim in ANOTHER document, and what fraction of its tokens at
+    least one such span covers. The duplicated-coverage ratio is the
+    drop/trim signal exact-substring dedup acts on.
+
+    Scale shape: one posexplode builds the (doc, pos, gram) inverted
+    file; the gram DF aggregate is map-side combined; the dup-gram set
+    (boilerplate + planted dup clusters, tiny vs the corpus under
+    Zipf) broadcasts back onto the gram stream, so the big side
+    shuffles once on gram. Coverage explodes only DUPLICATED spans
+    ({SPAN_K}x that subset, not the corpus) before a per-doc count.
+    At 100 TB the gram key would carry a 16 B hash instead of the
+    string (the q_dedup_ngram staging trick); the oracle keeps the
+    string form which is value-identical."""
+    return substring_report(load_tables(spark, sf_dir)["documents"])
+
+
+def substring_report(docs: DataFrame) -> DataFrame:
+    """Core of q_dedup_substring over any (doc_id, text) frame."""
+    w = docs.withColumn("words", F.split("text", " ")).filter(
+        F.size("words") >= SPAN_K
+    )
+    g = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(words) - {SPAN_K}), "
+                f"i -> concat_ws(' ', slice(words, i + 1, {SPAN_K})))"
+            )
+        ).alias("pos", "gram"),
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "gram")
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gram")
+    )
+    spans = g.join(F.broadcast(dup), "gram").select("doc_id", "pos")
+    cover = (
+        spans.select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {SPAN_K} - 1)")).alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("dup_tokens"))
+    )
+    dcount = spans.groupBy("doc_id").agg(F.count("*").alias("n_dup_spans"))
+    per = g.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    base = w.select("doc_id", F.size("words").cast("bigint").alias("n_tokens"))
+    return (
+        base.join(per, "doc_id")
+        .join(dcount, "doc_id", "left")
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
+    "q_boilerplate_chunks",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS cidx,
+               array_to_string(
+                 list_slice(words, i * {CHUNK_W} + 1, (i + 1) * {CHUNK_W}), ' ')
+                 AS chunk
+        FROM w, UNNEST(range((len(words) + {CHUNK_W} - 1) // {CHUNK_W}))
+               AS t(i)
+    ),
+    boiler AS (
+        SELECT chunk FROM c GROUP BY chunk
+        HAVING COUNT(DISTINCT doc_id) >= {BOILER_DF}
+    ),
+    marked AS (
+        SELECT c.doc_id, c.cidx, c.chunk,
+               (b.chunk IS NOT NULL) AS is_boiler
+        FROM c LEFT JOIN boiler b USING (chunk)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN is_boiler
+                         THEN len(string_split(chunk, ' ')) ELSE 0 END)
+                AS BIGINT) AS removed_tokens,
+           COALESCE(string_agg(CASE WHEN NOT is_boiler THEN chunk END,
+                               ' ' ORDER BY cidx), '') AS clean_text
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: cut every {CHUNK_W}-token chunk
+    whose exact text recurs in >= {BOILER_DF} distinct documents
+    (navigation bars, license headers, planted dup-cluster bodies) and
+    emit the REBUILT document — the rewritten corpus, not just a
+    report. clean_text is the positional re-join of surviving chunks,
+    so the driver hash pins the whole rewrite.
+
+    Scale shape: chunking is in-row (one posexplode, corpus-size/10
+    rows); the boilerplate set is a map-side-combined DF aggregate
+    whose >= {BOILER_DF} survivors are vocabulary-small and broadcast
+    back; the rebuild is one groupBy(doc_id) with an in-row positional
+    sort (array_sort over (cidx, chunk) structs — no per-group window).
+    Chunk text would again be a hash at 100 TB, with the rebuild
+    carrying chunk bytes only for survivors."""
+    return boilerplate_report(load_tables(spark, sf_dir)["documents"])
+
+
+def boilerplate_report(docs: DataFrame) -> DataFrame:
+    """Core of q_boilerplate_chunks over any (doc_id, text) frame."""
+    w = docs.withColumn("words", F.split("text", " "))
+    c = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(words) / {CHUNK_W}.0) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(words, i * {CHUNK_W} + 1, {CHUNK_W})))"
+            )
+        ).alias("cidx", "chunk"),
+    ).select("doc_id", F.col("cidx").cast("bigint").alias("cidx"), "chunk")
+    boiler = (
+        c.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= BOILER_DF)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+    )
+    marked = c.join(F.broadcast(boiler), "chunk", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("cidx"), F.col("chunk"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(
+                F.when(F.col("is_boiler"), F.size(F.split("chunk", " "))).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("removed_tokens"),
+            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_removed",
+            "removed_tokens",
+            F.concat_ws(
+                " ", F.expr("transform(_kept, x -> x.chunk)")
+            ).alias("clean_text"),
+        )
+    )
+
+
+@query(
+    "q_lm_perplexity",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, words[i + 1] AS w1, words[i + 2] AS w2
+        FROM w, UNNEST(range(len(words) - 1)) AS t(i)
+        WHERE len(words) >= 2
+    ),
+    d2 AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY doc_id, w1, w2
+    ),
+    c2 AS (SELECT w1, w2, SUM(tf) AS c2 FROM d2 GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+    v AS (
+        SELECT COUNT(DISTINCT word) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    ),
+    terms AS (
+        SELECT d2.doc_id, d2.tf,
+               CAST(ROUND(-ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+                              / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))),
+                          6) AS DECIMAL(18,6)) AS nll6
+        FROM d2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(tf AS DECIMAL(18,0)) * nll6) AS DOUBLE) AS sum_nll,
+           CAST(CAST(SUM(CAST(tf AS DECIMAL(18,0)) * nll6) AS DOUBLE)
+                / CAST(SUM(tf) AS DOUBLE) AS DOUBLE) AS mean_nll
+    FROM terms
+    GROUP BY doc_id
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (the KenLM-perplexity filtering signal,
+    trained on the corpus itself): per doc, the add-1-smoothed negative
+    log-likelihood sum and mean over its bigrams. High mean_nll = the
+    doc's word transitions are improbable under the corpus LM =
+    gibberish candidate; low = fluent/boilerplate.
+
+    Made hash-verifiable (the thing perplexity scores normally aren't)
+    by the repo's two standing rules: each -ln((c2+1)/(c1+V)) term is
+    rounded to 6 dp (q_tf_idf's libm rule — the division of exact
+    integers is one IEEE op, bit-equal in both engines), and the
+    per-doc sum runs in exact DECIMAL so neither engine's addition
+    order matters. V, c1, c2 are exact integer counts.
+
+    Scale shape: bigrams are built in-row (zip the words array with
+    its own tail — no self-join); (doc,w1,w2) term frequencies and the
+    corpus tables c2/c1 are map-side-combined aggregates; c2/c1 are
+    vocabulary-sized (Heaps' law) so both sides of the scoring join
+    broadcast, and the final per-doc fold is one partial-agg shuffle
+    on doc_id. V rides in as a broadcast 1-row cross join."""
+    return perplexity_report(load_tables(spark, sf_dir)["documents"])
+
+
+def perplexity_report(docs: DataFrame) -> DataFrame:
+    """Core of q_lm_perplexity over any (doc_id, text) frame."""
+    w = docs.withColumn("words", F.split("text", " "))
+    bg = (
+        w.filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 2), "
+                    "i -> struct(words[i] AS w1, words[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    d2 = (
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf")).localCheckpoint()
+    )
+    c2 = d2.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = (
+        docs
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    nll6 = F.round(
+        -F.log(
+            (F.col("c2").cast("double") + F.lit(1.0))
+            / (F.col("c1").cast("double") + F.col("v").cast("double"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    terms = (
+        d2.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "tf", nll6.alias("nll6"))
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("tf").cast("decimal(18,0)") * F.col("nll6"))
+        .cast("double")
+        .alias("sum_nll"),
+        (
+            F.sum(F.col("tf").cast("decimal(18,0)") * F.col("nll6")).cast("double")
+            / F.sum("tf").cast("double")
+        ).alias("mean_nll"),
+    )
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, word
+        FROM (SELECT doc_id, lang,
+                     unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> ''
+    ),
+    hb AS (
+        SELECT doc_id, lang, ({_HV_DUCK}) % {DSIR_B} AS b FROM tok
+    ),
+    buckets AS (SELECT CAST(range AS BIGINT) AS b FROM range({DSIR_B})),
+    tcnt AS (
+        SELECT b, COUNT(*) AS ct FROM hb
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+    ),
+    rcnt AS (SELECT b, COUNT(*) AS cr FROM hb GROUP BY b),
+    tot AS (
+        SELECT SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                 AS nt,
+               COUNT(*) AS nr
+        FROM hb
+    ),
+    coef AS (
+        SELECT buckets.b,
+               CAST(ROUND(ln((CAST(COALESCE(tcnt.ct, 0) AS DOUBLE) + 1.0)
+                             / (CAST(tot.nt AS DOUBLE) + {DSIR_B}.0)), 6)
+                    AS DECIMAL(18,6))
+               - CAST(ROUND(ln((CAST(COALESCE(rcnt.cr, 0) AS DOUBLE) + 1.0)
+                               / (CAST(tot.nr AS DOUBLE) + {DSIR_B}.0)), 6)
+                      AS DECIMAL(18,6)) AS coef
+        FROM buckets LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b)
+        CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT hb.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(coef.coef) AS DOUBLE) AS logw
+        FROM hb JOIN coef USING (b)
+        GROUP BY hb.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, logw
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id ASC) AS rn
+        FROM scored
+    )
+    WHERE rn <= {DSIR_TOP}
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): importance weight
+    log w(doc) = sum over tokens of [ln p_target(bucket) -
+    ln p_raw(bucket)] with hashed unigram features ({DSIR_B} buckets,
+    portable per-char polynomial hash), target = lang
+    '{DSIR_TARGET_LANG}' docs, raw = whole corpus; add-1 smoothing on
+    both distributions; returns the deterministic top-{DSIR_TOP}
+    selection (logw desc, doc_id asc). Hash-verified end-to-end: the
+    two ln terms are rounded to 6 dp and subtracted/summed in exact
+    DECIMAL, so both engines produce the identical weight and the
+    identical selection.
+
+    Scale shape: the token stream maps to {DSIR_B} buckets in-row;
+    both distributions are {DSIR_B}-row aggregates (map-side combined);
+    the coefficient table is {DSIR_B} rows and broadcasts onto the
+    token stream (no shuffle of the big side beyond the per-doc fold);
+    the global top-{DSIR_TOP} is a TakeOrdered, not a full sort. At
+    100 TB the only O(corpus) shuffle is the groupBy(doc_id) fold."""
+    return dsir_report(load_tables(spark, sf_dir)["documents"])
+
+
+def dsir_report(docs: DataFrame, top: int = DSIR_TOP) -> DataFrame:
+    """Core of q_dsir_weights over any (doc_id, lang, text) frame."""
+    tok = (
+        docs
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    hb = tok.select(
+        "doc_id", "lang", (F.expr(_HV_SPARK) % DSIR_B).alias("b")
+    )
+    buckets = docs.sparkSession.range(DSIR_B).select(
+        F.col("id").cast("bigint").alias("b")
+    )
+    tcnt = (
+        hb.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    rcnt = hb.groupBy("b").agg(F.count("*").alias("cr"))
+    tot = hb.agg(
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)).alias("nt"),
+        F.count("*").alias("nr"),
+    )
+    rln = lambda cnt, total: F.round(  # noqa: E731
+        F.log(
+            (F.coalesce(cnt, F.lit(0)).cast("double") + F.lit(1.0))
+            / (total.cast("double") + F.lit(float(DSIR_B)))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    coef = (
+        buckets.join(tcnt, "b", "left")
+        .join(rcnt, "b", "left")
+        .crossJoin(tot)
+        .select(
+            "b",
+            (rln(F.col("ct"), F.col("nt")) - rln(F.col("cr"), F.col("nr"))).alias(
+                "coef"
+            ),
+        )
+    )
+    scored = (
+        hb.join(F.broadcast(coef), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("coef").cast("double").alias("logw"),
+        )
+    )
+    wnd = Window.orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= top)
+        .drop("rn")
+    )

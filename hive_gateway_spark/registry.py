@@ -136,6 +136,13 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_dedup_containment",
     # r7: int8 embedding quantization (integer-exact codes + residual).
     "q_embed_quantize",
+    # r7: corpus-statistics curation family (operators/corpus.py) —
+    # exact duplicated-span dedup (Lee et al. 2022), CCNet boilerplate
+    # chunk removal, bigram-LM NLL scoring, DSIR importance weights.
+    "q_dedup_substring",
+    "q_boilerplate_chunks",
+    "q_lm_perplexity",
+    "q_dsir_weights",
 )
 
 

@@ -1,0 +1,177 @@
+"""Semantic invariants of the corpus-statistics curation family
+(operators/corpus.py) on PLANTED fixture-independent data, beyond the
+DuckDB parity gate (tests/test_parity.py covers all four oracles)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hive_gateway_spark import registry
+from hive_gateway_spark.operators.corpus import (
+    BOILER_DF,
+    SPAN_K,
+    boilerplate_report,
+    dsir_report,
+    perplexity_report,
+    substring_report,
+)
+
+registry.load_all()
+
+
+def _docs(spark, rows, schema="doc_id bigint, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------- substring
+
+SHARED = "alpha beta gamma delta epsilon zeta eta theta"  # exactly SPAN_K tokens
+assert len(SHARED.split()) == SPAN_K
+
+
+def test_substring_detects_planted_cross_doc_span(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, SHARED + " one two three four"),
+            (2, "nine ten eleven twelve " + SHARED),
+            (3, "completely unrelated words with no shared span at all here"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in substring_report(docs).collect()}
+    # docs 1 and 2 share exactly one SPAN_K-gram (the planted run);
+    # every position of the shared run is covered in both docs
+    assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
+    assert out[1]["dup_tokens"] == SPAN_K and out[2]["dup_tokens"] == SPAN_K
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[3]["dup_ratio"] == 0.0
+    # a full-duplicate pair covers every token
+    dup = _docs(spark, [(10, SHARED + " " + SHARED), (11, SHARED + " " + SHARED)])
+    for r in substring_report(dup).collect():
+        assert r["dup_ratio"] == 1.0
+
+
+def test_substring_ignores_within_doc_repeats(spark):
+    """A span repeated inside ONE doc is q_doc_repetition's business,
+    not cross-doc dedup's: no other doc has it, so it must not count."""
+    docs = _docs(
+        spark,
+        [
+            (1, SHARED + " filler " + SHARED),
+            (2, "totally different text with many distinct words in this doc"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in substring_report(docs).collect()}
+    assert out[1]["n_dup_spans"] == 0 and out[1]["dup_tokens"] == 0
+
+
+# -------------------------------------------------------------- boilerplate
+
+FOOTER = "visit our site for more great content every single day"  # 10 tokens
+
+
+def test_boilerplate_chunk_removed_and_text_rebuilt(spark):
+    bodies = [
+        "unique words number %d something else entirely original content here" % i
+        for i in range(BOILER_DF)
+    ]
+    docs = _docs(
+        spark,
+        [(i, bodies[i] + " " + FOOTER) for i in range(BOILER_DF)]
+        + [(99, "a clean document with no boilerplate footer attached at all")],
+    )
+    out = {r["doc_id"]: r.asDict() for r in boilerplate_report(docs).collect()}
+    for i in range(BOILER_DF):
+        assert out[i]["n_removed"] == 1
+        assert out[i]["removed_tokens"] == 10
+        assert out[i]["clean_text"] == bodies[i]  # rebuild drops ONLY the footer
+    assert out[99]["n_removed"] == 0
+    assert out[99]["clean_text"] == "a clean document with no boilerplate footer attached at all"
+
+
+def test_boilerplate_below_df_threshold_survives(spark):
+    """A chunk shared by fewer than BOILER_DF docs is legitimate
+    near-dup (the Jaccard family's business), not boilerplate."""
+    docs = _docs(
+        spark,
+        [
+            (1, FOOTER + " trailing words one"),
+            (2, FOOTER + " trailing words two"),
+            (3, "an unrelated third document body with its own words here now"),
+        ],
+    )
+    assert BOILER_DF > 2
+    out = {r["doc_id"]: r.asDict() for r in boilerplate_report(docs).collect()}
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+    assert out[1]["clean_text"].startswith(FOOTER)
+
+
+def test_boilerplate_all_removed_yields_empty_text(spark):
+    docs = _docs(spark, [(i, FOOTER) for i in range(BOILER_DF + 1)])
+    for r in boilerplate_report(docs).collect():
+        assert r["n_removed"] == r["n_chunks"] == 1
+        assert r["clean_text"] == ""
+
+
+# -------------------------------------------------------------- perplexity
+
+def test_perplexity_matches_hand_computed_bigram_model(spark):
+    """3-doc corpus small enough to hand-check: c2/c1/V counted by
+    hand, each term round(-ln((c2+1)/(c1+V)), 6), decimal-summed."""
+    docs = _docs(spark, [(1, "a b a b"), (2, "a b c"), (3, "c c")])
+    # corpus bigrams: d1: (a,b)x2 (b,a)x1 ; d2: (a,b) (b,c) ; d3: (c,c)
+    # c2: (a,b)=3 (b,a)=1 (b,c)=1 (c,c)=1 ; c1: a=3 b=2 c=1 ; V=3
+    out = {r["doc_id"]: r.asDict() for r in perplexity_report(docs).collect()}
+
+    def term(c2, c1):
+        return round(-math.log((c2 + 1.0) / (c1 + 3.0)), 6)
+
+    d1 = 2 * term(3, 3) + term(1, 2)
+    d2 = term(3, 3) + term(1, 2)
+    d3 = term(1, 1)
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["sum_nll"] - d1) < 1e-9
+    assert abs(out[2]["sum_nll"] - d2) < 1e-9
+    assert abs(out[3]["sum_nll"] - d3) < 1e-9
+    assert abs(out[1]["mean_nll"] - d1 / 3) < 1e-9
+
+
+def test_perplexity_flags_shuffled_doc_above_fluent_dup(spark, sf_dir):
+    """The operator's purpose: a doc made of corpus words in an order
+    the corpus never uses scores a higher mean NLL than a doc whose
+    bigrams all recur. Build both from the same vocabulary."""
+    fluent = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(
+        spark,
+        [(i, fluent) for i in range(1, 6)]
+        + [(99, "dog the over quick lazy jumps brown the fox")],
+    )
+    out = {r["doc_id"]: r["mean_nll"] for r in perplexity_report(docs).collect()}
+    assert out[99] > out[1]
+
+
+# -------------------------------------------------------------------- dsir
+
+def test_dsir_prefers_target_like_documents(spark):
+    """Docs drawn from the target-domain vocabulary must outweigh docs
+    from the disjoint raw-only vocabulary."""
+    target_text = "market price trade stock yield bond rate index fund asset"
+    raw_text = "lizard volcano nebula glacier fungus quark comet tundra moss fjord"
+    rows = (
+        [(i, target_text, "en") for i in range(20)]
+        + [(100 + i, raw_text, "fr") for i in range(20)]
+    )
+    docs = _docs(spark, rows, "doc_id bigint, text string, lang string")
+    out = dsir_report(docs, top=40).collect()
+    logw = {r["doc_id"]: r["logw"] for r in out}
+    assert min(logw[i] for i in range(20)) > max(logw[100 + i] for i in range(20))
+
+
+def test_dsir_selection_is_deterministic_topk(spark, sf_dir):
+    a = registry.QUERIES["q_dsir_weights"](spark, sf_dir).collect()
+    b = registry.QUERIES["q_dsir_weights"](spark, sf_dir).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    ws = [r["logw"] for r in a]
+    assert ws == sorted(ws, reverse=True)
