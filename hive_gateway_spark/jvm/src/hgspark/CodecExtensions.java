@@ -1,0 +1,31 @@
+package hgspark;
+
+import org.apache.spark.sql.SparkSession;
+import org.apache.spark.sql.SparkSessionExtensions;
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.catalyst.rules.Rule;
+import scala.runtime.BoxedUnit;
+
+/**
+ * spark.sql.extensions entry point: injects {@link CodecIdentityRule}
+ * into the session optimizer. Scala's Function1 is a SAM interface in
+ * 2.13, so plain Java classes satisfy both the extension contract and
+ * the rule-builder argument.
+ */
+public class CodecExtensions
+    implements scala.Function1<SparkSessionExtensions, BoxedUnit> {
+
+  private static final class Builder
+      implements scala.Function1<SparkSession, Rule<LogicalPlan>> {
+    @Override
+    public Rule<LogicalPlan> apply(SparkSession session) {
+      return new CodecIdentityRule();
+    }
+  }
+
+  @Override
+  public BoxedUnit apply(SparkSessionExtensions extensions) {
+    extensions.injectOptimizerRule(new Builder());
+    return BoxedUnit.UNIT;
+  }
+}

