@@ -61,11 +61,18 @@ DSIR_TOP = 100
 #: differ between engines, so hash-verified bucketing must not use it).
 _HV_P = (1 << 31) - 1
 
-_HV_SPARK = (
-    "aggregate(zip_with(split(word, ''), sequence(1, length(word)), "
-    f"(c, i) -> (ascii(c) * (CAST(i AS BIGINT) * 131 + 7)) % {_HV_P}), "
-    f"CAST(0 AS BIGINT), (acc, x) -> (acc + x) % {_HV_P})"
-)
+def hv_sql(var: str) -> str:
+    """The fingerprint as a SQL expression over variable/column `var`
+    (parameterized so stream_dsir_score can apply it to a HOF lambda
+    variable in-row)."""
+    return (
+        f"aggregate(zip_with(split({var}, ''), sequence(1, length({var})), "
+        f"(c, i) -> (ascii(c) * (CAST(i AS BIGINT) * 131 + 7)) % {_HV_P}), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc + x) % {_HV_P})"
+    )
+
+
+_HV_SPARK = hv_sql("word")
 
 _HV_DUCK = f"""
     CAST(list_sum(list_transform(range(1, length(word) + 1),
@@ -143,22 +150,27 @@ def substring_report(docs: DataFrame) -> DataFrame:
     w = docs.withColumn("words", F.split("text", " ")).filter(
         F.size("words") >= SPAN_K
     )
+    # The gram STRING never leaves the row: it collapses to a 64-bit
+    # xxhash64 before the DF aggregate and the span join, so the
+    # corpus-sized shuffle moves 8 B keys instead of ~50 B strings (the
+    # q_dedup_ngram staging trick; the oracle keeps the string form,
+    # which is value-identical short of a 64-bit collision).
     g = w.select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(words) - {SPAN_K}), "
-                f"i -> concat_ws(' ', slice(words, i + 1, {SPAN_K})))"
+                f"i -> xxhash64(concat_ws(' ', slice(words, i + 1, {SPAN_K}))))"
             )
-        ).alias("pos", "gram"),
-    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "gram")
+        ).alias("pos", "h"),
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "h")
     dup = (
-        g.groupBy("gram")
+        g.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("ndocs"))
         .filter(F.col("ndocs") >= 2)
-        .select("gram")
+        .select("h")
     )
-    spans = g.join(F.broadcast(dup), "gram").select("doc_id", "pos")
+    spans = g.join(F.broadcast(dup), "h").select("doc_id", "pos")
     cover = (
         spans.select(
             "doc_id", F.explode(F.expr(f"sequence(pos, pos + {SPAN_K} - 1)")).alias("p")
@@ -473,8 +485,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_report(load_tables(spark, sf_dir)["documents"])
 
 
-def dsir_report(docs: DataFrame, top: int = DSIR_TOP) -> DataFrame:
-    """Core of q_dsir_weights over any (doc_id, lang, text) frame."""
+def _dsir_token_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b) — one row per token occurrence, mapped to its
+    hashed feature bucket."""
     tok = (
         docs
         .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
@@ -493,17 +506,30 @@ def dsir_report(docs: DataFrame, top: int = DSIR_TOP) -> DataFrame:
         .distinct()
         .select("word", (F.expr(_HV_SPARK) % DSIR_B).alias("b"))
     )
-    hb = tok.join(F.broadcast(wmap), "word").select("doc_id", "lang", "b")
+    return tok.join(F.broadcast(wmap), "word").select("doc_id", "lang", "b")
+
+
+def dsir_coefficients(docs: DataFrame, hb: DataFrame | None = None) -> DataFrame:
+    """The trained DSIR model: per-bucket coefficient table
+    (b, coef DECIMAL(18,6)) = round6(ln p_target) − round6(ln p_raw),
+    add-1 smoothed over {DSIR_B} buckets. {DSIR_B} rows — the artifact
+    a production pipeline trains offline and broadcasts at ingest
+    (streaming twin: streaming.ops.stream_dsir_score)."""
+    if hb is None:
+        hb = _dsir_token_buckets(docs)
     buckets = docs.sparkSession.range(DSIR_B).select(
         F.col("id").cast("bigint").alias("b")
     )
     is_target = F.col("lang") == DSIR_TARGET_LANG
-    tcnt = hb.filter(is_target).groupBy("b").agg(F.count("*").alias("ct"))
-    rcnt = hb.groupBy("b").agg(F.count("*").alias("cr"))
-    tot = hb.agg(
-        F.sum(F.when(is_target, 1).otherwise(0)).alias("nt"),
-        F.count("*").alias("nr"),
+    # ONE corpus-sized aggregation yields both distributions (64 rows);
+    # the totals then fold from those 64 rows for free. (The earlier
+    # three-separate-aggregates shape re-ran the tokenize subtree per
+    # aggregate — 100k-doc smoke: dsir 32.6 → 12.4 s.)
+    bcnt = hb.groupBy("b").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cr"),
     )
+    tot = bcnt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     rln = lambda cnt, total: F.round(  # noqa: E731
         F.log(
             (F.coalesce(cnt, F.lit(0)).cast("double") + F.lit(1.0))
@@ -511,9 +537,8 @@ def dsir_report(docs: DataFrame, top: int = DSIR_TOP) -> DataFrame:
         ),
         6,
     ).cast("decimal(18,6)")
-    coef = (
-        buckets.join(tcnt, "b", "left")
-        .join(rcnt, "b", "left")
+    return (
+        buckets.join(bcnt, "b", "left")
         .crossJoin(tot)
         .select(
             "b",
@@ -522,6 +547,17 @@ def dsir_report(docs: DataFrame, top: int = DSIR_TOP) -> DataFrame:
             ),
         )
     )
+
+
+def dsir_report(docs: DataFrame, top: int = DSIR_TOP) -> DataFrame:
+    """Core of q_dsir_weights over any (doc_id, lang, text) frame.
+
+    The occurrence→bucket stream feeds both the model (coefficients)
+    and the scoring fold, so it is staged once (localCheckpoint — the
+    same staging-table pattern as dedup._SHINGLE_CACHE; on a cluster
+    this is the materialized hashed-feature table)."""
+    hb = _dsir_token_buckets(docs).localCheckpoint()
+    coef = dsir_coefficients(docs, hb=hb)
     scored = (
         hb.join(F.broadcast(coef), "b")
         .groupBy("doc_id")

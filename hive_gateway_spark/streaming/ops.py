@@ -533,3 +533,51 @@ def stream_minhash_dedup(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dsir_score(docs_stream: DataFrame, coef: DataFrame) -> DataFrame:
+    """Streaming twin of q_dsir_weights' scoring stage: DSIR importance
+    scoring at ingest against a FROZEN coefficient table — the standard
+    deployment (Xie et al. 2023 train the hashed-feature log-ratio
+    model offline, then weigh the raw stream with it).
+
+    Deliberately STATELESS: the 64-row model collapses to one
+    map<bucket, micro-coef> literal row (cross-joined broadcast), and
+    the per-doc weight folds IN-ROW over the words array (transform →
+    bucket → map lookup → integer aggregate) — no explode, no
+    stateful aggregation, no watermark; the streaming plan is a narrow
+    projection applied per micro-batch, trivially correct at any
+    ingest rate. Coefficients ride as exact micro-units (coef·10⁶ fits
+    int64 — |round6(ln p)| < 40), so the in-row fold is integer-exact
+    and logw = micro/10⁶ reproduces the batch DECIMAL sum bit-for-bit
+    (both are correctly-rounded doubles of the same rational).
+
+    Parity with the batch operator is pinned by
+    tests/test_streaming.py::test_stream_dsir_score_matches_batch
+    against q_dsir_weights' own selection."""
+    from hive_gateway_spark.operators.corpus import DSIR_B, hv_sql
+
+    cmap = coef.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("b"),
+                    (F.col("coef") * 1_000_000).cast("bigint").alias("m"),
+                )
+            )
+        ).alias("cmap")
+    )
+    words = "filter(split(text, ' '), w -> w <> '')"
+    micro = (
+        f"aggregate(transform({words}, w -> cmap[({hv_sql('w')}) % {DSIR_B}]), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        docs_stream.crossJoin(F.broadcast(cmap))
+        .select(
+            "doc_id",
+            F.expr(f"size({words})").cast("bigint").alias("n_tokens"),
+            (F.expr(micro).cast("double") / F.lit(1_000_000.0)).alias("logw"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

@@ -571,3 +571,31 @@ def test_live_rate_source_kv_pipeline(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_width)
         srv.stop()
+
+
+def test_stream_dsir_score_matches_batch(spark, sf_dir):
+    """The ingest-time DSIR scorer with a frozen coefficient table
+    reproduces the batch operator's weights EXACTLY: q_dsir_weights'
+    top-100 selection (decimal-summed logw) must appear in the drained
+    stream scores bit-for-bit — the micro-unit integer fold is the
+    same rational number, and both sides round once to double."""
+    from hive_gateway_spark.operators.corpus import dsir_coefficients
+    from hive_gateway_spark.streaming.ops import (
+        stream_documents,
+        stream_dsir_score,
+    )
+
+    t = load_tables(spark, sf_dir)
+    coef = dsir_coefficients(t["documents"]).localCheckpoint()
+    got = drain(
+        stream_dsir_score(stream_documents(spark, sf_dir), coef), "s_dsir"
+    )
+    scores = dict(zip(got["doc_id"], got["logw"]))
+    ntoks = dict(zip(got["doc_id"], got["n_tokens"]))
+    batch = registry.QUERIES["q_dsir_weights"](spark, sf_dir).collect()
+    assert len(batch) > 0
+    for r in batch:
+        assert scores[r["doc_id"]] == r["logw"]  # exact, not approx
+        assert ntoks[r["doc_id"]] == r["n_tokens"]
+    # and the stream scored every non-empty doc, not just the selection
+    assert len(got) == t["documents"].filter("text <> ''").count()
