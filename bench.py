@@ -94,6 +94,9 @@ HEADLINE_R7 = [
     "q_boilerplate_chunks",
     "q_lm_perplexity",
     "q_dsir_weights",
+    # real BPE: cold includes the greedy merge training loop (~12 s,
+    # vocab-sized jobs); warm = encode via the session-cached merges.
+    "q_bpe_encode",
 ]
 
 

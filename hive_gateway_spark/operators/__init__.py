@@ -16,4 +16,5 @@ def load_all() -> None:
         scalar_funcs,
         sampling,
         corpus,
+        bpe,
     )

@@ -1,0 +1,204 @@
+"""Byte-pair-encoding subword tokenizer (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units") — the
+real learn + encode pair, not the regex approximation (q_token_count
+keeps that as the cheap screen).
+
+Spark-first shape, and why it scales:
+
+- LEARNING runs on the WORD-FREQUENCY table, not the corpus (the
+  standard trick): one corpus-sized tokenize+count shuffle produces a
+  vocabulary-sized (Heaps' law) frame, and the greedy merge loop
+  iterates on THAT — each of the ~32 iterations is a pair-count
+  aggregate over vocab rows plus a single-row driver fetch (the chosen
+  merge — bounded by construction, like the union-find probe). Lineage
+  is truncated with localCheckpoint every few merges (the classic
+  iterative-algorithm pattern, same as connected components).
+- ENCODING applies the learned merges IN RANK ORDER as left-to-right
+  higher-order folds over each word's symbol array — chained column
+  transforms, all JVM-side — evaluated once per DISTINCT word, then
+  broadcast-joined back onto the corpus. No Python UDF anywhere.
+
+Driver verification: BPE is the contract's poster-child iterative
+algorithm — the merge choice at step i depends on the table rewritten
+by steps 1..i-1, which ANSI SQL cannot replay — so q_bpe_vocab /
+q_bpe_encode are declared rows-only (like q_dedup_fuzzy / q_sim_topk_*)
+and their semantics are pinned by property tests instead:
+round-trip identity (concat of a word's subwords reproduces the word),
+token-count monotonicity in the merge budget, determinism, and a
+hand-checked merge sequence on a tiny corpus (tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from hive_gateway_spark.registry import query
+from hive_gateway_spark.session import load_tables
+
+#: Merge budget. 32 keeps the fixture loop quick while learning every
+#: high-frequency word; production vocabularies just raise it (the loop
+#: cost is iterations × vocab-aggregate, independent of corpus size).
+BPE_MERGES = 32
+
+#: End-of-word marker (Sennrich's </w>): distinguishes "low" the word
+#: from "low" the prefix of "lower", and makes decode unambiguous.
+EOW = "</w>"
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_fold(col: str, a: str, b: str) -> Column:
+    """One BPE merge (a, b) → a||b applied to a symbol array, greedy
+    left-to-right non-overlapping — an aggregate fold whose accumulator
+    is the rewritten prefix."""
+    qa, qb = _sql_quote(a), _sql_quote(b)
+    qab = _sql_quote(a + b)
+    return F.expr(
+        f"aggregate({col}, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {qa} AND s = {qb} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({qab})) "
+        f"ELSE concat(acc, array(s)) END)"
+    )
+
+
+_PAIR_EXPLODE = (
+    "explode(zip_with(slice(syms, 1, size(syms) - 1), "
+    "slice(syms, 2, size(syms) - 1), (x, y) -> struct(x AS a, y AS b)))"
+)
+
+
+def word_frequencies(docs: DataFrame) -> DataFrame:
+    """(word, n) over the corpus — the learning input."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _base_symbols(wf: DataFrame) -> DataFrame:
+    """(word, n, syms) — characters plus the end-of-word marker."""
+    return wf.withColumn(
+        "syms",
+        F.expr(f"concat(split(word, ''), array({_sql_quote(EOW)}))"),
+    )
+
+
+#: session → {documents-plan key: learned merge list}. The greedy loop
+#: is ~n_merges Spark jobs; q_bpe_vocab and q_bpe_encode start from the
+#: identical vocabulary, so the trained merges are session-cached like
+#: every other staging artifact (dedup._SHINGLE_CACHE pattern). On a
+#: cluster this is the persisted tokenizer artifact training jobs load.
+import weakref as _weakref
+
+_MERGES_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def learned_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple[str, str, int]]:
+    per = _MERGES_CACHE.setdefault(docs.sparkSession, {})
+    try:
+        key = (docs.semanticHash(), n_merges)
+    except Exception:  # pragma: no cover - non-classic session fallback
+        key = (id(docs), n_merges)
+    out = per.get(key)
+    if out is None:
+        if len(per) > 8:
+            per.clear()
+        out = learn_bpe(docs, n_merges)
+        per[key] = out
+    return out
+
+
+def learn_bpe(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple[str, str, int]]:
+    """Greedy BPE training: repeatedly merge the most frequent adjacent
+    symbol pair (count desc, then (a, b) asc — a total, engine-free
+    tiebreak so the vocabulary is deterministic). Returns
+    [(a, b, pair_count), ...] in merge-rank order."""
+    wf = _base_symbols(word_frequencies(docs)).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n_merges):
+        best = (
+            wf.select("n", F.expr(_PAIR_EXPLODE).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < 2:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        wf = wf.withColumn("syms", _merge_fold("syms", a, b))
+        if (i + 1) % 8 == 0:  # truncate the growing fold lineage
+            wf = wf.localCheckpoint()
+    return merges
+
+
+def encode_words(words: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """(word, subwords array<string>) — merges applied in rank order,
+    each as a full left-to-right pass (the standard merge-list encoder).
+    Runs once per distinct word; callers broadcast the result back onto
+    the corpus."""
+    out = _base_symbols(words.select("word").distinct().withColumn("n", F.lit(1)))
+    for a, b, _ in merges:
+        out = out.withColumn("syms", _merge_fold("syms", a, b))
+    return out.select("word", F.col("syms").alias("subwords"))
+
+
+@query("q_bpe_vocab")
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: (rank, left, right, merged, pair_count)
+    in training order. Deterministic for a given corpus (exact counts +
+    total tiebreak); rows-only by design — the greedy recurrence is the
+    iterative-algorithm case the driver contract exempts from SQL
+    oracles."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = learned_merges(docs)
+    rows = [
+        (i, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+@query("q_bpe_encode")
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoded with the learned subword vocabulary: per doc, the
+    BPE token count next to the whitespace token count and the
+    chars-per-BPE-token compression ratio — the real sequence-length
+    input a packing planner (q_pack_sequences) would consume.
+
+    Scale shape: the encoder's chained folds run once per DISTINCT
+    word; the corpus-side plan is tokenize → broadcast join on word →
+    one per-doc fold. Rows-only (see q_bpe_vocab)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = learned_merges(docs)
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    enc = encode_words(tok, merges).select(
+        "word", F.size("subwords").alias("n_sub")
+    )
+    return (
+        tok.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            (F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double")
+             ).alias("chars_per_token"),
+        )
+    )

@@ -143,6 +143,11 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_boilerplate_chunks",
     "q_lm_perplexity",
     "q_dsir_weights",
+    # r7: real BPE subword tokenizer (operators/bpe.py) — greedy merge
+    # learning on the word-frequency table + JVM-side merge-list
+    # encoder; rows-only by design (iterative recurrence).
+    "q_bpe_vocab",
+    "q_bpe_encode",
 )
 
 
