@@ -135,3 +135,41 @@ def test_split_assign_is_scan_project_agg(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
     m = re.search(r"ReadSchema: (.*)", plan)
     assert m and "text" not in m.group(1), plan  # never reads the body
+
+
+def test_dsir_broadcasts_model_and_takeordered(spark, sf_dir):
+    """The corpus-sized occurrence stream must meet the vocab map and
+    the 64-row coefficient table as BROADCAST joins (never SMJ), and
+    the global top-100 must be TakeOrderedAndProject, not a full sort
+    (the operator's 100 TB contract: one corpus shuffle — the per-doc
+    fold)."""
+    plan = plan_of(spark, sf_dir, "q_dsir_weights")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_substring_dup_set_broadcasts(spark, sf_dir):
+    """q_dedup_substring's duplicated-gram set joins back onto the gram
+    stream as a broadcast; the shuffled key is the 8 B xxhash64, so no
+    Exchange carries the gram strings."""
+    plan = plan_of(spark, sf_dir, "q_dedup_substring")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_lm_tables_broadcast(spark, sf_dir):
+    """c2/c1 (vocabulary-sized LM tables) and the 1-row V must all
+    broadcast onto the staged (doc, w1, w2) term frame."""
+    plan = plan_of(spark, sf_dir, "q_lm_perplexity")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_boilerplate_rebuild_is_single_agg(spark, sf_dir):
+    """The rebuild is ONE groupBy(doc_id) with an in-row positional
+    sort — no window operator (a per-group window would add a second
+    corpus sort)."""
+    plan = plan_of(spark, sf_dir, "q_boilerplate_chunks")
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # recurring-chunk set
