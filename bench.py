@@ -97,6 +97,13 @@ HEADLINE_R7 = [
     # real BPE: cold includes the greedy merge training loop (~12 s,
     # vocab-sized jobs); warm = encode via the session-cached merges.
     "q_bpe_encode",
+    # breadth block: triangle two-hop join over the staged pair set,
+    # incremental-ingest decisions, dense-grid gap-fill, blocked
+    # Levenshtein fuzzy join.
+    "q_graph_triangles",
+    "q_dedup_incremental",
+    "q_ts_gapfill",
+    "q_join_fuzzy",
 ]
 
 

@@ -331,3 +331,166 @@ def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h_k").cast("bigint").alias("h_k"),
         est.alias("est_users"),
     )
+
+
+#: Gap-fill grid step: one hour, in epoch microseconds.
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q_ts_gapfill",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts)) AS hour_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT MIN(epoch_us(date_trunc('hour', ts))) AS lo,
+               MAX(epoch_us(date_trunc('hour', ts))) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT t.event_type, g.hour_us
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT UNNEST(generate_series(lo, hi, {_HOUR_US})) AS hour_us
+            FROM bounds
+        ) g
+    )
+    SELECT grid.event_type, grid.hour_us,
+           CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+           h.hour_value,
+           LAST_VALUE(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           (h.n_events IS NULL) AS is_gap
+    FROM grid LEFT JOIN hourly h USING (event_type, hour_us)
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + last-observation-carried-forward: the
+    dense hourly grid per event type over the corpus's time span, each
+    hole marked (is_gap) and its value filled from the latest earlier
+    observation — the resample/interpolate step every monitoring or
+    feature-engineering pipeline needs before windowed models.
+
+    Timestamps obey the house rule (surface only through
+    date_trunc/epoch-µs — the fixture's ns precision survives nowhere
+    else); hour sums run in exact DECIMAL(18,2).
+
+    Scale shape: the hourly rollup is one map-side-combined aggregate
+    (types × hours ≪ corpus); the grid is generated, not shuffled
+    (sequence() over the broadcast 1-row bounds, cross join with the
+    tiny type dim); the carry-forward window partitions by event_type
+    over grid-sized data. The corpus is touched exactly once."""
+    return gapfill_report(load_tables(spark, sf_dir)["events"])
+
+
+def gapfill_report(events: DataFrame) -> DataFrame:
+    """Core of q_ts_gapfill over any (event_type, ts, value) frame."""
+    ev = events.select(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", F.col("ts")))).alias("hour_us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    hourly = ev.groupBy("event_type", "hour_us").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").cast("double").alias("hour_value"),
+    )
+    bounds = ev.agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr(f"sequence(lo, hi, {_HOUR_US})")).alias("hour_us"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour_us"], "left")
+        .select(
+            "event_type",
+            "hour_us",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            "hour_value",
+            F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+    )
+
+
+#: Fuzzy-match acceptance band: 1 ≤ levenshtein ≤ FUZZY_MAX_DIST.
+FUZZY_MAX_DIST = 2
+
+
+@query(
+    "q_join_fuzzy",
+    oracle=f"""
+    WITH names AS (
+        SELECT p_name, string_split(p_name, ' ')[-1] AS noun,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b, a.noun,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           CAST(a.n_parts AS BIGINT) AS n_a,
+           CAST(b.n_parts AS BIGINT) AS n_b
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) join — entity-resolution style approximate
+    matching over the part catalog: distinct name pairs within the same
+    blocking key (the head noun) at Levenshtein distance 1..{FUZZY_MAX_DIST}
+    ("red widget" ≈ "rd widget" typo class), with how many part rows
+    each variant covers. levenshtein() is the identical DP edit
+    distance in both engines, so the operator is hash-verified.
+
+    Scale shape: the classic blocked fuzzy join — NEVER all-pairs: the
+    name table collapses to distinct names first (entity-level, ≪
+    rows), the candidate join keys on the block (at 100 TB: q-gram or
+    soundex blocks, same plan), and the quadratic distance predicate
+    runs only inside blocks. The distinct-name side broadcasts."""
+    return fuzzy_name_pairs(load_tables(spark, sf_dir)["part"])
+
+
+def fuzzy_name_pairs(part: DataFrame) -> DataFrame:
+    """Core of q_join_fuzzy over any frame with a p_name column."""
+    names = (
+        part
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("noun", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), "noun", F.col("n_parts").alias("n_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), "noun", F.col("n_parts").alias("n_b")
+    )
+    d = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(F.broadcast(b), "noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter((d >= 1) & (d <= FUZZY_MAX_DIST))
+        .select(
+            "name_a",
+            "name_b",
+            "noun",
+            d.cast("bigint").alias("dist"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        )
+    )

@@ -1510,3 +1510,148 @@ def containment_pairs(t) -> DataFrame:
             F.expr("(100 * shared) div least(sn_a, sn_b)").alias("contain_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------- graph ops
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {{_DUCK_PAIRS}}
+    SELECT e1.doc_a, e1.doc_b, e2.doc_b AS doc_c
+    FROM pairs e1
+    JOIN pairs e2 ON e1.doc_b = e2.doc_a
+    JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    """.format(_DUCK_PAIRS=_DUCK_PAIRS),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-dup graph — the third graph
+    operator beside connected components and PageRank; triangle density
+    separates genuine dup CLUSTERS (cliques → many triangles) from
+    chains of borderline pairs (no triangles), a standard graph-mining
+    signal for cluster quality.
+
+    Spark-first shape: edges are already oriented (doc_a < doc_b from
+    the staged pair set), so each triangle a<b<c is found exactly once
+    by the two-hop join e1(a,b)⋈e2(b,c) closed by e3(a,c). Orientation
+    bounds the join fan-out by the max out-degree (the classic
+    degree-orientation trick); both joins key on doc ids — at 100 TB
+    two shuffles of the (tiny vs corpus) edge list, never the corpus.
+    The staged pair set is read from the session cache shared with
+    q_dedup_ngram/clusters/rank."""
+    return triangle_enumeration(load_tables(spark, sf_dir))
+
+
+def triangle_enumeration(t) -> DataFrame:
+    """Core of q_graph_triangles over any tables dict."""
+    e = _jaccard_pairs(t).select("doc_a", "doc_b")
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.col("c").alias("doc_c"),
+        )
+    )
+
+
+#: Incremental-ingest split: doc_id % INC_MOD == 0 is "the new batch",
+#: the rest is "the standing corpus" (mirrors CONTAM_BENCH_MOD's
+#: fixture-slice trick; disjoint mod so the two operators screen
+#: different slices).
+INC_MOD = 7
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {{_DUCK_PAIRS}},
+    newdocs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % {INC_MOD} = 0
+    ),
+    exact AS (
+        SELECT n.doc_id, MIN(c.doc_id) AS match_doc
+        FROM newdocs n
+        JOIN documents c
+          ON c.text = n.text AND c.doc_id % {INC_MOD} <> 0
+        GROUP BY n.doc_id
+    ),
+    near AS (
+        SELECT x.doc_id, MIN(x.other) AS match_doc FROM (
+            SELECT doc_a AS doc_id, doc_b AS other FROM pairs
+            WHERE doc_a % {INC_MOD} = 0 AND doc_b % {INC_MOD} <> 0
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS other FROM pairs
+            WHERE doc_b % {INC_MOD} = 0 AND doc_a % {INC_MOD} <> 0
+        ) x GROUP BY x.doc_id
+    )
+    SELECT n.doc_id,
+           CASE WHEN e.match_doc IS NOT NULL THEN 'drop_exact'
+                WHEN nr.match_doc IS NOT NULL THEN 'drop_neardup'
+                ELSE 'keep' END AS decision,
+           COALESCE(e.match_doc, nr.match_doc) AS match_doc
+    FROM newdocs n
+    LEFT JOIN exact e USING (doc_id)
+    LEFT JOIN near nr USING (doc_id)
+    """.format(_DUCK_PAIRS=_DUCK_PAIRS),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the operational batch form of the
+    streaming dedup twins: screen THE NEW BATCH (doc_id % {INC_MOD}
+    == 0) against THE STANDING CORPUS (the rest) and emit a per-doc
+    decision: drop_exact (verbatim text already in the corpus, lowest
+    matching doc cited), drop_neardup (a τ=0.5 Jaccard pair with a
+    corpus doc, from the same staged capped pair set every dedup query
+    reads), else keep. Exactly what a daily crawl append runs before
+    extending the corpus.
+
+    Scale shape: the exact screen is one hash join on the content key
+    (in production: sha2 of normalized text — q_dedup_exact's key);
+    the near screen FILTERS the already-staged pair set instead of
+    recomputing any shingle work; two broadcast-sized left joins
+    assemble the decision. No new corpus-sized shuffle at all."""
+    return incremental_decisions(load_tables(spark, sf_dir))
+
+
+def incremental_decisions(t) -> DataFrame:
+    """Core of q_dedup_incremental over any tables dict."""
+    docs = t["documents"]
+    is_new = F.col("doc_id") % INC_MOD == 0
+    newdocs = docs.filter(is_new).select("doc_id", "text")
+    corpus = docs.filter(~is_new).select(
+        F.col("doc_id").alias("c_doc"), F.col("text").alias("c_text")
+    )
+    exact = (
+        newdocs.join(corpus, newdocs["text"] == corpus["c_text"])
+        .groupBy("doc_id")
+        .agg(F.min("c_doc").alias("e_match"))
+    )
+    pairs = _jaccard_pairs(t).select("doc_a", "doc_b")
+    near = (
+        pairs.filter((F.col("doc_a") % INC_MOD == 0) & (F.col("doc_b") % INC_MOD != 0))
+        .select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("other"))
+        .unionAll(
+            pairs.filter(
+                (F.col("doc_b") % INC_MOD == 0) & (F.col("doc_a") % INC_MOD != 0)
+            ).select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("other"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("other").alias("n_match"))
+    )
+    return (
+        newdocs.join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e_match").isNotNull(), "drop_exact")
+            .when(F.col("n_match").isNotNull(), "drop_neardup")
+            .otherwise("keep")
+            .alias("decision"),
+            F.coalesce("e_match", "n_match").alias("match_doc"),
+        )
+    )

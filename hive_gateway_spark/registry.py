@@ -148,6 +148,13 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # encoder; rows-only by design (iterative recurrence).
     "q_bpe_vocab",
     "q_bpe_encode",
+    # r7 breadth block: triangle enumeration over the near-dup graph,
+    # incremental new-batch-vs-corpus dedup decisions, time-series
+    # gap-fill with carry-forward, blocked Levenshtein fuzzy join.
+    "q_graph_triangles",
+    "q_dedup_incremental",
+    "q_ts_gapfill",
+    "q_join_fuzzy",
 )
 
 

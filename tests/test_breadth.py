@@ -1,0 +1,111 @@
+"""Planted-data semantics for the r7 breadth block (triangles,
+incremental dedup, gap-fill, fuzzy join) beyond the DuckDB parity gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hive_gateway_spark import registry
+from hive_gateway_spark.operators.advanced import fuzzy_name_pairs, gapfill_report
+from hive_gateway_spark.operators.dedup import (
+    INC_MOD,
+    incremental_decisions,
+    triangle_enumeration,
+)
+
+registry.load_all()
+
+#: Long enough for shingle-based near-dup detection (SHINGLE_N = 3).
+_BODY = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def test_triangles_on_planted_clique_and_chain(spark):
+    """Three identical docs form a 3-clique → exactly one triangle
+    (a<b<c once); a 3-doc near-dup CHAIN (1~2, 2~3, but 1 and 3 far)
+    contributes none — the cluster-vs-chain separation the operator
+    exists for."""
+    ws = [f"w{i}" for i in range(1, 15)]  # w1..w14, disjoint from _BODY
+    docs = spark.createDataFrame(
+        [
+            (1, _BODY),
+            (2, _BODY),
+            (3, _BODY),
+            # sliding-window chain: 11~12 and 12~13 clear tau=0.5
+            # (8/10 token overlap) but 11 vs 13 share only 6/14 - no
+            # edge, hence no triangle
+            (11, " ".join(ws[0:10])),
+            (12, " ".join(ws[2:12])),
+            (13, " ".join(ws[4:14])),
+        ],
+        "doc_id bigint, text string",
+    )
+    tri = triangle_enumeration({"documents": docs}).collect()
+    assert [(r["doc_a"], r["doc_b"], r["doc_c"]) for r in tri] == [(1, 2, 3)]
+
+
+def test_incremental_decisions_planted(spark):
+    """One of each decision class: new doc 0 = verbatim copy of corpus
+    doc 1 → drop_exact(1); new doc 7 = near-dup of corpus doc 8 →
+    drop_neardup(8); new doc 14 = unique → keep."""
+    near = "nu xi omicron pi rho sigma tau upsilon phi chi"  # disjoint vocab
+    docs = spark.createDataFrame(
+        [
+            (0, _BODY),  # new (0 % 7 == 0), exact copy of corpus doc 1
+            (1, _BODY),
+            (7, near),  # new, near-dup of corpus doc 8
+            (8, near + " x"),
+            (14, "entirely different content with no relation to others at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    assert all(d % INC_MOD == 0 for d in (0, 7, 14))
+    out = {r["doc_id"]: r.asDict() for r in incremental_decisions({"documents": docs}).collect()}
+    assert set(out) == {0, 7, 14}
+    assert out[0]["decision"] == "drop_exact" and out[0]["match_doc"] == 1
+    assert out[7]["decision"] == "drop_neardup" and out[7]["match_doc"] == 8
+    assert out[14]["decision"] == "keep" and out[14]["match_doc"] is None
+
+
+def test_gapfill_carries_forward_and_marks_gaps(spark):
+    """Hours 0 and 3 observed, 1-2 are gaps carrying hour-0's value;
+    the grid is dense from min to max hour."""
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    ev = spark.createDataFrame(
+        [
+            ("click", t0, 10.0),
+            ("click", t0.replace(minute=45), 2.5),
+            ("click", t0 + dt.timedelta(hours=3), 4.0),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = sorted(
+        (r.asDict() for r in gapfill_report(ev).collect()),
+        key=lambda r: r["hour_us"],
+    )
+    assert len(rows) == 4  # dense hourly grid
+    assert [r["is_gap"] for r in rows] == [False, True, True, False]
+    assert rows[0]["hour_value"] == 12.5
+    assert [r["filled_value"] for r in rows] == [12.5, 12.5, 12.5, 4.0]
+    assert [r["n_events"] for r in rows] == [2, 0, 0, 1]
+
+
+def test_fuzzy_join_blocks_and_band(spark):
+    """Distance-1 pair inside a block matches; identical names don't
+    (dist 0); cross-block near-identical strings never meet."""
+    part = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(
+            ["red widget", "rd widget", "red widget", "red gadget", "red gizmo"]
+        )],
+        "p_partkey bigint, p_name string",
+    )
+    out = fuzzy_name_pairs(part).collect()
+    got = {(r["name_a"], r["name_b"], r["dist"]) for r in out}
+    assert ("rd widget", "red widget", 1) in got
+    # "red widget" occurs twice → its n_parts aggregates to 2
+    n = {(r["name_a"], r["name_b"]): (r["n_a"], r["n_b"]) for r in out}
+    assert n[("rd widget", "red widget")] == (1, 2)
+    # no dist-0 pairs, no cross-noun pairs
+    assert all(d >= 1 for _, _, d in got)
+    assert all(a.split()[-1] == b.split()[-1] for a, b, _ in got)
