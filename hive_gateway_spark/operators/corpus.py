@@ -570,3 +570,167 @@ def dsir_report(docs: DataFrame, top: int = DSIR_TOP) -> DataFrame:
     # partial top-k, driver merge of `top` rows) — a global row_number
     # window would move EVERY doc to one partition first.
     return scored.orderBy(F.col("logw").desc(), F.col("doc_id").asc()).limit(top)
+
+
+#: q_curation_v3 stage parameters: token gate band on the REBUILT text,
+#: the integer substring-coverage drop (10·dup ≥ 6·n ⇔ ratio ≥ 0.6),
+#: and the final DSIR selection size.
+V3_GATE_MIN = 5
+V3_GATE_MAX = 512
+V3_TOP = 200
+
+
+@query(
+    "q_curation_v3",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS cidx,
+               array_to_string(
+                 list_slice(words, i * {CHUNK_W} + 1, (i + 1) * {CHUNK_W}), ' ')
+                 AS chunk
+        FROM w, UNNEST(range((len(words) + {CHUNK_W} - 1) // {CHUNK_W}))
+               AS t(i)
+    ),
+    boiler AS (
+        SELECT chunk FROM c GROUP BY chunk
+        HAVING COUNT(DISTINCT doc_id) >= {BOILER_DF}
+    ),
+    rebuilt AS (
+        SELECT c.doc_id,
+               COALESCE(string_agg(
+                   CASE WHEN b.chunk IS NULL THEN c.chunk END,
+                   ' ' ORDER BY c.cidx), '') AS text
+        FROM c LEFT JOIN boiler b USING (chunk)
+        GROUP BY c.doc_id
+    ),
+    gated AS (
+        SELECT r.doc_id, d.lang, r.text,
+               CAST(len(list_filter(string_split(r.text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM rebuilt r JOIN documents d USING (doc_id)
+        WHERE len(list_filter(string_split(r.text, ' '), x -> x <> ''))
+              BETWEEN {V3_GATE_MIN} AND {V3_GATE_MAX}
+    ),
+    winners AS (
+        SELECT g.* FROM gated g
+        JOIN (SELECT text, MIN(doc_id) AS doc_id FROM gated GROUP BY text) k
+          ON g.text = k.text AND g.doc_id = k.doc_id
+    ),
+    w2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM winners),
+    g2 AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(list_slice(words, i + 1, i + {SPAN_K}), ' ')
+                 AS gram
+        FROM w2, UNNEST(range(len(words) - {SPAN_K} + 1)) AS t(i)
+        WHERE len(words) >= {SPAN_K}
+    ),
+    dup2 AS (
+        SELECT gram FROM g2 GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    spans2 AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup2 USING (gram)),
+    cover2 AS (
+        SELECT doc_id, COUNT(DISTINCT pos + j) AS dup_tokens
+        FROM spans2, UNNEST(range({SPAN_K})) AS t(j)
+        GROUP BY doc_id
+    ),
+    dropped AS (
+        SELECT b.doc_id
+        FROM (SELECT doc_id, len(words) AS nt FROM w2) b
+        JOIN cover2 USING (doc_id)
+        WHERE 10 * cover2.dup_tokens >= 6 * b.nt
+    ),
+    surv AS (
+        SELECT * FROM winners WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    tok3 AS (
+        SELECT doc_id, lang, word
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+              FROM surv)
+        WHERE word <> ''
+    ),
+    hb3 AS (
+        SELECT doc_id, lang, ({_HV_DUCK}) % {DSIR_B} AS b FROM tok3
+    ),
+    buckets AS (SELECT CAST(range AS BIGINT) AS b FROM range({DSIR_B})),
+    bcnt AS (
+        SELECT b,
+               SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                 AS ct,
+               COUNT(*) AS cr
+        FROM hb3 GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bcnt),
+    coef AS (
+        SELECT buckets.b,
+               CAST(ROUND(ln((CAST(COALESCE(bcnt.ct, 0) AS DOUBLE) + 1.0)
+                             / (CAST(tot.nt AS DOUBLE) + {DSIR_B}.0)), 6)
+                    AS DECIMAL(18,6))
+               - CAST(ROUND(ln((CAST(COALESCE(bcnt.cr, 0) AS DOUBLE) + 1.0)
+                               / (CAST(tot.nr AS DOUBLE) + {DSIR_B}.0)), 6)
+                      AS DECIMAL(18,6)) AS coef
+        FROM buckets LEFT JOIN bcnt USING (b) CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT hb3.doc_id,
+               COUNT(*) AS sel_tokens,
+               CAST(SUM(coef.coef) AS DOUBLE) AS logw
+        FROM hb3 JOIN coef USING (b)
+        GROUP BY hb3.doc_id
+    )
+    SELECT s.doc_id, surv.lang,
+           CAST(s.sel_tokens AS BIGINT) AS n_tokens, s.logw
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id ASC) AS rn
+        FROM scored
+    ) s JOIN surv USING (doc_id)
+    WHERE s.rn <= {V3_TOP}
+    """,
+)
+def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed published-recipe curation pipeline, v3 — every
+    stage one of this module's verified operators, chained the way a
+    production corpus build chains them, the WHOLE composition under
+    one driver hash:
+
+      boilerplate rewrite (boilerplate_report — recurring chunks cut,
+        docs rebuilt)
+      → token-band quality gate ({V3_GATE_MIN}..{V3_GATE_MAX} on the
+        REBUILT text)
+      → exact dedup (min doc_id survives per rebuilt text)
+      → duplicated-span drop (substring_report on the survivor set;
+        integer predicate 10·dup_tokens ≥ 6·n_tokens, i.e. ≥60% of the
+        doc covered by cross-doc spans — CCNet-style hard drop, the
+        exact-dup stage having already kept one copy of identicals)
+      → DSIR selection (dsir_report retrained on the survivors,
+        deterministic top-{V3_TOP}).
+
+    Scale: the composition adds nothing beyond its stages' own
+    shapes — each intermediate is a narrow (doc_id, lang, text) frame;
+    the only corpus-sized shuffles remain the stage-internal ones
+    (chunk DF, gram DF, per-doc folds)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    rebuilt = boilerplate_report(docs).select("doc_id", "clean_text")
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    gated = (
+        rebuilt.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("clean_text").alias("text"))
+        .withColumn("n_tokens", ntok.cast("bigint"))
+        .filter(F.col("n_tokens").between(V3_GATE_MIN, V3_GATE_MAX))
+    )
+    winners = gated.join(
+        gated.groupBy("text").agg(F.min("doc_id").alias("doc_id")),
+        ["text", "doc_id"],
+    )
+    sub = substring_report(winners.select("doc_id", "text"))
+    dropped = sub.filter(
+        10 * F.col("dup_tokens") >= 6 * F.col("n_tokens")
+    ).select("doc_id")
+    surv = winners.join(dropped, "doc_id", "left_anti")
+    sel = dsir_report(surv, top=V3_TOP)
+    return sel.join(surv.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_tokens", "logw"
+    )

@@ -155,6 +155,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_dedup_incremental",
     "q_ts_gapfill",
     "q_join_fuzzy",
+    # r7: the composed published-recipe pipeline (boilerplate rewrite →
+    # token gate → exact dedup → substring drop → DSIR top-200), whole
+    # composition under one hash.
+    "q_curation_v3",
 )
 
 

