@@ -104,6 +104,10 @@ HEADLINE_R7 = [
     "q_dedup_incremental",
     "q_ts_gapfill",
     "q_join_fuzzy",
+    # the composed published-recipe pipeline (cold builds the staged
+    # survivor frame; warm reads the session staging like a cluster
+    # reads its intermediate corpus version)
+    "q_curation_v3",
 ]
 
 

@@ -39,12 +39,29 @@ def main() -> None:
     ctrl = df.select(deflate_udf(F.col("p")).alias("out"))
     opt_ctrl = ctrl._jdf.queryExecution().optimizedPlan().toString()
     rows = [bytes(r["out"]).decode() for r in fused.collect()]
+
+    # Levenshtein length-prune rule: the filter gains a constant-time
+    # abs(length-length) guard and the DP comparison flips orientation
+    # (the idempotency marker); values must be unchanged.
+    names = spark.createDataFrame(
+        [("red widget",), ("rd widget",), ("red gadget",), ("a",)], ["n"]
+    )
+    pair = names.toDF("a").crossJoin(names.toDF("b"))
+    fz = pair.filter(F.levenshtein("a", "b") <= F.lit(2))
+    opt_fz = fz._jdf.queryExecution().optimizedPlan().toString()
+    expected = pair.filter(
+        (F.abs(F.length("a") - F.length("b")) <= 2)
+        & (F.levenshtein("a", "b") <= 2)
+    )
     print(
         json.dumps(
             {
                 "rewritten": "inflate_udf" not in opt and "deflate_udf" not in opt,
                 "control_keeps_udf": "deflate_udf" in opt_ctrl,
                 "roundtrip_ok": rows == [f"payload-{i}" for i in range(8)],
+                "lev_guard_added": "abs(" in opt_fz and "length(" in opt_fz,
+                "lev_rows_ok": sorted(map(tuple, fz.collect()))
+                == sorted(map(tuple, expected.collect())),
             }
         )
     )

@@ -15,7 +15,7 @@ import scala.runtime.BoxedUnit;
 public class CodecExtensions
     implements scala.Function1<SparkSessionExtensions, BoxedUnit> {
 
-  private static final class Builder
+  private static final class CodecBuilder
       implements scala.Function1<SparkSession, Rule<LogicalPlan>> {
     @Override
     public Rule<LogicalPlan> apply(SparkSession session) {
@@ -23,9 +23,18 @@ public class CodecExtensions
     }
   }
 
+  private static final class LevenshteinBuilder
+      implements scala.Function1<SparkSession, Rule<LogicalPlan>> {
+    @Override
+    public Rule<LogicalPlan> apply(SparkSession session) {
+      return new LevenshteinPruneRule();
+    }
+  }
+
   @Override
   public BoxedUnit apply(SparkSessionExtensions extensions) {
-    extensions.injectOptimizerRule(new Builder());
+    extensions.injectOptimizerRule(new CodecBuilder());
+    extensions.injectOptimizerRule(new LevenshteinBuilder());
     return BoxedUnit.UNIT;
   }
 }

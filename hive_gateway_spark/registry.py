@@ -118,8 +118,11 @@ PRIORITY: tuple[str, ...] = (
 #: r8 rotation candidates — queries REGISTERED AFTER the r7 window was
 #: frozen, next in line for a driver slot (tests/test_registry.py's
 #: debt ledger requires every registered query to hold a driver row, a
-#: window slot, or an entry here; the candidate list must drain into
-#: the window next round, so the never-verified set can only shrink).
+#: window slot, or an entry here). The list drains into the window in
+#: FIFO order as twice-green occupants rotate out; with 15 rotatable
+#: (non-contract) slots per round, a list longer than that drains over
+#: two rounds — the invariant is that it only moves toward the window,
+#: never silently grows stale.
 ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_audio_features",  # r7 late addition: WAV codec + feature report
     # r7 sampling/selection family (operators/sampling.py + q_tf_idf):

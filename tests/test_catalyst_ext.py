@@ -32,9 +32,14 @@ def test_codec_identity_rule_fires_in_optimized_plan():
     # rewritten: the nested pair is gone from the OPTIMIZED logical plan
     # (no Python-side help — the builder emitted both UDF nodes);
     # control_keeps_udf: a lone deflate is NOT touched (the rule matches
-    # only the identity composition); roundtrip_ok: values unchanged.
+    # only the identity composition); roundtrip_ok: values unchanged;
+    # lev_*: the LevenshteinPruneRule inserts the constant-time
+    # abs(length−length) guard in front of the DP predicate and keeps
+    # the result set identical.
     assert verdict == {
         "rewritten": True,
         "control_keeps_udf": True,
         "roundtrip_ok": True,
+        "lev_guard_added": True,
+        "lev_rows_ok": True,
     }
