@@ -156,3 +156,30 @@ def test_asof_carry_forward_matches_reference(spark_global, rows):
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+def test_results_invariant_to_shuffle_width(spark, sf_dir):
+    """Partitioning is an execution detail, not a semantic one: the
+    same query at shuffle width 1 and the session default must return
+    the identical row multiset. Catches order-dependent aggregation
+    (double-sum drift), partition-local state leaks, and
+    nondeterministic tiebreaks. Uses operators WITHOUT session-level
+    staging caches (those would serve the first width's result)."""
+    from hive_gateway_spark import registry
+
+    names = ["q_dedup_substring", "q_lm_perplexity", "q_dsir_weights"]
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for width in ("1", default):
+            spark.conf.set("spark.sql.shuffle.partitions", width)
+            for n in names:
+                rows = sorted(
+                    map(tuple, registry.QUERIES[n](spark, sf_dir).collect())
+                )
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    for n, (narrow, wide) in results.items():
+        assert narrow == wide, f"{n}: width-1 vs default mismatch"
+        assert len(narrow) > 0

@@ -4,6 +4,7 @@ stream is drained with an availableNow trigger (SURVEY §5.2)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from hive_gateway_spark import registry
@@ -599,3 +600,37 @@ def test_stream_dsir_score_matches_batch(spark, sf_dir):
         assert ntoks[r["doc_id"]] == r["n_tokens"]
     # and the stream scored every non-empty doc, not just the selection
     assert len(got) == t["documents"].filter("text <> ''").count()
+
+
+def test_tws_admission_equals_old_api(spark, sf_dir):
+    """The transformWithStateInPandas twin admits EXACTLY the same
+    events as the applyInPandasWithState operator over the fixture
+    stream — the migration to Spark 4's new arbitrary-state runtime
+    changes the API surface, not one decision."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python runtime needs protobuf "
+        "(absent in this container; the operator import-gates it)",
+    )
+    from hive_gateway_spark.operators.windows import RATE_LIMIT_N
+    from hive_gateway_spark.streaming.ops import (
+        stream_admission,
+        stream_admission_tws,
+        stream_events,
+    )
+
+    new = drain(
+        stream_admission_tws(stream_events(spark, sf_dir), limit=RATE_LIMIT_N),
+        "s_adm_tws",
+    )
+    old = drain(
+        stream_admission(stream_events(spark, sf_dir), limit=RATE_LIMIT_N),
+        "s_adm_old",
+    )
+    assert len(new) == len(old) > 0
+    n = new.sort_values("event_id").reset_index(drop=True)
+    o = old.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        n[["event_id", "user_id", "admitted"]],
+        o[["event_id", "user_id", "admitted"]],
+    )
