@@ -499,3 +499,27 @@ def test_dataset_export_manifest_and_verify(spark, sf_dir, tmp_path):
     res2 = verify_dataset(spark, out)
     assert not res2["ok"]
     assert res2["actual"]["n_rows"] < res2["expected"]["n_rows"]
+
+
+def test_curated_corpus_export_end_to_end(spark, sf_dir, tmp_path):
+    """The finished-artifact path: q_curation_v3's selection exported
+    as a lang-partitioned parquet dataset with a self-certifying
+    manifest, verified from the consumer side — the last mile between
+    the curation pipeline and a training job's input."""
+    from hive_gateway_spark import registry
+    from hive_gateway_spark.sources.dataset_export import (
+        verify_dataset,
+        write_dataset,
+    )
+
+    sel = registry.QUERIES["q_curation_v3"](spark, sf_dir)
+    path = str(tmp_path / "corpus_v3")
+    manifest = write_dataset(sel, path, partition_by=["lang"])
+    assert sum(manifest["partitions"].values()) == sel.count()
+    report = verify_dataset(spark, path)
+    assert report["ok"], report
+    # the selection round-trips exactly
+    back = spark.read.parquet(path)
+    assert sorted(map(tuple, back.select(*sel.columns).collect())) == sorted(
+        map(tuple, sel.collect())
+    )
