@@ -162,6 +162,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # token gate → exact dedup → substring drop → DSIR top-200), whole
     # composition under one hash.
     "q_curation_v3",
+    # r7: per-source KL drift monitor over hashed token buckets.
+    "q_corpus_drift",
 )
 
 

@@ -209,3 +209,26 @@ def test_curation_v3_stage_attrition(spark, sf_dir):
         if r["doc_id"] in sel_ids
     }
     assert len(set(reb.values())) == len(reb)
+
+
+# ------------------------------------------------------------ corpus drift
+
+def test_drifted_source_scores_higher_kl(spark):
+    """A source drawn from a disjoint vocabulary diverges more from
+    the corpus distribution than sources matching it — the drift alarm
+    the operator exists for."""
+    from hive_gateway_spark.operators.corpus import drift_report
+
+    normal = "the quick brown fox jumps over the lazy dog again"
+    weird = "zzq xxv qqj vvk jjz kkx zzv xxq qqk vvj"
+    rows = (
+        [(i, normal, "en", "web") for i in range(20)]
+        + [(100 + i, normal, "en", "books") for i in range(20)]
+        + [(200 + i, weird, "en", "spam") for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    out = {r["source"]: r["kl_vs_corpus"] for r in drift_report(docs).collect()}
+    assert out["spam"] > out["web"] >= 0.0
+    assert abs(out["web"] - out["books"]) < 1e-9  # identical distributions
