@@ -869,3 +869,124 @@ def drift_report(docs: DataFrame) -> DataFrame:
         F.max("n").cast("bigint").alias("n_tokens"),
         F.sum("t").cast("double").alias("kl_vs_corpus"),
     )
+
+
+@query(
+    "q_substring_trim",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(list_slice(words, i + 1, i + {SPAN_K}), ' ')
+                 AS gram
+        FROM w, UNNEST(range(len(words) - {SPAN_K} + 1)) AS t(i)
+        WHERE len(words) >= {SPAN_K}
+    ),
+    holders AS (
+        SELECT gram, MIN(doc_id) AS holder FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    trimspans AS (
+        SELECT g.doc_id, g.pos FROM g JOIN holders USING (gram)
+        WHERE g.doc_id <> holders.holder
+    ),
+    cut AS (
+        SELECT DISTINCT doc_id, pos + j AS p
+        FROM trimspans, UNNEST(range({SPAN_K})) AS t(j)
+    ),
+    tokens AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS p, words[i + 1] AS word
+        FROM w, UNNEST(range(len(words))) AS t(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.p, t.word
+        FROM tokens t LEFT JOIN cut USING (doc_id, p)
+        WHERE cut.p IS NULL
+    )
+    SELECT w.doc_id,
+           CAST(len(w.words) AS BIGINT) AS n_tokens,
+           CAST(len(w.words) - COUNT(kept.p) AS BIGINT) AS removed_tokens,
+           COALESCE(string_agg(kept.word, ' ' ORDER BY kept.p), '')
+             AS trimmed_text
+    FROM w LEFT JOIN kept USING (doc_id)
+    GROUP BY w.doc_id, len(w.words)
+    """,
+)
+def q_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE form of exact substring dedup — what Lee et al.
+    2022 actually do to the corpus: every duplicated {SPAN_K}-token
+    span is CUT from every doc except the span's canonical holder (the
+    lowest doc_id containing it — content kept exactly once
+    corpus-wide), and each doc is rebuilt from its surviving tokens.
+    Overlapping spans merge through position coverage; docs shorter
+    than {SPAN_K} tokens pass through verbatim.
+
+    Scale shape: the same hashed gram inverted file as
+    q_dedup_substring plus one holder aggregate (min doc per dup
+    gram, broadcast back); the cut-position set explodes only
+    duplicated spans; the rebuild is one groupBy(doc_id) with an
+    in-row positional sort — the boilerplate-rebuild pattern."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return substring_trim(docs)
+
+
+def substring_trim(docs: DataFrame) -> DataFrame:
+    """Core of q_substring_trim over any (doc_id, text) frame."""
+    w = docs.withColumn("words", F.split("text", " "))
+    g = (
+        w.filter(F.size("words") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(words) - {SPAN_K}), "
+                    f"i -> xxhash64(concat_ws(' ', slice(words, i + 1, {SPAN_K}))))"
+                )
+            ).alias("pos", "h"),
+        )
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "h")
+    )
+    holders = (
+        g.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("holder"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "holder")
+    )
+    trimspans = (
+        g.join(F.broadcast(holders), "h")
+        .filter(F.col("doc_id") != F.col("holder"))
+        .select("doc_id", "pos")
+    )
+    cut = trimspans.select(
+        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {SPAN_K} - 1)")).alias("p")
+    ).distinct()
+    tokens = w.select(
+        "doc_id", F.posexplode("words").alias("p", "word")
+    ).select("doc_id", F.col("p").cast("bigint").alias("p"), "word")
+    kept = tokens.join(cut, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(p, word))), x -> x.word)"
+            ),
+        ).alias("trimmed_text"),
+    )
+    base = w.select("doc_id", F.size("words").cast("bigint").alias("n_tokens"))
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("removed_tokens"),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+    )

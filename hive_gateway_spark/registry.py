@@ -164,6 +164,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_curation_v3",
     # r7: per-source KL drift monitor over hashed token buckets.
     "q_corpus_drift",
+    # r7: the rewrite form of exact substring dedup — duplicated spans
+    # cut everywhere but the canonical holder, docs rebuilt.
+    "q_substring_trim",
 )
 
 

@@ -232,3 +232,31 @@ def test_drifted_source_scores_higher_kl(spark):
     out = {r["source"]: r["kl_vs_corpus"] for r in drift_report(docs).collect()}
     assert out["spam"] > out["web"] >= 0.0
     assert abs(out["web"] - out["books"]) < 1e-9  # identical distributions
+
+
+# ----------------------------------------------------------- substring trim
+
+def test_substring_trim_keeps_canonical_holder_only(spark):
+    """The lowest doc_id containing a duplicated span KEEPS it; every
+    other doc has the span cut and its text rebuilt; unrelated and
+    short docs pass through verbatim."""
+    from hive_gateway_spark.operators.corpus import substring_trim
+
+    docs = _docs(
+        spark,
+        [
+            (1, SHARED + " tail one two"),      # canonical holder
+            (5, "lead in words here " + SHARED),  # trimmed
+            (9, "a short doc"),                  # < SPAN_K: verbatim
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in substring_trim(docs).collect()}
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["trimmed_text"] == SHARED + " tail one two"
+    assert out[5]["removed_tokens"] == SPAN_K
+    assert out[5]["trimmed_text"] == "lead in words here"
+    assert out[9]["removed_tokens"] == 0
+    assert out[9]["trimmed_text"] == "a short doc"
+    # corpus-wide: the span's content survives exactly once
+    total = " ".join(r["trimmed_text"] for r in substring_trim(docs).collect())
+    assert total.count(SHARED) == 1
