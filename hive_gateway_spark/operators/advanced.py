@@ -494,3 +494,211 @@ def fuzzy_name_pairs(part: DataFrame) -> DataFrame:
             F.col("n_b").cast("bigint").alias("n_b"),
         )
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (
+        SELECT user_id, MIN(us) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.us) AS t2
+        FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.us >= s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.us) AS t3
+        FROM e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.us >= s2.t2
+        GROUP BY e.user_id
+    ),
+    stages AS (
+        SELECT 1 AS stage, 'view' AS step, COUNT(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*) FROM s3
+    )
+    SELECT stage, step, CAST(n_users AS BIGINT) AS n_users,
+           CAST(CAST(n_users AS DOUBLE)
+                / NULLIF(CAST(LAG(n_users, 1, n_users)
+                              OVER (ORDER BY stage) AS DOUBLE), 0)
+                AS DOUBLE) AS conversion
+    FROM stages
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): a user
+    reaches stage k only via an IN-ORDER event subsequence (the
+    earliest view, then the earliest click at-or-after it, then the
+    earliest purchase at-or-after that) — the greedy matching that
+    maximizes funnel depth. Reports per-stage user counts and
+    step-over-step conversion.
+
+    Scale shape: three per-user aggregates, each a map-side-combined
+    groupBy(user_id) on a progressively smaller population; the stage
+    frames join on user_id (same partitioning reused); the final
+    3-row report is driver-trivial. Timestamps surface only as
+    epoch-µs per the house rule."""
+    return funnel_report(load_tables(spark, sf_dir)["events"])
+
+
+def funnel_report(events: DataFrame) -> DataFrame:
+    """Core of q_funnel over any (user_id, event_type, ts) frame."""
+    e = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("us") >= F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("us") >= F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    stages = (
+        s1.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).alias("stage"), F.lit("view").alias("step"), "n_users"
+        )
+        .unionAll(
+            s2.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("stage"), F.lit("click").alias("step"), "n_users"
+            )
+        )
+        .unionAll(
+            s3.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("stage"), F.lit("purchase").alias("step"), "n_users"
+            )
+        )
+    )
+    w = W.orderBy("stage")
+    return stages.select(
+        "stage",
+        "step",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        (
+            F.col("n_users").cast("double")
+            / F.nullif(
+                F.lag("n_users", 1, None).over(w).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("conversion"),
+    ).withColumn(
+        "conversion", F.coalesce("conversion", F.lit(1.0))
+    )
+
+
+#: Retention horizon in weeks for the cohort grid.
+COHORT_WEEKS = 4
+
+
+@query(
+    "q_cohort_retention",
+    oracle=f"""
+    WITH first_signup AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) // (86400000000 * 7) AS cohort_wk
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               epoch_us(e.ts) // (86400000000 * 7) AS wk
+        FROM events e JOIN first_signup USING (user_id)
+    ),
+    cohorts AS (
+        SELECT cohort_wk, COUNT(*) AS n_cohort
+        FROM first_signup GROUP BY cohort_wk
+    ),
+    grid AS (
+        SELECT c.cohort_wk, c.n_cohort, CAST(k AS BIGINT) AS week_offset
+        FROM cohorts c, UNNEST(range({COHORT_WEEKS})) AS t(k)
+    ),
+    cells AS (
+        SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM first_signup f JOIN activity a USING (user_id)
+        WHERE a.wk - f.cohort_wk BETWEEN 0 AND {COHORT_WEEKS} - 1
+        GROUP BY f.cohort_wk, a.wk - f.cohort_wk
+    )
+    SELECT g.cohort_wk AS cohort_week, g.week_offset,
+           CAST(g.n_cohort AS BIGINT) AS n_cohort,
+           CAST(COALESCE(c.n_active, 0) AS BIGINT) AS n_active,
+           CAST(COALESCE(c.n_active, 0) AS DOUBLE)
+             / CAST(g.n_cohort AS DOUBLE) AS retention
+    FROM grid g LEFT JOIN cells c
+      ON c.cohort_wk = g.cohort_wk AND c.week_offset = g.week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-signup week
+    (pure integer epoch-week — floor(epoch_µs / 7 days), no calendar
+    semantics to drift between engines), each cohort's fraction still
+    active k weeks later for k = 0..{COHORT_WEEKS}-1, on a dense grid
+    (absent cells are honest zeros).
+
+    Scale shape: two per-user aggregates (first signup; distinct
+    active weeks — both map-side combined), a user-keyed join, then a
+    cohort×offset aggregate over per-user-week rows; the dense grid is
+    cohorts × {COHORT_WEEKS} rows, generated not shuffled."""
+    return cohort_report(load_tables(spark, sf_dir)["events"])
+
+
+def cohort_report(ev: DataFrame) -> DataFrame:
+    """Core of q_cohort_retention over any (user_id, event_type, ts)
+    frame."""
+    wk = lambda c: (F.unix_micros(c) / F.lit(86_400_000_000 * 7)).cast("bigint")  # noqa: E731
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("us"))
+        .select(
+            "user_id",
+            (F.col("us") / F.lit(86_400_000_000 * 7)).cast("bigint").alias("cohort_wk"),
+        )
+    )
+    activity = (
+        ev.join(first_signup.select("user_id"), "user_id")
+        .select("user_id", wk(F.col("ts")).alias("wk"))
+        .distinct()
+    )
+    cohorts = first_signup.groupBy("cohort_wk").agg(F.count("*").alias("n_cohort"))
+    grid = cohorts.select(
+        "cohort_wk",
+        "n_cohort",
+        F.explode(F.expr(f"sequence(0, {COHORT_WEEKS} - 1)")).alias("week_offset"),
+    ).withColumn("week_offset", F.col("week_offset").cast("bigint"))
+    cells = (
+        first_signup.join(activity, "user_id")
+        .withColumn("week_offset", F.col("wk") - F.col("cohort_wk"))
+        .filter(F.col("week_offset").between(0, COHORT_WEEKS - 1))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        grid.join(cells, ["cohort_wk", "week_offset"], "left")
+        .select(
+            F.col("cohort_wk").alias("cohort_week"),
+            "week_offset",
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            F.coalesce("n_active", F.lit(0)).cast("bigint").alias("n_active"),
+            (
+                F.coalesce("n_active", F.lit(0)).cast("double")
+                / F.col("n_cohort").cast("double")
+            ).alias("retention"),
+        )
+    )

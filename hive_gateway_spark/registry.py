@@ -167,6 +167,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # r7: the rewrite form of exact substring dedup — duplicated spans
     # cut everywhere but the canonical holder, docs rebuilt.
     "q_substring_trim",
+    # r7: behavioral analytics staples on events — ordered funnel and
+    # epoch-week cohort retention (dense grid).
+    "q_funnel",
+    "q_cohort_retention",
 )
 
 

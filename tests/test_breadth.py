@@ -109,3 +109,59 @@ def test_fuzzy_join_blocks_and_band(spark):
     # no dist-0 pairs, no cross-noun pairs
     assert all(d >= 1 for _, _, d in got)
     assert all(a.split()[-1] == b.split()[-1] for a, b, _ in got)
+
+
+def test_funnel_requires_in_order_events(spark):
+    """A click BEFORE the user's first view doesn't advance the
+    funnel; one strictly ordered view→click→purchase user reaches
+    stage 3."""
+    from hive_gateway_spark.operators.advanced import funnel_report
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: full ordered funnel
+            (1, "view", at(0)),
+            (1, "click", at(5)),
+            (1, "purchase", at(10)),
+            # user 2: click precedes its only view -> stuck at stage 1
+            (2, "click", at(0)),
+            (2, "view", at(5)),
+            # user 3: view then purchase but NO click -> stage 1
+            (3, "view", at(0)),
+            (3, "purchase", at(5)),
+        ],
+        "user_id bigint, event_type string, ts timestamp",
+    )
+    out = {r["step"]: r.asDict() for r in funnel_report(ev).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 1
+    assert out["purchase"]["n_users"] == 1
+    assert out["view"]["conversion"] == 1.0
+    assert abs(out["click"]["conversion"] - 1 / 3) < 1e-12
+
+
+def test_cohort_retention_dense_grid_and_ratios(spark):
+    """Two users signing up in week W: one active in W+1, neither in
+    W+2 — the dense grid reports the zero cell explicitly."""
+    from hive_gateway_spark.operators.advanced import COHORT_WEEKS, cohort_report
+
+    base = dt.datetime(2024, 1, 1)  # epoch week boundary-agnostic
+
+    ev = spark.createDataFrame(
+        [
+            (1, "signup", base),
+            (2, "signup", base + dt.timedelta(hours=1)),
+            (1, "click", base + dt.timedelta(days=7)),
+        ],
+        "user_id bigint, event_type string, ts timestamp",
+    )
+    rows = {r["week_offset"]: r.asDict() for r in cohort_report(ev).collect()}
+    assert set(rows) == set(range(COHORT_WEEKS))  # dense
+    assert rows[0]["n_active"] == 2 and rows[0]["retention"] == 1.0
+    assert rows[1]["n_active"] == 1 and rows[1]["retention"] == 0.5
+    assert rows[2]["n_active"] == 0 and rows[2]["retention"] == 0.0
