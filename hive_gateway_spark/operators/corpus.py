@@ -990,3 +990,193 @@ def substring_trim(docs: DataFrame) -> DataFrame:
             F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
         )
     )
+
+
+@query(
+    "q_curation_trace",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS cidx,
+               array_to_string(
+                 list_slice(words, i * {CHUNK_W} + 1, (i + 1) * {CHUNK_W}), ' ')
+                 AS chunk
+        FROM w, UNNEST(range((len(words) + {CHUNK_W} - 1) // {CHUNK_W}))
+               AS t(i)
+    ),
+    boiler AS (
+        SELECT chunk FROM c GROUP BY chunk
+        HAVING COUNT(DISTINCT doc_id) >= {BOILER_DF}
+    ),
+    rebuilt AS (
+        SELECT c.doc_id,
+               COALESCE(string_agg(
+                   CASE WHEN b.chunk IS NULL THEN c.chunk END,
+                   ' ' ORDER BY c.cidx), '') AS text
+        FROM c LEFT JOIN boiler b USING (chunk)
+        GROUP BY c.doc_id
+    ),
+    sized AS (
+        SELECT r.doc_id, d.lang, r.text,
+               CAST(len(list_filter(string_split(r.text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM rebuilt r JOIN documents d USING (doc_id)
+    ),
+    band AS (
+        SELECT * FROM sized
+        WHERE n_tokens BETWEEN {V3_GATE_MIN} AND {V3_GATE_MAX}
+    ),
+    keymin AS (
+        SELECT text, MIN(doc_id) AS m FROM band GROUP BY text
+    ),
+    winners AS (
+        SELECT b.* FROM band b JOIN keymin k
+          ON b.text = k.text AND b.doc_id = k.m
+    ),
+    w2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM winners),
+    g2 AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(list_slice(words, i + 1, i + {SPAN_K}), ' ')
+                 AS gram
+        FROM w2, UNNEST(range(len(words) - {SPAN_K} + 1)) AS t(i)
+        WHERE len(words) >= {SPAN_K}
+    ),
+    dup2 AS (
+        SELECT gram FROM g2 GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    spans2 AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup2 USING (gram)),
+    cover2 AS (
+        SELECT doc_id, COUNT(DISTINCT pos + j) AS dup_tokens
+        FROM spans2, UNNEST(range({SPAN_K})) AS t(j)
+        GROUP BY doc_id
+    ),
+    dropped AS (
+        SELECT b.doc_id, cover2.dup_tokens
+        FROM (SELECT doc_id, len(words) AS nt FROM w2) b
+        JOIN cover2 USING (doc_id)
+        WHERE 10 * cover2.dup_tokens >= 6 * b.nt
+    ),
+    surv AS (
+        SELECT * FROM winners
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    tok3 AS (
+        SELECT doc_id, lang, word
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+              FROM surv)
+        WHERE word <> ''
+    ),
+    hb3 AS (
+        SELECT doc_id, lang, ({_HV_DUCK}) % {DSIR_B} AS b FROM tok3
+    ),
+    buckets AS (SELECT CAST(range AS BIGINT) AS b FROM range({DSIR_B})),
+    bcnt AS (
+        SELECT b,
+               SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                 AS ct,
+               COUNT(*) AS cr
+        FROM hb3 GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bcnt),
+    coef AS (
+        SELECT buckets.b,
+               CAST(ROUND(ln((CAST(COALESCE(bcnt.ct, 0) AS DOUBLE) + 1.0)
+                             / (CAST(tot.nt AS DOUBLE) + {DSIR_B}.0)), 6)
+                    AS DECIMAL(18,6))
+               - CAST(ROUND(ln((CAST(COALESCE(bcnt.cr, 0) AS DOUBLE) + 1.0)
+                               / (CAST(tot.nr AS DOUBLE) + {DSIR_B}.0)), 6)
+                      AS DECIMAL(18,6)) AS coef
+        FROM buckets LEFT JOIN bcnt USING (b) CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT hb3.doc_id, CAST(SUM(coef.coef) AS DOUBLE) AS logw
+        FROM hb3 JOIN coef USING (b) GROUP BY hb3.doc_id
+    ),
+    sel AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {V3_TOP}
+    )
+    SELECT s.doc_id,
+           CASE WHEN s.n_tokens < {V3_GATE_MIN} THEN 'too_short'
+                WHEN s.n_tokens > {V3_GATE_MAX} THEN 'too_long'
+                WHEN k.m IS NOT NULL AND s.doc_id <> k.m THEN 'exact_dup'
+                WHEN dr.doc_id IS NOT NULL THEN 'span_dup'
+                WHEN sel.doc_id IS NOT NULL THEN 'selected'
+                ELSE 'not_selected' END AS decision,
+           CASE WHEN s.n_tokens < {V3_GATE_MIN}
+                  OR s.n_tokens > {V3_GATE_MAX} THEN NULL
+                WHEN k.m IS NOT NULL AND s.doc_id <> k.m THEN k.m
+                WHEN dr.doc_id IS NOT NULL THEN dr.dup_tokens
+                ELSE NULL END AS detail
+    FROM sized s
+    LEFT JOIN keymin k ON k.text = s.text
+    LEFT JOIN dropped dr ON dr.doc_id = s.doc_id
+    LEFT JOIN sel ON sel.doc_id = s.doc_id
+    """,
+)
+def q_curation_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainable curation — the audit table answering "why was my
+    document dropped?": every ORIGINAL doc traced to the first
+    q_curation_v3 stage that eliminated it (too_short / too_long on
+    the rebuilt text, exact_dup citing the surviving doc, span_dup
+    with its duplicated-token count) or to its final fate (selected /
+    not_selected by the DSIR cut). `detail` carries the per-decision
+    evidence: the surviving doc_id for exact_dup, the covered-token
+    count for span_dup, NULL otherwise.
+
+    The decisions are exactly v3's — the same stage predicates over
+    the same frames (consistency with q_curation_v3's selection is
+    pinned by test_curation_trace_consistent_with_v3); only the
+    bookkeeping differs. Scale shape: v3's stages plus three
+    broadcast-sized left joins of per-doc verdict frames."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    rebuilt = boilerplate_report(docs).select("doc_id", "clean_text")
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    sized = (
+        rebuilt.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("clean_text").alias("text"))
+        .withColumn("n_tokens", ntok.cast("bigint"))
+        .localCheckpoint()
+    )
+    band = sized.filter(F.col("n_tokens").between(V3_GATE_MIN, V3_GATE_MAX))
+    keymin = band.groupBy("text").agg(F.min("doc_id").alias("m"))
+    winners = band.join(keymin, "text").filter(F.col("doc_id") == F.col("m")).drop("m")
+    sub = substring_report(winners.select("doc_id", "text"))
+    dropped = sub.filter(10 * F.col("dup_tokens") >= 6 * F.col("n_tokens")).select(
+        "doc_id", F.col("dup_tokens").alias("dr_tokens")
+    )
+    surv = winners.join(dropped.select("doc_id"), "doc_id", "left_anti")
+    sel = dsir_report(surv, top=V3_TOP).select(
+        "doc_id", F.lit(True).alias("is_sel")
+    )
+    out = (
+        sized.join(keymin.select(F.col("m"), F.col("text").alias("ktext")),
+                   F.col("text") == F.col("ktext"), "left")
+        .join(dropped, "doc_id", "left")
+        .join(F.broadcast(sel), "doc_id", "left")
+    )
+    too_short = F.col("n_tokens") < V3_GATE_MIN
+    too_long = F.col("n_tokens") > V3_GATE_MAX
+    exact_dup = F.col("m").isNotNull() & (F.col("doc_id") != F.col("m"))
+    span_dup = F.col("dr_tokens").isNotNull()
+    return out.select(
+        "doc_id",
+        F.when(too_short, "too_short")
+        .when(too_long, "too_long")
+        .when(exact_dup, "exact_dup")
+        .when(span_dup, "span_dup")
+        .when(F.col("is_sel").isNotNull(), "selected")
+        .otherwise("not_selected")
+        .alias("decision"),
+        F.when(too_short | too_long, F.lit(None).cast("bigint"))
+        .when(exact_dup, F.col("m"))
+        .when(span_dup, F.col("dr_tokens"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("detail"),
+    )

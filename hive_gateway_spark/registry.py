@@ -171,6 +171,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # epoch-week cohort retention (dense grid).
     "q_funnel",
     "q_cohort_retention",
+    # r7: explainable curation — every doc traced to the v3 stage that
+    # decided its fate, with per-decision evidence.
+    "q_curation_trace",
 )
 
 

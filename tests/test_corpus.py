@@ -260,3 +260,27 @@ def test_substring_trim_keeps_canonical_holder_only(spark):
     # corpus-wide: the span's content survives exactly once
     total = " ".join(r["trimmed_text"] for r in substring_trim(docs).collect())
     assert total.count(SHARED) == 1
+
+
+# ----------------------------------------------------------- curation trace
+
+def test_curation_trace_consistent_with_v3(spark, sf_dir):
+    """The audit table partitions EVERY original doc into exactly one
+    decision, and its 'selected' set IS q_curation_v3's selection."""
+    from hive_gateway_spark.session import load_tables
+
+    trace = registry.QUERIES["q_curation_trace"](spark, sf_dir).collect()
+    docs = load_tables(spark, sf_dir)["documents"]
+    assert len(trace) == docs.count()  # total partition of the corpus
+    by_dec = {}
+    for r in trace:
+        by_dec.setdefault(r["decision"], set()).add(r["doc_id"])
+    sel = {r["doc_id"] for r in registry.QUERIES["q_curation_v3"](spark, sf_dir).collect()}
+    assert by_dec.get("selected", set()) == sel
+    # evidence typing: exact_dup cites a doc that is itself not an
+    # exact_dup loser of the same text chain's winner set
+    for r in trace:
+        if r["decision"] == "exact_dup":
+            assert r["detail"] is not None and r["detail"] < r["doc_id"]
+        if r["decision"] == "span_dup":
+            assert r["detail"] is not None and r["detail"] > 0
