@@ -702,3 +702,55 @@ def cohort_report(ev: DataFrame) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+#: Outlier threshold: |v − μ| > OUTLIER_SIGMA · σ, evaluated as the
+#: exact-decimal squared form (n·v − Σv)² > k²·(n·Σv² − (Σv)²).
+OUTLIER_SIGMA = 3
+
+
+@query(
+    "q_outliers",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+               SUM(CAST(value AS DECIMAL(18,2))
+                   * CAST(value AS DECIMAL(18,2))) AS sv2
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN s USING (event_type)
+    WHERE (s.n * CAST(e.value AS DECIMAL(18,2)) - s.sv)
+          * (s.n * CAST(e.value AS DECIMAL(18,2)) - s.sv)
+          > {OUTLIER_SIGMA * OUTLIER_SIGMA} * (s.n * s.sv2 - s.sv * s.sv)
+    """,
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection WITHOUT floating point:
+    |v − μ| > {OUTLIER_SIGMA}σ is algebraically (n·v − Σv)² >
+    {OUTLIER_SIGMA}²·(n·Σv² − (Σv)²), and with value as DECIMAL(18,2)
+    every term is exact decimal arithmetic — no mean, no sqrt, no
+    rounding rule needed; the predicate is bit-identical in any
+    engine. (sqrt is correctly rounded in IEEE so a z-score form
+    would also match, but the squared form removes the question.)
+
+    Scale shape: one map-side-combined moments aggregate (n, Σv, Σv²
+    per type — the mergeable sufficient statistics), broadcast back
+    onto the event stream as a 5-row join; the corpus is scanned
+    twice or once-with-reuse, never shuffled on event rows."""
+    t = load_tables(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    s = t["events"].groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("sv"),
+        F.sum(v * v).alias("sv2"),
+    )
+    e = t["events"].join(F.broadcast(s), "event_type")
+    dev = F.col("n") * v - F.col("sv")
+    return e.filter(
+        dev * dev
+        > F.lit(OUTLIER_SIGMA * OUTLIER_SIGMA)
+        * (F.col("n") * F.col("sv2") - F.col("sv") * F.col("sv"))
+    ).select("event_id", "event_type", "value")

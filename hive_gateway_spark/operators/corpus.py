@@ -1180,3 +1180,68 @@ def q_curation_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("bigint"))
         .alias("detail"),
     )
+
+
+@query(
+    "q_template_catalog",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS words
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source,
+               array_to_string(
+                 list_slice(words, i * {CHUNK_W} + 1, (i + 1) * {CHUNK_W}), ' ')
+                 AS chunk
+        FROM w, UNNEST(range((len(words) + {CHUNK_W} - 1) // {CHUNK_W}))
+               AS t(i)
+    )
+    SELECT chunk,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_doc
+    FROM c
+    GROUP BY chunk
+    HAVING COUNT(DISTINCT doc_id) >= {BOILER_DF}
+    ORDER BY n_docs DESC, chunk ASC
+    LIMIT 50
+    """,
+)
+def q_template_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate CATALOG — the human-auditable face of the
+    removal operators: the top recurring {CHUNK_W}-token templates
+    (the chunks q_boilerplate_chunks cuts), each with its document
+    reach, raw occurrence count, source spread (a template crossing
+    many sources is crawl-infrastructure boilerplate; one source =
+    that site's furniture) and a sample doc to inspect. What a
+    curation operator reviews before approving a removal rule.
+
+    Scale shape: the chunk DF aggregate (map-side combined) filtered
+    to >= {BOILER_DF} docs, TakeOrdered top-50 — no corpus-sized
+    anything past the one aggregate."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.withColumn("words", F.split("text", " "))
+    c = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(words) / {CHUNK_W}.0) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(words, i * {CHUNK_W} + 1, {CHUNK_W})))"
+            )
+        ).alias("chunk"),
+    )
+    return (
+        c.groupBy("chunk")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("sample_doc"),
+        )
+        .filter(F.col("n_docs") >= BOILER_DF)
+        .orderBy(F.col("n_docs").desc(), F.col("chunk").asc())
+        .limit(50)
+    )

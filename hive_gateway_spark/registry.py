@@ -174,6 +174,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # r7: explainable curation — every doc traced to the v3 stage that
     # decided its fate, with per-decision evidence.
     "q_curation_trace",
+    # r7: boilerplate template catalog (audit view) and exact-decimal
+    # z-score outlier detection (squared predicate, no sqrt).
+    "q_template_catalog",
+    "q_outliers",
 )
 
 

