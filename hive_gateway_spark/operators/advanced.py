@@ -754,3 +754,61 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         > F.lit(OUTLIER_SIGMA * OUTLIER_SIGMA)
         * (F.col("n") * F.col("sv2") - F.col("sv") * F.col("sv"))
     ).select("event_id", "event_type", "value")
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    t AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    f AS (SELECT from_type, SUM(n) AS total FROM t GROUP BY from_type)
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(CAST(t.n AS DOUBLE) / CAST(f.total AS DOUBLE) AS DOUBLE)
+             AS p
+    FROM t JOIN f USING (from_type)
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths:
+    for each (from, to) event-type pair, how often `to` immediately
+    follows `from` in a user's timeline, and the conditional
+    probability P(to | from) — the path-analysis staple behind "what
+    do users do after an error?". Ties broken by event_id so the
+    sequence is total and engine-identical.
+
+    Scale shape: ONE shuffle (partition by user_id for the lead
+    window — max-cardinality key, no skew), then a 25-cell aggregate;
+    the probability join runs on the 5-row margins. p is a single
+    IEEE division of exact counts."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    tr = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    f = tr.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return tr.join(f, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("p"),
+    )

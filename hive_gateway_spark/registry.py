@@ -178,6 +178,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # z-score outlier detection (squared predicate, no sqrt).
     "q_template_catalog",
     "q_outliers",
+    # r7: first-order Markov transition matrix over per-user paths.
+    "q_event_transitions",
 )
 
 

@@ -218,3 +218,18 @@ def test_template_catalog_ranks_by_reach(spark, sf_dir):
         assert r["n_docs"] >= BOILER_DF
         assert r["n_occurrences"] >= r["n_docs"]
         assert 1 <= r["n_sources"] <= r["n_docs"]
+
+
+def test_event_transitions_probabilities_sum_to_one(spark, sf_dir):
+    """Each from_type's outgoing probabilities sum to 1 (within one
+    ulp per term) and counts are consistent margins."""
+    rows = registry.QUERIES["q_event_transitions"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for ft, rs in by_from.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-9
+        total = sum(r["n"] for r in rs)
+        for r in rs:
+            assert abs(r["p"] - r["n"] / total) < 1e-12
