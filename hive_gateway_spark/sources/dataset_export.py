@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -108,3 +109,68 @@ def verify_dataset(spark: SparkSession, path: str) -> dict:
         "content_xxh64_xor": _content_checksum(back.select(*cols), cols),
     }
     return {"ok": actual == expected, "expected": expected, "actual": actual}
+
+
+def dataset_files(path: str) -> list[str]:
+    """All parquet data files under `path` (recursive, sorted)."""
+    out = []
+    for root, _, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+    return sorted(out)
+
+
+def compact_dataset(
+    spark: SparkSession, path: str, files_per_partition: int = 1
+) -> dict:
+    """Small-files maintenance: rewrite the dataset so each partition
+    holds at most `files_per_partition` data files, preserving content
+    bit-for-bit (the order-insensitive xxhash64-xor checksum in the
+    manifest must survive the rewrite — verified before the swap).
+
+    The streaming ingest path appends a file per micro-batch per
+    partition; without periodic compaction a 100 TB table degrades
+    into millions of kilobyte files and every scan pays the per-file
+    open cost. This is the maintenance job a table format (Iceberg/
+    Delta OPTIMIZE) schedules — here as an explicit engine operation
+    over the plain-parquet export.
+
+    Safety: the rewrite lands in a sibling temp dir first and content
+    is verified against the ORIGINAL manifest before the atomic-ish
+    directory swap; on any mismatch the original is left untouched."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    pby = manifest["partition_by"]
+    cols = manifest["columns"]
+    tmp = path.rstrip("/") + ".compact.tmp"
+    df = spark.read.parquet(path).select(*cols)
+    writer = (
+        df.repartition(files_per_partition, *pby)
+        if pby
+        else df.coalesce(files_per_partition)
+    ).write.mode("overwrite")
+    if pby:
+        writer = writer.partitionBy(*pby)
+    writer.parquet(tmp)
+    back = spark.read.parquet(tmp).select(*cols)
+    checksum = _content_checksum(back, cols)
+    if checksum != manifest["content_xxh64_xor"]:  # pragma: no cover
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "compaction changed dataset content; original left in place"
+        )
+    n_before = len(dataset_files(path))
+    with open(os.path.join(tmp, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    old = path.rstrip("/") + ".compact.old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": n_before,
+        "files_after": len(dataset_files(path)),
+        "n_rows": manifest["n_rows"],
+    }

@@ -523,3 +523,28 @@ def test_curated_corpus_export_end_to_end(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.select(*sel.columns).collect())) == sorted(
         map(tuple, sel.collect())
     )
+
+
+def test_compact_dataset_reduces_files_preserves_content(spark, sf_dir, tmp_path):
+    """A fragmented export (16 files per partition, the streaming-
+    append pathology) compacts to 1 file per partition with the
+    manifest checksum intact and verify_dataset still green."""
+    from hive_gateway_spark import registry
+    from hive_gateway_spark.sources.dataset_export import (
+        compact_dataset,
+        dataset_files,
+        verify_dataset,
+        write_dataset,
+    )
+
+    sel = registry.QUERIES["q_curation_v3"](spark, sf_dir).repartition(16)
+    path = str(tmp_path / "frag")
+    write_dataset(sel, path, partition_by=["lang"])
+    n_before = len(dataset_files(path))
+    report = compact_dataset(spark, path, files_per_partition=1)
+    assert report["files_before"] == n_before
+    assert report["files_after"] < n_before
+    n_langs = sel.select("lang").distinct().count()
+    assert report["files_after"] == n_langs  # one file per partition
+    after = verify_dataset(spark, path)
+    assert after["ok"], after
