@@ -1007,3 +1007,190 @@ def q_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("motion_sum").alias("motion_total"),
         )
     )
+
+
+# ------------------------------------------------------------- image pHash
+
+#: pHash near-dup geometry: 64-bit hash (8×8 low-frequency DCT signs
+#: vs their median), banded into 4×16 bits for candidate generation,
+#: exact Hamming verify at ≤ PHASH_HAM_T. Near-dups of a 32×32 image
+#: land at Hamming 0–2; unrelated textures at ~32 (binomial around
+#: half the bits), so the threshold separates cleanly.
+PHASH_SIZE = 32
+PHASH_HAM_T = 10
+
+#: Planted cluster width in the synthetic corpus: doc_id // 5 is the
+#: texture seed, doc_id % 5 a tiny per-variant perturbation — 5-doc
+#: near-dup families, disjoint across seeds.
+PHASH_CLUSTER = 5
+
+
+def _synth_texture(doc_id: int):
+    """Deterministic 32×32 uint8 texture with rich LOW-frequency
+    content: an LCG-filled 8×8 block from seed doc_id // PHASH_CLUSTER
+    upsampled ×4 (so the pHash's 8×8 DCT block carries the full seed
+    entropy — a separable/rank-1 texture would collide across seeds),
+    plus a one-pixel ±(doc_id % PHASH_CLUSTER) nudge: variants are
+    distinct bytes but pHash-identical-or-near."""
+    import numpy as np
+
+    seed = doc_id // PHASH_CLUSTER
+    i = np.arange(8)[:, None]
+    j = np.arange(8)[None, :]
+    # splitmix64 per pixel: the seed must AVALANCHE into every pixel
+    # independently (an additive-seed LCG is a uniform brightness
+    # shift, which DC-dropping pHash erases — measured 63/100 distinct
+    # hashes; splitmix gives 100/100 at median cross-Hamming 32).
+    with np.errstate(over="ignore"):  # uint64 wrap IS the mix
+        a = (
+            np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+            + (np.uint64(0x9E3779B9) * (8 * i + j + 1)).astype(np.uint64)
+        )
+        a = (a ^ (a >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        a = (a ^ (a >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        base = (a ^ (a >> np.uint64(31))) >> np.uint64(56)
+    img = np.kron(base.astype(np.int64), np.ones((4, 4), dtype=np.int64)).astype(
+        np.uint8
+    )
+    v = doc_id % PHASH_CLUSTER
+    img[v, v] = (int(img[v, v]) + v) % 256
+    return img
+
+
+def _dct_basis(n: int):
+    """Orthonormal DCT-II basis matrix (generated, not transcribed —
+    same policy as jpeg.py's tables)."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    d[0] *= 1 / np.sqrt(2)
+    return d * np.sqrt(2 / n)
+
+
+def phash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, phash) — synthesize each doc's texture, round-trip it
+    through the REAL PNG codec (encode → decode_image), then one
+    batched einsum computes every image's 2D DCT at once; the hash is
+    the sign of the 8×8 low-frequency block (DC excluded) against its
+    median. All Python work is Arrow-batched; the output is 8 B/doc."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import struct as _s
+        import zlib as _z
+
+        import numpy as np
+
+        d32 = _dct_basis(PHASH_SIZE)
+
+        def png_encode(img):
+            raw = b"".join(
+                b"\x00" + np.repeat(img[y][:, None], 3, axis=1).tobytes()
+                for y in range(PHASH_SIZE)
+            )
+
+            def chunk(tag, data):
+                return (
+                    _s.pack(">I", len(data)) + tag + data
+                    + _s.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+                )
+
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(
+                    b"IHDR",
+                    _s.pack(">IIBBBBB", PHASH_SIZE, PHASH_SIZE, 8, 2, 0, 0, 0),
+                )
+                + chunk(b"IDAT", _z.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            imgs = np.stack(
+                [
+                    decode_image(png_encode(_synth_texture(int(i))))[
+                        "pixels"
+                    ][:, :, 0]
+                    for i in ids
+                ]
+            ).astype(np.float64)
+            # batched 2D DCT: D @ X @ D.T for every image at once
+            co = np.einsum("ij,bjk,lk->bil", d32, imgs, d32)
+            low = co[:, :8, :8].reshape(len(ids), 64)
+            low[:, 0] = 0.0  # drop DC (overall brightness)
+            med = np.median(low[:, 1:], axis=1, keepdims=True)
+            bits = (low > med).astype(np.uint64)
+            weights = (1 << np.arange(64, dtype=np.uint64))[None, :]
+            ph = (bits * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"doc_id": ids, "phash": ph})
+
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+@query("q_image_phash")
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash — the multimodal leg of
+    the dedup family: every doc's synthetic texture (deterministic,
+    with planted 5-doc near-dup families) goes through the REAL PNG
+    codec, a batched 2D DCT produces the classic 64-bit pHash, and
+    pairs within Hamming ≤ {PHASH_HAM_T} are emitted. Near-dup by
+    CONTENT, immune to byte-level differences (re-encodes, one-pixel
+    edits) that defeat exact hashing.
+
+    Rows-only by design (decode + DCT is kernel work, like
+    q_dedup_fuzzy's xxhash64 path); semantics pinned by
+    tests/test_multimodal.py: full recall on planted families, zero
+    cross-family pairs, determinism.
+
+    Scale shape: hash = one mapInPandas pass (8 B/doc out); candidate
+    generation BANDS the hash (4×16-bit bands, bucket join — the LSH
+    trick, no all-pairs); the Hamming verify is JVM-side
+    bit_count(xor) on the candidates only."""
+    t = load_tables(spark, sf_dir)
+    ph = phash_frame(t["documents"]).localCheckpoint()
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band", "b.key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+    )

@@ -180,6 +180,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_outliers",
     # r7: first-order Markov transition matrix over per-user paths.
     "q_event_transitions",
+    # r7: image near-dup by perceptual hash (real PNG codec + batched
+    # DCT; banded candidates, JVM Hamming verify). Rows-only.
+    "q_image_phash",
 )
 
 

@@ -727,3 +727,41 @@ def test_y4m_frame_params_tolerated_overrides_rejected():
     bad = payload.replace(b"FRAME\n", b"FRAME C444\n")
     with _pytest.raises(NotImplementedError):
         y4m_decode(bad)
+
+
+def test_image_phash_planted_families(spark, sf_dir):
+    """The multimodal near-dup leg: every planted 5-doc texture family
+    is fully recovered (C(5,2)=10 pairs each) and NO cross-family pair
+    survives the Hamming threshold — content-level dedup that byte
+    hashing cannot do (the variants differ in bytes)."""
+    from hive_gateway_spark.operators.multimodal import (
+        PHASH_CLUSTER,
+        PHASH_HAM_T,
+        _synth_texture,
+    )
+
+    from hive_gateway_spark import registry
+
+    out = registry.QUERIES["q_image_phash"](spark, sf_dir).collect()
+    fam = lambda d: d // PHASH_CLUSTER  # noqa: E731
+    assert all(fam(r["doc_a"]) == fam(r["doc_b"]) for r in out)
+    assert all(0 <= r["hamming"] <= PHASH_HAM_T for r in out)
+    from hive_gateway_spark.session import load_tables
+
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    n_fams = n_docs // PHASH_CLUSTER
+    expected = n_fams * (PHASH_CLUSTER * (PHASH_CLUSTER - 1) // 2)
+    assert len(out) == expected  # full recall, no misses
+    # the variants really are different BYTES (else this is exact dedup)
+    a, b = _synth_texture(0), _synth_texture(1)
+    assert a.tobytes() != b.tobytes()
+
+
+def test_image_phash_deterministic(spark, sf_dir):
+    from hive_gateway_spark.operators.multimodal import phash_frame
+    from hive_gateway_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    h1 = {r["doc_id"]: r["phash"] for r in phash_frame(docs).collect()}
+    h2 = {r["doc_id"]: r["phash"] for r in phash_frame(docs).collect()}
+    assert h1 == h2 and len(h1) == docs.count()
