@@ -663,3 +663,54 @@ def stream_admission_tws(events: DataFrame, limit: int = 3) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+def stream_image_phash_screen(
+    docs_stream: DataFrame, corpus_phash: DataFrame
+) -> DataFrame:
+    """Ingest-time IMAGE near-dup screening — the multimodal sibling of
+    stream_decontaminate: each arriving doc's texture is pHashed in the
+    micro-batch (phash_frame is a stateless mapInPandas — valid on a
+    stream as-is) and screened against the STATIC corpus pHash index
+    via the same 4×16-bit band join the batch operator uses, with the
+    exact Hamming verify as the join residual. Emits
+    (doc_id, corpus_doc, hamming) for flagged arrivals.
+
+    Plan shape at scale: the corpus index is 8 B/doc and its band
+    projection joins as a static side (broadcast when it fits); the
+    stream side does one decode+DCT pass per micro-batch; no
+    stream-stream state, no watermark needed."""
+    from hive_gateway_spark.operators.multimodal import (
+        PHASH_HAM_T,
+        phash_frame,
+    )
+
+    def banded(df: DataFrame, id_out: str, ph_out: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(id_out),
+            F.col("phash").alias(ph_out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned(F.col("phash"), 16 * i)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("key"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("b"),
+        ).select(id_out, ph_out, "b.band", "b.key")
+
+    new = banded(phash_frame(docs_stream), "doc_id", "ph_new")
+    idx = banded(corpus_phash, "corpus_doc", "ph_old")
+    ham = F.bit_count(F.col("ph_new").bitwiseXOR(F.col("ph_old")))
+    return (
+        new.join(F.broadcast(idx), ["band", "key"])
+        .filter(F.col("doc_id") != F.col("corpus_doc"))
+        .select("doc_id", "corpus_doc", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+        .distinct()
+    )

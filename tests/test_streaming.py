@@ -634,3 +634,27 @@ def test_tws_admission_equals_old_api(spark, sf_dir):
         n[["event_id", "user_id", "admitted"]],
         o[["event_id", "user_id", "admitted"]],
     )
+
+
+def test_stream_image_phash_screen_equals_batch(spark, sf_dir):
+    """The ingest-time image screen drained over the fixture stream
+    flags exactly the batch operator's pairs (both directions of each
+    q_image_phash pair, since every arriving doc is screened against
+    the full corpus index minus itself)."""
+    from hive_gateway_spark.operators.multimodal import phash_frame
+    from hive_gateway_spark.streaming.ops import (
+        stream_documents,
+        stream_image_phash_screen,
+    )
+
+    corpus = phash_frame(load_tables(spark, sf_dir)["documents"]).localCheckpoint()
+    got = drain(
+        stream_image_phash_screen(stream_documents(spark, sf_dir), corpus),
+        "s_imgscreen",
+    )
+    flagged = {(r.doc_id, r.corpus_doc) for r in got.itertuples(index=False)}
+    batch = registry.QUERIES["q_image_phash"](spark, sf_dir).collect()
+    want = {(r["doc_a"], r["doc_b"]) for r in batch} | {
+        (r["doc_b"], r["doc_a"]) for r in batch
+    }
+    assert flagged == want and len(want) > 0
