@@ -108,6 +108,15 @@ HEADLINE_R7 = [
     # survivor frame; warm reads the session staging like a cluster
     # reads its intermediate corpus version)
     "q_curation_v3",
+    # late-r7: drift monitor, substring rewrite, behavioral analytics,
+    # exact-decimal outliers, transitions, image pHash near-dup.
+    "q_corpus_drift",
+    "q_substring_trim",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_outliers",
+    "q_event_transitions",
+    "q_image_phash",
 ]
 
 
