@@ -189,22 +189,40 @@ def main() -> None:
     r6_total = round(sum(timings[n] for n in HEADLINE_R6), 3)
     r7_total = round(sum(timings[n] for n in HEADLINE_R7), 3)
 
-    # per-query regression gate vs the previous round's recorded bench
+    # Per-query regression gate vs the previous round's recorded bench.
+    # The per-query ratio is NORMALIZED by the round's median ratio over
+    # all shared queries: a co-tenant / frequency-scaling slowdown shifts
+    # the WHOLE distribution (observed: every Python-worker-heavy query
+    # drifting +15..65% together across a session, JVM queries +3%,
+    # while no code changed), whereas a true regression is an outlier
+    # against the round's own baseline shift. The median divisor is
+    # floored at 1.0 so a globally FASTER round can never mask a real
+    # per-query regression.
     prev = _previous_bench()
     regressions: dict[str, dict] = {}
+    median_ratio = 1.0
     if prev is not None:
         prev_name, prev_doc = prev
+        shared = {
+            name: now / prev_doc["queries"][name]
+            for name, now in timings.items()
+            if prev_doc["queries"].get(name)
+        }
+        if shared:
+            rs = sorted(shared.values())
+            median_ratio = max(1.0, rs[len(rs) // 2])
         for name, now in timings.items():
             before = prev_doc["queries"].get(name)
             if (
                 before
-                and now > before * REGRESSION_RATIO
+                and now > before * REGRESSION_RATIO * median_ratio
                 and now - before > REGRESSION_FLOOR_SEC
             ):
                 regressions[name] = {
                     "prev": before,
                     "now": now,
                     "ratio": round(now / before, 2),
+                    "median_ratio": round(median_ratio, 2),
                 }
     print(
         json.dumps(
@@ -222,6 +240,7 @@ def main() -> None:
                 "queries_cold": cold,
                 "sf": sf,
                 "regression_baseline": prev[0] if prev else None,
+                "regression_median_ratio": round(median_ratio, 3),
                 "regressions": regressions,
                 "regression_gate": "fail" if regressions else "pass",
             }
