@@ -183,6 +183,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # r7: image near-dup by perceptual hash (real PNG codec + batched
     # DCT; banded candidates, JVM Hamming verify). Rows-only.
     "q_image_phash",
+    # r7: audio near-dup by multi-scale energy fingerprint (real WAV
+    # codec round trip; same banded matching). Rows-only.
+    "q_audio_fingerprint",
 )
 
 

@@ -765,3 +765,26 @@ def test_image_phash_deterministic(spark, sf_dir):
     h1 = {r["doc_id"]: r["phash"] for r in phash_frame(docs).collect()}
     h2 = {r["doc_id"]: r["phash"] for r in phash_frame(docs).collect()}
     assert h1 == h2 and len(h1) == docs.count()
+
+
+def test_audio_fingerprint_planted_families(spark, sf_dir):
+    """The audio leg of perceptual dedup: every planted 5-doc clip
+    family fully recovered through the real WAV codec round trip, no
+    cross-family pair within the Hamming band, and the variants are
+    genuinely different PCM bytes."""
+    from hive_gateway_spark import registry
+    from hive_gateway_spark.operators.multimodal import (
+        AFP_CLUSTER,
+        AFP_HAM_T,
+        _synth_clip,
+    )
+    from hive_gateway_spark.session import load_tables
+
+    out = registry.QUERIES["q_audio_fingerprint"](spark, sf_dir).collect()
+    fam = lambda d: d // AFP_CLUSTER  # noqa: E731
+    assert all(fam(r["doc_a"]) == fam(r["doc_b"]) for r in out)
+    assert all(0 <= r["hamming"] <= AFP_HAM_T for r in out)
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    expected = (n_docs // AFP_CLUSTER) * (AFP_CLUSTER * (AFP_CLUSTER - 1) // 2)
+    assert len(out) == expected
+    assert _synth_clip(0).tobytes() != _synth_clip(1).tobytes()
