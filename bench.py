@@ -117,6 +117,7 @@ HEADLINE_R7 = [
     "q_outliers",
     "q_event_transitions",
     "q_image_phash",
+    "q_audio_fingerprint",
 ]
 
 
