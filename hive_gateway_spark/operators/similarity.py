@@ -657,3 +657,63 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("resid").cast("bigint").alias("total_residual"),
         F.max("m").cast("bigint").alias("max_scale"),
     )
+
+
+@query(
+    "q_dedup_cross_lingual",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(SUM(a.val * b.val) AS DOUBLE) AS dot
+        FROM v a
+        JOIN v b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    pairs AS (
+        SELECT d.vec_a, d.vec_b,
+               ROUND(d.dot / sqrt(na.norm2 * nb.norm2), 4) AS cos_sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_a
+        JOIN norms nb ON nb.vec_id = d.vec_b
+        WHERE d.dot > 0
+          AND d.dot * d.dot >= {PAIR_TAU * PAIR_TAU} * na.norm2 * nb.norm2
+    )
+    SELECT p.vec_a AS doc_a, p.vec_b AS doc_b,
+           da.lang AS lang_a, db.lang AS lang_b, p.cos_sim
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.vec_a
+    JOIN documents db ON db.doc_id = p.vec_b
+    WHERE da.lang <> db.lang
+    """,
+)
+def q_dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-dup detection — the translated-content case
+    text dedup is blind to (a FR translation shares no shingles with
+    its EN source, but their EMBEDDINGS are close): the exact
+    cosine-pair set (q_sim_cosine_pairs' verified int64 GEMM, vec_id ↔
+    doc_id) restricted to pairs whose documents declare DIFFERENT
+    languages. The per-language curation pipelines would each keep
+    their copy; this operator is the cross-pipeline reconciliation
+    pass that catches it.
+
+    Scale shape: the pair set is the already-bounded GEMM output
+    (label-blocked, tiled); the language sides are two broadcast joins
+    of the narrow (doc_id, lang) projection."""
+    t = load_tables(spark, sf_dir)
+    pairs = q_sim_cosine_pairs(spark, sf_dir)
+    langs = t["documents"].select("doc_id", "lang")
+    la = langs.select(F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a"))
+    lb = langs.select(F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(F.broadcast(la), "vec_a")
+        .join(F.broadcast(lb), "vec_b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "lang_a",
+            "lang_b",
+            "cos_sim",
+        )
+    )

@@ -186,6 +186,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # r7: audio near-dup by multi-scale energy fingerprint (real WAV
     # codec round trip; same banded matching). Rows-only.
     "q_audio_fingerprint",
+    # r7: cross-lingual near-dup reconciliation (exact cosine pairs ×
+    # document languages — the translated-content case).
+    "q_dedup_cross_lingual",
 )
 
 
