@@ -1245,3 +1245,91 @@ def q_template_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("chunk").asc())
         .limit(50)
     )
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+    WITH wf AS (
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS r, n
+        FROM wf
+    ),
+    pts AS (
+        SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+               CAST(ROUND(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS n_vocab,
+           (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope,
+           (sy * sxx - sx * sxy) / (k * sxx - sx * sx) AS intercept
+    FROM s
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health scalar: the
+    least-squares slope of ln(freq) vs ln(rank) over the vocabulary
+    (natural corpora sit near −1; a slope collapsing toward 0 means
+    boilerplate/duplication flattened the distribution, a steep slope
+    means a vocabulary hole). Hash-verifiable regression: x/y are
+    round-6 logs in exact DECIMAL, all five regression sums are exact,
+    and slope/intercept are each ONE IEEE division of exact operands —
+    no mean-centering drift, no iterative fit.
+
+    Scale shape: the word-frequency aggregate (map-side combined), a
+    vocabulary-sized rank window (Zipf ranks ≪ corpus), one 5-number
+    fold. The corpus is touched once."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    wf = (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = wf.select(
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), F.col("word").asc()))
+        .alias("r"),
+        "n",
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 6).cast("decimal(18,6)").alias("y"),
+    )
+    # The five sums are EXACT decimals; they convert to double once
+    # (correctly rounded, hence identical in both engines) and the
+    # slope/intercept arithmetic then runs in IEEE doubles with the
+    # same expression shape as the oracle — decimal PRODUCTS of the
+    # sums would overflow precision 38 and round engine-specifically.
+    s = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    det = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("k").cast("bigint").alias("n_vocab"),
+        ((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / det).alias(
+            "slope"
+        ),
+        ((F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / det).alias(
+            "intercept"
+        ),
+    )

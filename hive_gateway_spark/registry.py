@@ -189,6 +189,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # r7: cross-lingual near-dup reconciliation (exact cosine pairs ×
     # document languages — the translated-content case).
     "q_dedup_cross_lingual",
+    # r7: Zipf rank-frequency fit (exact-regression corpus health).
+    "q_zipf_fit",
 )
 
 
