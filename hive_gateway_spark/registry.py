@@ -123,6 +123,18 @@ PRIORITY: tuple[str, ...] = (
 #: (non-contract) slots per round, a list longer than that drains over
 #: two rounds — the invariant is that it only moves toward the window,
 #: never silently grows stale.
+#:
+#: r8 PRE-PLAN (written at r7 close, to execute mechanically next
+#: round once CORRECTNESS_r07 lands): the 35 contract queries keep
+#: their slots; the 15 r7-window rotatables (q_join_asof …
+#: q_lsh_candidates) should each hold a fresh r7 green row — any that
+#: ALSO held an r6 row (q_join_asof, q_window_range_frame,
+#: q_dedup_ngram, q_dedup_clusters, q_training_pipeline,
+#: q_multimodal_codecs, q_agg_kmv) are twice-green and rotate out to
+#: the local parity gate; the freed slots take the FIRST candidates
+#: below in order. Queries that earned their FIRST green row in r7
+#: (the eight r7 rotation entries) stay one more round per the
+#: two-green-rows policy unless slots run short.
 ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_audio_features",  # r7 late addition: WAV codec + feature report
     # r7 sampling/selection family (operators/sampling.py + q_tf_idf):
