@@ -88,85 +88,55 @@ PRIORITY: tuple[str, ...] = (
     # staged-pair-set rework; q_multimodal_codecs is new (real
     # PPM/BMP/PNG/JPEG encode→decode round-trip with an arithmetic
     # oracle). q_time_bucket stays: ERR in r5, must re-earn green.
-    "q_join_asof",
-    "q_window_range_frame",
-    "q_dedup_ngram",
-    "q_dedup_clusters",
-    "q_training_pipeline",
-    "q_multimodal_codecs",
-    # q_agg_kmv stays in-window (single green row, r6) because the r7
-    # overflow fix (hash reduces user_id mod KMV_P before the affine map,
-    # per ADVICE) changes its values — it must re-earn green.
-    "q_agg_kmv",
-    # -- r07 rotation (VERDICT r6 "Next round" #1): the seven queries
-    # that had never received a driver CORRECTNESS row, plus the new
-    # SQL-verified LSH band-bucket candidate-pairs query. The eight
-    # twice-green unchanged occupants (q_join_salted, q_time_bucket,
-    # q_minhash_signatures, q_domain_mix, q_pii_scrub, q_doc_repetition,
-    # q_curation_v2, q_contamination — each green in r4 AND r6) rotate
-    # to the local pytest parity gate per the two-green-rows policy.
-    "q_dedup_canonical",
-    "q_dedup_rank",
-    "q_warc_ingest",
-    "q_multimodal_thumbs",
-    "q_text_unigram_score",
-    "q_doc_length_buckets",
-    "q_sim_topk_lsh",
-    "q_lsh_candidates",  # new r7: band-bucket pairs with DuckDB oracle
-)
-
-#: r8 rotation candidates — queries REGISTERED AFTER the r7 window was
-#: frozen, next in line for a driver slot (tests/test_registry.py's
-#: debt ledger requires every registered query to hold a driver row, a
-#: window slot, or an entry here). The list drains into the window in
-#: FIFO order as twice-green occupants rotate out; with 15 rotatable
-#: (non-contract) slots per round, a list longer than that drains over
-#: two rounds — the invariant is that it only moves toward the window,
-#: never silently grows stale.
-#:
-#: r8 PRE-PLAN (written at r7 close, to execute mechanically next
-#: round once CORRECTNESS_r07 lands): the 35 contract queries keep
-#: their slots; the 15 r7-window rotatables (q_join_asof …
-#: q_lsh_candidates) should each hold a fresh r7 green row — any that
-#: ALSO held an r6 row (q_join_asof, q_window_range_frame,
-#: q_dedup_ngram, q_dedup_clusters, q_training_pipeline,
-#: q_multimodal_codecs, q_agg_kmv) are twice-green and rotate out to
-#: the local parity gate; the freed slots take the FIRST candidates
-#: below in order. Queries that earned their FIRST green row in r7
-#: (the eight r7 rotation entries) stay one more round per the
-#: two-green-rows policy unless slots run short.
-ROTATION_CANDIDATES: tuple[str, ...] = (
-    "q_audio_features",  # r7 late addition: WAV codec + feature report
-    # r7 sampling/selection family (operators/sampling.py + q_tf_idf):
-    # the selection stages between curation and export — deterministic
-    # content-hash split, stratified sample, sequence packing, TF-IDF.
+    # -- r08 rotation (executing the r7-close pre-plan + VERDICT r7
+    # task #1): ALL 15 r7-window rotatables rotate out. Seven are
+    # twice-green (q_join_asof, q_window_range_frame, q_dedup_ngram,
+    # q_dedup_clusters, q_training_pipeline, q_multimodal_codecs,
+    # q_agg_kmv — r6 AND r7 rows); the eight once-green r7 entries
+    # (q_dedup_canonical … q_lsh_candidates) also rotate because slots
+    # run short (the pre-plan's escape clause): 31 candidates were
+    # queued and the queue must drain to zero by r9 (VERDICT r7 #8).
+    # All 15 leavers stay in the local pytest parity gate. The freed
+    # slots take the FIRST 15 ROTATION_CANDIDATES in FIFO order:
+    "q_audio_features",
     "q_split_assign",
     "q_sample_stratified",
     "q_pack_sequences",
     "q_tf_idf",
-    # r7: video leg of the multimodal family (real Y4M codec,
-    # functions/y4m.py) — frame-sampled integer features.
     "q_video_framesample",
-    # r7: asymmetric containment dedup (doc-in-doc; shared/min ≥ 0.8).
     "q_dedup_containment",
-    # r7: int8 embedding quantization (integer-exact codes + residual).
     "q_embed_quantize",
-    # r7: corpus-statistics curation family (operators/corpus.py) —
-    # exact duplicated-span dedup (Lee et al. 2022), CCNet boilerplate
-    # chunk removal, bigram-LM NLL scoring, DSIR importance weights.
     "q_dedup_substring",
     "q_boilerplate_chunks",
+    # q_lm_perplexity enters the window in the SAME round its plan is
+    # de-weaked (VERDICT r7 task #2): the distinct-bigram broadcast is
+    # replaced, the oracle stays hash-identical, and the driver row
+    # proves it.
     "q_lm_perplexity",
     "q_dsir_weights",
-    # r7: real BPE subword tokenizer (operators/bpe.py) — greedy merge
-    # learning on the word-frequency table + JVM-side merge-list
-    # encoder; rows-only by design (iterative recurrence).
-    "q_bpe_vocab",
+    "q_bpe_vocab",  # rows-only by design (iterative merge recurrence)
     "q_bpe_encode",
-    # r7 breadth block: triangle enumeration over the near-dup graph,
-    # incremental new-batch-vs-corpus dedup decisions, time-series
-    # gap-fill with carry-forward, blocked Levenshtein fuzzy join.
     "q_graph_triangles",
+)
+
+#: r9 rotation candidates — the 16-query tail of the original 31-deep
+#: r7 queue, after the r8 rotation took the first 15 into the window
+#: (tests/test_registry.py's debt ledger requires every registered
+#: query to hold a driver row, a window slot, or an entry here).
+#:
+#: r9 PRE-PLAN (VERDICT r7 task #8, written at r8 rotation time): the
+#: 35 contract queries keep their slots; the 15 r8 rotatables
+#: (q_audio_features … q_graph_triangles) rotate out once they hold
+#: their r8 green row (the once-green fast-rotate is already policy —
+#: slots stay short until the queue drains); the freed 15 slots take
+#: the FIRST 15 below, leaving ONE candidate (q_zipf_fit) for r10 —
+#: or slot 50 absorbs it in r9 if a contract slot frees up. After
+#: that the queue is EMPTY: every registered query will hold a driver
+#: row, and new queries enter here as they are written.
+ROTATION_CANDIDATES: tuple[str, ...] = (
+    # r7 breadth block: incremental new-batch-vs-corpus dedup
+    # decisions, time-series gap-fill with carry-forward, blocked
+    # Levenshtein fuzzy join.
     "q_dedup_incremental",
     "q_ts_gapfill",
     "q_join_fuzzy",
