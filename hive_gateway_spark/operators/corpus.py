@@ -355,10 +355,15 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bigrams are built in-row (zip the words array with
     its own tail — no self-join); (doc,w1,w2) term frequencies and the
-    corpus tables c2/c1 are map-side-combined aggregates; c2/c1 are
-    vocabulary-sized (Heaps' law) so both sides of the scoring join
-    broadcast, and the final per-doc fold is one partial-agg shuffle
-    on doc_id. V rides in as a broadcast 1-row cross join."""
+    corpus tables c2/c1 are map-side-combined aggregates. The bigram
+    vocabulary does NOT obey unigram Heaps' law — at 100 TB the
+    distinct-bigram table is itself corpus-scale, so the scoring join
+    is a SHUFFLE-HASH join on (w1, w2): c1 folds into the LM table on
+    w1 (both sides vocabulary-keyed), then the staged term frame meets
+    the LM table partitioned by bigram — no unbounded broadcast
+    anywhere in the plan (VERDICT r7 task #2). Only the exact-1-row V
+    rides in as a broadcast cross join; the final per-doc fold is one
+    partial-agg shuffle on doc_id."""
     return perplexity_report(load_tables(spark, sf_dir)["documents"])
 
 
@@ -395,9 +400,13 @@ def perplexity_report(docs: DataFrame) -> DataFrame:
         ),
         6,
     ).cast("decimal(18,6)")
+    # LM table: fold c1 onto c2 first (vocab-keyed shuffle-hash join on
+    # w1), then meet the term frame on the full bigram key. Both joins
+    # are SHUFFLE_HASH by hint: neither side is bounded at 100 TB, so a
+    # broadcast here would be the scale-killer (VERDICT r7 task #2).
+    lm = c2.join(c1.hint("shuffle_hash"), "w1")
     terms = (
-        d2.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        d2.join(lm.hint("shuffle_hash"), ["w1", "w2"])
         .crossJoin(F.broadcast(v))
         .select("doc_id", "tf", nll6.alias("nll6"))
     )

@@ -158,12 +158,16 @@ def test_substring_dup_set_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_perplexity_lm_tables_broadcast(spark, sf_dir):
-    """c2/c1 (vocabulary-sized LM tables) and the 1-row V must all
-    broadcast onto the staged (doc, w1, w2) term frame."""
+def test_perplexity_lm_join_is_shuffle_hash(spark, sf_dir):
+    """The bigram LM table is corpus-scale at 100 TB (bigram vocab
+    doesn't obey unigram Heaps' law), so the scoring joins must be
+    SHUFFLE-HASH on the vocab keys — no LM-table broadcast, no sort
+    (VERDICT r7 task #2). The only broadcast left is the exact-1-row V
+    cross join (BroadcastNestedLoop on a literal single row is fine)."""
     plan = plan_of(spark, sf_dir, "q_lm_perplexity")
     assert "SortMergeJoin" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_boilerplate_rebuild_is_single_agg(spark, sf_dir):
