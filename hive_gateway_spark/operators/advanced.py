@@ -587,19 +587,20 @@ def funnel_report(events: DataFrame) -> DataFrame:
         )
     )
     w = W.orderBy("stage")
+    # LAG(n_users, 1, n_users) + NULLIF(_, 0), exactly as the oracle:
+    # stage 1 divides by its own count (1.0, or NULL when the funnel
+    # is empty), later stages by the predecessor — a 0-count
+    # predecessor must yield NULL in BOTH engines, not 1.0 (ADVICE r7
+    # #1: an unconditional coalesce made the green row fixture-lucky).
+    prev = F.coalesce(F.lag("n_users", 1).over(w), F.col("n_users"))
     return stages.select(
         "stage",
         "step",
         F.col("n_users").cast("bigint").alias("n_users"),
         (
             F.col("n_users").cast("double")
-            / F.nullif(
-                F.lag("n_users", 1, None).over(w).cast("double"),
-                F.lit(0.0),
-            )
+            / F.nullif(prev.cast("double"), F.lit(0.0))
         ).alias("conversion"),
-    ).withColumn(
-        "conversion", F.coalesce("conversion", F.lit(1.0))
     )
 
 
@@ -661,19 +662,21 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cohort_report(ev: DataFrame) -> DataFrame:
     """Core of q_cohort_retention over any (user_id, event_type, ts)
     frame."""
-    wk = lambda c: (F.unix_micros(c) / F.lit(86_400_000_000 * 7)).cast("bigint")  # noqa: E731
+    # Integer `div`, not double `/` + cast — the house rule from
+    # q_time_bucket (ADVICE r7 #2): float division loses exactness past
+    # 2^53 epoch-µs, and `div` truncates toward zero exactly like the
+    # oracle's DuckDB `//` (verified: -5 // 7 = 0 there, not floor -1).
+    week_us = 86_400_000_000 * 7
+    wk = lambda c: F.expr(f"unix_micros({c}) div {week_us}")  # noqa: E731
     first_signup = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min(F.unix_micros("ts")).alias("us"))
-        .select(
-            "user_id",
-            (F.col("us") / F.lit(86_400_000_000 * 7)).cast("bigint").alias("cohort_wk"),
-        )
+        .select("user_id", F.expr(f"us div {week_us}").alias("cohort_wk"))
     )
     activity = (
         ev.join(first_signup.select("user_id"), "user_id")
-        .select("user_id", wk(F.col("ts")).alias("wk"))
+        .select("user_id", wk("ts").alias("wk"))
         .distinct()
     )
     cohorts = first_signup.groupBy("cohort_wk").agg(F.count("*").alias("n_cohort"))

@@ -145,6 +145,55 @@ def test_funnel_requires_in_order_events(spark):
     assert abs(out["click"]["conversion"] - 1 / 3) < 1e-12
 
 
+def test_funnel_empty_stage_conversion_is_null(spark):
+    """A funnel whose middle stage is EMPTY: stage 3's conversion
+    divides by a 0-count predecessor and must be NULL — the oracle's
+    NULLIF(LAG(...), 0) semantics, not a coalesced 1.0 (ADVICE r7 #1:
+    the old unconditional coalesce only looked right because the
+    fixture had no empty stage)."""
+    from hive_gateway_spark.operators.advanced import funnel_report
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    ev = spark.createDataFrame(
+        [  # views and purchases exist, but no user ever clicks
+            (1, "view", t0),
+            (1, "purchase", t0 + dt.timedelta(minutes=5)),
+            (2, "view", t0),
+        ],
+        "user_id bigint, event_type string, ts timestamp",
+    )
+    out = {r["step"]: r.asDict() for r in funnel_report(ev).collect()}
+    assert out["view"]["n_users"] == 2 and out["view"]["conversion"] == 1.0
+    assert out["click"]["n_users"] == 0 and out["click"]["conversion"] == 0.0
+    assert out["purchase"]["n_users"] == 0
+    assert out["purchase"]["conversion"] is None  # 0 / NULLIF(0) — not 1.0
+
+
+def test_cohort_retention_pre_epoch_truncation(spark):
+    """Pre-1970 timestamps: epoch-µs is negative, and integer `div`
+    (trunc-toward-zero) must match DuckDB's `//` — the old double-/
+    + cast path happened to agree only for non-negative µs (ADVICE r7
+    #2). A 1969 signup and a 1969+1wk event land in trunc weeks 0/-1
+    consistently in both engines; here we pin the Spark side."""
+    from hive_gateway_spark.operators.advanced import cohort_report
+
+    wk_us = 86_400_000_000 * 7
+    base = dt.datetime(1969, 12, 1)  # epoch-µs ≈ -2.68e12, week -4 (trunc)
+    ev = spark.createDataFrame(
+        [
+            (1, "signup", base),
+            (1, "click", base + dt.timedelta(days=7)),
+        ],
+        "user_id bigint, event_type string, ts timestamp",
+    )
+    rows = {r["week_offset"]: r.asDict() for r in cohort_report(ev).collect()}
+    us = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    expect_wk = -((-us) // wk_us)  # trunc-toward-zero: -4, where floor is -5
+    assert rows[0]["cohort_week"] == expect_wk
+    assert rows[0]["n_active"] == 1
+    assert rows[1]["n_active"] == 1  # the +7d event is one trunc-week later
+
+
 def test_cohort_retention_dense_grid_and_ratios(spark):
     """Two users signing up in week W: one active in W+1, neither in
     W+2 — the dense grid reports the zero cell explicitly."""
