@@ -678,8 +678,20 @@ def stream_image_phash_screen(
 
     Plan shape at scale: the corpus index is 8 B/doc and its band
     projection joins as a static side (broadcast when it fits); the
-    stream side does one decode+DCT pass per micro-batch; no
-    stream-stream state, no watermark needed."""
+    stream side does one decode+DCT pass per micro-batch. The operator
+    is fully STATELESS (no stream-stream join, no watermark, no
+    streaming aggregation): a pair matching in several bands is
+    collapsed not by ``distinct()`` — which on a stream is an
+    unbounded-state cross-batch dedup (ADVICE r7 #3) — but by a
+    row-local FIRST-MATCHING-BAND predicate: both full hashes ride on
+    the joined row, so "no earlier band also matched" is a pure filter
+    and each flagged pair emits exactly once per arrival. Re-arrivals
+    of the same doc in later micro-batches re-emit (at-least-once
+    screening is the ingest contract; suppression belongs to the
+    downstream sink key, not to executor state). Hot STATIC buckets
+    are capped like the batch operator's; a pair whose earliest
+    matching band was capped is suppressed with it — the recall trade
+    the cap already makes, accepted for boundedness."""
     from hive_gateway_spark.operators.multimodal import (
         PHASH_HAM_T,
         phash_frame,
@@ -704,13 +716,38 @@ def stream_image_phash_screen(
             ).alias("b"),
         ).select(id_out, ph_out, "b.band", "b.key")
 
+    from pyspark.sql import Window
+
+    from hive_gateway_spark.operators.multimodal import PERCEPTUAL_BUCKET_CAP
+
     new = banded(phash_frame(docs_stream), "doc_id", "ph_new")
-    idx = banded(corpus_phash, "corpus_doc", "ph_old")
+    # cap hot STATIC-side buckets (same policy as banded_hash_pairs):
+    # a corpus with thousands of identical images would otherwise emit
+    # 1000s of flags per arriving near-dup; the window count runs on
+    # the static frame once, so this stays stateless on the stream
+    idx_sz = F.count("*").over(Window.partitionBy("band", "key"))
+    idx = (
+        banded(corpus_phash, "corpus_doc", "ph_old")
+        .withColumn("_sz", idx_sz)
+        .filter(F.col("_sz") <= PERCEPTUAL_BUCKET_CAP)
+        .drop("_sz")
+    )
     ham = F.bit_count(F.col("ph_new").bitwiseXOR(F.col("ph_old")))
+
+    def bkey(col: str, j: int):
+        return F.shiftrightunsigned(F.col(col), 16 * j).bitwiseAND(F.lit(0xFFFF))
+
+    # Stateless multi-band collapse: keep the row only if no band
+    # BEFORE the joined one also matches — exactly one emit per pair.
+    first_band = F.lit(True)
+    for j in range(3):
+        first_band = first_band & (
+            (F.col("band") <= j) | (bkey("ph_new", j) != bkey("ph_old", j))
+        )
     return (
         new.join(F.broadcast(idx), ["band", "key"])
         .filter(F.col("doc_id") != F.col("corpus_doc"))
+        .filter(first_band)
         .select("doc_id", "corpus_doc", ham.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAM_T)
-        .distinct()
     )

@@ -652,7 +652,13 @@ def test_stream_image_phash_screen_equals_batch(spark, sf_dir):
         stream_image_phash_screen(stream_documents(spark, sf_dir), corpus),
         "s_imgscreen",
     )
-    flagged = {(r.doc_id, r.corpus_doc) for r in got.itertuples(index=False)}
+    pairs = [(r.doc_id, r.corpus_doc) for r in got.itertuples(index=False)]
+    flagged = set(pairs)
+    # the STATELESS first-matching-band collapse (ADVICE r7 #3 replaced
+    # the cross-batch-stateful distinct()) must still emit each pair
+    # exactly once even when several bands match (identical images
+    # match in all 4)
+    assert len(pairs) == len(flagged)
     batch = registry.QUERIES["q_image_phash"](spark, sf_dir).collect()
     want = {(r["doc_a"], r["doc_b"]) for r in batch} | {
         (r["doc_b"], r["doc_a"]) for r in batch
