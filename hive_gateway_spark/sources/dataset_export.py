@@ -13,7 +13,7 @@ The manifest's per-partition row counts and the order-insensitive
 content checksum are computed FROM THE WRITTEN FILES (one Spark read
 back), not from the input plan — so the manifest certifies the export,
 catching a lost partition or a partial write. At scale the read-back is
-a metadata-cheap count per partition plus one xor-reduce over row
+a metadata-cheap count per partition plus one modular sum-reduce over row
 hashes; both are single shuffles.
 
 The reference has no export layer (331-line RPC proxy); this implements
@@ -32,17 +32,29 @@ MANIFEST = "_MANIFEST.json"
 
 
 def _content_checksum(df: DataFrame, cols: list[str]) -> str:
-    """Order-insensitive 64-bit content checksum: xor-aggregate of
+    """Order-insensitive 64-bit content checksum: SUM mod 2^64 of
     per-row xxhash64 over all exported columns (cast to string for a
-    stable cross-write representation; NULL → sentinel)."""
+    stable cross-write representation; NULL → sentinel).
+
+    Sum, not xor (ADVICE r7 #4): xor cancels any row that appears an
+    even number of times — dropping or duplicating an identical row
+    PAIR left the xor checksum unchanged, so the safety gate could
+    bless a corrupting compaction. Modular addition is
+    multiplicity-sensitive (losing k copies of row h shifts the sum by
+    k·h mod 2^64). The fold runs in DECIMAL(38,0) — NOT wrapping
+    bigint +, which under Spark 4's default ANSI dialect would throw
+    on the first overflow — and reduces mod 2^64 at the end; still a
+    native partial-aggregable sum tree, one decimal per partition
+    (headroom: |h| < 2^63 ≈ 9.3e18, so even 10^18 rows stay inside 38
+    digits)."""
     row_hash = F.xxhash64(*[
         F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols
     ])
-    # bit_xor is a native partial-aggregable Spark aggregate — the xor
-    # tree reduces map-side, nothing materializes beyond one long per
-    # partition
     agg = df.select(row_hash.alias("h")).agg(
-        F.expr("CAST(bit_xor(h) AS STRING)").alias("x")
+        F.expr(
+            "CAST(pmod(sum(CAST(h AS DECIMAL(38,0))), "
+            "CAST(18446744073709551616 AS DECIMAL(38,0))) AS STRING)"
+        ).alias("x")
     )
     return agg.first()["x"]
 
@@ -77,7 +89,7 @@ def write_dataset(
         "columns": cols,
         "n_rows": sum(counts.values()),
         "partitions": dict(sorted(counts.items())),
-        "content_xxh64_xor": _content_checksum(back.select(*cols), cols),
+        "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -106,7 +118,7 @@ def verify_dataset(spark: SparkSession, path: str) -> dict:
         "columns": cols,
         "n_rows": sum(counts.values()),
         "partitions": dict(sorted(counts.items())),
-        "content_xxh64_xor": _content_checksum(back.select(*cols), cols),
+        "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
     }
     return {"ok": actual == expected, "expected": expected, "actual": actual}
 
@@ -128,7 +140,7 @@ def compact_dataset(
 ) -> dict:
     """Small-files maintenance: rewrite the dataset so each partition
     holds at most `files_per_partition` data files, preserving content
-    bit-for-bit (the order-insensitive xxhash64-xor checksum in the
+    bit-for-bit (the order-insensitive xxhash64-sum checksum in the
     manifest must survive the rewrite — verified before the swap).
 
     The streaming ingest path appends a file per micro-batch per
@@ -138,9 +150,12 @@ def compact_dataset(
     Delta OPTIMIZE) schedules — here as an explicit engine operation
     over the plain-parquet export.
 
-    Safety: the rewrite lands in a sibling temp dir first and content
-    is verified against the ORIGINAL manifest before the atomic-ish
-    directory swap; on any mismatch the original is left untouched."""
+    Safety: the rewrite lands in a sibling temp dir first and BOTH the
+    content checksum AND the per-partition row counts are verified
+    against the ORIGINAL manifest before the atomic-ish directory swap
+    (ADVICE r7 #4: belt and suspenders — counts catch what any single
+    64-bit digest could in principle collide through); on any mismatch
+    the original is left untouched."""
     with open(os.path.join(path, MANIFEST)) as f:
         manifest = json.load(f)
     pby = manifest["partition_by"]
@@ -157,7 +172,20 @@ def compact_dataset(
     writer.parquet(tmp)
     back = spark.read.parquet(tmp).select(*cols)
     checksum = _content_checksum(back, cols)
-    if checksum != manifest["content_xxh64_xor"]:  # pragma: no cover
+    if pby:
+        counts = {
+            "/".join(f"{c}={r[c]}" for c in pby): r["n"]
+            for r in spark.read.parquet(tmp)
+            .groupBy(*pby)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    else:
+        counts = {"": back.count()}
+    if (
+        checksum != manifest["content_xxh64_sum"]
+        or dict(sorted(counts.items())) != manifest["partitions"]
+    ):  # pragma: no cover
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
             "compaction changed dataset content; original left in place"

@@ -525,6 +525,25 @@ def test_curated_corpus_export_end_to_end(spark, sf_dir, tmp_path):
     )
 
 
+def test_checksum_detects_identical_pair_loss(spark, tmp_path):
+    """Losing BOTH copies of a duplicated row must change the content
+    checksum (ADVICE r7 #4: the old xor-reduce cancelled any row with
+    even multiplicity, so a compaction that dropped an identical pair
+    sailed through the safety gate; the modular-sum reduce is
+    multiplicity-sensitive)."""
+    from hive_gateway_spark.sources.dataset_export import _content_checksum
+
+    rows = [(1, "same"), (1, "same"), (2, "other")]
+    full = spark.createDataFrame(rows, "id bigint, text string")
+    lost_pair = spark.createDataFrame(rows[2:], "id bigint, text string")
+    cols = ["id", "text"]
+    assert _content_checksum(full, cols) != _content_checksum(lost_pair, cols)
+    # and the digest is still order-insensitive
+    assert _content_checksum(full.orderBy(F.desc("id")), cols) == _content_checksum(
+        full, cols
+    )
+
+
 def test_compact_dataset_reduces_files_preserves_content(spark, sf_dir, tmp_path):
     """A fragmented export (16 files per partition, the streaming-
     append pathology) compacts to 1 file per partition with the
