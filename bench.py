@@ -128,6 +128,18 @@ HEADLINE_R7 = [
 REGRESSION_RATIO = 1.5
 REGRESSION_FLOOR_SEC = 0.2
 
+#: Global-slowdown tripwire (ADVICE r7 #5): median-normalizing the
+#: per-query gate makes it blind to a change that slows EVERY query
+#: uniformly (e.g. a session-config regression inflates the median and
+#: each query looks "normal" against it). When the round's median ratio
+#: itself exceeds this, the gate downgrades to "warn_global_slowdown"
+#: so whole-distribution shifts stay visible in the recorded JSON —
+#: warn rather than hard-fail because co-tenant frequency scaling has
+#: been OBSERVED shifting the whole distribution +15..65% with no code
+#: change (see median-normalization note below), and a flaky rc=1
+#: would teach operators to ignore the gate entirely.
+GLOBAL_SLOWDOWN_RATIO = 1.4
+
 
 def _previous_bench() -> tuple[str, dict] | None:
     """Latest committed BENCH_r*.json with a queries block, or None."""
@@ -243,7 +255,15 @@ def main() -> None:
                 "regression_baseline": prev[0] if prev else None,
                 "regression_median_ratio": round(median_ratio, 3),
                 "regressions": regressions,
-                "regression_gate": "fail" if regressions else "pass",
+                "regression_gate": (
+                    "fail"
+                    if regressions
+                    else (
+                        "warn_global_slowdown"
+                        if median_ratio > GLOBAL_SLOWDOWN_RATIO
+                        else "pass"
+                    )
+                ),
             }
         )
     )
