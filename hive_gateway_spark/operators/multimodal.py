@@ -1024,6 +1024,70 @@ PHASH_HAM_T = 10
 #: near-dup families, disjoint across seeds.
 PHASH_CLUSTER = 5
 
+#: Band-bucket membership cap for BOTH perceptual-hash legs (image
+#: pHash and audio fingerprint), same policy and default as the text
+#: family's JACCARD_DF_CAP / _LSH_BUCKET_CAP (VERDICT r7 task #3): a
+#: degenerate bucket with k members emits k² candidate pairs, so a
+#: corpus with thousands of IDENTICAL images (one logo stamped on
+#: every page — the realistic hot key) would otherwise explode the
+#: self-join quadratically. Buckets above the cap are dropped from
+#: pair generation; recall on planted {PHASH_CLUSTER}-doc families is
+#: untouched (5 ≪ 512) and pinned in tests/test_multimodal.py.
+PERCEPTUAL_BUCKET_CAP = 512
+
+
+def banded_hash_pairs(frame: DataFrame, hash_col: str, ham_t: int) -> DataFrame:
+    """Shared candidate-pair plan for 64-bit perceptual hashes: explode
+    into 4×16-bit LSH bands, drop band buckets above
+    {PERCEPTUAL_BUCKET_CAP} members (window count — one shuffle on the
+    same (band, key) the join needs anyway, the q_lsh_candidates
+    pattern), self-join bucket members, exact JVM bit_count(xor)
+    verify at ≤ ham_t. Emits (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Scale shape (100 TB): never all-pairs — one shuffle to band, a
+    capped equi-join on (band, key), verify on candidates only; the
+    cap bounds the worst bucket's fan-out at cap² regardless of how
+    many identical assets the corpus holds."""
+    from pyspark.sql import Window
+
+    bands = frame.select(
+        "doc_id",
+        F.col(hash_col).alias("h64"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "h64", "b.band", "b.key")
+    sz = F.count("*").over(Window.partitionBy("band", "key"))
+    bounded = bands.withColumn("_sz", sz).filter(
+        F.col("_sz") <= PERCEPTUAL_BUCKET_CAP
+    )
+    a = bounded.select(
+        F.col("doc_id").alias("doc_a"), F.col("h64").alias("ha"), "band", "key"
+    )
+    b = bounded.select(
+        F.col("doc_id").alias("doc_b"), F.col("h64").alias("hb"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= ham_t)
+
 
 def _synth_texture(doc_id: int):
     """Deterministic 32×32 uint8 texture with rich LOW-frequency
@@ -1185,45 +1249,12 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-family pairs, determinism.
 
     Scale shape: hash = one mapInPandas pass (8 B/doc out); candidate
-    generation BANDS the hash (4×16-bit bands, bucket join — the LSH
-    trick, no all-pairs); the Hamming verify is JVM-side
+    generation BANDS the hash (4×16-bit bands, capped bucket join —
+    the LSH trick, no all-pairs, hot buckets bounded at
+    {PERCEPTUAL_BUCKET_CAP}); the Hamming verify is JVM-side
     bit_count(xor) on the candidates only."""
     t = load_tables(spark, sf_dir)
-    ph = phash_frame(t["documents"])
-    bands = ph.select(
-        "doc_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("phash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "phash", "b.band", "b.key")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band", "key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "band", "key"
-    )
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ph_a", "ph_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (
-        cand.select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
-        .filter(F.col("hamming") <= PHASH_HAM_T)
-    )
+    return banded_hash_pairs(phash_frame(t["documents"]), "phash", PHASH_HAM_T)
 
 
 # --------------------------------------------------------- audio fingerprint
@@ -1347,41 +1378,10 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64-bit fingerprint captures each clip's time×scale energy
     shape, and pairs within Hamming ≤ {AFP_HAM_T} are emitted through
     the same banded-candidate + JVM bit_count(xor) plan as the image
-    operator. Rows-only by design; planted 5-doc clip families are
-    fully recovered with zero cross-family pairs (tests)."""
+    operator (banded_hash_pairs — shared capped-bucket plan).
+    Rows-only by design; planted 5-doc clip families are fully
+    recovered with zero cross-family pairs (tests)."""
     t = load_tables(spark, sf_dir)
-    ph = audio_fingerprint_frame(t["documents"])
-    bands = ph.select(
-        "doc_id",
-        "afp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("afp"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "afp", "b.band", "b.key")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("afp").alias("fa"), "band", "key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("afp").alias("fb"), "band", "key"
-    )
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fa", "fb")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    return (
-        cand.select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
-        .filter(F.col("hamming") <= AFP_HAM_T)
+    return banded_hash_pairs(
+        audio_fingerprint_frame(t["documents"]), "afp", AFP_HAM_T
     )
