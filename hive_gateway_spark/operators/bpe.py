@@ -7,12 +7,13 @@ Spark-first shape, and why it scales:
 
 - LEARNING runs on the WORD-FREQUENCY table, not the corpus (the
   standard trick): one corpus-sized tokenize+count shuffle produces a
-  vocabulary-sized (Heaps' law) frame, and the greedy merge loop
-  iterates on THAT — each of the ~32 iterations is a pair-count
-  aggregate over vocab rows plus a single-row driver fetch (the chosen
-  merge — bounded by construction, like the union-find probe). Lineage
-  is truncated with localCheckpoint every few merges (the classic
-  iterative-algorithm pattern, same as connected components).
+  vocabulary-sized (Heaps' law) frame; a BOUNDED top-{BPE_LEARN_WORDS}
+  slice of it (TakeOrdered) comes to the driver and the greedy merge
+  recurrence runs LOCALLY with incremental pair counts — zero Spark
+  jobs per merge, so BPE_MERGES=1000+ costs the same one aggregate as
+  32 did (VERDICT r7 task #4; the learned list then broadcasts to the
+  JVM encoder below, the same train-small/apply-big split every
+  production tokenizer uses).
 - ENCODING applies the learned merges IN RANK ORDER as left-to-right
   higher-order folds over each word's symbol array — chained column
   transforms, all JVM-side — evaluated once per DISTINCT word, then
@@ -63,12 +64,6 @@ def _merge_fold(col: str, a: str, b: str) -> Column:
     )
 
 
-_PAIR_EXPLODE = (
-    "explode(zip_with(slice(syms, 1, size(syms) - 1), "
-    "slice(syms, 2, size(syms) - 1), (x, y) -> struct(x AS a, y AS b)))"
-)
-
-
 def word_frequencies(docs: DataFrame) -> DataFrame:
     """(word, n) over the corpus — the learning input."""
     return (
@@ -87,11 +82,12 @@ def _base_symbols(wf: DataFrame) -> DataFrame:
     )
 
 
-#: session → {documents-plan key: learned merge list}. The greedy loop
-#: is ~n_merges Spark jobs; q_bpe_vocab and q_bpe_encode start from the
-#: identical vocabulary, so the trained merges are session-cached like
-#: every other staging artifact (dedup._SHINGLE_CACHE pattern). On a
-#: cluster this is the persisted tokenizer artifact training jobs load.
+#: session → {documents-plan key: learned merge list}. Learning is one
+#: distributed aggregate + a driver-local recurrence; q_bpe_vocab and
+#: q_bpe_encode start from the identical vocabulary, so the trained
+#: merges are session-cached like every other staging artifact
+#: (dedup._SHINGLE_CACHE pattern). On a cluster this is the persisted
+#: tokenizer artifact training jobs load.
 import weakref as _weakref
 
 _MERGES_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
@@ -141,29 +137,95 @@ def learned_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple[st
     return out
 
 
+#: Driver-side learning vocabulary bound (VERDICT r7 task #4): the
+#: merge learner pulls the TOP-{BPE_LEARN_WORDS} words by frequency
+#: (TakeOrdered — bounded regardless of corpus size) and learns the
+#: merge table locally with incremental pair counts, instead of one
+#: Spark job round PER MERGE (BPE_MERGES=1000 was 1000 job rounds).
+#: The truncation is the DSIR pattern — a bounded model slice drives
+#: the distributed pass: pair counts are frequency-weighted, so the
+#: sub-top tail (rank > 64k, each word counted once-ish) moves counts
+#: by parts-per-million and essentially never flips a greedy argmax.
+#: Fixture vocabularies sit far below the bound, so learning there is
+#: EXACT — the hand-checked merge sequences in tests/test_bpe.py pin
+#: equivalence with the per-round distributed learner this replaced.
+BPE_LEARN_WORDS = 1 << 16
+
+
+def _merge_fold_local(syms: list[str], a: str, b: str) -> list[str]:
+    """Python twin of _merge_fold: greedy left-to-right non-overlap."""
+    acc: list[str] = []
+    ab = a + b
+    for s in syms:
+        if acc and acc[-1] == a and s == b:
+            acc[-1] = ab
+        else:
+            acc.append(s)
+    return acc
+
+
 def learn_bpe(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple[str, str, int]]:
     """Greedy BPE training: repeatedly merge the most frequent adjacent
     symbol pair (count desc, then (a, b) asc — a total, engine-free
     tiebreak so the vocabulary is deterministic). Returns
-    [(a, b, pair_count), ...] in merge-rank order."""
-    wf = _base_symbols(word_frequencies(docs)).localCheckpoint()
+    [(a, b, pair_count), ...] in merge-rank order.
+
+    ONE distributed aggregate (word_frequencies) + ONE bounded
+    TakeOrdered fetch; the merge recurrence runs driver-local over the
+    top-{BPE_LEARN_WORDS} slice with incremental pair counts (only
+    words containing the chosen pair are rewritten; a lazy-deletion
+    heap keyed (-count, a, b) reproduces the exact argmax/tiebreak),
+    then the merge list broadcasts to the JVM encoder. Per-merge cost
+    no longer involves the cluster at all — the Sennrich reference
+    algorithm, with the corpus reduced to its frequency table first."""
+    import heapq
+    from collections import defaultdict
+
+    top = (
+        word_frequencies(docs)
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(BPE_LEARN_WORDS)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["word"]) + [EOW], int(r["n"])) for r in top
+    ]
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    holders: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wid, (syms, n) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            counts[p] += n
+            holders[p].add(wid)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str, int]] = []
-    for i in range(n_merges):
-        best = (
-            wf.select("n", F.expr(_PAIR_EXPLODE).alias("p"))
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("n").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["cnt"] < 2:
+    for _ in range(n_merges):
+        while heap and counts.get(heap[0][1], 0) != -heap[0][0]:
+            heapq.heappop(heap)  # stale entry (count changed since push)
+        if not heap or -heap[0][0] < 2:
             break
-        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        cnt, (a, b) = -heap[0][0], heap[0][1]
         merges.append((a, b, cnt))
-        wf = wf.withColumn("syms", _merge_fold("syms", a, b))
-        if (i + 1) % 8 == 0:  # truncate the growing fold lineage
-            wf = wf.localCheckpoint()
+        touched: set[tuple[str, str]] = set()
+        for wid in holders.pop((a, b), ()):
+            syms, n = vocab[wid]
+            new = _merge_fold_local(syms, a, b)
+            if new == syms:  # stale holder (pair rewritten away earlier)
+                continue
+            for p in zip(syms, syms[1:]):
+                counts[p] -= n
+                touched.add(p)
+            for p in zip(new, new[1:]):
+                counts[p] += n
+                holders[p].add(wid)
+                touched.add(p)
+            vocab[wid] = (new, n)
+        for p in touched:
+            if counts[p] > 0:
+                heapq.heappush(heap, (-counts[p], p))
+            else:
+                counts.pop(p, None)
+                holders.pop(p, None)
     return merges
 
 
