@@ -606,18 +606,33 @@ def test_tws_admission_equals_old_api(spark, sf_dir):
     """The transformWithStateInPandas twin admits EXACTLY the same
     events as the applyInPandasWithState operator over the fixture
     stream — the migration to Spark 4's new arbitrary-state runtime
-    changes the API surface, not one decision."""
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState's Python runtime needs protobuf "
-        "(absent in this container; the operator import-gates it)",
-    )
+    changes the API surface, not one decision.
+
+    Environment boundary, ASSERTED not skipped (VERDICT r7 task #5):
+    transformWithState's Python runtime speaks a protobuf state
+    protocol, and this container has no `google.protobuf`. Where it's
+    absent the operator must fail FAST with the documented
+    NotImplementedError naming the fallback — the same import-gated
+    contract the image/audio codec swap points test — instead of dying
+    deep inside the state server mid-stream. With protobuf present
+    (real clusters) the full equivalence body runs."""
     from hive_gateway_spark.operators.windows import RATE_LIMIT_N
     from hive_gateway_spark.streaming.ops import (
         stream_admission,
         stream_admission_tws,
         stream_events,
     )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stream_admission_tws(
+                stream_events(spark, sf_dir), limit=RATE_LIMIT_N
+            )
+        # the error must point at the equivalent operator, which the
+        # rest of this module proves out — the boundary is honest
+        return
 
     new = drain(
         stream_admission_tws(stream_events(spark, sf_dir), limit=RATE_LIMIT_N),
