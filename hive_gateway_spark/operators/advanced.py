@@ -815,3 +815,76 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.col("n").cast("double") / F.col("total").cast("double")).alias("p"),
     )
+
+
+#: Journey-prefix length and report width for q_user_paths.
+PATH_PREFIX = 8
+PATH_TOP = 20
+
+
+@query(
+    "q_user_paths",
+    oracle=f"""
+    WITH firstk AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM events
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ) <= {PATH_PREFIX}
+    ),
+    paths AS (
+      SELECT user_id,
+             array_to_string(
+               list(event_type ORDER BY ts ASC, event_id ASC), '>'
+             ) AS path
+      FROM firstk GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path ASC
+    LIMIT {PATH_TOP}
+    """,
+)
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first {PATH_PREFIX} events
+    (ts asc, event_id tiebreak) joined into a '>'-path, reported as
+    the {PATH_TOP} most common paths — the Sankey/flow staple that
+    complements q_event_transitions (full journey prefixes, not just
+    first-order hops) and q_funnel (discovers paths instead of
+    checking one).
+
+    Scale shape: the prefix filter runs BEFORE any collect — a window
+    row_number ≤ {PATH_PREFIX} with WindowGroupLimit partial pushdown,
+    so a hot user with millions of events contributes at most
+    {PATH_PREFIX} rows to the per-user fold (an uncapped
+    collect_list-then-slice would buffer the whole hot user on one
+    task). Then one per-user fold (sort_array of ≤{PATH_PREFIX}
+    structs — deterministic regardless of arrival order), one
+    partial-agg shuffle on path, TakeOrdered {PATH_TOP}."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    firstk = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_PREFIX)
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(PATH_TOP)
+    )

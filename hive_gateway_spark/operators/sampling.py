@@ -215,3 +215,88 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("bin_tokens"),
     )
+
+
+@query(
+    "q_sample_temperature",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    s AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS s6
+      FROM src
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             SUM(s6) AS z
+      FROM s
+    )
+    SELECT s.source, s.n_docs, s.n_tokens,
+           CAST(s.n_tokens AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE)
+             AS raw_share,
+           CAST(s.s6 AS DOUBLE) / CAST(tot.z AS DOUBLE) AS weight,
+           (CAST(s.s6 AS DOUBLE) / CAST(tot.z AS DOUBLE)
+            * CAST(tot.total_tokens AS DOUBLE))
+             / CAST(s.n_tokens AS DOUBLE) AS epochs
+    FROM s CROSS JOIN tot
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source mixture (the multilingual-corpus
+    recipe of mT5/ROOTS: sample source s with weight ∝ n_s^α instead
+    of its raw share, boosting small sources): per source the raw
+    token share, the temperature weight at α = 1/2, and the effective
+    epoch count (how many times the source is traversed when the
+    resampled corpus keeps the original token budget) — the numbers a
+    dataloader mixes batches by, and epochs > 1 is the overfit alarm
+    on tiny sources.
+
+    α is EXACTLY 1/2 so the power is sqrt — the one libm call IEEE 754
+    requires correctly rounded, hence bit-equal across engines (pow/
+    exp/ln carry no such guarantee; an α you can't express as exact
+    roots would need the hashed-bucket trick instead). The rounded-
+    sqrt decimals then sum EXACTLY (order-free normalizer z), and
+    weight/epochs are fixed chains of IEEE ops on identical operands
+    (the q_tf_idf libm rule). Token counts use n_chars (pushdown: the
+    scan reads two columns).
+
+    Scale shape: ONE partial-agg shuffle on source (sources are
+    bounded — dozens); the normalizer is a broadcast 1-row cross join;
+    everything after the first aggregate is source-count-sized."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_tokens"),
+    )
+    s = src.withColumn(
+        "s6",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("s6").alias("z"),
+    )
+    weight = F.col("s6").cast("double") / F.col("z").cast("double")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("raw_share"),
+        weight.alias("weight"),
+        (
+            weight
+            * F.col("total_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("epochs"),
+    )

