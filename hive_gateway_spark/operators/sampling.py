@@ -267,7 +267,10 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan reads two columns).
 
     Scale shape: ONE partial-agg shuffle on source (sources are
-    bounded — dozens); the normalizer is a broadcast 1-row cross join;
+    bounded — dozens); the aggregated source frame is checkpointed so
+    the normalizer derives from it instead of re-scanning the corpus
+    (without it the plan read documents TWICE — once for s, once for
+    tot); the normalizer is a broadcast 1-row cross join and
     everything after the first aggregate is source-count-sized."""
     docs = load_tables(spark, sf_dir)["documents"]
     src = docs.groupBy("source").agg(
@@ -279,7 +282,7 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(
             "decimal(18,6)"
         ),
-    )
+    ).localCheckpoint()
     tot = s.agg(
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum("s6").alias("z"),
