@@ -120,6 +120,14 @@ HEADLINE_R7 = [
     "q_audio_fingerprint",
 ]
 
+#: Round-8 additions: readability projection, temperature mixture,
+#: journey-prefix top-k.
+HEADLINE_R8 = [
+    "q_text_readability",
+    "q_sample_temperature",
+    "q_user_paths",
+]
+
 
 #: Regression gate (VERDICT r6 task #6): warm ratio vs the previous
 #: round's recorded bench above which the run FAILS (rc != 0), so a perf
@@ -170,7 +178,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R6 + HEADLINE_R7:
+    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8:
         fn = registry.QUERIES[name]
         # drop the previous query's dead broadcasts/UDF workers before
         # timing this one — without it, late queries in a 30-query
@@ -201,6 +209,7 @@ def main() -> None:
     r2_total = round(sum(timings[n] for n in HEADLINE_R2), 3)
     r6_total = round(sum(timings[n] for n in HEADLINE_R6), 3)
     r7_total = round(sum(timings[n] for n in HEADLINE_R7), 3)
+    r8_total = round(sum(timings[n] for n in HEADLINE_R8), 3)
 
     # Per-query regression gate vs the previous round's recorded bench.
     # The per-query ratio is NORMALIZED by the round's median ratio over
@@ -246,8 +255,9 @@ def main() -> None:
                 "value_r2_ops": r2_total,
                 "value_r6_ops": r6_total,
                 "value_r7_ops": r7_total,
+                "value_r8_ops": r8_total,
                 "value_all": round(
-                    r01_comparable + r2_total + r6_total + r7_total, 3
+                    r01_comparable + r2_total + r6_total + r7_total + r8_total, 3
                 ),
                 "queries": timings,
                 "queries_cold": cold,
