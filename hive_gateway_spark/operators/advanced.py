@@ -888,3 +888,62 @@ def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(PATH_TOP)
     )
+
+
+#: k-anonymity threshold: an equivalence class with fewer distinct
+#: users is a re-identification risk (Sweeney 2002's k).
+K_ANON = 5
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    SELECT event_type,
+           epoch_us(ts) // 86400000000 AS day,
+           CAST(FLOOR(value / 10) * 10 AS DOUBLE) AS value_band,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) < {K_ANON} AS at_risk
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (event_type, day,
+    value band): Sweeney's re-identification check — an equivalence
+    class observed by fewer than {K_ANON} distinct users can single a
+    person out even after direct identifiers are scrubbed, so this is
+    the release gate that runs AFTER q_pii_scrub (regex scrubbing
+    removes direct identifiers; k-anonymity measures what the residual
+    quasi-identifiers still leak). Reports every class with its user
+    count, row count, and at-risk flag.
+
+    Determinism: day is integer `div` epoch-µs (house rule — matches
+    DuckDB `//` trunc semantics); the value band floors a single IEEE
+    division to a multiple of 10 (exact for the fixture's 2 dp values;
+    floor, unlike round, has no tie rule to diverge on).
+
+    Scale shape: ONE aggregate — Spark plans distinct-count as the
+    two-phase partial expand + merge, so the corpus shuffles once on
+    the quasi-identifier key; no window, no join, output is
+    class-count-sized. At 100 TB with a hot class, the partial
+    distinct on (class, user) bounds the merge fan-in exactly like any
+    partial agg."""
+    ev = load_tables(spark, sf_dir)["events"]
+    n_users = F.countDistinct("user_id")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            (F.floor(F.col("value") / F.lit(10)) * F.lit(10))
+            .cast("double")
+            .alias("value_band"),
+            "user_id",
+        )
+        .groupBy("event_type", "day", "value_band")
+        .agg(
+            n_users.alias("n_users"),
+            F.count("*").alias("n_rows"),
+            (n_users < F.lit(K_ANON)).alias("at_risk"),
+        )
+    )

@@ -179,6 +179,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_text_readability",  # ARI per doc (exact counts + libm-rule score)
     "q_sample_temperature",  # α=1/2 source mixture weights (sqrt-exact)
     "q_user_paths",  # top journey prefixes (bounded window + fold)
+    "q_k_anonymity",  # quasi-identifier re-identification audit
 )
 
 

@@ -359,3 +359,43 @@ def test_readability_hand_computed(spark):
     assert (m["c"], m["w"], m["s"]) == (17, 6, 1)
     num = 471 * 17 * 1 + 50 * 36 - 2143 * 6
     assert num / 600 == -5.085
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    """Planted equivalence classes: 5 users sharing a quasi-identifier
+    are safe at K=5; a 2-user class (including one user appearing in
+    many rows — row count must NOT stand in for user count) is
+    at_risk."""
+    from hive_gateway_spark.operators.advanced import K_ANON
+
+    assert K_ANON == 5
+    t0 = dt.datetime(2024, 6, 1, 9, 0)
+    rows = []
+    # safe class: 5 distinct users, same type/day/band
+    rows += [(i, i, "view", t0, 12.0) for i in range(5)]
+    # risky class: 2 users, one with many rows (6 rows ≥ K but 2 users)
+    rows += [(100 + j, 50, "purchase", t0, 25.0) for j in range(5)]
+    rows += [(110, 51, "purchase", t0, 25.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp, value double"
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    n_users = F.countDistinct("user_id")
+    out = {
+        (r["event_type"],): r.asDict()
+        for r in ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            (F.floor(F.col("value") / F.lit(10)) * F.lit(10)).cast("double").alias("value_band"),
+            "user_id",
+        )
+        .groupBy("event_type", "day", "value_band")
+        .agg(n_users.alias("n_users"), F.count("*").alias("n_rows"),
+             (n_users < F.lit(K_ANON)).alias("at_risk"))
+        .collect()
+    }
+    safe = out[("view",)]
+    risky = out[("purchase",)]
+    assert safe["n_users"] == 5 and not safe["at_risk"]
+    assert risky["n_users"] == 2 and risky["n_rows"] == 6 and risky["at_risk"]
