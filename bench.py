@@ -126,6 +126,7 @@ HEADLINE_R8 = [
     "q_text_readability",
     "q_sample_temperature",
     "q_user_paths",
+    "q_k_anonymity",
 ]
 
 
