@@ -1613,8 +1613,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the exact screen is one hash join on the content key
     (in production: sha2 of normalized text — q_dedup_exact's key);
     the near screen FILTERS the already-staged pair set instead of
-    recomputing any shingle work; two broadcast-sized left joins
-    assemble the decision. No new corpus-sized shuffle at all."""
+    recomputing any shingle work; the decision assembly is two
+    SHUFFLE-HASH left joins co-partitioned on doc_id (r8 broadcast
+    self-audit: the match frames are bounded by the NEW BATCH, not by
+    a constant — a dup-heavy TB-scale append would have made the old
+    broadcast the batch itself). No new corpus-sized shuffle at all."""
     return incremental_decisions(load_tables(spark, sf_dir))
 
 
@@ -1644,8 +1647,8 @@ def incremental_decisions(t) -> DataFrame:
         .agg(F.min("other").alias("n_match"))
     )
     return (
-        newdocs.join(F.broadcast(exact), "doc_id", "left")
-        .join(F.broadcast(near), "doc_id", "left")
+        newdocs.join(exact.hint("shuffle_hash"), "doc_id", "left")
+        .join(near.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("e_match").isNotNull(), "drop_exact")

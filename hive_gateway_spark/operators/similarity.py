@@ -698,16 +698,20 @@ def q_dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass that catches it.
 
     Scale shape: the pair set is the already-bounded GEMM output
-    (label-blocked, tiled); the language sides are two broadcast joins
-    of the narrow (doc_id, lang) projection."""
+    (label-blocked, tiled), and it is the side that BROADCASTS — the
+    (doc_id, lang) projection is corpus-sized (billions of rows at
+    100 TB), so the original direction (broadcasting the lang dim onto
+    the pairs) was a scale-killer caught in the r8 broadcast
+    self-audit; each lang lookup now streams the narrow corpus
+    projection past the broadcast pair set."""
     t = load_tables(spark, sf_dir)
     pairs = q_sim_cosine_pairs(spark, sf_dir)
     langs = t["documents"].select("doc_id", "lang")
     la = langs.select(F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a"))
     lb = langs.select(F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b"))
+    j1 = la.join(F.broadcast(pairs), "vec_a")
     return (
-        pairs.join(F.broadcast(la), "vec_a")
-        .join(F.broadcast(lb), "vec_b")
+        lb.join(F.broadcast(j1), "vec_b")
         .filter(F.col("lang_a") != F.col("lang_b"))
         .select(
             F.col("vec_a").alias("doc_a"),

@@ -744,8 +744,15 @@ def stream_image_phash_screen(
         first_band = first_band & (
             (F.col("band") <= j) | (bkey("ph_new", j) != bkey("ph_old", j))
         )
+    # join strategy left to Catalyst (r8 broadcast self-audit): the
+    # banded index is ~32 B/doc — BHJ is right while it fits (fixtures,
+    # and any corpus under spark.sql.autoBroadcastJoinThreshold) but a
+    # FORCED broadcast of a billion-doc index (~tens of GB) would kill
+    # the stream; at that scale Catalyst picks SHJ/SMJ, and production
+    # persists `idx` pre-partitioned on (band, key) so each micro-batch
+    # shuffles only the arrivals
     return (
-        new.join(F.broadcast(idx), ["band", "key"])
+        new.join(idx, ["band", "key"])
         .filter(F.col("doc_id") != F.col("corpus_doc"))
         .filter(first_band)
         .select("doc_id", "corpus_doc", ham.cast("bigint").alias("hamming"))
