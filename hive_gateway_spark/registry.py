@@ -120,7 +120,9 @@ PRIORITY: tuple[str, ...] = (
 )
 
 #: r9 rotation candidates — the 16-query tail of the original 31-deep
-#: r7 queue, after the r8 rotation took the first 15 into the window
+#: r7 queue, after the r8 rotation took the first 15 into the window,
+#: plus the four queries WRITTEN in r8 (readability, temperature,
+#: user_paths, k_anonymity) which queue behind it: 20 total
 #: (tests/test_registry.py's debt ledger requires every registered
 #: query to hold a driver row, a window slot, or an entry here).
 #:
@@ -129,10 +131,11 @@ PRIORITY: tuple[str, ...] = (
 #: (q_audio_features … q_graph_triangles) rotate out once they hold
 #: their r8 green row (the once-green fast-rotate is already policy —
 #: slots stay short until the queue drains); the freed 15 slots take
-#: the FIRST 15 below, leaving ONE candidate (q_zipf_fit) for r10 —
-#: or slot 50 absorbs it in r9 if a contract slot frees up. After
-#: that the queue is EMPTY: every registered query will hold a driver
-#: row, and new queries enter here as they are written.
+#: the FIRST 15 below (q_dedup_incremental … q_dedup_cross_lingual),
+#: leaving FIVE for r10: q_zipf_fit plus the four r8 additions —
+#: after which the queue is EMPTY unless r9 writes new queries: every
+#: registered query will hold a driver row, and new queries enter
+#: here as they are written.
 ROTATION_CANDIDATES: tuple[str, ...] = (
     # r7 breadth block: incremental new-batch-vs-corpus dedup
     # decisions, time-series gap-fill with carry-forward, blocked
