@@ -127,6 +127,7 @@ HEADLINE_R8 = [
     "q_sample_temperature",
     "q_user_paths",
     "q_k_anonymity",
+    "q_ann_buckets",
 ]
 
 

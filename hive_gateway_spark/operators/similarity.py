@@ -575,6 +575,110 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB VALUES literal of the LSH sign matrix — generated at import
+#: from the SAME seeded LCG as the kernel path, (plane, 1-based pos,
+#: ±1); embedding the generated model in the oracle is the house
+#: pattern from _MH_COEF / _LSH_SIG_CTE.
+def _planes_values() -> str:
+    rows = []
+    for tbl, bit, signs in _lsh_planes():
+        plane = tbl * LSH_BITS + bit
+        rows.extend(
+            f"({plane},{pos + 1},{sgn})" for pos, sgn in enumerate(signs)
+        )
+    return ", ".join(rows)
+
+
+@query(
+    "q_ann_buckets",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    planes(plane, pos, sgn) AS (VALUES {_planes_values()}),
+    proj AS (
+        SELECT v.vec_id, p.plane, SUM(v.val * p.sgn) AS dot
+        FROM v JOIN planes p USING (pos)
+        GROUP BY v.vec_id, p.plane
+    ),
+    buckets AS (
+        SELECT vec_id, plane // {LSH_BITS} AS tbl,
+               SUM(CASE WHEN dot >= 0
+                        THEN (CAST(1 AS BIGINT) << (plane % {LSH_BITS}))
+                        ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id, plane // {LSH_BITS}
+    ),
+    q AS (
+        SELECT * FROM buckets
+        WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}
+    )
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           COUNT(*) AS n_shared_tables
+    FROM q JOIN buckets b
+      ON q.tbl = b.tbl AND q.bucket = b.bucket AND q.vec_id <> b.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified ANN bucketing — q_sim_topk_lsh's candidate step
+    made SQL-checkable, the move that gave the MinHash family its
+    driver-green sibling (q_lsh_candidates, VERDICT r6 task #4): each
+    vector's 16 hyperplane sign-buckets (6-bit Rademacher projections
+    of the exact int64-quantized embedding — the seeded-LCG sign
+    matrix is embedded VERBATIM in the DuckDB oracle as an 8192-row
+    VALUES table) joined query-block × corpus on (table, bucket),
+    emitting every candidate with its shared-table count. The ANN
+    top-k itself stays rows-only (float ranking); THIS query pins the
+    whole candidate-generation machinery to an exact oracle.
+
+    Scale shape (100 TB): bucketing is one stateless Arrow pass (the
+    same numpy sign-pack GEMM the kernel uses — bit-identical: exact
+    integer dots, threshold at 0); candidates come from an equi-join
+    on (table, bucket), never all-pairs; the query block is the
+    bounded ≤ {MAX_QUERIES} contract."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t)
+    S = np.asarray(
+        [signs for _tbl, _bit, signs in _lsh_planes()], dtype=np.int64
+    )
+    n_tables, n_bits = LSH_TABLES, LSH_BITS
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(x) for x in pdf["v"]], dtype=np.int64)
+            bits = (X @ S.T) >= 0
+            bk = (
+                bits.reshape(len(X), n_tables, n_bits) * weights[None, None, :]
+            ).sum(axis=2)
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int64), len(X)),
+                    "bucket": bk.reshape(-1),
+                }
+            )
+
+    buckets = e.select("vec_id", "v").mapInPandas(
+        bucketize, "vec_id bigint, tbl bigint, bucket bigint"
+    )
+    q = buckets.filter(
+        (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < QUERY_ID_CAP)
+    ).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    return (
+        q.join(buckets, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.count("*").alias("n_shared_tables"))
+    )
+
+
 @query(
     "q_embed_quantize",
     oracle=f"""

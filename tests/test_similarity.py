@@ -143,3 +143,26 @@ def test_embed_quantize_codes_in_int8_range(spark, sf_dir):
         | ~F.expr("exists(q, x -> abs(x) = 127)")
     ).count()
     assert bad == 0
+
+
+def test_ann_buckets_covers_lsh_topk_candidates(spark, sf_dir):
+    """Cross-check between the SQL-green bucketing query and the
+    rows-only ANN kernel: every neighbor q_sim_topk_lsh emits was by
+    construction scored inside a shared (table, bucket) cell, so the
+    (query, neighbor) pair MUST appear in q_ann_buckets' candidate
+    set — the sibling pins the kernel's candidate generation to the
+    oracle-verified one."""
+    from hive_gateway_spark import registry
+
+    cand = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.QUERIES["q_ann_buckets"](spark, sf_dir).collect()
+    }
+    topk = registry.QUERIES["q_sim_topk_lsh"](spark, sf_dir).collect()
+    assert len(topk) > 0 and len(cand) > 0
+    missing = [
+        (r["query_id"], r["neighbor_id"])
+        for r in topk
+        if (r["query_id"], r["neighbor_id"]) not in cand
+    ]
+    assert not missing, missing[:5]
