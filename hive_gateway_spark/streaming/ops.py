@@ -758,3 +758,49 @@ def stream_image_phash_screen(
         .select("doc_id", "corpus_doc", ham.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAM_T)
     )
+
+
+def stream_k_anonymity(events_stream: DataFrame) -> DataFrame:
+    """Streaming k-anonymity audit — the ingest-time twin of
+    q_k_anonymity: per quasi-identifier class (event_type, integer-div
+    epoch day, floor-10 value band) the DISTINCT-user count and the
+    at-risk flag, maintained as events arrive.
+
+    Streaming disallows COUNT(DISTINCT) in a stateful aggregation; the
+    supported composition that means the same thing is watermark →
+    dropDuplicatesWithinWatermark(QI + user) → count — Spark 3.5's
+    chained-stateful-operator form, with BOTH states bounded: the
+    dedup state holds one row per (class, user) only until the
+    watermark passes it (day is part of the key, so duplicates can
+    only arrive within the same event-time day + delay), and the
+    windowed count is keyed by the class. A user re-appearing in a
+    class after eviction double-counts — the bounded-state trade an
+    ingest monitor accepts, stated here rather than hidden (the
+    ADVICE r7 #3 rule: no unbounded streaming state, no false
+    stateless claims).
+
+    Equivalence with the batch operator over the drained fixture
+    stream is pinned in tests/test_streaming.py."""
+    from hive_gateway_spark.operators.advanced import K_ANON
+
+    n_users = F.count("*")
+    return (
+        events_stream.withWatermark("ts", "1 day")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            (F.floor(F.col("value") / F.lit(10)) * F.lit(10))
+            .cast("double")
+            .alias("value_band"),
+            "user_id",
+            "ts",
+        )
+        .dropDuplicatesWithinWatermark(
+            ["event_type", "day", "value_band", "user_id"]
+        )
+        .groupBy("event_type", "day", "value_band")
+        .agg(
+            n_users.alias("n_users"),
+            (n_users < F.lit(K_ANON)).alias("at_risk"),
+        )
+    )

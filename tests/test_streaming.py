@@ -679,3 +679,32 @@ def test_stream_image_phash_screen_equals_batch(spark, sf_dir):
         (r["doc_b"], r["doc_a"]) for r in batch
     }
     assert flagged == want and len(want) > 0
+
+
+def test_stream_k_anonymity_equals_batch(spark, sf_dir):
+    """The streaming k-anonymity audit (watermarked dedup → count, the
+    no-COUNT-DISTINCT-on-streams composition) drained over the fixture
+    stream reports exactly the batch operator's per-class user counts
+    and at-risk flags."""
+    from hive_gateway_spark.streaming.ops import (
+        stream_events,
+        stream_k_anonymity,
+    )
+
+    got = drain(
+        stream_k_anonymity(stream_events(spark, sf_dir)),
+        "s_kanon",
+        mode="complete",
+    )
+    want = (
+        registry.QUERIES["q_k_anonymity"](spark, sf_dir)
+        .drop("n_rows")  # the dedup stream can't see pre-dedup rows
+        .toPandas()
+    )
+    key = ["event_type", "day", "value_band"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    pd.testing.assert_frame_equal(
+        g[key + ["n_users", "at_risk"]], w[key + ["n_users", "at_risk"]]
+    )
