@@ -90,9 +90,10 @@ def write_dataset(
         "n_rows": sum(counts.values()),
         "partitions": dict(sorted(counts.items())),
         "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
+        "version": 1,
+        "files": _relative_files(path),
     }
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _write_manifest(path, manifest)
     return manifest
 
 
@@ -120,7 +121,10 @@ def verify_dataset(spark: SparkSession, path: str) -> dict:
         "partitions": dict(sorted(counts.items())),
         "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
     }
-    return {"ok": actual == expected, "expected": expected, "actual": actual}
+    # the manifest additionally carries snapshot bookkeeping (version,
+    # files); verification compares the DERIVED keys only
+    ok = all(actual[k] == expected.get(k) for k in actual)
+    return {"ok": ok, "expected": expected, "actual": actual}
 
 
 def dataset_files(path: str) -> list[str]:
@@ -133,6 +137,95 @@ def dataset_files(path: str) -> list[str]:
             if f.endswith(".parquet") and not f.startswith("_")
         )
     return sorted(out)
+
+
+def _relative_files(path: str) -> list[str]:
+    """dataset_files as manifest-stable relative paths."""
+    root = os.path.abspath(path)
+    return [os.path.relpath(f, root) for f in dataset_files(path)]
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Write _MANIFEST.json plus the immutable per-version snapshot
+    copy (_MANIFEST.v{N}.json) — the plain-parquet analog of a table
+    format's snapshot log."""
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    vpath = os.path.join(path, f"_MANIFEST.v{manifest['version']}.json")
+    with open(vpath, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+
+def append_dataset(df: DataFrame, path: str) -> dict:
+    """Incremental append — the lakehouse commit a streaming ingest or
+    daily batch runs against an existing export: new parquet files land
+    beside the old (Spark append mode, fresh file names), the manifest
+    advances to version N+1 with the cumulative counts, checksum, and
+    file list, and the superseded manifest stays on disk as
+    _MANIFEST.v{N}.json so read_snapshot can time-travel to it.
+
+    Existing files are never touched — an append that dies mid-write
+    leaves orphan files invisible to every manifest (the reader
+    contract is the manifest's file list, not the directory listing),
+    which is exactly Iceberg/Delta's crash-safety story in miniature.
+
+    Schema contract: df must carry the manifest's columns (the
+    partition columns included when the dataset is partitioned)."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        prev = json.load(f)
+    pby = prev["partition_by"]
+    cols = prev["columns"]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"append missing manifest columns: {missing}")
+    writer = df.select(*cols).write.mode("append")
+    if pby:
+        writer = writer.partitionBy(*pby)
+    writer.parquet(path)
+
+    spark = df.sparkSession
+    back = spark.read.parquet(path)
+    if pby:
+        counts = {
+            "/".join(f"{c}={r[c]}" for c in pby): r["n"]
+            for r in back.groupBy(*pby).agg(F.count("*").alias("n")).collect()
+        }
+    else:
+        counts = {"": back.count()}
+    manifest = {
+        "format": "parquet",
+        "partition_by": pby,
+        "columns": cols,
+        "n_rows": sum(counts.values()),
+        "partitions": dict(sorted(counts.items())),
+        "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
+        "version": int(prev.get("version", 1)) + 1,
+        "files": _relative_files(path),
+    }
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the dataset EXACTLY as manifest version N
+    recorded it, by reading only that version's file list (basePath
+    keeps hive-partition columns). version=None reads the latest.
+
+    Snapshots survive appends (old files are immutable) but not
+    compaction — compact_dataset rewrites the data files and expires
+    older snapshot manifests, the expire_snapshots trade every table
+    format makes."""
+    name = MANIFEST if version is None else f"_MANIFEST.v{version}.json"
+    with open(os.path.join(path, name)) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, rel) for rel in manifest["files"]]
+    reader = spark.read.option("basePath", path)
+    out = reader.parquet(*files)
+    pby = manifest["partition_by"]
+    cols = manifest["columns"] + [c for c in pby if c not in manifest["columns"]]
+    return out.select(*[c for c in cols if c in out.columns])
 
 
 def compact_dataset(
@@ -191,8 +284,14 @@ def compact_dataset(
             "compaction changed dataset content; original left in place"
         )
     n_before = len(dataset_files(path))
-    with open(os.path.join(tmp, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    # same content, new physical files: refresh the manifest's file
+    # list (relative paths stay valid after the swap) and keep the
+    # version — compaction is a REWRITE of the current snapshot, and
+    # the swap discards the old directory's _MANIFEST.v*.json history
+    # (expire_snapshots: a time-travel read needs the old files, and
+    # compaction's whole point is deleting them)
+    manifest = {**manifest, "files": _relative_files(tmp)}
+    _write_manifest(tmp, manifest)
     old = path.rstrip("/") + ".compact.old"
     os.rename(path, old)
     os.rename(tmp, path)

@@ -567,3 +567,82 @@ def test_compact_dataset_reduces_files_preserves_content(spark, sf_dir, tmp_path
     assert report["files_after"] == n_langs  # one file per partition
     after = verify_dataset(spark, path)
     assert after["ok"], after
+
+
+def test_append_dataset_versions_and_time_travel(spark, sf_dir, tmp_path):
+    """The lakehouse commit cycle on plain parquet: write v1 → append
+    v2 → the latest read sees both, verify_dataset stays green, and
+    read_snapshot(v1) time-travels to EXACTLY the original rows (old
+    files are immutable; the reader contract is the manifest's file
+    list, not the directory listing)."""
+    from hive_gateway_spark.sources.dataset_export import (
+        append_dataset,
+        read_snapshot,
+        verify_dataset,
+        write_dataset,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    extra = spark.createDataFrame(
+        [(4, "d", "fr"), (5, "e", "de")], "doc_id bigint, text string, lang string"
+    )
+    path = str(tmp_path / "tbl")
+    m1 = write_dataset(base, path, partition_by=["lang"])
+    assert m1["version"] == 1 and m1["n_rows"] == 3 and m1["files"]
+    m2 = append_dataset(extra, path)
+    assert m2["version"] == 2 and m2["n_rows"] == 5
+    # old files all still listed, plus new ones
+    assert set(m1["files"]) < set(m2["files"])
+    assert verify_dataset(spark, path)["ok"]
+
+    latest = read_snapshot(spark, path)
+    assert sorted(r["doc_id"] for r in latest.collect()) == [1, 2, 3, 4, 5]
+    v1 = read_snapshot(spark, path, version=1)
+    assert sorted(r["doc_id"] for r in v1.collect()) == [1, 2, 3]
+    # partition column survives the file-list read (basePath)
+    assert set(v1.columns) == {"doc_id", "text", "lang"}
+    assert {r["lang"] for r in v1.collect()} == {"en", "fr"}
+    # schema contract: an append missing a manifest column refuses
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(9, "z")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="lang"):
+        append_dataset(bad, path)
+
+
+def test_compaction_expires_old_snapshots(spark, sf_dir, tmp_path):
+    """Compaction rewrites data files: the CURRENT snapshot's manifest
+    file list is refreshed (verify green, content identical), while
+    older version manifests are expired with the old directory — the
+    expire_snapshots trade table formats make."""
+    import os
+
+    from hive_gateway_spark.sources.dataset_export import (
+        append_dataset,
+        compact_dataset,
+        read_snapshot,
+        verify_dataset,
+        write_dataset,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"t{i}", "en") for i in range(10)],
+        "doc_id bigint, text string, lang string",
+    )
+    path = str(tmp_path / "tbl2")
+    write_dataset(base.repartition(4), path, partition_by=["lang"])
+    append_dataset(
+        spark.createDataFrame(
+            [(100, "x", "en")], "doc_id bigint, text string, lang string"
+        ),
+        path,
+    )
+    report = compact_dataset(spark, path, files_per_partition=1)
+    assert report["files_after"] < report["files_before"]
+    assert verify_dataset(spark, path)["ok"]
+    latest = read_snapshot(spark, path)
+    assert latest.count() == 11  # content identical through the rewrite
+    assert not os.path.exists(os.path.join(path, "_MANIFEST.v1.json"))
