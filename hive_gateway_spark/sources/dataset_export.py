@@ -103,7 +103,23 @@ def verify_dataset(spark: SparkSession, path: str) -> dict:
     check a training job runs before trusting an export."""
     with open(os.path.join(path, MANIFEST)) as f:
         expected = json.load(f)
-    back = spark.read.parquet(path)
+    # read the manifest's file list, not the directory — orphans from a
+    # crashed append are outside the contract and must neither fail nor
+    # silently pass verification; files the manifest lists but the disk
+    # LOST are reported (missing_files) and the surviving subset is
+    # still counted, so the caller sees both what is gone and how many
+    # rows went with it
+    missing: list[str] = []
+    if expected.get("files"):
+        present = [
+            rel
+            for rel in expected["files"]
+            if os.path.exists(os.path.join(path, rel))
+        ]
+        missing = sorted(set(expected["files"]) - set(present))
+        back = _read_manifest_files(spark, path, present)
+    else:  # pre-snapshot manifests
+        back = spark.read.parquet(path)
     cols = expected["columns"]
     pby = expected["partition_by"]
     if pby:
@@ -123,7 +139,9 @@ def verify_dataset(spark: SparkSession, path: str) -> dict:
     }
     # the manifest additionally carries snapshot bookkeeping (version,
     # files); verification compares the DERIVED keys only
-    ok = all(actual[k] == expected.get(k) for k in actual)
+    ok = not missing and all(actual[k] == expected.get(k) for k in actual)
+    if missing:
+        actual = {**actual, "missing_files": missing}
     return {"ok": ok, "expected": expected, "actual": actual}
 
 
@@ -156,6 +174,14 @@ def _write_manifest(path: str, manifest: dict) -> None:
         json.dump(manifest, f, indent=1, sort_keys=True)
 
 
+def _read_manifest_files(spark: SparkSession, path: str, files: list[str]):
+    """Read EXACTLY the manifest's file list (basePath keeps partition
+    columns) — the reader contract everywhere: orphans from crashed
+    writes are invisible until a compaction sweeps them."""
+    absolute = [os.path.join(path, rel) for rel in files]
+    return spark.read.option("basePath", path).parquet(*absolute)
+
+
 def append_dataset(df: DataFrame, path: str) -> dict:
     """Incremental append — the lakehouse commit a streaming ingest or
     daily batch runs against an existing export: new parquet files land
@@ -178,13 +204,20 @@ def append_dataset(df: DataFrame, path: str) -> dict:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"append missing manifest columns: {missing}")
+    before = set(_relative_files(path))
     writer = df.select(*cols).write.mode("append")
     if pby:
         writer = writer.partitionBy(*pby)
     writer.parquet(path)
 
+    # the new snapshot = the PREVIOUS MANIFEST's files + exactly the
+    # files THIS append created (directory diff) — never the raw
+    # directory listing, which would silently absorb orphans from a
+    # crashed earlier append into this version's stats
+    created = sorted(set(_relative_files(path)) - before)
+    files = sorted(set(prev.get("files", sorted(before))) | set(created))
     spark = df.sparkSession
-    back = spark.read.parquet(path)
+    back = _read_manifest_files(spark, path, files)
     if pby:
         counts = {
             "/".join(f"{c}={r[c]}" for c in pby): r["n"]
@@ -200,7 +233,7 @@ def append_dataset(df: DataFrame, path: str) -> dict:
         "partitions": dict(sorted(counts.items())),
         "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
         "version": int(prev.get("version", 1)) + 1,
-        "files": _relative_files(path),
+        "files": files,
     }
     _write_manifest(path, manifest)
     return manifest
@@ -254,7 +287,12 @@ def compact_dataset(
     pby = manifest["partition_by"]
     cols = manifest["columns"]
     tmp = path.rstrip("/") + ".compact.tmp"
-    df = spark.read.parquet(path).select(*cols)
+    src_df = (
+        _read_manifest_files(spark, path, manifest["files"])
+        if manifest.get("files")
+        else spark.read.parquet(path)
+    )
+    df = src_df.select(*cols)
     writer = (
         df.repartition(files_per_partition, *pby)
         if pby

@@ -646,3 +646,53 @@ def test_compaction_expires_old_snapshots(spark, sf_dir, tmp_path):
     latest = read_snapshot(spark, path)
     assert latest.count() == 11  # content identical through the rewrite
     assert not os.path.exists(os.path.join(path, "_MANIFEST.v1.json"))
+
+
+def test_orphan_files_stay_outside_the_manifest_contract(spark, tmp_path):
+    """A crashed append leaves data files no manifest lists. The reader
+    contract is the manifest's file list: verify stays green and does
+    NOT count the orphan, the next successful append does NOT absorb it
+    into the new version's stats, and compaction (which rewrites from
+    the manifest list) sweeps it away."""
+    import os
+
+    from hive_gateway_spark.sources.dataset_export import (
+        append_dataset,
+        compact_dataset,
+        dataset_files,
+        read_snapshot,
+        verify_dataset,
+        write_dataset,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "tbl3")
+    write_dataset(base, path)
+    # simulate the crashed append: a stray parquet file on disk
+    orphan = spark.createDataFrame([(99, "orphan")], "doc_id bigint, text string")
+    orphan.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stray"))
+    stray_file = [
+        f for f in os.listdir(str(tmp_path / "stray")) if f.endswith(".parquet")
+    ][0]
+    os.rename(
+        os.path.join(str(tmp_path / "stray"), stray_file),
+        os.path.join(path, "part-orphan.parquet"),
+    )
+
+    assert verify_dataset(spark, path)["ok"]  # orphan invisible
+    m2 = append_dataset(
+        spark.createDataFrame([(3, "c")], "doc_id bigint, text string"), path
+    )
+    assert m2["n_rows"] == 3  # 2 + 1 appended; orphan NOT absorbed
+    assert "part-orphan.parquet" not in m2["files"]
+    assert sorted(r["doc_id"] for r in read_snapshot(spark, path).collect()) == [
+        1,
+        2,
+        3,
+    ]
+    compact_dataset(spark, path)
+    # basenames: tmp_path itself contains this test's name ("orphan")
+    assert not any("orphan" in os.path.basename(f) for f in dataset_files(path))
+    assert verify_dataset(spark, path)["ok"]
