@@ -177,3 +177,49 @@ def test_boilerplate_rebuild_is_single_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_boilerplate_chunks")
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # recurring-chunk set
+
+
+def test_readability_is_pure_projection(spark, sf_dir):
+    """q_text_readability must be scan → project: ZERO exchanges, and
+    the parquet scan reads only (doc_id, text) — the pushdown/pruning
+    contract for a per-row scoring operator."""
+    plan = plan_of(spark, sf_dir, "q_text_readability")
+    assert "Exchange" not in plan, plan
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) >= {"doc_id", "text"}
+    assert "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_temperature_scans_corpus_once(spark, sf_dir):
+    """The staged source aggregate means ONE corpus scan feeds both the
+    per-source frame and the normalizer (un-staged, the plan read
+    documents twice); the 1-row normalizer joins as a broadcast."""
+    df = registry.QUERIES["q_sample_temperature"](spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    assert plan.count("Scan parquet") + plan.count("FileScan") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_user_paths_bounds_hot_users_before_fold(spark, sf_dir):
+    """The rn ≤ 8 prefix filter must reach WindowGroupLimit (partial
+    per-partition limiting BEFORE the user shuffle) and the top-20 must
+    be TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, sf_dir, "q_user_paths")
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_k_anonymity_is_two_phase_distinct(spark, sf_dir):
+    """COUNT(DISTINCT user) must plan as the expand + two-phase partial
+    aggregate (bounded merge fan-in at 100 TB), never a join or window."""
+    plan = plan_of(spark, sf_dir, "q_k_anonymity")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_ann_buckets_no_cartesian(spark, sf_dir):
+    """Candidate generation is an equi-join on (table, bucket) — any
+    CartesianProduct/BNLJ here means the LSH pruning silently died."""
+    plan = plan_of(spark, sf_dir, "q_ann_buckets")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
