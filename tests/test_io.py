@@ -696,3 +696,39 @@ def test_orphan_files_stay_outside_the_manifest_contract(spark, tmp_path):
     # basenames: tmp_path itself contains this test's name ("orphan")
     assert not any("orphan" in os.path.basename(f) for f in dataset_files(path))
     assert verify_dataset(spark, path)["ok"]
+
+
+def test_merge_dataset_upserts_with_snapshot_isolation(spark, tmp_path):
+    """COW merge: updated keys replaced, new keys inserted, the prior
+    snapshot still reads its original rows (old files untouched), and
+    compaction afterwards expires history but keeps latest content."""
+    from hive_gateway_spark.sources.dataset_export import (
+        compact_dataset,
+        merge_dataset,
+        read_snapshot,
+        verify_dataset,
+        write_dataset,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "old-1", "en"), (2, "old-2", "en"), (3, "old-3", "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    path = str(tmp_path / "tblm")
+    write_dataset(base, path, partition_by=["lang"])
+    up = spark.createDataFrame(
+        [(2, "NEW-2", "en"), (4, "new-4", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    m2 = merge_dataset(up, path, key="doc_id")
+    assert m2["version"] == 2 and m2["n_rows"] == 4
+    latest = {r["doc_id"]: r["text"] for r in read_snapshot(spark, path).collect()}
+    assert latest == {1: "old-1", 2: "NEW-2", 3: "old-3", 4: "new-4"}
+    # time travel: version 1 is untouched
+    v1 = {r["doc_id"]: r["text"] for r in read_snapshot(spark, path, 1).collect()}
+    assert v1 == {1: "old-1", 2: "old-2", 3: "old-3"}
+    assert verify_dataset(spark, path)["ok"]
+    compact_dataset(spark, path)
+    latest2 = {r["doc_id"]: r["text"] for r in read_snapshot(spark, path).collect()}
+    assert latest2 == latest
+    assert verify_dataset(spark, path)["ok"]
