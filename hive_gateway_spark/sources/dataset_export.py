@@ -217,21 +217,38 @@ def append_dataset(df: DataFrame, path: str) -> dict:
     created = sorted(set(_relative_files(path)) - before)
     files = sorted(set(prev.get("files", sorted(before))) | set(created))
     spark = df.sparkSession
-    back = _read_manifest_files(spark, path, files)
+    # O(batch), not O(table): the commit reads back only the files it
+    # wrote. Both stats compose — counts add per partition, and the
+    # mod-2^64 checksum is ASSOCIATIVE (the payoff of the sum reduce:
+    # new = prev + sum(new rows' hashes) mod 2^64), so a commit's cost
+    # is independent of table size; verify_dataset remains the full
+    # recompute that audits the composition (pinned in tests).
+    if not created:  # empty append: stats unchanged, version advances
+        manifest = {**prev, "version": int(prev.get("version", 1)) + 1}
+        _write_manifest(path, manifest)
+        return manifest
+    back = _read_manifest_files(spark, path, created)
     if pby:
-        counts = {
+        delta = {
             "/".join(f"{c}={r[c]}" for c in pby): r["n"]
             for r in back.groupBy(*pby).agg(F.count("*").alias("n")).collect()
         }
     else:
-        counts = {"": back.count()}
+        delta = {"": back.count()}
+    counts = dict(prev["partitions"])
+    for k, v in delta.items():
+        counts[k] = counts.get(k, 0) + v
+    checksum = str(
+        (int(prev["content_xxh64_sum"]) + int(_content_checksum(back.select(*cols), cols)))
+        % (1 << 64)
+    )
     manifest = {
         "format": "parquet",
         "partition_by": pby,
         "columns": cols,
         "n_rows": sum(counts.values()),
         "partitions": dict(sorted(counts.items())),
-        "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
+        "content_xxh64_sum": checksum,
         "version": int(prev.get("version", 1)) + 1,
         "files": files,
     }
