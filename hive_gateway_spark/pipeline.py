@@ -144,6 +144,17 @@ class CurationPipeline:
             self.run()
         return write_dataset(self._result, path, partition_by=partition_by)
 
+    def append_to(self, path: str) -> dict:
+        """Commit the result onto an EXISTING export as manifest version
+        N+1 (the daily-batch form: curate today's crawl with the same
+        stage chain, append_dataset it — O(batch), snapshot-versioned).
+        """
+        from hive_gateway_spark.sources.dataset_export import append_dataset
+
+        if self._result is None:
+            self.run()
+        return append_dataset(self._result, path)
+
     @property
     def stages(self) -> list[str]:
         return [n for n, _ in self._stages]

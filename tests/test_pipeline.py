@@ -55,3 +55,30 @@ def test_pipeline_requires_source(spark):
 
     with pytest.raises(ValueError, match="no source"):
         CurationPipeline(spark).gate_tokens(1, 10).run()
+
+
+def test_pipeline_append_commits_next_version(spark, sf_dir, tmp_path):
+    """The daily-batch form: the same stage chain curates a second
+    batch and append_to() commits it as manifest version 2; verify
+    stays green and time travel still reads version 1 alone."""
+    from hive_gateway_spark.sources.dataset_export import (
+        read_snapshot,
+        verify_dataset,
+    )
+
+    path = str(tmp_path / "dsa")
+    day1 = CurationPipeline(spark).read_parquet(sf_dir).gate_tokens(10, 512)
+    m1 = day1.export(path, partition_by=["lang"])
+
+    from hive_gateway_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    batch2 = (
+        load_tables(spark, sf_dir)["documents"]
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)  # fresh ids
+        .limit(50)
+    )
+    m2 = CurationPipeline(spark).from_frame(batch2).gate_tokens(10, 512).append_to(path)
+    assert m2["version"] == 2 and m2["n_rows"] > m1["n_rows"]
+    assert verify_dataset(spark, path)["ok"]
+    assert read_snapshot(spark, path, 1).count() == m1["n_rows"]
