@@ -204,6 +204,12 @@ def append_dataset(df: DataFrame, path: str) -> dict:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"append missing manifest columns: {missing}")
+    extra = [c for c in df.columns if c not in cols]
+    if extra:  # silent column drops are data loss; evolution is explicit
+        raise ValueError(
+            f"append has columns the manifest lacks: {extra} "
+            "(schema evolution is an explicit rewrite, not an append)"
+        )
     before = set(_relative_files(path))
     writer = df.select(*cols).write.mode("append")
     if pby:
@@ -279,6 +285,12 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"merge missing manifest columns: {missing}")
+    extra = [c for c in df.columns if c not in cols]
+    if extra:
+        raise ValueError(
+            f"merge has columns the manifest lacks: {extra} "
+            "(schema evolution is an explicit rewrite, not a merge)"
+        )
     spark = df.sparkSession
     current = _read_manifest_files(spark, path, prev["files"]).select(*cols)
     merged = current.join(
