@@ -349,7 +349,10 @@ def read_snapshot(
 
 
 def compact_dataset(
-    spark: SparkSession, path: str, files_per_partition: int = 1
+    spark: SparkSession,
+    path: str,
+    files_per_partition: int = 1,
+    cluster_by: str | None = None,
 ) -> dict:
     """Small-files maintenance: rewrite the dataset so each partition
     holds at most `files_per_partition` data files, preserving content
@@ -362,6 +365,15 @@ def compact_dataset(
     open cost. This is the maintenance job a table format (Iceberg/
     Delta OPTIMIZE) schedules — here as an explicit engine operation
     over the plain-parquet export.
+
+    ``cluster_by``: additionally RANGE-partition the rewrite on that
+    column and sort within each file (repartitionByRange +
+    sortWithinPartitions) — Delta OPTIMIZE ZORDER's single-key form.
+    Every compacted file then covers a narrow, near-disjoint key range,
+    so parquet footer min/max statistics prune point/range scans to a
+    handful of files instead of all of them (asserted against the real
+    footers in tests). Content is identical either way — the checksum
+    gate is order-insensitive by construction.
 
     Safety: the rewrite lands in a sibling temp dir first and BOTH the
     content checksum AND the per-partition row counts are verified
@@ -380,11 +392,16 @@ def compact_dataset(
         else spark.read.parquet(path)
     )
     df = src_df.select(*cols)
-    writer = (
-        df.repartition(files_per_partition, *pby)
-        if pby
-        else df.coalesce(files_per_partition)
-    ).write.mode("overwrite")
+    if cluster_by is not None:
+        n_files = max(1, files_per_partition)
+        shaped = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(
+            cluster_by
+        )
+    elif pby:
+        shaped = df.repartition(files_per_partition, *pby)
+    else:
+        shaped = df.coalesce(files_per_partition)
+    writer = shaped.write.mode("overwrite")
     if pby:
         writer = writer.partitionBy(*pby)
     writer.parquet(tmp)

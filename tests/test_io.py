@@ -732,3 +732,49 @@ def test_merge_dataset_upserts_with_snapshot_isolation(spark, tmp_path):
     latest2 = {r["doc_id"]: r["text"] for r in read_snapshot(spark, path).collect()}
     assert latest2 == latest
     assert verify_dataset(spark, path)["ok"]
+
+
+def test_compact_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
+    """OPTIMIZE-with-sort: compacting with cluster_by range-partitions
+    and sorts the rewrite, so each parquet file's footer min/max covers
+    a disjoint doc_id range — the data-skipping property that lets a
+    point/range scan prune to one file. Verified against the REAL
+    parquet footers, plus content survival through the gate."""
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark.sources.dataset_export import (
+        compact_dataset,
+        dataset_files,
+        read_snapshot,
+        verify_dataset,
+        write_dataset,
+    )
+
+    n = 4000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"),
+        )
+        .repartition(16)  # doc_ids scattered across 16 unsorted files
+    )
+    path = str(tmp_path / "clu")
+    write_dataset(df, path)
+    compact_dataset(spark, path, files_per_partition=4, cluster_by="doc_id")
+    files = dataset_files(path)
+    assert 1 < len(files) <= 4
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # doc_id
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # strictly disjoint → min/max pruning works
+    assert verify_dataset(spark, path)["ok"]
+    assert read_snapshot(spark, path).count() == n
