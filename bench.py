@@ -128,6 +128,8 @@ HEADLINE_R8 = [
     "q_user_paths",
     "q_k_anonymity",
     "q_ann_buckets",
+    "q_interval_overlap",
+    "q_event_value_corr",
 ]
 
 

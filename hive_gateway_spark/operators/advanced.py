@@ -947,3 +947,138 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_users < F.lit(K_ANON)).alias("at_risk"),
         )
     )
+
+
+@query(
+    "q_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT epoch_us(o.o_orderdate) // 604800000000 AS w0,
+               epoch_us(MAX(l.l_shipdate)) // 604800000000 AS w1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    e AS (SELECT w0, w1, unnest(range(w0, w1 + 1)) AS week
+          FROM iv WHERE w1 >= w0)
+    SELECT CAST(week AS BIGINT) AS week,
+           COUNT(*) AS n_open,
+           CAST(SUM(CASE WHEN week = w0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_placed,
+           CAST(SUM(CASE WHEN week = w1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_completed
+    FROM e GROUP BY week
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly open-order load — the interval-overlap staple (how many
+    intervals cover each calendar bucket): an order is OPEN from its
+    placement week to its last shipment's week; per epoch-week, the
+    count of open orders plus how many were placed / completed that
+    week (the WIP curve an operations dashboard draws).
+
+    Scale shape — the point of the operator: interval×bucket overlap
+    is NOT a range join (O(intervals × buckets) as BNLJ, the plan
+    q_join_range exists to forbid) but a BOUNDED EXPLODE: each
+    interval emits one row per covered week — bounded by the interval
+    length (bounded by the corpus's calendar span — ≤ ~360 weeks in
+    the synthetic fixture, ≤ weeks-of-history anywhere) — then ONE
+    partial-agg shuffle on week. Weeks are integer `div` epoch-µs
+    (house rule; matches DuckDB `//`). INVERTED intervals (last ship
+    before the order date — a real artifact of the synthetic fixture,
+    and a data-quality reject anywhere) are filtered explicitly in
+    BOTH engines: Spark's sequence(a, b) DESCENDS when a > b while
+    DuckDB's range(a, b) is empty, so an unfiltered inverted row
+    would silently diverge — the exact cross-engine trap the oracle
+    methodology exists to catch."""
+    t = load_tables(spark, sf_dir)
+    wk = 604_800_000_000
+    iv = (
+        t["orders"]
+        .join(
+            t["lineitem"].select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.expr(f"unix_micros(o_orderdate) div {wk}").alias("w0"),
+            F.expr(f"unix_micros(last_ship) div {wk}").alias("w1"),
+        )
+    )
+    e = iv.filter(F.col("w1") >= F.col("w0")).select(
+        "w0", "w1", F.explode(F.expr("sequence(w0, w1)")).alias("week")
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return e.groupBy("week").agg(
+        F.count("*").alias("n_open"),
+        one_if(F.col("week") == F.col("w0")).alias("n_placed"),
+        one_if(F.col("week") == F.col("w1")).alias("n_completed"),
+    )
+
+
+@query(
+    "q_event_value_corr",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)) AS sx,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+               SUM(CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                   * CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)) AS sxx,
+               SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                 AS syy,
+               SUM(CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                   * CAST(value AS DECIMAL(18,2))) AS sxy
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_hour_value
+    FROM s
+    """,
+)
+def q_event_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between hour-of-day and event value, per
+    event type — "do purchases get bigger in the evening?", the
+    seasonality screen run before any time-based resampling.
+
+    Determinism — the zipf_fit recipe, not built-in corr(): the six
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) accumulate as
+    EXACT integers/decimals (hour is integer epoch-µs div/mod, value
+    is decimal(18,2); products stay far inside precision 38 —
+    decimal-PRODUCT-of-sums is what overflows, so each sum converts to
+    double ONCE and r is a single identical IEEE expression chain per
+    engine, sqrt correctly rounded). Built-in corr() accumulates
+    doubles in partition order — never hash-stable across engines.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus; the
+    r expression evaluates on event-type-count rows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hour = F.expr("(unix_micros(ts) div 3600000000) % 24")
+    x = hour.cast("bigint")
+    y = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (num / den).alias("corr_hour_value"),
+    )

@@ -121,9 +121,9 @@ PRIORITY: tuple[str, ...] = (
 
 #: r9 rotation candidates — the 16-query tail of the original 31-deep
 #: r7 queue, after the r8 rotation took the first 15 into the window,
-#: plus the five queries WRITTEN in r8 (readability, temperature,
-#: user_paths, k_anonymity, ann_buckets) which queue behind it: 21
-#: total
+#: plus the seven queries WRITTEN in r8 (readability, temperature,
+#: user_paths, k_anonymity, ann_buckets, interval_overlap,
+#: event_value_corr) which queue behind it: 23 total
 #: (tests/test_registry.py's debt ledger requires every registered
 #: query to hold a driver row, a window slot, or an entry here).
 #:
@@ -133,7 +133,7 @@ PRIORITY: tuple[str, ...] = (
 #: their r8 green row (the once-green fast-rotate is already policy —
 #: slots stay short until the queue drains); the freed 15 slots take
 #: the FIRST 15 below (q_dedup_incremental … q_dedup_cross_lingual),
-#: leaving SIX for r10: q_zipf_fit plus the five r8 additions —
+#: leaving EIGHT for r10: q_zipf_fit plus the seven r8 additions —
 #: after which the queue is EMPTY unless r9 writes new queries: every
 #: registered query will hold a driver row, and new queries enter
 #: here as they are written.
@@ -185,6 +185,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_user_paths",  # top journey prefixes (bounded window + fold)
     "q_k_anonymity",  # quasi-identifier re-identification audit
     "q_ann_buckets",  # SQL-green sibling of the hyperplane-LSH ANN path
+    "q_interval_overlap",  # bounded-explode interval×week overlap
+    "q_event_value_corr",  # exact-sufficient-statistics Pearson r
 )
 
 
