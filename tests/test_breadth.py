@@ -399,3 +399,71 @@ def test_k_anonymity_flags_small_classes(spark):
     risky = out[("purchase",)]
     assert safe["n_users"] == 5 and not safe["at_risk"]
     assert risky["n_users"] == 2 and risky["n_rows"] == 6 and risky["at_risk"]
+
+
+def test_interval_overlap_inverted_and_single_week(spark):
+    """Hand-planted spans built through the registered plan shape: a
+    2-week order contributes both weeks (placed in the first,
+    completed in the second), a same-week order counts as placed AND
+    completed, and an INVERTED interval (shipped before ordered) is
+    filtered — Spark's sequence() would descend on it while DuckDB's
+    range() is empty, the cross-engine divergence the filter exists
+    to kill."""
+    rows = [(1, 10, 11), (2, 20, 20), (3, 31, 30)]  # (key, w0, w1)
+    iv = spark.createDataFrame(rows, "k bigint, w0 bigint, w1 bigint")
+    e = iv.filter(F.col("w1") >= F.col("w0")).select(
+        "w0", "w1", F.explode(F.expr("sequence(w0, w1)")).alias("week")
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    out = {
+        r["week"]: r.asDict()
+        for r in e.groupBy("week")
+        .agg(
+            F.count("*").alias("n_open"),
+            one_if(F.col("week") == F.col("w0")).alias("n_placed"),
+            one_if(F.col("week") == F.col("w1")).alias("n_completed"),
+        )
+        .collect()
+    }
+    assert set(out) == {10, 11, 20}  # inverted key-3 contributes nothing
+    assert out[10]["n_open"] == 1 and out[10]["n_placed"] == 1
+    assert out[11]["n_completed"] == 1
+    assert out[20] == {"week": 20, "n_open": 1, "n_placed": 1, "n_completed": 1}
+
+
+def test_event_value_corr_exact_endpoints(spark):
+    """Known-answer correlations through the registered statistic
+    shape: a perfectly linear value-vs-hour series gives r = 1.0
+    EXACTLY (all-integer sufficient statistics, one IEEE chain), and
+    an anti-linear one gives r = -1.0."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1, 0, 0)
+    rows = []
+    for h in range(6):
+        ts = base + _dt.timedelta(hours=h)
+        rows.append((len(rows), "up", ts, 10.0 + 2 * h))
+        rows.append((len(rows), "down", ts, 50.0 - 3 * h))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts timestamp, value double"
+    )
+    hour = F.expr("(unix_micros(ts) div 3600000000) % 24")
+    x = hour.cast("bigint")
+    y = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    out = {
+        r["event_type"]: r["r"]
+        for r in s.select("event_type", (num / den).alias("r")).collect()
+    }
+    assert out["up"] == 1.0 and out["down"] == -1.0
