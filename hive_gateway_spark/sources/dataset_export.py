@@ -327,7 +327,10 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    between: tuple | None = None,
 ) -> DataFrame:
     """Time-travel read: the dataset EXACTLY as manifest version N
     recorded it, by reading only that version's file list (basePath
@@ -336,16 +339,67 @@ def read_snapshot(
     Snapshots survive appends (old files are immutable) but not
     compaction — compact_dataset rewrites the data files and expires
     older snapshot manifests, the expire_snapshots trade every table
-    format makes."""
+    format makes.
+
+    ``between=(column, lo, hi)`` (inclusive) additionally FILE-PRUNES:
+    when the manifest carries cluster_by file statistics for that
+    column (a cluster_by compaction records footer min/max per file —
+    the Iceberg file-index idea), files whose range cannot overlap
+    [lo, hi] are dropped from the read BEFORE Spark opens anything,
+    and the residual row filter is applied for exactness. Without
+    stats the filter still applies — just without the skip.
+
+    """
     name = MANIFEST if version is None else f"_MANIFEST.v{version}.json"
     with open(os.path.join(path, name)) as f:
         manifest = json.load(f)
-    files = [os.path.join(path, rel) for rel in manifest["files"]]
+    rels = manifest["files"]
+    if between is not None:
+        col, lo, hi = between
+        stats = (
+            manifest.get("file_stats", {})
+            if manifest.get("cluster_by") == col
+            else {}
+        )
+        if stats:
+            rels = [
+                rel
+                for rel in rels
+                if rel not in stats
+                or not (stats[rel][1] < lo or stats[rel][0] > hi)
+            ]
+    files = [os.path.join(path, rel) for rel in rels]
     reader = spark.read.option("basePath", path)
     out = reader.parquet(*files)
     pby = manifest["partition_by"]
     cols = manifest["columns"] + [c for c in pby if c not in manifest["columns"]]
-    return out.select(*[c for c in cols if c in out.columns])
+    out = out.select(*[c for c in cols if c in out.columns])
+    if between is not None:
+        col, lo, hi = between
+        out = out.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    return out
+
+
+def _file_stats(path: str, files: list[str], column: str) -> dict:
+    """Per-file [min, max] of `column` from the parquet FOOTERS (one
+    driver-side metadata read per file — no data scan): the manifest
+    becomes an Iceberg-style file index, so a range read can skip
+    whole files before Spark ever opens them."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for rel in files:
+        md = pq.read_metadata(os.path.join(path, rel))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            out[rel] = [min(mins), max(maxs)]
+    return out
 
 
 def compact_dataset(
@@ -433,6 +487,12 @@ def compact_dataset(
     # (expire_snapshots: a time-travel read needs the old files, and
     # compaction's whole point is deleting them)
     manifest = {**manifest, "files": _relative_files(tmp)}
+    if cluster_by is not None:
+        manifest["cluster_by"] = cluster_by
+        manifest["file_stats"] = _file_stats(tmp, manifest["files"], cluster_by)
+    else:
+        manifest.pop("cluster_by", None)
+        manifest.pop("file_stats", None)
     _write_manifest(tmp, manifest)
     old = path.rstrip("/") + ".compact.old"
     os.rename(path, old)

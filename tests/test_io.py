@@ -778,3 +778,36 @@ def test_compact_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
         assert hi < lo  # strictly disjoint → min/max pruning works
     assert verify_dataset(spark, path)["ok"]
     assert read_snapshot(spark, path).count() == n
+
+
+def test_read_snapshot_between_prunes_files(spark, tmp_path):
+    """Iceberg-style file skipping: after a cluster_by compaction the
+    manifest carries per-file min/max, and a narrow range read opens
+    ONLY the overlapping file (df.inputFiles() proves the prune) while
+    returning exactly the right rows; an un-stat'd column still
+    filters correctly, just without the skip."""
+    from hive_gateway_spark.sources.dataset_export import (
+        compact_dataset,
+        read_snapshot,
+        write_dataset,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    ).repartition(16)
+    path = str(tmp_path / "skip")
+    write_dataset(df, path)
+    compact_dataset(spark, path, files_per_partition=4, cluster_by="doc_id")
+
+    full = read_snapshot(spark, path)
+    assert len(full.inputFiles()) == 4
+    narrow = read_snapshot(spark, path, between=("doc_id", 100, 120))
+    assert len(narrow.inputFiles()) == 1  # 3 of 4 files skipped
+    got = sorted(r["doc_id"] for r in narrow.collect())
+    assert got == list(range(100, 121))  # residual filter exact
+    # un-stat'd column: no skip, still exact
+    bytext = read_snapshot(spark, path, between=("text", "t100", "t100"))
+    assert len(bytext.inputFiles()) == 4
+    assert [r["doc_id"] for r in bytext.collect()] == [100]
