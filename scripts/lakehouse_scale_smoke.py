@@ -83,9 +83,24 @@ def main() -> None:
 
         out["files_before_compact"] = len(dataset_files(path))
         t0 = time.time()
-        report = compact_dataset(spark, path, files_per_partition=4)
+        report = compact_dataset(
+            spark, path, files_per_partition=8, cluster_by="doc_id"
+        )
         out["compact_sec"] = round(time.time() - t0, 2)
         out["files_after_compact"] = report["files_after"]
+
+        # file-skipping read: a 1%-of-keyspace range should open ~1 of
+        # the 8 clustered files and return exactly the right rows
+        t0 = time.time()
+        lo, hi = n // 2, n // 2 + n // 100
+        pruned = read_snapshot(spark, path, between=("doc_id", lo, hi))
+        out["pruned_files_opened"] = len(pruned.inputFiles())
+        out["pruned_rows"] = pruned.count()
+        out["pruned_read_sec"] = round(time.time() - t0, 2)
+        out["prune_ok"] = (
+            out["pruned_files_opened"] < report["files_after"]
+            and out["pruned_rows"] == hi - lo + 1
+        )
 
         latest = read_snapshot(spark, path)
         out["rows_final"] = latest.count()
