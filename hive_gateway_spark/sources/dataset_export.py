@@ -503,3 +503,35 @@ def compact_dataset(
         "files_after": len(dataset_files(path)),
         "n_rows": manifest["n_rows"],
     }
+
+
+def lakehouse_sink_foreachBatch(path: str, partition_by: list[str] | None = None):
+    """Streaming → lakehouse: a foreachBatch sink where every
+    micro-batch is a manifest COMMIT — batch 0 creates the dataset
+    (write_dataset), each later batch append_dataset's (O(batch):
+    incremental counts + associative checksum), so the table is
+    readable, verifiable, and time-travelable WHILE the stream runs,
+    and a crash between file landing and manifest write leaves only
+    invisible orphans for the next compaction to sweep.
+
+    Use: ``df.writeStream.foreachBatch(lakehouse_sink_foreachBatch(p))
+    .start()``. Batch ids are recorded in the manifest (exactly-once
+    bookkeeping: a restarted query re-delivering batch N is detected
+    and skipped — Spark's foreachBatch replay contract)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        manifest_path = os.path.join(path, MANIFEST)
+        if not os.path.exists(manifest_path):
+            m = write_dataset(batch_df, path, partition_by=partition_by)
+            m["last_batch_id"] = int(batch_id)
+            _write_manifest(path, m)
+            return
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if prev.get("last_batch_id") is not None and batch_id <= prev["last_batch_id"]:
+            return  # replayed batch after restart — already committed
+        m = append_dataset(batch_df, path)
+        m["last_batch_id"] = int(batch_id)
+        _write_manifest(path, m)
+
+    return sink

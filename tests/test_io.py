@@ -811,3 +811,43 @@ def test_read_snapshot_between_prunes_files(spark, tmp_path):
     bytext = read_snapshot(spark, path, between=("text", "t100", "t100"))
     assert len(bytext.inputFiles()) == 4
     assert [r["doc_id"] for r in bytext.collect()] == [100]
+
+
+def test_streaming_lakehouse_sink_commits_versions(spark, sf_dir, tmp_path):
+    """Draining the fixture stream through the lakehouse sink commits
+    one manifest version per micro-batch; the finished table verifies
+    green, equals the batch table exactly, and a REPLAYED batch id is
+    skipped (the foreachBatch restart contract)."""
+    import json as _json
+    import os as _os
+
+    from hive_gateway_spark.sources.dataset_export import (
+        MANIFEST,
+        lakehouse_sink_foreachBatch,
+        read_snapshot,
+        verify_dataset,
+    )
+    from hive_gateway_spark.streaming.ops import stream_events
+
+    path = str(tmp_path / "ingest")
+    sink = lakehouse_sink_foreachBatch(path)
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert verify_dataset(spark, path)["ok"]
+    want = load_tables(spark, sf_dir)["events"]
+    got = read_snapshot(spark, path)
+    assert got.count() == want.count()
+    assert got.select("event_id").exceptAll(want.select("event_id")).count() == 0
+    with open(_os.path.join(path, MANIFEST)) as f:
+        m = _json.load(f)
+    n_before = m["n_rows"]
+    # replay the last batch id — must be a no-op commit
+    sink(want.limit(5), m["last_batch_id"])
+    with open(_os.path.join(path, MANIFEST)) as f:
+        m2 = _json.load(f)
+    assert m2["n_rows"] == n_before and m2["version"] == m["version"]
