@@ -1035,11 +1035,11 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(n AS BIGINT) AS n,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-             AS corr_hour_value
+           / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                    0) AS corr_hour_value
     FROM s
     """,
 )
@@ -1056,6 +1056,11 @@ def q_event_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     double ONCE and r is a single identical IEEE expression chain per
     engine, sqrt correctly rounded). Built-in corr() accumulates
     doubles in partition order — never hash-stable across engines.
+    A degenerate group (single event, or zero variance on either
+    axis) has denominator 0 — guarded with NULLIF in BOTH engines so
+    both report NULL: unguarded, Spark's non-ANSI divide yields NULL
+    while DuckDB's IEEE division yields NaN/±inf — the q_funnel
+    ADVICE-r7 trap again, killed at birth this time.
 
     Scale shape: ONE map-side-combined aggregate over the corpus; the
     r expression evaluates on event-type-count rows."""
@@ -1080,5 +1085,5 @@ def q_event_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        (num / den).alias("corr_hour_value"),
+        (num / F.nullif(den, F.lit(0.0))).alias("corr_hour_value"),
     )

@@ -663,9 +663,12 @@ def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # localCheckpoint: the frame is BOTH sides of the self-join below,
+    # and without materialization Catalyst re-runs the Arrow sign-pack
+    # GEMM over the whole corpus once per side (review r8 finding)
     buckets = e.select("vec_id", "v").mapInPandas(
         bucketize, "vec_id bigint, tbl bigint, bucket bigint"
-    )
+    ).localCheckpoint()
     q = buckets.filter(
         (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < QUERY_ID_CAP)
     ).select(

@@ -178,8 +178,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # r7: Zipf rank-frequency fit (exact-regression corpus health).
     "q_zipf_fit",
     # r8 additions (registered after the r8 window froze; they queue
-    # behind the r7 tail — the r9 pre-plan above then leaves FOUR
-    # candidates for r10, not one):
+    # behind the r7 tail — with all seven, the r9 pre-plan above
+    # leaves EIGHT candidates for r10, not one):
     "q_text_readability",  # ARI per doc (exact counts + libm-rule score)
     "q_sample_temperature",  # α=1/2 source mixture weights (sqrt-exact)
     "q_user_paths",  # top journey prefixes (bounded window + fold)

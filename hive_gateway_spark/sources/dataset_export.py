@@ -52,15 +52,33 @@ def _content_checksum(df: DataFrame, cols: list[str]) -> str:
     ])
     agg = df.select(row_hash.alias("h")).agg(
         F.expr(
-            "CAST(pmod(sum(CAST(h AS DECIMAL(38,0))), "
-            "CAST(18446744073709551616 AS DECIMAL(38,0))) AS STRING)"
+            "CAST(COALESCE(pmod(sum(CAST(h AS DECIMAL(38,0))), "
+            "CAST(18446744073709551616 AS DECIMAL(38,0))), 0) AS STRING)"
         ).alias("x")
     )
+    # COALESCE: sum over an empty frame is NULL; the empty multiset's
+    # checksum is 0, and a null here poisons every later incremental
+    # composition (int(None) on the next append)
     return agg.first()["x"]
 
 
+def _partition_counts(back: DataFrame, pby: list[str]) -> dict:
+    """Per-partition row counts keyed 'c1=v1/c2=v2' — ONE definition
+    shared by write/verify/append/merge/compact so the writer and the
+    verifier can never disagree on key formatting."""
+    if pby:
+        return {
+            "/".join(f"{c}={r[c]}" for c in pby): r["n"]
+            for r in back.groupBy(*pby).agg(F.count("*").alias("n")).collect()
+        }
+    return {"": back.count()}
+
+
 def write_dataset(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """Write `df` as parquet partitioned by `partition_by`, then read
     the files back and write _MANIFEST.json with per-partition row
@@ -74,15 +92,7 @@ def write_dataset(
     spark = df.sparkSession
     back = spark.read.parquet(path)
     cols = df.columns
-    if partition_by:
-        counts = {
-            "/".join(f"{c}={r[c]}" for c in partition_by): r["n"]
-            for r in back.groupBy(*partition_by)
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-    else:
-        counts = {"": back.count()}
+    counts = _partition_counts(back, partition_by)
     manifest = {
         "format": "parquet",
         "partition_by": partition_by,
@@ -92,6 +102,7 @@ def write_dataset(
         "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
         "version": 1,
         "files": _relative_files(path),
+        **(extra or {}),
     }
     _write_manifest(path, manifest)
     return manifest
@@ -109,26 +120,33 @@ def verify_dataset(spark: SparkSession, path: str) -> dict:
     # LOST are reported (missing_files) and the surviving subset is
     # still counted, so the caller sees both what is gone and how many
     # rows went with it
-    missing: list[str] = []
-    if expected.get("files"):
-        present = [
-            rel
-            for rel in expected["files"]
-            if os.path.exists(os.path.join(path, rel))
-        ]
-        missing = sorted(set(expected["files"]) - set(present))
-        back = _read_manifest_files(spark, path, present)
-    else:  # pre-snapshot manifests
-        back = spark.read.parquet(path)
+    if not expected.get("files"):
+        # a manifest without a file list predates the snapshot layer
+        # (or was hand-edited) — every operation here would otherwise
+        # half-work or KeyError; refuse loudly and say how to recover
+        return {
+            "ok": False,
+            "expected": expected,
+            "actual": {},
+            "error": "manifest has no files list (pre-snapshot or "
+            "corrupt) — re-export with write_dataset",
+        }
+    present = [
+        rel
+        for rel in expected["files"]
+        if os.path.exists(os.path.join(path, rel))
+    ]
+    missing = sorted(set(expected["files"]) - set(present))
+    if not present:  # every listed file lost: report, don't crash
+        return {
+            "ok": False,
+            "expected": expected,
+            "actual": {"missing_files": missing},
+        }
+    back = _read_manifest_files(spark, path, present)
     cols = expected["columns"]
     pby = expected["partition_by"]
-    if pby:
-        counts = {
-            "/".join(f"{c}={r[c]}" for c in pby): r["n"]
-            for r in back.groupBy(*pby).agg(F.count("*").alias("n")).collect()
-        }
-    else:
-        counts = {"": back.count()}
+    counts = _partition_counts(back, pby)
     actual = {
         "format": "parquet",
         "partition_by": pby,
@@ -166,12 +184,28 @@ def _relative_files(path: str) -> list[str]:
 def _write_manifest(path: str, manifest: dict) -> None:
     """Write _MANIFEST.json plus the immutable per-version snapshot
     copy (_MANIFEST.v{N}.json) — the plain-parquet analog of a table
-    format's snapshot log."""
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    vpath = os.path.join(path, f"_MANIFEST.v{manifest['version']}.json")
-    with open(vpath, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    format's snapshot log.
+
+    ATOMIC: each file lands under a temp name and os.rename's into
+    place (POSIX rename is atomic on one filesystem) — a plain
+    open(w) would truncate the table's root pointer before json.dump
+    finishes, so a crash mid-write bricked every later read; with the
+    rename, a crash leaves the previous manifest intact and this
+    commit simply never happened (the crash-safety story the module
+    docstring promises, applied to the manifest itself)."""
+
+    def _atomic(target: str) -> None:
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, target)
+
+    # version copy FIRST, root pointer last: if the crash lands between
+    # the two, the root still describes the previous committed state
+    _atomic(os.path.join(path, f"_MANIFEST.v{manifest['version']}.json"))
+    _atomic(os.path.join(path, MANIFEST))
 
 
 def _read_manifest_files(spark: SparkSession, path: str, files: list[str]):
@@ -182,7 +216,7 @@ def _read_manifest_files(spark: SparkSession, path: str, files: list[str]):
     return spark.read.option("basePath", path).parquet(*absolute)
 
 
-def append_dataset(df: DataFrame, path: str) -> dict:
+def append_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict:
     """Incremental append — the lakehouse commit a streaming ingest or
     daily batch runs against an existing export: new parquet files land
     beside the old (Spark append mode, fresh file names), the manifest
@@ -199,6 +233,11 @@ def append_dataset(df: DataFrame, path: str) -> dict:
     partition columns included when the dataset is partitioned)."""
     with open(os.path.join(path, MANIFEST)) as f:
         prev = json.load(f)
+    if not prev.get("files"):
+        raise ValueError(
+            "manifest has no files list (pre-snapshot or corrupt) — "
+            "re-export with write_dataset"
+        )
     pby = prev["partition_by"]
     cols = prev["columns"]
     missing = [c for c in cols if c not in df.columns]
@@ -230,17 +269,15 @@ def append_dataset(df: DataFrame, path: str) -> dict:
     # is independent of table size; verify_dataset remains the full
     # recompute that audits the composition (pinned in tests).
     if not created:  # empty append: stats unchanged, version advances
-        manifest = {**prev, "version": int(prev.get("version", 1)) + 1}
+        manifest = {
+            **prev,
+            "version": int(prev.get("version", 1)) + 1,
+            **(extra or {}),
+        }
         _write_manifest(path, manifest)
         return manifest
     back = _read_manifest_files(spark, path, created)
-    if pby:
-        delta = {
-            "/".join(f"{c}={r[c]}" for c in pby): r["n"]
-            for r in back.groupBy(*pby).agg(F.count("*").alias("n")).collect()
-        }
-    else:
-        delta = {"": back.count()}
+    delta = _partition_counts(back, pby)
     counts = dict(prev["partitions"])
     for k, v in delta.items():
         counts[k] = counts.get(k, 0) + v
@@ -257,6 +294,7 @@ def append_dataset(df: DataFrame, path: str) -> dict:
         "content_xxh64_sum": checksum,
         "version": int(prev.get("version", 1)) + 1,
         "files": files,
+        **(extra or {}),
     }
     _write_manifest(path, manifest)
     return manifest
@@ -280,6 +318,11 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     mechanics."""
     with open(os.path.join(path, MANIFEST)) as f:
         prev = json.load(f)
+    if not prev.get("files"):
+        raise ValueError(
+            "manifest has no files list (pre-snapshot or corrupt) — "
+            "re-export with write_dataset"
+        )
     pby = prev["partition_by"]
     cols = prev["columns"]
     missing = [c for c in cols if c not in df.columns]
@@ -305,13 +348,7 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     files = sorted(set(_relative_files(path)) - before)  # ONLY this write
 
     back = _read_manifest_files(spark, path, files)
-    if pby:
-        counts = {
-            "/".join(f"{c}={r[c]}" for c in pby): r["n"]
-            for r in back.groupBy(*pby).agg(F.count("*").alias("n")).collect()
-        }
-    else:
-        counts = {"": back.count()}
+    counts = _partition_counts(back, pby)
     manifest = {
         "format": "parquet",
         "partition_by": pby,
@@ -353,6 +390,11 @@ def read_snapshot(
     name = MANIFEST if version is None else f"_MANIFEST.v{version}.json"
     with open(os.path.join(path, name)) as f:
         manifest = json.load(f)
+    if not manifest.get("files"):
+        raise ValueError(
+            "manifest has no files list (pre-snapshot or corrupt) — "
+            "re-export with write_dataset"
+        )
     rels = manifest["files"]
     if between is not None:
         col, lo, hi = between
@@ -362,12 +404,15 @@ def read_snapshot(
             else {}
         )
         if stats:
-            rels = [
-                rel
-                for rel in rels
-                if rel not in stats
-                or not (stats[rel][1] < lo or stats[rel][0] > hi)
-            ]
+            def overlaps(rel: str) -> bool:
+                if rel not in stats:
+                    return True  # no stats → cannot prune, keep
+                s_lo, s_hi = stats[rel]
+                try:
+                    return not (s_hi < lo or s_lo > hi)
+                except TypeError:  # incomparable types (e.g. iso-string
+                    return True  # stats vs datetime bound) → keep
+            rels = [rel for rel in rels if overlaps(rel)]
     files = [os.path.join(path, rel) for rel in rels]
     reader = spark.read.option("basePath", path)
     out = reader.parquet(*files)
@@ -398,7 +443,23 @@ def _file_stats(path: str, files: list[str], column: str) -> dict:
                     mins.append(col.statistics.min)
                     maxs.append(col.statistics.max)
         if mins:
-            out[rel] = [min(mins), max(maxs)]
+            lo, hi = min(mins), max(maxs)
+            # JSON-safe: footer stats for timestamp/date/binary columns
+            # come back as datetime/bytes objects, which json.dump
+            # rejects AFTER the rewrite finished — coerce to the
+            # canonical string form (ISO for datetimes, hex for bytes);
+            # the pruning comparison degrades gracefully on type
+            # mismatch (file kept, residual filter stays exact)
+            def safe(v):
+                if isinstance(v, (int, float, str, bool)) or v is None:
+                    return v
+                if isinstance(v, bytes):
+                    return v.hex()
+                if hasattr(v, "isoformat"):
+                    return v.isoformat()
+                return str(v)
+
+            out[rel] = [safe(lo), safe(hi)]
     return out
 
 
@@ -437,15 +498,15 @@ def compact_dataset(
     the original is left untouched."""
     with open(os.path.join(path, MANIFEST)) as f:
         manifest = json.load(f)
+    if not manifest.get("files"):
+        raise ValueError(
+            "manifest has no files list (pre-snapshot or corrupt) — "
+            "re-export with write_dataset"
+        )
     pby = manifest["partition_by"]
     cols = manifest["columns"]
     tmp = path.rstrip("/") + ".compact.tmp"
-    src_df = (
-        _read_manifest_files(spark, path, manifest["files"])
-        if manifest.get("files")
-        else spark.read.parquet(path)
-    )
-    df = src_df.select(*cols)
+    df = _read_manifest_files(spark, path, manifest["files"]).select(*cols)
     if cluster_by is not None:
         n_files = max(1, files_per_partition)
         shaped = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(
@@ -461,16 +522,7 @@ def compact_dataset(
     writer.parquet(tmp)
     back = spark.read.parquet(tmp).select(*cols)
     checksum = _content_checksum(back, cols)
-    if pby:
-        counts = {
-            "/".join(f"{c}={r[c]}" for c in pby): r["n"]
-            for r in spark.read.parquet(tmp)
-            .groupBy(*pby)
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-    else:
-        counts = {"": back.count()}
+    counts = _partition_counts(spark.read.parquet(tmp), pby)
     if (
         checksum != manifest["content_xxh64_sum"]
         or dict(sorted(counts.items())) != manifest["partitions"]
@@ -520,18 +572,19 @@ def lakehouse_sink_foreachBatch(path: str, partition_by: list[str] | None = None
     and skipped — Spark's foreachBatch replay contract)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # last_batch_id rides IN the same atomic manifest write as the
+        # commit itself — a separate second write left a crash window
+        # where the commit existed but its batch id didn't, and the
+        # restarted query's replay of that batch double-committed
+        extra = {"last_batch_id": int(batch_id)}
         manifest_path = os.path.join(path, MANIFEST)
         if not os.path.exists(manifest_path):
-            m = write_dataset(batch_df, path, partition_by=partition_by)
-            m["last_batch_id"] = int(batch_id)
-            _write_manifest(path, m)
+            write_dataset(batch_df, path, partition_by=partition_by, extra=extra)
             return
         with open(manifest_path) as f:
             prev = json.load(f)
         if prev.get("last_batch_id") is not None and batch_id <= prev["last_batch_id"]:
             return  # replayed batch after restart — already committed
-        m = append_dataset(batch_df, path)
-        m["last_batch_id"] = int(batch_id)
-        _write_manifest(path, m)
+        append_dataset(batch_df, path, extra=extra)
 
     return sink

@@ -21,8 +21,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 N_DEFAULT = 100_000
 N_APPENDS = 8
 

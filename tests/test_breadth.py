@@ -467,3 +467,48 @@ def test_event_value_corr_exact_endpoints(spark):
         for r in s.select("event_type", (num / den).alias("r")).collect()
     }
     assert out["up"] == 1.0 and out["down"] == -1.0
+
+
+def test_corr_degenerate_group_is_null_both_engines(spark):
+    """A single-event group (denominator 0) must be NULL, matching
+    the oracle's NULLIF guard — unguarded, Spark gives NULL while
+    DuckDB's IEEE division gives NaN, a hash-parity break on any
+    corpus with a rare event type."""
+    import datetime as _dt
+    import duckdb
+
+    from hive_gateway_spark import registry  # noqa: F811
+
+    ev = [(1, "solo", _dt.datetime(2024, 1, 1, 5), 42.0)]
+    sdf = spark.createDataFrame(
+        ev, "event_id bigint, event_type string, ts timestamp, value double"
+    )
+    sdf.createOrReplaceTempView("events_tmp")
+    # drive the registered oracle against the same single row
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT 1::BIGINT AS event_id, "
+        "'solo' AS event_type, TIMESTAMP '2024-01-01 05:00:00' AS ts, "
+        "42.0::DOUBLE AS value"
+    )
+    du = con.execute(registry.ORACLES["q_event_value_corr"]).fetchall()
+    assert du == [("solo", 1, None)]
+    # Spark side through the same statistic shape
+    from pyspark.sql import functions as F  # noqa: F811
+
+    hour = F.expr("(unix_micros(ts) div 3600000000) % 24")
+    x, y = hour.cast("bigint"), F.col("value").cast("decimal(18,2)")
+    s = sdf.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    got = s.select((num / F.nullif(den, F.lit(0.0))).alias("r")).first()
+    assert got["r"] is None

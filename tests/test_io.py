@@ -851,3 +851,26 @@ def test_streaming_lakehouse_sink_commits_versions(spark, sf_dir, tmp_path):
     with open(_os.path.join(path, MANIFEST)) as f:
         m2 = _json.load(f)
     assert m2["n_rows"] == n_before and m2["version"] == m["version"]
+
+
+def test_empty_commit_checksum_is_zero_not_null(spark, tmp_path):
+    """A 0-row first commit (a micro-batch whose rows were all
+    filtered) must record checksum "0" — the empty multiset — not
+    JSON null, which poisoned the next append's incremental
+    composition (int(None)); the following non-empty append then
+    composes cleanly and verifies green."""
+    from hive_gateway_spark.sources.dataset_export import (
+        append_dataset,
+        verify_dataset,
+        write_dataset,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    path = str(tmp_path / "e0")
+    m1 = write_dataset(empty, path)
+    assert m1["content_xxh64_sum"] == "0" and m1["n_rows"] == 0
+    m2 = append_dataset(
+        spark.createDataFrame([(1, "a")], "doc_id bigint, text string"), path
+    )
+    assert m2["n_rows"] == 1
+    assert verify_dataset(spark, path)["ok"]
