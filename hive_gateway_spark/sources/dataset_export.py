@@ -296,6 +296,16 @@ def append_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict:
         "files": files,
         **(extra or {}),
     }
+    if prev.get("cluster_by"):
+        # carry the clustered files' stats forward: pruning keeps any
+        # file WITHOUT stats (the fresh appends), so old skipping value
+        # survives the commit and nothing can be wrongly skipped
+        manifest["cluster_by"] = prev["cluster_by"]
+        manifest["file_stats"] = {
+            rel: s
+            for rel, s in prev.get("file_stats", {}).items()
+            if rel in set(files)
+        }
     _write_manifest(path, manifest)
     return manifest
 
