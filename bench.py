@@ -130,6 +130,7 @@ HEADLINE_R8 = [
     "q_ann_buckets",
     "q_interval_overlap",
     "q_event_value_corr",
+    "q_rolling_wau",
 ]
 
 

@@ -1087,3 +1087,54 @@ def q_event_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (num / F.nullif(den, F.lit(0.0))).alias("corr_hour_value"),
     )
+
+
+@query(
+    "q_rolling_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    win AS (
+        SELECT DISTINCT user_id, unnest(range(day, day + 7)) AS wday
+        FROM ud
+    ),
+    wau AS (SELECT wday, COUNT(*) AS wau FROM win GROUP BY wday)
+    SELECT CAST(d.day AS BIGINT) AS day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau
+    FROM dau d JOIN wau w ON w.wday = d.day
+    """,
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and rolling-7-day active users (DAU/WAU) — THE
+    engagement pair every events product reports, on days with
+    activity.
+
+    Scale shape — rolling DISTINCT aggregation without a window
+    operator: a per-day sliding window with COUNT(DISTINCT) would
+    re-scan each user's events 7× inside a serialized day-ordered
+    window; instead (user, day) dedups ONCE (one shuffle), each
+    user-day then contributes its user to the 7 calendar days whose
+    trailing window covers it (bounded explode, factor exactly 7), a
+    second dedup collapses multi-active users per window, and a
+    partial-agg count finishes. Every stage is a hash shuffle on a
+    high-cardinality key — nothing serializes on the ~365-value day
+    axis. Days are integer `div` epoch-µs (house rule)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ud = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    win = ud.select(
+        "user_id", F.explode(F.expr("sequence(day, day + 6)")).alias("wday")
+    ).distinct()
+    wau = win.groupBy("wday").agg(F.count("*").alias("wau"))
+    return dau.join(wau, dau["day"] == wau["wday"]).select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+    )

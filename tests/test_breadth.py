@@ -512,3 +512,35 @@ def test_corr_degenerate_group_is_null_both_engines(spark):
     )
     got = s.select((num / F.nullif(den, F.lit(0.0))).alias("r")).first()
     assert got["r"] is None
+
+
+def test_rolling_wau_hand_checked(spark):
+    """Hand-countable WAU: user 1 active day 0 and day 3, user 2 day 3
+    only. Day 0: dau 1, wau 1; day 3: dau 2, wau 2 (user 1 counted
+    once despite two active days inside the window)."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    day0_us = int(base.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+    d0 = day0_us // 86_400_000_000
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "view", base),
+            (2, 1, "view", base + _dt.timedelta(days=3)),
+            (3, 2, "view", base + _dt.timedelta(days=3, hours=5)),
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+    )
+    ud = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    win = ud.select(
+        "user_id", F.explode(F.expr("sequence(day, day + 6)")).alias("wday")
+    ).distinct()
+    wau = win.groupBy("wday").agg(F.count("*").alias("wau"))
+    out = {
+        r["day"] - d0: (r["dau"], r["wau"])
+        for r in dau.join(wau, dau["day"] == wau["wday"]).collect()
+    }
+    assert out == {0: (1, 1), 3: (2, 2)}
