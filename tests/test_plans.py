@@ -223,3 +223,33 @@ def test_ann_buckets_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_ann_buckets")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interval_overlap_no_cartesian_no_window(spark, sf_dir):
+    """Interval×bucket overlap must be the bounded explode + equi-join
+    — a BNLJ/cartesian here means someone rewrote it as a range join
+    (the O(intervals × buckets) plan the operator exists to avoid)."""
+    plan = plan_of(spark, sf_dir, "q_interval_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan, plan  # the explode
+    assert "Window" not in plan, plan
+
+
+def test_event_value_corr_is_one_aggregate(spark, sf_dir):
+    """Six sufficient statistics in ONE map-side-combined aggregate:
+    no join, no window, partial+final HashAggregate."""
+    plan = plan_of(spark, sf_dir, "q_event_value_corr")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_rolling_wau_no_window_operator(spark, sf_dir):
+    """Rolling distinct via explode-dedup: hash aggregates only — a
+    Window operator here means the plan regressed to the serialized
+    day-ordered sliding window."""
+    plan = plan_of(spark, sf_dir, "q_rolling_wau")
+    assert "Window" not in plan, plan
+    assert "Generate" in plan, plan  # the ×7 explode
+    assert plan.count("HashAggregate") >= 4, plan  # two dedups + two counts
