@@ -131,6 +131,8 @@ HEADLINE_R8 = [
     "q_interval_overlap",
     "q_event_value_corr",
     "q_rolling_wau",
+    "q_ngram_novelty",
+    "q_audience_overlap",
 ]
 
 

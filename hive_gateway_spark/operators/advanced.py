@@ -1138,3 +1138,65 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dau").cast("bigint").alias("dau"),
         F.col("wau").cast("bigint").alias("wau"),
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.n_both AS BIGINT) AS n_both,
+           CAST(i.n_both AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_both AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.event_type = i.type_a
+    JOIN sz sb ON sb.event_type = i.type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every event-type pair, the Jaccard
+    overlap of their user audiences ("do purchasers also click?") —
+    the segmentation staple behind every Venn chart.
+
+    Scale shape: ONE (type, user) dedup shuffle; the self-join keys on
+    user_id (high cardinality — the 5×5 type matrix never serializes
+    anything) and emits at most C(5,2) rows per user; sizes join onto
+    the 10-row matrix as broadcasts. Jaccard is an integer ratio
+    through one IEEE division — exact both engines."""
+    ev = load_tables(spark, sf_dir)["events"]
+    tu = ev.select("event_type", "user_id").distinct()
+    sz = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

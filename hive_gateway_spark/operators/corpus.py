@@ -1342,3 +1342,76 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               words[i] || chr(31) || words[i + 1] || chr(31) || words[i + 2]
+                 AS gram
+        FROM (SELECT doc_id, words,
+                     unnest(range(1, len(words) - 1)) AS i
+              FROM w WHERE len(words) >= 3)
+    ),
+    f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM g JOIN f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal novelty per document (Lee et al.'s dedup papers
+    measure corpora this way): of a doc's DISTINCT word 3-grams, the
+    fraction first seen in THIS doc when the corpus is read in doc_id
+    order — the curve that tells you where a training run stops
+    seeing new text (near-dups score ~0, fresh content ~1). Docs with
+    fewer than 3 words carry no grams and are excluded.
+
+    Scale shape: in-row gram construction (no self-join), ONE
+    (doc, gram) dedup shuffle, a gram-keyed MIN aggregate, and a
+    gram-keyed join back — the first-occurrence table is corpus-scale
+    so it is NEVER broadcast (same rule as the r8 perplexity de-weak);
+    both sides shuffle on the gram key once. At 100 TB the gram
+    strings become 8-byte xxhash64 keys (q_dedup_substring's layout);
+    the string form here keeps the oracle engine-portable."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select("doc_id", F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 3
+    )
+    g = (
+        w.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 3), i -> "
+                    "concat_ws(chr(31), words[i], words[i + 1], words[i + 2]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    f = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count("*").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -544,3 +544,82 @@ def test_rolling_wau_hand_checked(spark):
         for r in dau.join(wau, dau["day"] == wau["wday"]).collect()
     }
     assert out == {0: (1, 1), 3: (2, 2)}
+
+
+def test_ngram_novelty_planted(spark):
+    """Doc 1 introduces every gram (novelty 1.0); doc 2 repeats doc 1
+    verbatim (novelty 0.0); doc 3 shares a prefix but appends new
+    content (strictly between); a 2-word doc is excluded."""
+    from hive_gateway_spark import registry  # noqa: F811
+
+    base = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                      # 2 grams, both first here
+            (2, base),                      # same grams → 0 novel
+            (3, base + " omega"),           # 3 grams, 1 new
+            (4, "too short"),               # < 3 words → no row
+        ],
+        "doc_id bigint, text string",
+    )
+    import hive_gateway_spark.operators.corpus as C
+
+    w = docs.select("doc_id", F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 3
+    )
+    g = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words) - 3), i -> "
+                "concat_ws(chr(31), words[i], words[i + 1], words[i + 2]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    f = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count("*").cast("double")).alias("novelty"),
+        )
+        .collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0
+    assert out[3]["n_grams"] == 3 and out[3]["n_novel"] == 1
+
+
+def test_audience_overlap_hand_checked(spark):
+    """Users {1,2} view, {2,3} click → Jaccard(view, click) = 1/3;
+    multi-event users dedup before the join."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "view", t0), (2, 2, "view", t0), (3, 2, "view", t0),
+            (4, 2, "click", t0), (5, 3, "click", t0),
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+    )
+    tu = ev.select("event_type", "user_id").distinct()
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+        .first()
+    )
+    assert (inter["type_a"], inter["type_b"], inter["n_both"]) == (
+        "click", "view", 1,
+    )
