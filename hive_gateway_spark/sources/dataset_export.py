@@ -18,6 +18,15 @@ hashes; both are single shuffles.
 
 The reference has no export layer (331-line RPC proxy); this implements
 the mandate's pipeline completeness (curate → export → verify).
+
+CONCURRENCY CONTRACT — single writer, many readers: commits are
+manifest root-pointer swaps (atomic rename), so readers always see a
+complete committed version, but two concurrent WRITERS would race the
+pointer and the loser's commit silently vanishes (last-write-wins, no
+optimistic-concurrency retry loop). A cluster deployment puts the
+commit step behind a coordinator (or a conditional-put object store —
+Iceberg's swap primitive); the streaming sink satisfies the contract
+by construction (one query, serialized micro-batches).
 """
 
 from __future__ import annotations
