@@ -133,6 +133,7 @@ HEADLINE_R8 = [
     "q_rolling_wau",
     "q_ngram_novelty",
     "q_audience_overlap",
+    "q_char_entropy",
 ]
 
 

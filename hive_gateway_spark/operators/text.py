@@ -855,3 +855,64 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id", "n_alnum", "n_words", "n_sentences", ari.alias("ari")
     )
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, length(text) AS len,
+               unnest(string_split(text, '')) AS ch
+        FROM documents WHERE length(text) > 0
+    ),
+    cc AS (
+        SELECT doc_id, len, ch, COUNT(*) AS cnt
+        FROM c GROUP BY doc_id, len, ch
+    ),
+    terms AS (
+        SELECT doc_id, len,
+               CAST(ROUND(-(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE))
+                          * ln(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)),
+                          6) AS DECIMAL(18,6)) AS t
+        FROM cc
+    )
+    SELECT doc_id, CAST(MAX(len) AS BIGINT) AS n_chars_text,
+           COUNT(*) AS n_distinct_chars,
+           CAST(SUM(t) AS DOUBLE) AS entropy_nats
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy (nats) — the cheapest gibberish
+    and encoded-content detector a quality stack runs: natural text
+    sits in a narrow entropy band, base64/hex blobs and key-mash spam
+    fall far outside it, and no dictionary is needed. Empty docs carry
+    no distribution and are excluded.
+
+    Determinism: each term −p·ln p is ONE libm ln on identical IEEE
+    inputs (cnt/len — exact integers through one division), rounded to
+    6 dp per the q_tf_idf libm rule, then summed in EXACT decimal so
+    neither engine's addition order matters (the q_corpus_drift
+    recipe applied per document).
+
+    Scale shape: two partial-agg shuffles — (doc, char) counts, then
+    the per-doc fold; the alphabet bounds the per-doc group count, and
+    nothing is corpus-keyed."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    c = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.explode(F.split("text", "")).alias("ch"),
+    )
+    cc = c.groupBy("doc_id", "len", "ch").agg(F.count("*").alias("cnt"))
+    p = F.col("cnt").cast("double") / F.col("len").cast("double")
+    t = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        cc.select("doc_id", "len", t.alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("len").cast("bigint").alias("n_chars_text"),
+            F.count("*").alias("n_distinct_chars"),
+            F.sum("t").cast("double").alias("entropy_nats"),
+        )
+    )

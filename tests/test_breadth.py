@@ -623,3 +623,40 @@ def test_audience_overlap_hand_checked(spark):
     assert (inter["type_a"], inter["type_b"], inter["n_both"]) == (
         "click", "view", 1,
     )
+
+
+def test_char_entropy_separates_gibberish(spark):
+    """The quality-signal property: a single repeated char has entropy
+    0; a uniform 16-char alphabet scores exactly round6(-16·(1/16)·
+    ln(1/16)) = ln 16; natural-ish text lands between; empty docs are
+    excluded."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaa"),
+            (2, "abcdefghijklmnop"),  # 16 distinct, uniform
+            (3, "the cat sat"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    c = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.explode(F.split("text", "")).alias("ch"),
+    )
+    cc = c.groupBy("doc_id", "len", "ch").agg(F.count("*").alias("cnt"))
+    p = F.col("cnt").cast("double") / F.col("len").cast("double")
+    t = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    out = {
+        r["doc_id"]: r["entropy_nats"]
+        for r in cc.select("doc_id", t.alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sum("t").cast("double").alias("entropy_nats"))
+        .collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == 0.0
+    assert abs(out[2] - 16 * round(-(1 / 16) * math.log(1 / 16), 6)) < 1e-9
+    assert 0.0 < out[3] < out[2]
