@@ -134,6 +134,7 @@ HEADLINE_R8 = [
     "q_ngram_novelty",
     "q_audience_overlap",
     "q_char_entropy",
+    "q_curation_funnel",
 ]
 
 

@@ -1415,3 +1415,54 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _curation_funnel_oracle() -> str:
+    """Composed at import from the trace oracle — the summary MUST
+    aggregate exactly the audit table the per-doc query exposes."""
+    from hive_gateway_spark.registry import ORACLES
+
+    return f"""
+    WITH trace AS ({ORACLES["q_curation_trace"]}),
+    tok AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT t.decision,
+           COUNT(*) AS n_docs,
+           CAST(SUM(k.n_tok) AS BIGINT) AS total_tokens
+    FROM trace t JOIN tok k USING (doc_id)
+    GROUP BY t.decision
+    """
+
+
+@query("q_curation_funnel", oracle=_curation_funnel_oracle())
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel summary — the one-screen answer to "where
+    did my corpus go?": per q_curation_trace decision (too_short /
+    too_long / exact_dup / span_dup / selected / not_selected), how
+    many documents and how many original whitespace tokens took that
+    exit. The oracle nests the FULL trace oracle verbatim, so the
+    summary can never drift from the per-doc audit it aggregates —
+    the same composition guarantee q_curation_v3 gives its stages.
+
+    Scale shape: the trace's own plan plus one token projection, a
+    doc-keyed join, and a six-row aggregate."""
+    trace = q_curation_trace(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    return (
+        trace.join(tok, "doc_id")
+        .groupBy("decision")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )

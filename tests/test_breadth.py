@@ -660,3 +660,22 @@ def test_char_entropy_separates_gibberish(spark):
     assert out[1] == 0.0
     assert abs(out[2] - 16 * round(-(1 / 16) * math.log(1 / 16), 6)) < 1e-9
     assert 0.0 < out[3] < out[2]
+
+
+def test_curation_funnel_is_a_partition_of_the_corpus(spark, sf_dir):
+    """The funnel's doc counts must sum to the corpus size (the trace
+    is a total partition — every doc takes exactly one exit) and its
+    'selected' row must equal q_curation_v3's selection size."""
+    from hive_gateway_spark import registry  # noqa: F811
+    from hive_gateway_spark.session import load_tables  # noqa: F811
+
+    rows = {
+        r["decision"]: r.asDict()
+        for r in registry.QUERIES["q_curation_funnel"](
+            spark, sf_dir
+        ).collect()
+    }
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    n_sel = registry.QUERIES["q_curation_v3"](spark, sf_dir).count()
+    assert rows["selected"]["n_docs"] == n_sel
