@@ -135,6 +135,7 @@ HEADLINE_R8 = [
     "q_audience_overlap",
     "q_char_entropy",
     "q_curation_funnel",
+    "q_lsh_quality",
 ]
 
 

@@ -1658,3 +1658,68 @@ def incremental_decisions(t) -> DataFrame:
             F.coalesce("e_match", "n_match").alias("match_doc"),
         )
     )
+
+
+def _lsh_quality_oracle() -> str:
+    """Composed at import from the candidate and exact-pair oracles, so
+    the quality report can never drift from the queries it measures."""
+    from hive_gateway_spark.registry import ORACLES
+
+    return f"""
+    WITH cand AS ({ORACLES["q_lsh_candidates"]}),
+    tru AS ({ORACLES["q_dedup_ngram"]}),
+    hit AS (
+        SELECT c.doc_a FROM cand c
+        JOIN tru t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT c.n AS n_candidates, t.n AS n_true_pairs, h.n AS n_hits,
+           CAST(h.n AS DOUBLE) / NULLIF(CAST(c.n AS DOUBLE), 0)
+             AS precision,
+           CAST(h.n AS DOUBLE) / NULLIF(CAST(t.n AS DOUBLE), 0) AS recall
+    FROM (SELECT COUNT(*) AS n FROM cand) c,
+         (SELECT COUNT(*) AS n FROM tru) t,
+         (SELECT COUNT(*) AS n FROM hit) h
+    """
+
+
+@query("q_lsh_quality", oracle=_lsh_quality_oracle())
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN approximation measured, as a query: LSH band-bucket
+    candidates (q_lsh_candidates) scored against the exact τ=0.5
+    Jaccard pair set (q_dedup_ngram) — candidate count, true-pair
+    count, hits, precision, recall in one row. This is the number an
+    operator checks before trusting the scale path on a new corpus;
+    recall here is the LSH S-curve's integral over the corpus's actual
+    similarity distribution, so it moves when the corpus does. Both
+    source oracles are nested VERBATIM (the q_curation_funnel
+    composition guarantee), so this report is exactly as
+    driver-verified as the queries it grades.
+
+    Scale shape: both inputs are the already-bounded pair frames
+    (capped buckets / capped DF); the join keys on the pair itself and
+    the three counts are partial aggregates; output is one row."""
+    from hive_gateway_spark.registry import QUERIES
+
+    cand = QUERIES["q_lsh_candidates"](spark, sf_dir).select("doc_a", "doc_b")
+    tru = QUERIES["q_dedup_ngram"](spark, sf_dir).select("doc_a", "doc_b")
+    hits = cand.join(tru, ["doc_a", "doc_b"])
+    c = cand.agg(F.count("*").alias("n_candidates"))
+    t = tru.agg(F.count("*").alias("n_true_pairs"))
+    h = hits.agg(F.count("*").alias("n_hits"))
+    return (
+        c.crossJoin(t)
+        .crossJoin(h)
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
+            ).alias("precision"),
+            (
+                F.col("n_hits").cast("double")
+                / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+        )
+    )
