@@ -136,6 +136,7 @@ HEADLINE_R8 = [
     "q_char_entropy",
     "q_curation_funnel",
     "q_lsh_quality",
+    "q_dedup_cluster_stats",
 ]
 
 

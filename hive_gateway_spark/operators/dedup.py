@@ -1723,3 +1723,57 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def _cluster_stats_oracle() -> str:
+    """Composed at import from the clusters oracle (the q_lsh_quality
+    pattern): the histogram aggregates exactly the membership table
+    the per-doc query exposes."""
+    from hive_gateway_spark.registry import ORACLES
+
+    return f"""
+    WITH clusters AS ({ORACLES["q_dedup_clusters"]}),
+    sized AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS removable_docs
+    FROM sized GROUP BY cluster_size
+    """
+
+
+@query("q_dedup_cluster_stats", oracle=_cluster_stats_oracle())
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — THE dedup health chart: for
+    each near-dup cluster size, how many clusters, how many documents
+    they hold, and how many are removable (size − 1 per cluster —
+    keep one canonical representative). A healthy crawl shows a steep
+    power-law tail; a flat tail of huge clusters means template spam
+    or a mirror site. Oracle nests the full q_dedup_clusters oracle
+    verbatim (the composition guarantee).
+
+    Scale shape: the membership table is the already-computed
+    connected-components output (session-staged with the rest of the
+    dedup family); two tiny aggregates on top — cluster_id, then
+    cluster_size."""
+    from hive_gateway_spark.registry import QUERIES
+
+    clusters = QUERIES["q_dedup_clusters"](spark, sf_dir)
+    sized = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sized.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count("*"))
+        .cast("bigint")
+        .alias("removable_docs"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "removable_docs",
+    )
