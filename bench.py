@@ -137,6 +137,7 @@ HEADLINE_R8 = [
     "q_curation_funnel",
     "q_lsh_quality",
     "q_dedup_cluster_stats",
+    "q_volume_anomaly",
 ]
 
 

@@ -1200,3 +1200,55 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "q_volume_anomaly",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+        FROM events GROUP BY day
+    ),
+    s AS (
+        SELECT COUNT(*) AS k, SUM(n) AS sn, SUM(n * n) AS snn FROM d
+    )
+    SELECT CAST(d.day AS BIGINT) AS day,
+           CAST(d.n AS BIGINT) AS n_events,
+           (s.k * d.n - s.sn) * (s.k * d.n - s.sn)
+             > 9 * (s.k * s.snn - s.sn * s.sn) AS is_spike
+    FROM d CROSS JOIN s
+    """,
+)
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly screen — the ingest-monitoring staple
+    ("did a crawler go rogue on Tuesday?"): days whose event count
+    deviates more than 3σ from the daily mean, evaluated ENTIRELY in
+    integer arithmetic — the q_outliers squared predicate applied to
+    the time axis: |n − μ| > 3σ  ⇔  (k·n − Σn)² > 9·(k·Σn² − (Σn)²),
+    no mean, no sqrt, no float anywhere, so cross-engine parity is
+    unconditional (counts are exact integers in both engines).
+
+    Scale shape: one partial-agg shuffle to daily counts (the day axis
+    is ~corpus-years × 365 rows — tiny), a 1-row broadcast of the
+    sufficient statistics, and a per-day integer predicate. Days are
+    integer `div` epoch-µs (house rule)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = (
+        ev.select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+    s = d.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    dev = F.col("k") * F.col("n") - F.col("sn")
+    return d.crossJoin(F.broadcast(s)).select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        (
+            dev * dev
+            > F.lit(9) * (F.col("k") * F.col("snn") - F.col("sn") * F.col("sn"))
+        ).alias("is_spike"),
+    )

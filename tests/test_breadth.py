@@ -679,3 +679,49 @@ def test_curation_funnel_is_a_partition_of_the_corpus(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows.values()) == n_docs
     n_sel = registry.QUERIES["q_curation_v3"](spark, sf_dir).count()
     assert rows["selected"]["n_docs"] == n_sel
+
+
+def test_volume_anomaly_flags_planted_spike(spark):
+    """Ten quiet days of ~100 events and one 10× day: only the spike
+    trips the integer 3σ predicate."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for day in range(10):
+        for _ in range(100 + day):  # mild natural variation
+            rows.append((eid, 1, "view", t0 + _dt.timedelta(days=day)))
+            eid += 1
+    for _ in range(1000):  # the rogue-crawler day
+        rows.append((eid, 1, "view", t0 + _dt.timedelta(days=10)))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    d = (
+        ev.select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+    s = d.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    dev = F.col("k") * F.col("n") - F.col("sn")
+    out = {
+        r["n"]: r["is_spike"]
+        for r in d.crossJoin(F.broadcast(s))
+        .select(
+            "n",
+            (
+                dev * dev
+                > F.lit(9)
+                * (F.col("k") * F.col("snn") - F.col("sn") * F.col("sn"))
+            ).alias("is_spike"),
+        )
+        .collect()
+    }
+    assert out[1000] is True
+    assert all(not v for n, v in out.items() if n != 1000)
