@@ -138,6 +138,7 @@ HEADLINE_R8 = [
     "q_lsh_quality",
     "q_dedup_cluster_stats",
     "q_volume_anomaly",
+    "q_pii_exposure",
 ]
 
 

@@ -916,3 +916,61 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t").cast("double").alias("entropy_nats"),
         )
     )
+
+
+@query(
+    "q_pii_exposure",
+    oracle=f"""
+    WITH f AS (
+        SELECT source,
+               CASE WHEN regexp_matches(text, '{_EMAIL_RE}')
+                    THEN 1 ELSE 0 END AS has_email,
+               CASE WHEN regexp_matches(text, '{_DIGITS_RE}')
+                    THEN 1 ELSE 0 END AS has_longdigits
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(has_email) AS BIGINT) AS docs_with_email,
+           CAST(SUM(has_longdigits) AS BIGINT) AS docs_with_longdigits,
+           CAST(SUM(CASE WHEN has_email + has_longdigits > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_exposed,
+           CAST(SUM(CASE WHEN has_email + has_longdigits > 0
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS exposure_rate
+    FROM f GROUP BY source
+    """,
+)
+def q_pii_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure RATES — the audit dashboard beside
+    q_pii_scrub's rewrite: how many documents per source match the
+    email / long-digit-run detectors (the same regexes the scrubber
+    redacts with, so the rate measures exactly what the rewrite would
+    touch), and the combined exposure rate that decides whether a
+    source needs the scrub pass at all.
+
+    Determinism: per-doc flags are integer 0/1 from identical regexes;
+    the rate is an integer ratio through one IEEE division.
+
+    Scale shape: scan → per-row regex flags → ONE partial-agg shuffle
+    on source; the scan reads two columns."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    has_email = F.when(
+        F.col("text").rlike(_EMAIL_RE), 1
+    ).otherwise(0)
+    has_digits = F.when(F.col("text").rlike(_DIGITS_RE), 1).otherwise(0)
+    f = docs.select(
+        "source", has_email.alias("he"), has_digits.alias("hd")
+    )
+    exposed = F.sum(
+        F.when(F.col("he") + F.col("hd") > 0, 1).otherwise(0)
+    ).cast("bigint")
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("he").cast("bigint").alias("docs_with_email"),
+        F.sum("hd").cast("bigint").alias("docs_with_longdigits"),
+        exposed.alias("docs_exposed"),
+        (exposed.cast("double") / F.count("*").cast("double")).alias(
+            "exposure_rate"
+        ),
+    )
