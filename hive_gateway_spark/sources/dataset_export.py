@@ -607,3 +607,37 @@ def lakehouse_sink_foreachBatch(path: str, partition_by: list[str] | None = None
         append_dataset(batch_df, path, extra=extra)
 
     return sink
+
+
+def dataset_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY for the plain-parquet lakehouse: one row per
+    committed manifest version (from the immutable _MANIFEST.v*.json
+    snapshot log) with row count, file count, checksum, clustering
+    state, and whether the version is still time-travelable (its files
+    all present — compaction expires older versions' files). The
+    operational view an on-call engineer reads before a rollback."""
+    import glob as _glob
+
+    rows = []
+    for vpath in sorted(_glob.glob(os.path.join(path, "_MANIFEST.v*.json"))):
+        with open(vpath) as f:
+            m = json.load(f)
+        files = m.get("files", [])
+        rows.append(
+            (
+                int(m["version"]),
+                int(m["n_rows"]),
+                len(files),
+                str(m.get("content_xxh64_sum")),
+                m.get("cluster_by"),
+                m.get("last_batch_id"),
+                all(
+                    os.path.exists(os.path.join(path, rel)) for rel in files
+                ),
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "version int, n_rows bigint, n_files int, checksum string, "
+        "cluster_by string, last_batch_id bigint, readable boolean",
+    )

@@ -874,3 +874,33 @@ def test_empty_commit_checksum_is_zero_not_null(spark, tmp_path):
     )
     assert m2["n_rows"] == 1
     assert verify_dataset(spark, path)["ok"]
+
+
+def test_dataset_history_tracks_commits_and_expiry(spark, tmp_path):
+    """DESCRIBE HISTORY analog: three commits → three versions with
+    monotone rows; after compaction only the surviving version is
+    readable (older versions' files were expired with the swap)."""
+    from hive_gateway_spark.sources.dataset_export import (
+        append_dataset,
+        compact_dataset,
+        dataset_history,
+        write_dataset,
+    )
+
+    path = str(tmp_path / "hist")
+    write_dataset(
+        spark.createDataFrame([(1, "a")], "doc_id bigint, text string"), path
+    )
+    append_dataset(
+        spark.createDataFrame([(2, "b")], "doc_id bigint, text string"), path
+    )
+    append_dataset(
+        spark.createDataFrame([(3, "c")], "doc_id bigint, text string"), path
+    )
+    h = {r["version"]: r.asDict() for r in dataset_history(spark, path).collect()}
+    assert sorted(h) == [1, 2, 3]
+    assert [h[v]["n_rows"] for v in (1, 2, 3)] == [1, 2, 3]
+    assert all(h[v]["readable"] for v in h)
+    compact_dataset(spark, path)
+    h2 = {r["version"]: r.asDict() for r in dataset_history(spark, path).collect()}
+    assert sorted(h2) == [3] and h2[3]["readable"]
