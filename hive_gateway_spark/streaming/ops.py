@@ -804,3 +804,56 @@ def stream_k_anonymity(events_stream: DataFrame) -> DataFrame:
             (n_users < F.lit(K_ANON)).alias("at_risk"),
         )
     )
+
+
+def stream_volume_screen(
+    events_stream: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Ingest-time volume-anomaly screen — the streaming twin of
+    q_volume_anomaly in the FROZEN-MODEL pattern (stream_dsir_score's
+    shape): the per-day sufficient statistics (k, Σn, Σn²) come from a
+    1-row BATCH frame computed over history and broadcast-cross-joined
+    onto the stream; each micro-batch counts its arrivals per day
+    (watermarked tumbling day window — bounded state) and flags any
+    day whose running count already trips the integer 3σ predicate
+    against the frozen baseline. Emitted counts are per-update
+    partials (output mode `update`); the spike flag is monotone — once
+    a day's count trips it, later updates keep it tripped — so an
+    alerting sink can fire on first sight.
+
+    Same integer-exact predicate as the batch operator: (k·n − Σn)² >
+    9·(k·Σn² − (Σn)²), no float anywhere."""
+    counted = (
+        events_stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.expr("unix_micros(win.start) div 86400000000").alias("day"),
+            "n",
+        )
+    )
+    dev = F.col("k") * F.col("n") - F.col("sn")
+    return counted.crossJoin(F.broadcast(stats)).select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        (
+            dev * dev
+            > F.lit(9) * (F.col("k") * F.col("snn") - F.col("sn") * F.col("sn"))
+        ).alias("is_spike"),
+    )
+
+
+def volume_baseline(events: DataFrame) -> DataFrame:
+    """The frozen 1-row (k, sn, snn) baseline stream_volume_screen
+    screens against — computed over BATCH history (yesterday's table),
+    exactly q_volume_anomaly's sufficient statistics."""
+    d = (
+        events.select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+    return d.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )

@@ -708,3 +708,31 @@ def test_stream_k_anonymity_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(
         g[key + ["n_users", "at_risk"]], w[key + ["n_users", "at_risk"]]
     )
+
+
+def test_stream_volume_screen_matches_batch_anomaly(spark, sf_dir):
+    """The streaming screen with the batch-frozen baseline, drained
+    over the fixture stream in complete mode, flags exactly the days
+    q_volume_anomaly flags (the fixture stream delivers every event,
+    so the final per-day counts equal the batch counts)."""
+    from hive_gateway_spark.streaming.ops import (
+        stream_events,
+        stream_volume_screen,
+        volume_baseline,
+    )
+
+    baseline = volume_baseline(
+        load_tables(spark, sf_dir)["events"]
+    ).localCheckpoint()
+    got = drain(
+        stream_volume_screen(stream_events(spark, sf_dir), baseline),
+        "s_vol",
+        mode="complete",
+    )
+    want = registry.QUERIES["q_volume_anomaly"](spark, sf_dir).toPandas()
+    g = got.sort_values("day").reset_index(drop=True)
+    w = want.sort_values("day").reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    pd.testing.assert_frame_equal(
+        g[["day", "n_events", "is_spike"]], w[["day", "n_events", "is_spike"]]
+    )
