@@ -139,6 +139,7 @@ HEADLINE_R8 = [
     "q_dedup_cluster_stats",
     "q_volume_anomaly",
     "q_pii_exposure",
+    "q_curation_shift",
 ]
 
 

@@ -1483,3 +1483,71 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+def _curation_shift_oracle() -> str:
+    """Composed at import from the v3 oracle (the funnel pattern)."""
+    from hive_gateway_spark.registry import ORACLES
+
+    return f"""
+    WITH sel AS ({ORACLES["q_curation_v3"]}),
+    before AS (
+        SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang
+    ),
+    after AS (SELECT lang, COUNT(*) AS n_after FROM sel GROUP BY lang),
+    tot AS (
+        SELECT CAST(SUM(n_before) AS BIGINT) AS tb,
+               (SELECT CAST(SUM(n_after) AS BIGINT) FROM after) AS ta
+        FROM before
+    )
+    SELECT b.lang,
+           CAST(b.n_before AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(b.n_before AS DOUBLE) / CAST(t.tb AS DOUBLE) AS share_before,
+           CAST(COALESCE(a.n_after, 0) AS DOUBLE) / CAST(t.ta AS DOUBLE)
+             AS share_after,
+           CAST(COALESCE(a.n_after, 0) AS DOUBLE) / CAST(t.ta AS DOUBLE)
+           - CAST(b.n_before AS DOUBLE) / CAST(t.tb AS DOUBLE) AS shift
+    FROM before b LEFT JOIN after a USING (lang) CROSS JOIN tot t
+    """
+
+
+@query("q_curation_shift", oracle=_curation_shift_oracle())
+def q_curation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did curation skew the mix? Per language: corpus share BEFORE
+    q_curation_v3 vs share of the SELECTED set, and the signed shift —
+    the recipe-evaluation check every published pipeline reports
+    (aggressive English-centric quality filters famously shrink
+    low-resource languages; this query is where that shows). The v3
+    oracle is nested verbatim (the funnel composition guarantee);
+    absent-after languages report honest zeros.
+
+    Determinism: integer counts through fixed IEEE ratio chains.
+    Scale shape: the selection is the session-staged v3 frame; two
+    lang-keyed aggregates and a ~30-row join."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sel = q_curation_v3(spark, sf_dir)
+    before = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    after = sel.groupBy("lang").agg(F.count("*").alias("n_after"))
+    tb = before.agg(F.sum("n_before").cast("bigint").alias("tb"))
+    ta = after.agg(F.sum("n_after").cast("bigint").alias("ta"))
+    share_b = F.col("n_before").cast("double") / F.col("tb").cast("double")
+    share_a = (
+        F.coalesce(F.col("n_after"), F.lit(0)).cast("double")
+        / F.col("ta").cast("double")
+    )
+    return (
+        before.join(after, "lang", "left")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "lang",
+            F.col("n_before").cast("bigint").alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0))
+            .cast("bigint")
+            .alias("n_after"),
+            share_b.alias("share_before"),
+            share_a.alias("share_after"),
+            (share_a - share_b).alias("shift"),
+        )
+    )
