@@ -140,6 +140,7 @@ HEADLINE_R8 = [
     "q_volume_anomaly",
     "q_pii_exposure",
     "q_curation_shift",
+    "q_session_depth",
 ]
 
 

@@ -367,3 +367,47 @@ def q_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_value"),
         )
     )
+
+
+def _session_depth_oracle() -> str:
+    """Composed at import from the sessionize oracle (the funnel
+    composition pattern applied to the windows family)."""
+    from hive_gateway_spark.registry import ORACLES
+
+    return f"""
+    WITH s AS ({ORACLES["q_sessionize"]})
+    SELECT CAST(n_events AS BIGINT) AS session_depth,
+           COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(session_value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM s GROUP BY n_events
+    """
+
+
+@query("q_session_depth", oracle=_session_depth_oracle())
+def q_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth histogram — the engagement-shape chart: per
+    session length (events per session from q_sessionize's gap-based
+    partitioning), how many sessions, how many distinct users reach
+    that depth, and the value they carry. Single-event sessions
+    dominating = a bounce problem; the long tail = power users. The
+    sessionize oracle is nested verbatim (composition guarantee);
+    value totals go through exact DECIMAL (house rule — session_value
+    is already a 2 dp decimal sum).
+
+    Scale shape: the sessionizer's one user-keyed window shuffle, then
+    a depth-keyed partial aggregate over the (small) session table."""
+    from hive_gateway_spark.registry import QUERIES
+
+    s = QUERIES["q_sessionize"](spark, sf_dir)
+    return (
+        s.groupBy(F.col("n_events").cast("bigint").alias("session_depth"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("session_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
