@@ -141,6 +141,8 @@ HEADLINE_R8 = [
     "q_pii_exposure",
     "q_curation_shift",
     "q_session_depth",
+    "q_tpch_q10",
+    "q_late_ship_report",
 ]
 
 

@@ -765,3 +765,95 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * promo / total, 4).alias("promo_share_pct"),
         )
     )
+
+
+@query(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): the top-20 customers by
+    revenue lost to returns, with nation — the classic two-fact-join
+    reporting query beside q_tpch_q3 and q_promo_revenue (Q14).
+
+    Scale shape: lineitem filters on the return flag AT THE SCAN
+    (pushed predicate), the orders⋈lineitem fact join shuffles on
+    orderkey, customer and nation ride as broadcasts, and the top-20
+    is TakeOrdered — never a global sort. Revenue folds in exact
+    DECIMAL (house rule), surfacing once as double."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("double")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q_late_ship_report",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_late_ship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape on the fixture's columns: orders with at least
+    one lineitem shipped more than 90 days after the order date,
+    counted by priority — the fulfillment-SLA report, and the
+    registry's EXISTS-correlated-to-semi-join exemplar on a FACT-FACT
+    pair (q_join_semi does it on a dimension).
+
+    Scale shape: Catalyst decorrelates the EXISTS into a left-semi
+    join shuffled on orderkey — each order at most once no matter how
+    many late items (the semantic COUNT(DISTINCT) would otherwise
+    need); the 5-row priority aggregate finishes map-side."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o.o_orderpriority
+        """
+    )

@@ -253,3 +253,20 @@ def test_rolling_wau_no_window_operator(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "Generate" in plan, plan  # the ×7 explode
     assert plan.count("HashAggregate") >= 4, plan  # two dedups + two counts
+
+
+def test_tpch_q10_pushes_returnflag_and_takeordered(spark, sf_dir):
+    """Q10's plan contract: the return-flag predicate reaches the scan,
+    dims broadcast, top-20 is TakeOrdered — never a global sort."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q10")
+    assert re.search(r"PushedFilters: \[.*l_returnflag.*\]", plan), plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_late_ship_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """The EXISTS must decorrelate into a LeftSemi join — a per-row
+    subquery execution here is the O(orders × lineitem) disaster."""
+    plan = plan_of(spark, sf_dir, "q_late_ship_report")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
