@@ -143,6 +143,7 @@ HEADLINE_R8 = [
     "q_session_depth",
     "q_tpch_q10",
     "q_late_ship_report",
+    "q_null_profile",
 ]
 
 

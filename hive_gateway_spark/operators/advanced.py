@@ -1252,3 +1252,90 @@ def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(9) * (F.col("k") * F.col("snn") - F.col("sn") * F.col("sn"))
         ).alias("is_spike"),
     )
+
+
+@query(
+    "q_null_profile",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS c2,
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS c3,
+               SUM(CASE WHEN event_type IS NULL OR event_type = ''
+                        THEN 1 ELSE 0 END) AS c4,
+               SUM(CASE WHEN value IS NULL OR value = 0.0
+                        THEN 1 ELSE 0 END) AS c5,
+               SUM(CASE WHEN props IS NULL OR props = ''
+                        THEN 1 ELSE 0 END) AS c6
+        FROM events
+    )
+    SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_bad AS BIGINT) AS n_missing_or_degenerate,
+           CAST(n_bad AS DOUBLE) / CAST(n_rows AS DOUBLE) AS bad_rate
+    FROM (
+        SELECT 'event_id' AS col, n_rows, c1 AS n_bad FROM s
+        UNION ALL SELECT 'ts', n_rows, c2 FROM s
+        UNION ALL SELECT 'user_id', n_rows, c3 FROM s
+        UNION ALL SELECT 'event_type', n_rows, c4 FROM s
+        UNION ALL SELECT 'value', n_rows, c5 FROM s
+        UNION ALL SELECT 'props', n_rows, c6 FROM s
+    )
+    """,
+)
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness profile over events — the Deequ/dbt-test staple
+    run before trusting any ingest: per column, how many rows are NULL
+    or degenerate (empty string for text columns, 0.0 for value) and
+    the bad-rate. The check an ingest SLA alerts on ("props suddenly
+    90% empty = the client stopped sending payloads").
+
+    Scale shape: ONE pass — all six per-column counters are
+    map-side-combined conditional sums in a single aggregate (never
+    one job per column, the naive profiler's mistake); the 6-row
+    unpivot is driver-trivial.
+
+    Determinism: integer counters; rates are integer ratios through
+    one IEEE division."""
+    ev = load_tables(spark, sf_dir)["events"]
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    s = ev.agg(
+        F.count("*").alias("n_rows"),
+        flag(F.col("event_id").isNull()).alias("c1"),
+        flag(F.col("ts").isNull()).alias("c2"),
+        flag(F.col("user_id").isNull()).alias("c3"),
+        flag(
+            F.col("event_type").isNull() | (F.col("event_type") == "")
+        ).alias("c4"),
+        flag(F.col("value").isNull() | (F.col("value") == 0.0)).alias("c5"),
+        flag(F.col("props").isNull() | (F.col("props") == "")).alias("c6"),
+    )
+    pairs = [
+        ("event_id", "c1"),
+        ("ts", "c2"),
+        ("user_id", "c3"),
+        ("event_type", "c4"),
+        ("value", "c5"),
+        ("props", "c6"),
+    ]
+    # ONE execution of the aggregate: the 1-row frame explodes into the
+    # 6-row report in the same plan (a unionAll of six selects would
+    # re-run the corpus aggregate six times — the exact naive-profiler
+    # shape this operator exists to avoid)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col"),
+                F.col(c).cast("bigint").alias("n_bad"),
+            )
+            for name, c in pairs
+        ]
+    )
+    return s.select("n_rows", F.explode(entries).alias("e")).select(
+        F.col("e.col").alias("col"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("e.n_bad").alias("n_missing_or_degenerate"),
+        (F.col("e.n_bad").cast("double") / F.col("n_rows").cast("double")).alias(
+            "bad_rate"
+        ),
+    )

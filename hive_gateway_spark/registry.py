@@ -121,10 +121,11 @@ PRIORITY: tuple[str, ...] = (
 
 #: r9 rotation candidates — the 16-query tail of the original 31-deep
 #: r7 queue, after the r8 rotation took the first 15 into the window,
-#: plus the twenty queries WRITTEN in r8 (readability, temperature,
+#: plus the twenty-one queries WRITTEN in r8 (readability,
+#: temperature,
 #: user_paths, k_anonymity, ann_buckets, interval_overlap,
 #: event_value_corr, rolling_wau, ngram_novelty, audience_overlap)
-#: which queue behind it: 36 total
+#: which queue behind it: 37 total
 #: (tests/test_registry.py's debt ledger requires every registered
 #: query to hold a driver row, a window slot, or an entry here).
 #:
@@ -134,7 +135,7 @@ PRIORITY: tuple[str, ...] = (
 #: their r8 green row (the once-green fast-rotate is already policy —
 #: slots stay short until the queue drains); the freed 15 slots take
 #: the FIRST 15 below (q_dedup_incremental … q_dedup_cross_lingual),
-#: leaving TWENTY-ONE for r10: q_zipf_fit plus the twenty r8
+#: leaving TWENTY-TWO for r10: q_zipf_fit plus the twenty-one r8
 #: additions —
 #: after which the queue is EMPTY unless r9 writes new queries: every
 #: registered query will hold a driver row, and new queries enter
@@ -181,7 +182,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_zipf_fit",
     # r8 additions (registered after the r8 window froze; they queue
     # behind the r7 tail — with all seven, the r9 pre-plan above
-    # leaves TWENTY-ONE candidates for r10, not one):
+    # leaves TWENTY-TWO candidates for r10, not one):
     "q_text_readability",  # ARI per doc (exact counts + libm-rule score)
     "q_sample_temperature",  # α=1/2 source mixture weights (sqrt-exact)
     "q_user_paths",  # top journey prefixes (bounded window + fold)
@@ -202,6 +203,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_session_depth",  # engagement-shape histogram over sessionize
     "q_tpch_q10",  # returned-item revenue top-20 (two-fact-join classic)
     "q_late_ship_report",  # EXISTS→semi-join SLA report (Q4 shape)
+    "q_null_profile",  # Deequ-style completeness profile, one pass
 )
 
 
