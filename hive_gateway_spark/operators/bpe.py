@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
+from hive_gateway_spark.staging import evict
 
 #: Merge budget. 32 keeps the fixture loop quick while learning every
 #: high-frequency word; production vocabularies just raise it (the loop
@@ -109,8 +110,7 @@ def _encoded_vocab(docs: DataFrame) -> DataFrame:
         key = id(docs)
     out = per.get(key)
     if out is None:
-        if len(per) > 8:
-            per.clear()
+        evict(per)
         merges = learned_merges(docs)
         wf = word_frequencies(docs)
         out = (
@@ -130,8 +130,7 @@ def learned_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple[st
         key = (id(docs), n_merges)
     out = per.get(key)
     if out is None:
-        if len(per) > 8:
-            per.clear()
+        evict(per)
         out = learn_bpe(docs, n_merges)
         per[key] = out
     return out

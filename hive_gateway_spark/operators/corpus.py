@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
+from hive_gateway_spark.staging import evict, release, stage
 
 #: Duplicated-span width in tokens. Lee et al. use 50-token character
 #: spans on web corpora; the fixture docs run 10-99 tokens, so k=8
@@ -383,8 +384,9 @@ def perplexity_report(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    d2 = (
-        bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf")).localCheckpoint()
+    d2 = stage(
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf")),
+        "lm_perplexity.d2",
     )
     c2 = d2.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
@@ -565,7 +567,7 @@ def dsir_report(docs: DataFrame, top: int = DSIR_TOP) -> DataFrame:
     and the scoring fold, so it is staged once (localCheckpoint — the
     same staging-table pattern as dedup._SHINGLE_CACHE; on a cluster
     this is the materialized hashed-feature table)."""
-    hb = _dsir_token_buckets(docs).localCheckpoint()
+    hb = stage(_dsir_token_buckets(docs), "dsir.hashed_buckets")
     coef = dsir_coefficients(docs, hb=hb)
     scored = (
         hb.join(F.broadcast(coef), "b")
@@ -751,8 +753,7 @@ def _v3_survivors(docs: DataFrame) -> DataFrame:
     out = per.get(key)
     if out is not None:
         return out
-    if len(per) > 8:
-        per.clear()
+    evict(per)
     rebuilt = boilerplate_report(docs).select("doc_id", "clean_text")
     ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
     gated = (
@@ -770,6 +771,7 @@ def _v3_survivors(docs: DataFrame) -> DataFrame:
         10 * F.col("dup_tokens") >= 6 * F.col("n_tokens")
     ).select("doc_id")
     out = winners.join(dropped, "doc_id", "left_anti").localCheckpoint()
+    release(winners)  # out is materialized; the intermediate is dead weight
     per[key] = out
     return out
 
@@ -1198,8 +1200,8 @@ def q_curation_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("bigint"))
         .alias("detail"),
     ).localCheckpoint()
-    if len(per) > 8:
-        per.clear()
+    release(sized)  # out_frame is materialized; the intermediate is dead
+    evict(per)
     per[sf_dir] = out_frame
     return out_frame
 

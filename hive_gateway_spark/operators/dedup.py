@@ -91,8 +91,7 @@ def _shingles_checkpointed(t) -> DataFrame:
         key = id(docs)
     out = per.get(key)
     if out is None:
-        if len(per) > 8:
-            per.clear()
+        evict(per)
         # keep the in-row set size n too: q_dedup_simhash's verification
         # joins need it, and it rides along for free (8 B/row)
         #
@@ -215,8 +214,7 @@ def _jaccard_pairs(
         .select("doc_a", "doc_b", "shared", "union_sz")
     )
     if per is not None:
-        if len(per) > 8:
-            per.clear()
+        evict(per)
         out = out.localCheckpoint()
         per[key] = out
     return out
@@ -505,6 +503,7 @@ def _embed_dup_oracle() -> str:
 
 
 from hive_gateway_spark.registry import ORACLES as _ORACLES  # noqa: E402
+from hive_gateway_spark.staging import evict
 
 _ORACLES["q_dedup_embedding"] = _embed_dup_oracle()
 
@@ -974,8 +973,7 @@ def _minhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = id(t["documents"])
     out = per.get(key)
     if out is None:
-        if len(per) > 8:
-            per.clear()
+        evict(per)
         out = _minhash_sig_build(t).localCheckpoint()
         per[key] = out
     return out
@@ -1293,8 +1291,7 @@ def _pagerank(pairs: DataFrame) -> DataFrame:
         key = id(pairs)
     edges_w = per.get(key)
     if edges_w is None:
-        if len(per) > 8:
-            per.clear()
+        evict(per)
         cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         edges_w = edges.join(deg, "src").select("src", "dst", "deg")
         npart = max(1, min(cap, edges_w.count() // 100_000))

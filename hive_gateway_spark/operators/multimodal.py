@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
+from hive_gateway_spark.staging import evict
 
 #: Magic prefix of the synthesized fake media format ("IMGF" v1).
 MAGIC = b"IMGF"
@@ -1160,8 +1161,7 @@ def phash_frame(docs: DataFrame) -> DataFrame:
         out = per.get(key)
         if out is not None:
             return out
-        if len(per) > 8:
-            per.clear()
+        evict(per)
         out = _phash_build(docs).localCheckpoint()
         per[key] = out
         return out
@@ -1362,8 +1362,7 @@ def audio_fingerprint_frame(docs: DataFrame) -> DataFrame:
         out = per.get(key)
         if out is not None:
             return out
-        if len(per) > 8:
-            per.clear()
+        evict(per)
         out = docs.select("doc_id").mapInPandas(run, schema).localCheckpoint()
         per[key] = out
         return out

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
+from hive_gateway_spark.staging import stage
 
 #: Portable affine hash over Z_p (p Mersenne 2³¹−1): A·x+B fits int64
 #: for any x < p, and pmod-reducing doc_id first keeps it overflow-free
@@ -282,7 +283,8 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(
             "decimal(18,6)"
         ),
-    ).localCheckpoint()
+    )
+    s = stage(s, "sample_temperature.sources")
     tot = s.agg(
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum("s6").alias("z"),

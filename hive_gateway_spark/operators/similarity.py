@@ -26,6 +26,7 @@ from hive_gateway_spark.functions.vectors import (
 )
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
+from hive_gateway_spark.staging import release, stage
 
 #: Pair threshold tuned to the fixture's cosine distribution (within-label
 #: 99.9th pct ≈ 0.38): selective but non-empty at every sf.
@@ -278,6 +279,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     km = KMeans(k=IVF_CELLS, seed=42, maxIter=20, featuresCol="features").fit(train)
+    release(train)  # the fit consumed it; centers live on the driver
     centers = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         "cell int, center array<double>",
@@ -666,9 +668,12 @@ def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the frame is BOTH sides of the self-join below,
     # and without materialization Catalyst re-runs the Arrow sign-pack
     # GEMM over the whole corpus once per side (review r8 finding)
-    buckets = e.select("vec_id", "v").mapInPandas(
-        bucketize, "vec_id bigint, tbl bigint, bucket bigint"
-    ).localCheckpoint()
+    buckets = stage(
+        e.select("vec_id", "v").mapInPandas(
+            bucketize, "vec_id bigint, tbl bigint, bucket bigint"
+        ),
+        "ann.buckets",
+    )
     q = buckets.filter(
         (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < QUERY_ID_CAP)
     ).select(

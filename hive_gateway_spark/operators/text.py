@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
+from hive_gateway_spark.staging import stage
 
 #: Tiny stopword list matched against the fixture vocabulary.
 STOPWORDS = ("the", "a", "of", "and")
@@ -753,7 +754,9 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate and the scoring join; without the checkpoint Spark
     # recomputes it per consumer). A/B at sf0.1: 0.94 → 0.76 s warm;
     # at corpus scale this is the inverted-file staging table.
-    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).localCheckpoint()
+    tf = stage(
+        tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf")), "tfidf.tf"
+    )
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = t["documents"].agg(F.count("*").alias("n"))
     scored = (

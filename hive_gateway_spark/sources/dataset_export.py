@@ -252,10 +252,13 @@ def append_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"append missing manifest columns: {missing}")
-    extra = [c for c in df.columns if c not in cols]
-    if extra:  # silent column drops are data loss; evolution is explicit
+    # local MUST NOT be named `extra` — it shadowed the caller's manifest
+    # dict (ADVICE r8 #1), silently dropping last_batch_id on every
+    # append and disarming the streaming sink's replay guard
+    unexpected = [c for c in df.columns if c not in cols]
+    if unexpected:  # silent column drops are data loss; evolution is explicit
         raise ValueError(
-            f"append has columns the manifest lacks: {extra} "
+            f"append has columns the manifest lacks: {unexpected} "
             "(schema evolution is an explicit rewrite, not an append)"
         )
     before = set(_relative_files(path))
@@ -347,10 +350,10 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"merge missing manifest columns: {missing}")
-    extra = [c for c in df.columns if c not in cols]
-    if extra:
+    unexpected = [c for c in df.columns if c not in cols]  # same trap as append
+    if unexpected:
         raise ValueError(
-            f"merge has columns the manifest lacks: {extra} "
+            f"merge has columns the manifest lacks: {unexpected} "
             "(schema evolution is an explicit rewrite, not a merge)"
         )
     spark = df.sparkSession
@@ -455,13 +458,26 @@ def _file_stats(path: str, files: list[str], column: str) -> dict:
     for rel in files:
         md = pq.read_metadata(os.path.join(path, rel))
         mins, maxs = [], []
+        complete = True  # every row group of `column` carried min/max
         for rg in range(md.num_row_groups):
             for ci in range(md.row_group(rg).num_columns):
                 col = md.row_group(rg).column(ci)
-                if col.path_in_schema == column and col.statistics is not None:
+                if col.path_in_schema != column:
+                    continue
+                # footers can carry a statistics object with null
+                # min/max (truncated/omitted stats on large binary
+                # values); min([..., None]) raised TypeError AFTER the
+                # rewrite finished (ADVICE r8 #3). And a PARTIAL range
+                # (some row groups stat'd, some not) would let pruning
+                # skip a file whose unstat'd row group matches — so one
+                # statless row group leaves the whole file un-stat'd
+                # (file kept, residual filter stays exact).
+                if col.statistics is not None and col.statistics.has_min_max:
                     mins.append(col.statistics.min)
                     maxs.append(col.statistics.max)
-        if mins:
+                else:
+                    complete = False
+        if mins and complete:
             lo, hi = min(mins), max(maxs)
             # JSON-safe: footer stats for timestamp/date/binary columns
             # come back as datetime/bytes objects, which json.dump

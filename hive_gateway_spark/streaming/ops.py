@@ -815,14 +815,28 @@ def stream_volume_screen(
     1-row BATCH frame computed over history and broadcast-cross-joined
     onto the stream; each micro-batch counts its arrivals per day
     (watermarked tumbling day window — bounded state) and flags any
-    day whose running count already trips the integer 3σ predicate
-    against the frozen baseline. Emitted counts are per-update
-    partials (output mode `update`); the spike flag is monotone — once
-    a day's count trips it, later updates keep it tripped — so an
-    alerting sink can fire on first sight.
+    day whose running count trips the integer 3σ predicate against
+    the frozen baseline.
 
-    Same integer-exact predicate as the batch operator: (k·n − Σn)² >
-    9·(k·Σn² − (Σn)²), no float anywhere."""
+    TWO flags, because update-mode partials and alerting want
+    different predicates (ADVICE r8 #2):
+
+    - ``is_spike`` — the batch predicate verbatim, (k·n − Σn)² >
+      9·(k·Σn² − (Σn)²). Its FINAL value (watermark-closed or
+      complete-mode drain) matches q_volume_anomaly exactly — that
+      parity is pinned in tests — but it is NOT monotone under
+      update-mode partials: a day's early running count sits far
+      BELOW the frozen mean, so the two-sided test trips on the low
+      side first and untrips as counts accumulate. Dashboards, not
+      pagers.
+    - ``is_high_spike`` — one-sided high: k·n − Σn > 0 AND the same
+      squared test. Monotone in the running count (dev only grows
+      with n), so once a day trips it, later updates keep it tripped
+      — THE column a first-sight alerting sink keys on. Low-volume
+      anomalies are by nature only decidable once the day closes;
+      they appear in ``is_spike`` on the final emission.
+
+    Integer-exact throughout, no float anywhere."""
     counted = (
         events_stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("win"))
@@ -833,13 +847,12 @@ def stream_volume_screen(
         )
     )
     dev = F.col("k") * F.col("n") - F.col("sn")
+    var9 = F.lit(9) * (F.col("k") * F.col("snn") - F.col("sn") * F.col("sn"))
     return counted.crossJoin(F.broadcast(stats)).select(
         F.col("day").cast("bigint").alias("day"),
         F.col("n").cast("bigint").alias("n_events"),
-        (
-            dev * dev
-            > F.lit(9) * (F.col("k") * F.col("snn") - F.col("sn") * F.col("sn"))
-        ).alias("is_spike"),
+        (dev * dev > var9).alias("is_spike"),
+        ((dev > F.lit(0)) & (dev * dev > var9)).alias("is_high_spike"),
     )
 
 

@@ -904,3 +904,86 @@ def test_dataset_history_tracks_commits_and_expiry(spark, tmp_path):
     compact_dataset(spark, path)
     h2 = {r["version"]: r.asDict() for r in dataset_history(spark, path).collect()}
     assert sorted(h2) == [3] and h2[3]["readable"]
+
+
+def test_multi_batch_replay_guard_last_batch_id_advances(spark, tmp_path):
+    """ADVICE r8 #1 regression: append_dataset's local `extra` list
+    shadowed the caller's manifest dict, so last_batch_id silently
+    vanished on every APPEND (batch >= 1) and the streaming sink's
+    replay guard never fired after the first commit. Drive the sink
+    directly through three batches, then replay batch 1 — the manifest
+    must show last_batch_id advancing 0→1→2 and the replay must be a
+    no-op commit."""
+    import json as _json
+    import os as _os
+
+    from hive_gateway_spark.sources.dataset_export import (
+        MANIFEST,
+        lakehouse_sink_foreachBatch,
+        verify_dataset,
+    )
+
+    path = str(tmp_path / "multi")
+    sink = lakehouse_sink_foreachBatch(path)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS text"
+        )
+
+    seen = []
+    for bid, (lo, hi) in enumerate([(0, 5), (5, 9), (9, 12)]):
+        sink(batch(lo, hi), bid)
+        with open(_os.path.join(path, MANIFEST)) as f:
+            m = _json.load(f)
+        seen.append(m.get("last_batch_id"))
+    assert seen == [0, 1, 2], f"last_batch_id did not advance: {seen}"
+    n_before = m["n_rows"]
+    v_before = m["version"]
+    sink(batch(100, 200), 1)  # restart replays batch 1 — must be skipped
+    with open(_os.path.join(path, MANIFEST)) as f:
+        m2 = _json.load(f)
+    assert m2["n_rows"] == n_before == 12
+    assert m2["version"] == v_before
+    assert verify_dataset(spark, path)["ok"]
+
+
+def test_compact_cluster_by_survives_statless_footers(spark, tmp_path):
+    """ADVICE r8 #3 regression: a parquet footer whose statistics
+    object exists but carries no min/max (write_statistics off stands
+    in for truncated binary stats) made _file_stats raise TypeError
+    AFTER the compaction rewrite. Now such files are left un-stat'd:
+    compaction succeeds and the pruning read keeps (never skips) the
+    un-stat'd file."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark.sources.dataset_export import (
+        compact_dataset,
+        dataset_files,
+        read_snapshot,
+        write_dataset,
+    )
+
+    path = str(tmp_path / "nostats")
+    df = spark.range(0, 100).selectExpr("id AS doc_id", "id * 2 AS score")
+    write_dataset(df, path)
+    m = compact_dataset(spark, path, cluster_by="score")
+    assert m["n_rows"] == 100
+
+    # strip statistics from one committed file in place (same rows)
+    rel = dataset_files(path)[0]
+    fp = _os.path.join(path, rel)
+    tbl = pq.read_table(fp)
+    pq.write_table(tbl, fp, write_statistics=False)
+    crc = _os.path.join(_os.path.dirname(fp), "." + _os.path.basename(fp) + ".crc")
+    if _os.path.exists(crc):  # stale Hadoop checksum sidecar from the rewrite
+        _os.remove(crc)
+    m2 = compact_dataset(spark, path, files_per_partition=2, cluster_by="score")
+    assert m2["n_rows"] == 100
+    # the range read still sees every matching row (files without
+    # stats are kept, the residual filter stays exact)
+    got = read_snapshot(spark, path, between=("score", 0, 50))
+    assert got.count() == 26

@@ -1,0 +1,73 @@
+"""Deterministic staging-block release (ADVICE r8 #4): evicting or
+superseding a localCheckpoint()'ed staging frame must free its block-
+manager blocks NOW, not at ContextCleaner GC time — on a long session
+the leaked blocks otherwise accumulate for its lifetime."""
+
+from __future__ import annotations
+
+from hive_gateway_spark.staging import evict, release, stage
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_release_frees_checkpoint_blocks(spark):
+    base = _n_persistent(spark)
+    df = spark.range(1000).selectExpr("id", "id * 2 AS y").localCheckpoint()
+    df.count()
+    assert _n_persistent(spark) == base + 1
+    release(df)
+    assert _n_persistent(spark) == base
+
+
+def test_release_tolerates_non_frames(spark):
+    release([("a", "b", 1)])  # BPE merge list rides through eviction
+    release(None)
+    release(spark.range(3))  # not checkpointed: nothing to free
+
+
+def test_evict_releases_every_held_frame(spark):
+    base = _n_persistent(spark)
+    per = {
+        i: spark.range(i, i + 10).localCheckpoint() for i in range(4)
+    }
+    assert _n_persistent(spark) == base + 4
+    evict(per, cap=3)  # over cap: all released AND dropped
+    assert per == {}
+    assert _n_persistent(spark) == base
+    per = {0: spark.range(5).localCheckpoint()}
+    evict(per, cap=3)  # under cap: untouched
+    assert 0 in per and _n_persistent(spark) == base + 1
+    release(per[0])
+
+
+def test_stage_supersedes_previous_slot_occupant(spark):
+    base = _n_persistent(spark)
+    a = stage(spark.range(100), "test.slot")
+    assert _n_persistent(spark) == base + 1
+    b = stage(spark.range(200), "test.slot")  # supersedes a
+    assert _n_persistent(spark) == base + 1
+    assert b.count() == 200
+    release(b)
+    # distinct slots coexist
+    c = stage(spark.range(10), "test.slot2")
+    d = stage(spark.range(20), "test.slot3")
+    assert c.count() == 10 and d.count() == 20
+    release(c)
+    release(d)
+
+
+def test_repeated_query_calls_do_not_accumulate_blocks(spark, sf_dir):
+    """The measured leak: q_sample_temperature re-checkpointed its
+    source aggregate on every call. Three calls must not hold three
+    copies."""
+    from hive_gateway_spark import registry
+
+    registry.load_all()
+    q = registry.QUERIES["q_sample_temperature"]
+    q(spark, sf_dir).collect()
+    after_first = _n_persistent(spark)
+    for _ in range(3):
+        q(spark, sf_dir).collect()
+    assert _n_persistent(spark) == after_first

@@ -736,3 +736,52 @@ def test_stream_volume_screen_matches_batch_anomaly(spark, sf_dir):
     pd.testing.assert_frame_equal(
         g[["day", "n_events", "is_spike"]], w[["day", "n_events", "is_spike"]]
     )
+
+
+def test_stream_volume_screen_high_flag_is_one_sided(spark):
+    """ADVICE r8 #2: update-mode partials sit BELOW the frozen mean, so
+    the two-sided is_spike trips low-side on a day's first micro-batch
+    and untrips later — not alertable. is_high_spike must stay False on
+    a below-mean partial, trip only when the running count exceeds the
+    high threshold, and (being monotone in n) never untrip after."""
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.streaming.ops import (
+        stream_volume_screen,
+        volume_baseline,
+    )
+
+    def events(day_counts):
+        rows = [(d, i) for d, n in day_counts for i in range(n)]
+        return spark.createDataFrame(rows, "day int, i int").select(
+            F.expr("timestamp_micros(CAST(day AS BIGINT) * 86400000000 + i)")
+            .alias("ts")
+        )
+
+    # 10-day history, counts 95..104: mean 99.5, σ ≈ 2.87, 3σ band ≈ ±8.6
+    baseline = volume_baseline(
+        events([(d, 95 + d) for d in range(10)])
+    ).localCheckpoint()
+
+    def screen(day_counts):
+        out = {
+            r["day"]: r
+            for r in stream_volume_screen(events(day_counts), baseline).collect()
+        }
+        return out
+
+    # a day's first partial (5 of an eventual 160): low-side two-sided
+    # trip, but the alerting flag must hold
+    partial = screen([(20, 5)])[20]
+    assert partial["is_spike"] and not partial["is_high_spike"]
+    # the same day fully delivered: both trip — and is_high_spike is
+    # monotone between the two states (False→True as n grows)
+    full = screen([(20, 160)])[20]
+    assert full["is_spike"] and full["is_high_spike"]
+    # a normal day trips neither once delivered
+    normal = screen([(21, 100)])[21]
+    assert not normal["is_spike"] and not normal["is_high_spike"]
+    # implication invariant: high ⇒ spike at every count level
+    for n in (1, 50, 91, 100, 109, 200):
+        r = screen([(22, n)])[22]
+        assert (not r["is_high_spike"]) or r["is_spike"]
