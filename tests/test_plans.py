@@ -149,13 +149,44 @@ def test_dsir_broadcasts_model_and_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_substring_dup_set_broadcasts(spark, sf_dir):
-    """q_dedup_substring's duplicated-gram set joins back onto the gram
-    stream as a broadcast; the shuffled key is the 8 B xxhash64, so no
-    Exchange carries the gram strings."""
-    plan = plan_of(spark, sf_dir, "q_dedup_substring")
-    assert "BroadcastHashJoin" in plan, plan
+def keyed_plan_of(spark, sf_dir, name: str) -> str:
+    """executedPlan toString — join KEYS appear inline on the node
+    line (`ShuffledHashJoin [h#12L], …`), so assertions can pin which
+    KEY a join strategy applies to, not just that a strategy exists."""
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _no_forced_gram_broadcast(plan: str, key: str) -> None:
+    """The corpus-scale set keyed on ``key`` must meet the stream as a
+    SHUFFLE-HASH join; a BroadcastHashJoin on that key would be the
+    forced-broadcast scale-killer (VERDICT r8 'What's wrong' #1). The
+    per-doc report joins MAY auto-broadcast at test SF — those are
+    size-stat decisions AQE reverses at scale, not forced hints."""
+    assert re.search(rf"ShuffledHashJoin \[{key}#\d+", plan), plan
+    assert not re.search(rf"BroadcastHashJoin \[{key}#\d+", plan), plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_dup_set_never_broadcasts(spark, sf_dir):
+    """The dup-gram set grows ~linearly with the corpus (every
+    duplicated doc contributes ~n_tokens new dup-gram types — Lee et
+    al. 2022), so at 100 TB it is unbroadcastable: the gram meet must
+    be SHUFFLE-HASH on the 8 B xxhash64 key, never broadcast (VERDICT
+    r8 'What's wrong' #1 — the r8 broadcast self-audit misclassified
+    this site as bounded)."""
+    _no_forced_gram_broadcast(
+        keyed_plan_of(spark, sf_dir, "q_dedup_substring"), "h"
+    )
+
+
+def test_substring_trim_holder_set_never_broadcasts(spark, sf_dir):
+    """Same family, same rule: the holder set (min doc per dup gram)
+    is corpus-scale; the trim meet must be shuffle-hash on the gram
+    key, never broadcast."""
+    _no_forced_gram_broadcast(
+        keyed_plan_of(spark, sf_dir, "q_substring_trim"), "h"
+    )
 
 
 def test_perplexity_lm_join_is_shuffle_hash(spark, sf_dir):
@@ -170,13 +201,16 @@ def test_perplexity_lm_join_is_shuffle_hash(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan, plan
 
 
-def test_boilerplate_rebuild_is_single_agg(spark, sf_dir):
-    """The rebuild is ONE groupBy(doc_id) with an in-row positional
-    sort — no window operator (a per-group window would add a second
-    corpus sort)."""
-    plan = plan_of(spark, sf_dir, "q_boilerplate_chunks")
+def test_boilerplate_marks_by_hash_and_rebuilds_in_row(spark, sf_dir):
+    """r9 rework (VERDICT r8 #1 + task #8): the recurring-chunk set is
+    corpus-scale (template count grows with source count), so the
+    mark-back is SHUFFLE-HASH on the 8 B chunk hash — no broadcast-hash
+    join in the plan; the rebuild is in-row HOF work over the original
+    words array — no window, no collect_list sort. Chunk strings never
+    appear as a join key (the only keys are xxhash64 and doc_id)."""
+    plan = keyed_plan_of(spark, sf_dir, "q_boilerplate_chunks")
     assert "Window" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan  # recurring-chunk set
+    _no_forced_gram_broadcast(plan, "ch")
 
 
 def test_readability_is_pure_projection(spark, sf_dir):
