@@ -97,87 +97,53 @@ PRIORITY: tuple[str, ...] = (
     # run short (the pre-plan's escape clause): 31 candidates were
     # queued and the queue must drain to zero by r9 (VERDICT r7 #8).
     # All 15 leavers stay in the local pytest parity gate. The freed
-    # slots take the FIRST 15 ROTATION_CANDIDATES in FIFO order:
-    "q_audio_features",
-    "q_split_assign",
-    "q_sample_stratified",
-    "q_pack_sequences",
-    "q_tf_idf",
-    "q_video_framesample",
-    "q_dedup_containment",
-    "q_embed_quantize",
-    "q_dedup_substring",
-    "q_boilerplate_chunks",
-    # q_lm_perplexity enters the window in the SAME round its plan is
-    # de-weaked (VERDICT r7 task #2): the distinct-bigram broadcast is
-    # replaced, the oracle stays hash-identical, and the driver row
-    # proves it.
-    "q_lm_perplexity",
-    "q_dsir_weights",
-    "q_bpe_vocab",  # rows-only by design (iterative merge recurrence)
-    "q_bpe_encode",
-    "q_graph_triangles",
-)
-
-#: r9 rotation candidates — the 16-query tail of the original 31-deep
-#: r7 queue, after the r8 rotation took the first 15 into the window,
-#: plus the twenty-one queries WRITTEN in r8 (readability,
-#: temperature,
-#: user_paths, k_anonymity, ann_buckets, interval_overlap,
-#: event_value_corr, rolling_wau, ngram_novelty, audience_overlap)
-#: which queue behind it: 37 total
-#: (tests/test_registry.py's debt ledger requires every registered
-#: query to hold a driver row, a window slot, or an entry here).
-#:
-#: r9 PRE-PLAN (VERDICT r7 task #8, written at r8 rotation time): the
-#: 35 contract queries keep their slots; the 15 r8 rotatables
-#: (q_audio_features … q_graph_triangles) rotate out once they hold
-#: their r8 green row (the once-green fast-rotate is already policy —
-#: slots stay short until the queue drains); the freed 15 slots take
-#: the FIRST 15 below (q_dedup_incremental … q_dedup_cross_lingual),
-#: leaving TWENTY-TWO for r10: q_zipf_fit plus the twenty-one r8
-#: additions —
-#: after which the queue is EMPTY unless r9 writes new queries: every
-#: registered query will hold a driver row, and new queries enter
-#: here as they are written.
-ROTATION_CANDIDATES: tuple[str, ...] = (
-    # r7 breadth block: incremental new-batch-vs-corpus dedup
-    # decisions, time-series gap-fill with carry-forward, blocked
-    # Levenshtein fuzzy join.
+    # -- r09 rotation (executing the r8-close pre-plan + VERDICT r8
+    # task #2): all 15 r8 occupants (q_audio_features …
+    # q_graph_triangles) earned their r8 rows (12 hash-green, 3
+    # rows-only by design) and rotate to the local parity gate. The
+    # freed slots take the FIRST 15 ROTATION_CANDIDATES in FIFO order:
     "q_dedup_incremental",
     "q_ts_gapfill",
     "q_join_fuzzy",
-    # r7: the composed published-recipe pipeline (boilerplate rewrite →
-    # token gate → exact dedup → substring drop → DSIR top-200), whole
-    # composition under one hash.
     "q_curation_v3",
-    # r7: per-source KL drift monitor over hashed token buckets.
     "q_corpus_drift",
-    # r7: the rewrite form of exact substring dedup — duplicated spans
-    # cut everywhere but the canonical holder, docs rebuilt.
+    # q_substring_trim enters the window in the SAME round its plan is
+    # de-weaked (VERDICT r8 task #1): the holder-set broadcast is now a
+    # shuffle-hash gram join, the oracle stays hash-identical, and the
+    # driver row proves it — the established de-weak-then-verify
+    # pattern (r7: q_lm_perplexity; r9: this + q_dedup_substring's
+    # sibling rework already green in r8's window shape).
     "q_substring_trim",
-    # r7: behavioral analytics staples on events — ordered funnel and
-    # epoch-week cohort retention (dense grid).
     "q_funnel",
     "q_cohort_retention",
-    # r7: explainable curation — every doc traced to the v3 stage that
-    # decided its fate, with per-decision evidence.
     "q_curation_trace",
-    # r7: boilerplate template catalog (audit view) and exact-decimal
-    # z-score outlier detection (squared predicate, no sqrt).
     "q_template_catalog",
     "q_outliers",
-    # r7: first-order Markov transition matrix over per-user paths.
     "q_event_transitions",
-    # r7: image near-dup by perceptual hash (real PNG codec + batched
-    # DCT; banded candidates, JVM Hamming verify). Rows-only.
-    "q_image_phash",
-    # r7: audio near-dup by multi-scale energy fingerprint (real WAV
-    # codec round trip; same banded matching). Rows-only.
-    "q_audio_fingerprint",
-    # r7: cross-lingual near-dup reconciliation (exact cosine pairs ×
-    # document languages — the translated-content case).
+    "q_image_phash",  # rows-only by design (perceptual-hash near-dup)
+    "q_audio_fingerprint",  # rows-only by design (energy fingerprint)
     "q_dedup_cross_lingual",
+)
+
+#: r10 rotation candidates — after the r9 rotation took the first 15
+#: of the r8 queue into the window, TWENTY-TWO remain: q_zipf_fit (the
+#: r7 tail's last entry) plus the twenty-one queries WRITTEN in r8
+#: (tests/test_registry.py's debt ledger requires every registered
+#: query to hold a driver row, a window slot, or an entry here).
+#:
+#: r10 PRE-PLAN (VERDICT r8 task #4, written at r9 rotation time):
+#: 22 candidates exceed the 15 rotatable slots, so r10 ALSO rotates
+#: out seven §2.2 contract queries that are ≥5× driver-green and
+#: unchanged since r1 (q_scan_project, q_filter_predicate,
+#: q_expr_string, q_expr_case, q_expr_coalesce, q_expr_regex,
+#: q_json_extract — each holds eight consecutive green rows r1-r8;
+#: they rotate to the local parity gate like every past-window query
+#: and their historical rows keep the ledger green). The 15 r9
+#: occupants rotate out once they hold their r9 row. 15 + 7 = 22
+#: freed slots take ALL the candidates below, after which every
+#: registered query holds a driver row and the queue is EMPTY; new
+#: queries enter here as they are written.
+ROTATION_CANDIDATES: tuple[str, ...] = (
     # r7: Zipf rank-frequency fit (exact-regression corpus health).
     "q_zipf_fit",
     # r8 additions (registered after the r8 window froze; they queue
