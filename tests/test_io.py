@@ -692,7 +692,11 @@ def test_orphan_files_stay_outside_the_manifest_contract(spark, tmp_path):
         2,
         3,
     ]
-    compact_dataset(spark, path)
+    # grace 0: no other writer is in flight here, so the sweep may
+    # treat every unreferenced file as a true orphan (the default
+    # 24 h grace exists to protect a concurrent writer's
+    # landed-but-uncommitted files)
+    compact_dataset(spark, path, orphan_grace_s=0.0)
     # basenames: tmp_path itself contains this test's name ("orphan")
     assert not any("orphan" in os.path.basename(f) for f in dataset_files(path))
     assert verify_dataset(spark, path)["ok"]
@@ -878,8 +882,10 @@ def test_empty_commit_checksum_is_zero_not_null(spark, tmp_path):
 
 def test_dataset_history_tracks_commits_and_expiry(spark, tmp_path):
     """DESCRIBE HISTORY analog: three commits → three versions with
-    monotone rows; after compaction only the surviving version is
-    readable (older versions' files were expired with the swap)."""
+    monotone rows; compaction COMMITS (version 4 — every table change
+    is a claimed version slot under the r9 optimistic-concurrency
+    model) and expires the older snapshots, so only the new head
+    remains readable."""
     from hive_gateway_spark.sources.dataset_export import (
         append_dataset,
         compact_dataset,
@@ -903,7 +909,8 @@ def test_dataset_history_tracks_commits_and_expiry(spark, tmp_path):
     assert all(h[v]["readable"] for v in h)
     compact_dataset(spark, path)
     h2 = {r["version"]: r.asDict() for r in dataset_history(spark, path).collect()}
-    assert sorted(h2) == [3] and h2[3]["readable"]
+    assert sorted(h2) == [4] and h2[4]["readable"]
+    assert h2[4]["n_rows"] == 3
 
 
 def test_multi_batch_replay_guard_last_batch_id_advances(spark, tmp_path):
@@ -987,3 +994,121 @@ def test_compact_cluster_by_survives_statless_footers(spark, tmp_path):
     # stats are kept, the residual filter stays exact)
     got = read_snapshot(spark, path, between=("score", 0, 50))
     assert got.count() == 26
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency (VERDICT r8 task #3): the commit is a CAS claim
+# of the next version slot; a lost race re-reads and re-applies. These
+# tests force the exact interleavings with the _RACE_HOOK seam
+# (deterministic — the hook runs the OTHER writer's commit between this
+# writer's compose and claim), plus one true-threads smoke.
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, lo, hi, tag="x"):
+    return spark.range(lo, hi).selectExpr(
+        "id AS doc_id", f"CONCAT('{tag}-', CAST(id AS STRING)) AS text"
+    )
+
+
+def test_concurrent_appends_never_lose_a_commit(spark, tmp_path):
+    """Writer A composes its commit against v1; writer B commits v2
+    first (via the race hook); A's claim of v2 must CONFLICT and retry
+    on top of B — final table holds BOTH appends, versions 1→2→3."""
+    import hive_gateway_spark.sources.dataset_export as de
+
+    path = str(tmp_path / "race_aa")
+    de.write_dataset(_docs(spark, 0, 5, "base"), path)
+    de._RACE_HOOK = lambda: de.append_dataset(_docs(spark, 100, 103, "b"), path)
+    try:
+        m = de.append_dataset(_docs(spark, 200, 204, "a"), path)
+    finally:
+        de._RACE_HOOK = None
+    assert m["version"] == 3 and m["n_rows"] == 12
+    got = sorted(r["doc_id"] for r in de.read_snapshot(spark, path).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102, 200, 201, 202, 203]
+    assert de.verify_dataset(spark, path)["ok"]
+    # B's intermediate commit is itself a readable snapshot
+    assert de.read_snapshot(spark, path, version=2).count() == 8
+
+
+def test_concurrent_append_during_compaction_carries_through(spark, tmp_path):
+    """THE VERDICT scenario: an append lands while a compaction is
+    between compose and claim. The compaction must retry and CARRY the
+    appended files into its commit — neither commit lost, content =
+    base ∪ append, base files still compacted."""
+    import hive_gateway_spark.sources.dataset_export as de
+
+    path = str(tmp_path / "race_ca")
+    # many small base files so the compaction visibly shrinks them
+    de.write_dataset(_docs(spark, 0, 40, "base").repartition(8), path)
+    base_files = set(de._current_manifest(path)["files"])
+    assert len(base_files) == 8
+    de._RACE_HOOK = lambda: de.append_dataset(
+        _docs(spark, 500, 505, "late").coalesce(1), path
+    )
+    try:
+        out = de.compact_dataset(spark, path, files_per_partition=1)
+    finally:
+        de._RACE_HOOK = None
+    m = de._current_manifest(path)
+    # compaction committed AFTER the append (v1 base, v2 append, v3 compact)
+    assert m["version"] == 3
+    assert m["n_rows"] == 45  # 40 base + 5 appended — nothing lost
+    assert de.verify_dataset(spark, path)["ok"]
+    # the 8 base files were replaced by 1 compacted file; the appended
+    # file rode through untouched
+    assert not base_files & set(m["files"])
+    assert out["files_after"] == len(m["files"]) == 2
+    got = sorted(r["doc_id"] for r in de.read_snapshot(spark, path).collect())
+    assert got == list(range(40)) + [500, 501, 502, 503, 504]
+
+
+def test_merge_lost_race_reapplies_against_winner(spark, tmp_path):
+    """A merge that loses its claim must RE-APPLY: recompute against
+    the winner's snapshot (its stale output files unlinked), so the
+    concurrent append's rows survive into the merged result."""
+    import hive_gateway_spark.sources.dataset_export as de
+
+    path = str(tmp_path / "race_ma")
+    de.write_dataset(_docs(spark, 0, 4, "old"), path)
+    de._RACE_HOOK = lambda: de.append_dataset(_docs(spark, 50, 52, "app"), path)
+    try:
+        m = de.merge_dataset(_docs(spark, 2, 6, "new"), path, key="doc_id")
+    finally:
+        de._RACE_HOOK = None
+    assert m["version"] == 3
+    rows = {
+        r["doc_id"]: r["text"] for r in de.read_snapshot(spark, path).collect()
+    }
+    # upserts applied AND the racing append's rows survive
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5, 50, 51]
+    assert rows[2] == "new-2" and rows[0] == "old-0" and rows[50] == "app-50"
+    assert de.verify_dataset(spark, path)["ok"]
+    # no stale orphan from the lost first attempt is referenced
+    assert all(
+        __import__("os").path.exists(__import__("os").path.join(path, rel))
+        for rel in m["files"]
+    )
+
+
+def test_threaded_appends_all_land(spark, tmp_path):
+    """True-threads smoke: four writers append concurrently with no
+    orchestration; every commit must land (retries absorb the races)
+    and the final table must hold all rows with consecutive versions."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import hive_gateway_spark.sources.dataset_export as de
+
+    path = str(tmp_path / "race_threads")
+    de.write_dataset(_docs(spark, 0, 2, "base"), path)
+
+    def work(i):
+        de.append_dataset(_docs(spark, 1000 * i, 1000 * i + 10, f"w{i}"), path)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(work, range(1, 5)))
+    m = de._current_manifest(path)
+    assert m["version"] == 5  # 1 create + 4 appends, no slot skipped
+    assert m["n_rows"] == 42
+    assert de.verify_dataset(spark, path)["ok"]
