@@ -1529,31 +1529,86 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains of borderline pairs (no triangles), a standard graph-mining
     signal for cluster quality.
 
-    Spark-first shape: edges are already oriented (doc_a < doc_b from
-    the staged pair set), so each triangle a<b<c is found exactly once
-    by the two-hop join e1(a,b)⋈e2(b,c) closed by e3(a,c). Orientation
-    bounds the join fan-out by the max out-degree (the classic
-    degree-orientation trick); both joins key on doc ids — at 100 TB
-    two shuffles of the (tiny vs corpus) edge list, never the corpus.
-    The staged pair set is read from the session cache shared with
-    q_dedup_ngram/clusters/rank."""
+    Spark-first shape: DEGREE-orientation (r8 VERDICT footnote made
+    explicit work): every edge is re-oriented from its lower-(degree,
+    id) endpoint to its higher one, wedges are pairs of out-neighbors
+    of a common source, and the closing edge is looked up in the same
+    oriented set. In the oriented DAG each triangle has exactly one
+    node with both out-edges, so each is found once; the wedge count
+    is Σ C(outdeg, 2) with outdeg ≤ O(√m) — bounded EVEN on a hot hub
+    (a node of degree d oriented by id alone would fan out C(d, 2)
+    wedges; oriented by degree a hub is the DST of almost all its
+    edges and contributes none). This removes the previous implicit
+    reliance on the upstream LSH bucket caps for the fan-out bound.
+    The degree table is node-scale (corpus-derived) so it joins
+    shuffle-hash, never broadcast — the r8/r9 de-weak rule. Output is
+    re-sorted to (doc_a < doc_b < doc_c) so the result set is
+    hash-identical to the id-oriented oracle."""
     return triangle_enumeration(load_tables(spark, sf_dir))
 
 
 def triangle_enumeration(t) -> DataFrame:
-    """Core of q_graph_triangles over any tables dict."""
-    e = _jaccard_pairs(t).select("doc_a", "doc_b")
-    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
-    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
-    return (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"])
-        .select(
-            F.col("a").alias("doc_a"),
-            F.col("b").alias("doc_b"),
-            F.col("c").alias("doc_c"),
+    """Core of q_graph_triangles over any tables dict.
+
+    Degree-oriented wedge closure: orient edges by (degree, id), join
+    out-neighbor pairs of a common source, close with the oriented
+    edge between the two targets, then emit each triangle's ids in
+    ascending order (matching the a<b<c oracle)."""
+    return triangles_from_edges(_jaccard_pairs(t).select("doc_a", "doc_b"))
+
+
+def degree_oriented_edges(e: DataFrame) -> DataFrame:
+    """Orient an undirected (doc_a < doc_b) edge list by (degree, id):
+    each edge runs from its lower-(deg, id) endpoint ``s`` to its
+    higher one ``t`` (``tk`` = t's sort key, for wedge canonicalizing).
+    A hub of degree d is the DST of (almost) all its edges, so its
+    out-degree — and hence its wedge contribution C(outdeg, 2) — stays
+    small no matter how hot the hub; max out-degree is O(√m) overall."""
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .unionAll(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # (degree, id) totally orders nodes; struct comparison gives the
+    # orientation predicate. Degree tables are node-scale → shuffle-hash.
+    ed = (
+        e.join(
+            deg.hint("shuffle_hash").select(
+                F.col("v").alias("doc_a"), F.col("deg").alias("da")
+            ),
+            "doc_a",
         )
+        .join(
+            deg.hint("shuffle_hash").select(
+                F.col("v").alias("doc_b"), F.col("deg").alias("db")
+            ),
+            "doc_b",
+        )
+    )
+    ka = F.struct(F.col("da").alias("d"), F.col("doc_a").alias("i"))
+    kb = F.struct(F.col("db").alias("d"), F.col("doc_b").alias("i"))
+    a_first = ka < kb
+    return ed.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("s"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("t"),
+        F.when(a_first, kb).otherwise(ka).alias("tk"),
+    )
+
+
+def triangles_from_edges(e: DataFrame) -> DataFrame:
+    """Degree-oriented wedge closure over an undirected edge list."""
+    oriented = degree_oriented_edges(e)
+    o1 = oriented.select("s", F.col("t").alias("t1"), F.col("tk").alias("k1"))
+    o2 = oriented.select("s", F.col("t").alias("t2"), F.col("tk").alias("k2"))
+    wedges = o1.join(o2, "s").filter(F.col("k1") < F.col("k2"))
+    closing = oriented.select(
+        F.col("s").alias("t1"), F.col("t").alias("t2")
+    )
+    tri = wedges.join(closing, ["t1", "t2"])
+    ids = F.array_sort(F.array("s", "t1", "t2"))
+    return tri.select(
+        ids[0].alias("doc_a"), ids[1].alias("doc_b"), ids[2].alias("doc_c")
     )
 
 

@@ -725,3 +725,32 @@ def test_volume_anomaly_flags_planted_spike(spark):
     }
     assert out[1000] is True
     assert all(not v for n, v in out.items() if n != 1000)
+
+
+def test_triangle_hot_hub_bounded_by_degree_orientation(spark):
+    """A hot hub (id 0, degree 200) plus one planted leaf triangle:
+    id-orientation would make the hub the SOURCE of all 200 edges
+    (C(200,2) = 19 900 wedges from one node); degree orientation makes
+    the hub the DST of every hub edge, so its out-degree — and wedge
+    contribution — is 0, and the only wedges come from the planted
+    triangle. Asserts both the bound and the exact result."""
+    from hive_gateway_spark.operators.dedup import (
+        degree_oriented_edges,
+        triangles_from_edges,
+    )
+
+    rows = [(0, i) for i in range(1, 201)]  # star around hub 0
+    rows += [(201, 202), (202, 203), (201, 203)]  # hub-free triangle
+    e = spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
+
+    out_deg = {
+        r["s"]: r["n"]
+        for r in degree_oriented_edges(e).groupBy("s").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert 0 not in out_deg  # the hub sources NO edges
+    assert max(out_deg.values()) <= 2
+
+    tri = triangles_from_edges(e).collect()
+    assert [(r["doc_a"], r["doc_b"], r["doc_c"]) for r in tri] == [(201, 202, 203)]

@@ -304,3 +304,16 @@ def test_late_ship_exists_decorrelates_to_semi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_late_ship_report")
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_degree_orientation_plan(spark, sf_dir):
+    """Degree-oriented triangle closure: the node-degree table is
+    corpus-derived (node-scale), so both degree joins must be
+    SHUFFLE-HASH, never broadcast — and the wedge/closure joins must
+    not degrade to a cartesian/BNLJ (VERDICT r8 footnote: the previous
+    id-orientation relied implicitly on upstream LSH bucket caps for
+    its fan-out bound; degree orientation carries its own)."""
+    plan = plan_of(spark, sf_dir, "q_graph_triangles")
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
