@@ -1579,3 +1579,77 @@ def q_curation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (share_a - share_b).alias("shift"),
         )
     )
+
+
+def _ccnet_oracle() -> str:
+    """Composed at import from the q_lm_perplexity oracle (the nesting
+    guarantee: the buckets can never drift from the scores they cut)."""
+    from hive_gateway_spark.registry import ORACLES
+
+    return f"""
+    WITH ppl AS ({ORACLES["q_lm_perplexity"]}),
+    ranked AS (
+        SELECT d.lang, ppl.doc_id, ppl.n_bigrams, ppl.mean_nll,
+               NTILE(3) OVER (PARTITION BY d.lang
+                              ORDER BY ppl.mean_nll, ppl.doc_id) AS t
+        FROM ppl JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(SUM(CAST(ROUND(mean_nll, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS avg_nll
+    FROM ranked
+    GROUP BY lang, t
+    """
+
+
+@query("q_ccnet_buckets", oracle=_ccnet_oracle())
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, rank documents by the corpus-LM perplexity score
+    (q_lm_perplexity's mean_nll) and cut the ranking into equal
+    thirds — head (most fluent), middle, tail (gibberish candidates).
+    Published pipelines keep head+middle and drop or down-weight tail;
+    this emits the per-(lang, bucket) report an operator reviews
+    before choosing the cut.
+
+    Determinism: the ranking key is (mean_nll, doc_id) — mean_nll is
+    bit-identical across engines (the 6 dp-rounded-term / exact-
+    decimal-sum construction), doc_id breaks ties totally, and
+    NTILE(3) is a pure function of the rank order; avg_nll aggregates
+    through exact decimal.
+
+    Scale shape: the perplexity staging (shuffle-hash LM joins, no
+    corpus broadcast) plus ONE doc-keyed join for lang and ONE
+    per-lang window — the window partitions on lang, whose per-group
+    row count is the corpus, so at 100 TB the ntile cut would move to
+    the quantile-sketch two-pass form (percentile_approx thresholds +
+    a stateless bucket projection); the report itself is 3·langs rows."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    ppl = perplexity_report(t["documents"])
+    ranked = ppl.join(t["documents"].select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "n_bigrams",
+        "mean_nll",
+        F.ntile(3)
+        .over(W.partitionBy("lang").orderBy("mean_nll", "doc_id"))
+        .alias("t"),
+    )
+    bucket = (
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return ranked.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+        (
+            F.sum(F.round("mean_nll", 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_nll"),
+    )

@@ -857,3 +857,125 @@ def q_late_ship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.o_orderpriority
         """
     )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): revenue per nation where the
+    ordering customer and the supplying supplier share a nation inside
+    one region-year. The classic six-way snowflake join: region→nation
+    prune broadcasts into supplier, the customer/supplier nation
+    equality rides ON the lineitem⋈supplier join (never a post-filter
+    on a wider join), and the date range is pushed to the orders scan.
+    Dims broadcast; the only shuffles are the two fact joins keyed on
+    orderkey/custkey. Exact-decimal revenue fold."""
+    t = load_tables(spark, sf_dir)
+    n = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = t["supplier"].join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+#: Q18 large-order quantity threshold (fixture 99th pct ≈ 262, max 458).
+_Q18_QTY = 300
+
+
+@query(
+    "q_tpch_q18",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_QTY}
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds the threshold, with customer attribution, top-100
+    by order value. The IN-subquery is expressed as an aggregate →
+    LeftSemi join (decorrelated by construction); the qualifying-order
+    set is a HAVING-filtered aggregate of the fact table — tiny — so
+    Catalyst broadcasts it into the semi join, and the big
+    fact-to-fact orderkey join happens only for qualifying orders.
+    Quantity folds in exact DECIMAL; the top-100 is TakeOrdered with
+    full tie-breaks (plan-asserted)."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec(F.col("l_quantity"))).alias("q"))
+        .filter(F.col("q") > _Q18_QTY)
+        .select(F.col("l_orderkey").alias("bk"))
+    )
+    j = (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("total_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )

@@ -305,3 +305,51 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("epochs"),
     )
+
+
+#: Per-source sample size for q_reservoir_per_source.
+_RESERVOIR_K = 40
+
+
+@query(
+    "q_reservoir_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_h_sql('doc_id')}, doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def q_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-source sample — the bounded "show me 40
+    random docs from each source" eval/debug draw every pipeline ships
+    (and the per-group cap applied before expensive per-doc scoring).
+    The "random" order is the portable LCG hash of doc_id (the
+    q_split_assign hash), so the draw is a pure function of content
+    ids: stable across re-runs, repartitions, and engines — a true
+    reservoir's RNG draw would be neither reproducible nor
+    oracle-checkable.
+
+    Scale shape: ONE window shuffle on source with rank ≤ k — Spark
+    plans it as WindowGroupLimit (partial top-k BEFORE the shuffle,
+    plan-asserted in tests/test_plans.py), so a billion-doc source
+    contributes k rows per map partition to the exchange, never its
+    full partition."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(_h(F.col("doc_id")), "doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", "lang", "n_chars", rk.alias("rk"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select(
+            "source", "doc_id", "lang", "n_chars", F.col("rk").cast("bigint").alias("rk")
+        )
+    )

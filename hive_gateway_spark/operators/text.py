@@ -977,3 +977,135 @@ def q_pii_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exposure_rate"
         ),
     )
+
+
+#: Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+#: ... Gopher", Appendix A1.1 — the published quality-filter battery).
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_ORACLE = f"""
+    WITH feat AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS words,
+               string_split(lower(text), ' ') AS wl,
+               string_split(text, chr(10)) AS lines,
+               length(replace(text, ' ', '')) AS wchars,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) // 3
+                   AS n_ellipsis
+        FROM documents
+    ), c AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(wchars AS BIGINT) AS wchars,
+               CAST(n_hash + n_ellipsis AS BIGINT) AS n_sym,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                    x -> regexp_matches(x, '^[-*•]'))) AS BIGINT)
+                   AS n_bullet,
+               CAST(len(list_filter(lines,
+                    x -> regexp_matches(x, '\\.\\.\\.$'))) AS BIGINT)
+                   AS n_ell_end,
+               CAST(len(list_filter(words,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha,
+               CAST({" + ".join(
+                   f"CAST(list_contains(wl, '{s}') AS INT)"
+                   for s in _GOPHER_STOPS
+               )} AS BIGINT) AS n_stop
+        FROM feat
+    )
+    SELECT doc_id, n_words,
+           n_words BETWEEN 50 AND 100000 AS ok_word_count,
+           wchars >= 3 * n_words AND wchars <= 10 * n_words
+               AS ok_mean_word_len,
+           10 * n_sym < n_words AS ok_symbol_ratio,
+           10 * n_bullet < 9 * n_lines AS ok_bullet_lines,
+           10 * n_ell_end < 3 * n_lines AS ok_ellipsis_lines,
+           5 * n_alpha >= 4 * n_words AS ok_alpha_words,
+           n_stop >= 2 AS ok_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+               AND wchars >= 3 * n_words AND wchars <= 10 * n_words
+               AND 10 * n_sym < n_words
+               AND 10 * n_bullet < 9 * n_lines
+               AND 10 * n_ell_end < 3 * n_lines
+               AND 5 * n_alpha >= 4 * n_words
+               AND n_stop >= 2 AS keep
+    FROM c
+"""
+
+
+@query("q_gopher_rules", oracle=_GOPHER_ORACLE)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter rule battery (Rae et al. 2021 App.
+    A1.1) — the published heuristic gate most open LLM corpora run
+    before model-based filtering: word-count band [50, 100k], mean
+    word length [3, 10], symbol-to-word ratio (# and ...) < 0.1,
+    bullet-started lines < 90%, ellipsis-ended lines < 30%, ≥80% of
+    words containing an alphabetic character, and ≥2 distinct Gopher
+    stopwords present. Complements q_text_quality (a scored blend)
+    with the rule-per-column PASS/FAIL audit view quality stacks log.
+
+    Determinism: every rule is an INTEGER comparison (ratios cleared
+    of division: 10·n_sym < n_words etc.), so parity is unconditional
+    — no float appears anywhere.
+
+    Scale shape: scan → project (in-row split/filter higher-order
+    functions, JVM codegen, no UDF) — ZERO exchanges; the scan reads
+    two columns."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    stop_hits = None
+    for s in _GOPHER_STOPS:
+        term = F.expr(f"array_contains(wl, '{s}')").cast("int")
+        stop_hits = term if stop_hits is None else stop_hits + term
+    c = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("bigint").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("wchars"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+            + (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+            )
+            / F.lit(3)
+        )
+        .cast("bigint")
+        .alias("n_sym"),
+        F.expr("size(split(text, '\n'))").cast("bigint").alias("n_lines"),
+        F.expr("size(filter(split(text, '\n'), x -> x rlike '^[-*•]'))")
+        .cast("bigint")
+        .alias("n_bullet"),
+        F.expr("size(filter(split(text, '\n'), x -> x rlike '\\\\.\\\\.\\\\.$'))")
+        .cast("bigint")
+        .alias("n_ell_end"),
+        F.expr("size(filter(split(text, ' '), x -> x rlike '[A-Za-z]'))")
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.expr("split(lower(text), ' ')").alias("wl"),
+    ).select("*", stop_hits.cast("bigint").alias("n_stop"))
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_mwl = (F.col("wchars") >= 3 * F.col("n_words")) & (
+        F.col("wchars") <= 10 * F.col("n_words")
+    )
+    ok_sym = 10 * F.col("n_sym") < F.col("n_words")
+    ok_bul = 10 * F.col("n_bullet") < 9 * F.col("n_lines")
+    ok_ell = 10 * F.col("n_ell_end") < 3 * F.col("n_lines")
+    ok_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    ok_stop = F.col("n_stop") >= 2
+    return c.select(
+        "doc_id",
+        "n_words",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_bul.alias("ok_bullet_lines"),
+        ok_ell.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_bul & ok_ell & ok_alpha & ok_stop).alias(
+            "keep"
+        ),
+    )

@@ -170,6 +170,15 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_tpch_q10",  # returned-item revenue top-20 (two-fact-join classic)
     "q_late_ship_report",  # EXISTS→semi-join SLA report (Q4 shape)
     "q_null_profile",  # Deequ-style completeness profile, one pass
+    # r9 additions (queue behind the r8 block; the r10 pre-plan's
+    # "rotate out ≥5×-green §2.2 contract queries" rule extends to
+    # cover them — 23 §2.2 queries remain eligible beyond the 7
+    # already named):
+    "q_gopher_rules",  # Gopher App. A1.1 rule battery (integer-exact)
+    "q_ccnet_buckets",  # CCNet head/middle/tail perplexity cut (composed)
+    "q_reservoir_per_source",  # deterministic k-per-source sample (LCG rank)
+    "q_tpch_q5",  # local-supplier volume (six-way snowflake classic)
+    "q_tpch_q18",  # large-volume customers (HAVING→semi-join classic)
 )
 
 

@@ -87,8 +87,18 @@ def main() -> None:
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
+            # warm pass: the IVF index / staged frames are session-
+            # cached, so this is the amortized serve path (index built
+            # once, queried many times — the production shape).
+            t1 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            warm = time.perf_counter() - t1
             results[name] = rows
-            report[name] = {"wall_sec": round(dt, 2), "rows": len(rows)}
+            report[name] = {
+                "wall_sec": round(dt, 2),
+                "warm_sec": round(warm, 2),
+                "rows": len(rows),
+            }
         exact = topk_sets(results["q_sim_topk"])
         total = sum(len(v) for v in exact.values())
         for name in ("q_sim_topk_ivf", "q_sim_topk_lsh"):

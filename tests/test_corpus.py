@@ -284,3 +284,54 @@ def test_curation_trace_consistent_with_v3(spark, sf_dir):
             assert r["detail"] is not None and r["detail"] < r["doc_id"]
         if r["decision"] == "span_dup":
             assert r["detail"] is not None and r["detail"] > 0
+
+
+def test_gopher_rules_planted_branches(spark):
+    """One doc per rule failure, each tripping EXACTLY its own rule
+    (plus a doc passing all seven) — the per-branch coverage the
+    fixture's clean prose can't provide."""
+    from hive_gateway_spark.operators.text import q_gopher_rules  # noqa: F401
+    from hive_gateway_spark import registry
+
+    registry.load_all()
+    good_words = ("the quick brown fox jumps over lazy dogs and cats "
+                  "that have been with many friendly people of town") 
+    good = " ".join((good_words + " ").split() * 5)  # 95 words, all rules pass
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "the of short"),  # word count < 50
+            (3, " ".join(["a"] * 60) + " the of"),  # mean word len < 3
+            (4, " ".join(["####word"] * 30 + ["the", "of"] + ["ok"] * 20)),
+            (5, "\n".join(["- bullet line the of"] * 10)),
+            (6, "\n".join(["trailing dots the of..."] * 10)),
+            (7, " ".join(["1234"] * 48) + " the of"),  # alpha words < 80%
+            (8, " ".join(["zebra"] * 60)),  # no stopwords
+        ],
+        "doc_id bigint, text string",
+    )
+    res = {
+        r["doc_id"]: r.asDict()
+        for r in _gopher_over(spark, docs).collect()
+    }
+    assert res[1]["keep"]
+    assert not res[2]["ok_word_count"] and res[2]["ok_stopwords"]
+    assert not res[3]["ok_mean_word_len"]
+    assert not res[4]["ok_symbol_ratio"]
+    assert not res[5]["ok_bullet_lines"]
+    assert not res[6]["ok_ellipsis_lines"]
+    assert not res[7]["ok_alpha_words"]
+    assert not res[8]["ok_stopwords"] and not res[8]["keep"]
+
+
+def _gopher_over(spark, docs):
+    """Run the registered q_gopher_rules body over a planted frame by
+    monkeypatching load_tables' view of documents."""
+    from hive_gateway_spark.operators import text as text_mod
+
+    orig = text_mod.load_tables
+    try:
+        text_mod.load_tables = lambda s, d: {"documents": docs}
+        return text_mod.q_gopher_rules(spark, "planted")
+    finally:
+        text_mod.load_tables = orig

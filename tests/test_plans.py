@@ -317,3 +317,32 @@ def test_triangle_degree_orientation_plan(spark, sf_dir):
     assert plan.count("ShuffledHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_reservoir_per_source_partial_topk(spark, sf_dir):
+    """The rk ≤ k filter must reach WindowGroupLimit (partial per-group
+    top-k before the source-keyed exchange): a billion-doc source then
+    ships k rows per map partition, never its whole partition."""
+    plan = plan_of(spark, sf_dir, "q_reservoir_per_source")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_tpch_q5_snowflake_broadcasts_and_pushdown(spark, sf_dir):
+    """Q5's plan contract: the region-pruned supplier side broadcasts,
+    the orderdate range reaches the orders scan, and no join degrades
+    to cartesian/BNLJ (the nation-equality predicate must ride on the
+    supplier join)."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert re.search(r"PushedFilters: \[.*o_orderdate.*\]", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q18_semi_join_and_takeordered(spark, sf_dir):
+    """Q18's plan contract: the qualifying-order set meets orders as a
+    LeftSemi (decorrelated IN), and the top-100 is TakeOrdered — never
+    a global sort of the aggregate."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q18")
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
