@@ -1339,3 +1339,184 @@ def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bad_rate"
         ),
     )
+
+
+@query(
+    "q_brand_affinity",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM basket),
+    bo AS (SELECT brand, COUNT(*) AS n_b FROM basket GROUP BY brand),
+    co AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               COUNT(*) AS co_orders
+        FROM basket a JOIN basket b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT co.brand_a, co.brand_b, co.co_orders,
+           ba.n_b AS orders_a, bb.n_b AS orders_b,
+           CAST(co.co_orders AS DOUBLE) / n.n_orders AS support,
+           CAST(co.co_orders * n.n_orders AS DOUBLE)
+             / (ba.n_b * bb.n_b) AS lift
+    FROM co
+    JOIN bo ba ON ba.brand = co.brand_a
+    JOIN bo bb ON bb.brand = co.brand_b
+    CROSS JOIN n
+    """,
+)
+def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand affinity (support + lift per brand pair) —
+    the association-rule staple, and a FACT-scale co-occurrence shape
+    (order baskets) beside q_audience_overlap's entity-scale one (user
+    audiences). lift > 1 = brands bought together more than chance;
+    the retail classic, and in a training-data pipeline the same shape
+    ranks (source, topic) or (lang, domain) co-occurrence.
+
+    Determinism: counts are exact integers; support and lift are each
+    ONE integer-ratio IEEE division.
+
+    Scale shape: basket dedup is one (orderkey, brand) partial-agg
+    shuffle; the pair join keys on orderkey with per-order fan-out
+    bounded by C(basket_brands, 2) (≤ C(11,2) in the fixture — basket
+    size is bounded by order width, never corpus size); pair counts
+    collapse to ≤ C(brands, 2) rows, onto which the brand totals and
+    the 1-row order count broadcast (the scalar cross-join house
+    pattern)."""
+    t = load_tables(spark, sf_dir)
+    basket = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = basket.select(F.countDistinct("okey").alias("n_orders"))
+    bo = basket.groupBy("brand").agg(F.count("*").alias("n_b"))
+    a = basket.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = basket.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    co = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("co_orders"))
+    )
+    return (
+        co.join(
+            F.broadcast(bo.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("orders_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(bo.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("orders_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "co_orders",
+            "orders_a",
+            "orders_b",
+            (F.col("co_orders").cast("double") / F.col("n_orders")).alias("support"),
+            (
+                (F.col("co_orders") * F.col("n_orders")).cast("double")
+                / (F.col("orders_a") * F.col("orders_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    per AS (
+        SELECT o.o_custkey AS c_custkey,
+               date_diff('day', MAX(o.o_orderdate), mx.mxd) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS monetary
+        FROM orders o CROSS JOIN mx
+        GROUP BY o.o_custkey, mx.mxd
+    ),
+    scored AS (
+        SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+               frequency, monetary,
+               NTILE(5) OVER (ORDER BY recency_days ASC, c_custkey ASC)
+                 AS r_score,
+               NTILE(5) OVER (ORDER BY frequency DESC, c_custkey ASC)
+                 AS f_score,
+               NTILE(5) OVER (ORDER BY monetary DESC, c_custkey ASC)
+                 AS m_score
+        FROM per
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+                WHEN r_score <= 2 THEN 'recent'
+                WHEN f_score <= 2 THEN 'loyal_lapsing'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the classic customer-value report, and the canonical "three
+    rankings over one aggregate" shape (the same plan scores documents
+    by freshness / dup-degree / quality in a curation stack).
+
+    Determinism: recency is an exact day diff against the 1-row corpus
+    max (broadcast cross join); frequency/monetary are exact counts
+    and decimal sums; every NTILE orders by (key, c_custkey) — a total
+    order, so quintile membership is engine-independent; the segment
+    label is a pure CASE over the scores.
+
+    Scale shape: ONE custkey-keyed partial aggregate over orders, then
+    three global ntile windows over the CUSTOMER-scale result. A
+    global NTILE serializes on one partition, fine for ≤ tens of
+    millions of customers; past that the cut moves to the two-pass
+    percentile-threshold form (the q_ccnet_buckets note) — documented
+    rather than hidden."""
+    t = load_tables(spark, sf_dir)
+    mx = t["orders"].select(F.max("o_orderdate").alias("mxd"))
+    per = (
+        t["orders"]
+        .crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "mxd")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff("mxd", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_s = F.ntile(5).over(W.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc()))
+    f_s = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc()))
+    m_s = F.ntile(5).over(W.orderBy(F.col("monetary").desc(), F.col("c_custkey").asc()))
+    scored = per.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal_lapsing")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select("*", seg.alias("segment"))

@@ -1052,8 +1052,15 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: scan → project (in-row split/filter higher-order
     functions, JVM codegen, no UDF) — ZERO exchanges; the scan reads
-    two columns."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    two columns. The same stateless projection IS the streaming twin
+    (streaming.ops.stream_gopher_screen — shared implementation, so
+    the predicates cannot drift)."""
+    return gopher_report(load_tables(spark, sf_dir)["documents"])
+
+
+def gopher_report(docs: DataFrame) -> DataFrame:
+    """Core of q_gopher_rules over any (doc_id, text) frame — a pure
+    stateless projection, valid on batch and streaming frames alike."""
     stop_hits = None
     for s in _GOPHER_STOPS:
         term = F.expr(f"array_contains(wl, '{s}')").cast("int")

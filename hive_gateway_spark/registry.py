@@ -179,6 +179,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_reservoir_per_source",  # deterministic k-per-source sample (LCG rank)
     "q_tpch_q5",  # local-supplier volume (six-way snowflake classic)
     "q_tpch_q18",  # large-volume customers (HAVING→semi-join classic)
+    "q_brand_affinity",  # market-basket support/lift (fact-scale co-occurrence)
+    "q_rfm_segments",  # RFM quintile segmentation (three-ranking classic)
 )
 
 

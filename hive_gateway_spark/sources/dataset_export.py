@@ -871,3 +871,67 @@ def dataset_history(spark: SparkSession, path: str) -> DataFrame:
         "version int, n_rows bigint, n_files int, checksum string, "
         "cluster_by string, last_batch_id bigint, readable boolean",
     )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+) -> DataFrame:
+    """Change-data-feed between two snapshot versions — the DESCRIBE
+    HISTORY companion that answers "WHAT changed", keyed on ``key``
+    (the same key merge_dataset upserts on): one row per changed key
+    with op ∈ {insert, delete, update_pre, update_post}. An update is
+    emitted as its pre/post image pair (the Delta CDF convention), a
+    key present only in v_to is an insert, only in v_from a delete.
+    Unchanged keys — the overwhelming majority of a 100 TB table —
+    are dropped by a full-row comparison, so the feed is
+    O(changed + appended), not O(table).
+
+    Scale shape: two manifest-file-list reads (no directory listing),
+    ONE full-outer shuffle-hash join co-partitioned on the key, and a
+    row-hash equality filter computed in-row (xxhash64 over all
+    columns) — no window, no collect. At cluster scale both sides
+    shuffle once on the merge key they are already bucketed by after
+    a cluster_by compaction."""
+    pre = read_snapshot(spark, path, version=v_from)
+    post = read_snapshot(spark, path, version=v_to)
+    cols = pre.columns
+    if set(cols) != set(post.columns):
+        raise ValueError(
+            f"snapshot schemas differ: v{v_from}={cols} v{v_to}={post.columns}"
+        )
+    rh = F.xxhash64(*[F.col(c) for c in sorted(cols)])
+    a = pre.select(
+        F.col(key).alias("_k"),
+        rh.alias("_h_pre"),
+        F.struct(*cols).alias("_row_pre"),
+    )
+    b = post.select(
+        F.col(key).alias("_k"),
+        rh.alias("_h_post"),
+        F.struct(*cols).alias("_row_post"),
+    )
+    j = a.hint("shuffle_hash").join(b, "_k", "full_outer")
+    changed = j.filter(
+        F.col("_h_pre").isNull()
+        | F.col("_h_post").isNull()
+        | (F.col("_h_pre") != F.col("_h_post"))
+    )
+    ins = changed.filter(F.col("_h_pre").isNull()).select(
+        F.lit("insert").alias("op"), F.col("_row_post").alias("row")
+    )
+    dels = changed.filter(F.col("_h_post").isNull()).select(
+        F.lit("delete").alias("op"), F.col("_row_pre").alias("row")
+    )
+    upd = changed.filter(
+        F.col("_h_pre").isNotNull() & F.col("_h_post").isNotNull()
+    )
+    upd_pre = upd.select(F.lit("update_pre").alias("op"), F.col("_row_pre").alias("row"))
+    upd_post = upd.select(
+        F.lit("update_post").alias("op"), F.col("_row_post").alias("row")
+    )
+    out = ins.unionAll(dels).unionAll(upd_pre).unionAll(upd_post)
+    return out.select("op", *[F.col(f"row.{c}").alias(c) for c in cols])

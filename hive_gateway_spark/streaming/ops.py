@@ -870,3 +870,18 @@ def volume_baseline(events: DataFrame) -> DataFrame:
         F.sum("n").alias("sn"),
         F.sum(F.col("n") * F.col("n")).alias("snn"),
     )
+
+
+def stream_gopher_screen(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q_gopher_rules: the Gopher App. A1.1 rule
+    battery applied at ingest — per arriving document, the seven
+    PASS/FAIL flags plus the overall keep bit. Every rule is an
+    in-row integer comparison (zero state, zero watermarks), so the
+    streaming plan is literally the batch projection per micro-batch;
+    a crawler shard runs this BEFORE anything stateful and routes
+    keep=false into a reject sink with per-rule attribution. Shared
+    implementation with the batch query (text.gopher_report), so the
+    predicates cannot drift."""
+    from hive_gateway_spark.operators.text import gopher_report
+
+    return gopher_report(docs)

@@ -310,10 +310,9 @@ def test_gopher_rules_planted_branches(spark):
         ],
         "doc_id bigint, text string",
     )
-    res = {
-        r["doc_id"]: r.asDict()
-        for r in _gopher_over(spark, docs).collect()
-    }
+    from hive_gateway_spark.operators.text import gopher_report
+
+    res = {r["doc_id"]: r.asDict() for r in gopher_report(docs).collect()}
     assert res[1]["keep"]
     assert not res[2]["ok_word_count"] and res[2]["ok_stopwords"]
     assert not res[3]["ok_mean_word_len"]
@@ -322,16 +321,3 @@ def test_gopher_rules_planted_branches(spark):
     assert not res[6]["ok_ellipsis_lines"]
     assert not res[7]["ok_alpha_words"]
     assert not res[8]["ok_stopwords"] and not res[8]["keep"]
-
-
-def _gopher_over(spark, docs):
-    """Run the registered q_gopher_rules body over a planted frame by
-    monkeypatching load_tables' view of documents."""
-    from hive_gateway_spark.operators import text as text_mod
-
-    orig = text_mod.load_tables
-    try:
-        text_mod.load_tables = lambda s, d: {"documents": docs}
-        return text_mod.q_gopher_rules(spark, "planted")
-    finally:
-        text_mod.load_tables = orig

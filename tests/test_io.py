@@ -1112,3 +1112,41 @@ def test_threaded_appends_all_land(spark, tmp_path):
     assert m["version"] == 5  # 1 create + 4 appends, no slot skipped
     assert m["n_rows"] == 42
     assert de.verify_dataset(spark, path)["ok"]
+
+
+def test_snapshot_diff_emits_cdf_between_versions(spark, tmp_path):
+    """CDC between snapshots: a merge that updates key 2, deletes
+    nothing, and inserts key 4 must diff as exactly {insert 4,
+    update_pre/post 2}; the reverse direction swaps insert/delete;
+    identical versions diff empty."""
+    from hive_gateway_spark.sources.dataset_export import (
+        merge_dataset,
+        snapshot_diff,
+        write_dataset,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "old-1", "en"), (2, "old-2", "en"), (3, "old-3", "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    path = str(tmp_path / "tbl_cdf")
+    write_dataset(base, path, partition_by=["lang"])
+    up = spark.createDataFrame(
+        [(2, "NEW-2", "en"), (4, "new-4", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    merge_dataset(up, path, key="doc_id")
+
+    d = snapshot_diff(spark, path, 1, 2, key="doc_id").collect()
+    got = sorted((r["op"], r["doc_id"], r["text"]) for r in d)
+    assert got == [
+        ("insert", 4, "new-4"),
+        ("update_post", 2, "NEW-2"),
+        ("update_pre", 2, "old-2"),
+    ]
+    rev = sorted(
+        (r["op"], r["doc_id"])
+        for r in snapshot_diff(spark, path, 2, 1, key="doc_id").collect()
+    )
+    assert rev == [("delete", 4), ("update_post", 2), ("update_pre", 2)]
+    assert snapshot_diff(spark, path, 1, 1, key="doc_id").count() == 0

@@ -785,3 +785,23 @@ def test_stream_volume_screen_high_flag_is_one_sided(spark):
     for n in (1, 50, 91, 100, 109, 200):
         r = screen([(22, n)])[22]
         assert (not r["is_high_spike"]) or r["is_spike"]
+
+
+def test_stream_gopher_screen_equal_batch(spark, sf_dir):
+    """The Gopher rule battery drained over the fixture stream emits
+    exactly the batch projection's flags (shared implementation —
+    text.gopher_report — so the equivalence also guards against the
+    twins drifting apart)."""
+    from hive_gateway_spark.operators.text import gopher_report
+    from hive_gateway_spark.streaming.ops import (
+        stream_documents,
+        stream_gopher_screen,
+    )
+
+    got = drain(stream_gopher_screen(stream_documents(spark, sf_dir)), "s_gopher")
+    want = gopher_report(load_tables(spark, sf_dir)["documents"]).toPandas()
+    assert len(got) == len(want) > 0
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "n_words", "ok_word_count", "ok_stopwords", "keep"]
+    pd.testing.assert_frame_equal(g[cols], w[cols])
