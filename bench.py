@@ -146,6 +146,18 @@ HEADLINE_R8 = [
     "q_null_profile",
 ]
 
+#: Round-9 additions: rule battery, perplexity cut, per-source sample,
+#: two TPC-H classics, basket lift, RFM quintiles.
+HEADLINE_R9 = [
+    "q_gopher_rules",
+    "q_ccnet_buckets",
+    "q_reservoir_per_source",
+    "q_tpch_q5",
+    "q_tpch_q18",
+    "q_brand_affinity",
+    "q_rfm_segments",
+]
+
 
 #: Regression gate (VERDICT r6 task #6): warm ratio vs the previous
 #: round's recorded bench above which the run FAILS (rc != 0), so a perf
@@ -196,7 +208,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8:
+    for name in (HEADLINE + HEADLINE_R2 + HEADLINE_R6 + HEADLINE_R7
+                 + HEADLINE_R8 + HEADLINE_R9):
         fn = registry.QUERIES[name]
         # drop the previous query's dead broadcasts/UDF workers before
         # timing this one — without it, late queries in a 30-query
@@ -228,6 +241,7 @@ def main() -> None:
     r6_total = round(sum(timings[n] for n in HEADLINE_R6), 3)
     r7_total = round(sum(timings[n] for n in HEADLINE_R7), 3)
     r8_total = round(sum(timings[n] for n in HEADLINE_R8), 3)
+    r9_total = round(sum(timings[n] for n in HEADLINE_R9), 3)
 
     # Per-query regression gate vs the previous round's recorded bench.
     # The per-query ratio is NORMALIZED by the round's median ratio over
@@ -274,8 +288,10 @@ def main() -> None:
                 "value_r6_ops": r6_total,
                 "value_r7_ops": r7_total,
                 "value_r8_ops": r8_total,
+                "value_r9_ops": r9_total,
                 "value_all": round(
-                    r01_comparable + r2_total + r6_total + r7_total + r8_total, 3
+                    r01_comparable + r2_total + r6_total + r7_total
+                    + r8_total + r9_total, 3
                 ),
                 "queries": timings,
                 "queries_cold": cold,
