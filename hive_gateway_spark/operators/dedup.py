@@ -1563,7 +1563,30 @@ def degree_oriented_edges(e: DataFrame) -> DataFrame:
     higher one ``t`` (``tk`` = t's sort key, for wedge canonicalizing).
     A hub of degree d is the DST of (almost) all its edges, so its
     out-degree — and hence its wedge contribution C(outdeg, 2) — stays
-    small no matter how hot the hub; max out-degree is O(√m) overall."""
+    small no matter how hot the hub; max out-degree is O(√m) overall.
+
+    The oriented frame is checkpoint-cached per (session, edge plan) —
+    degrees and orientation are a pure function of the edge set, so
+    like the pair staging they build once per corpus; the degree joins
+    (node-scale table) run shuffle-hash, never broadcast."""
+    per = _PAIRS_CACHE.setdefault(e.sparkSession, {})
+    try:
+        key = ("oriented", e.semanticHash())
+    except Exception:  # pragma: no cover - non-classic session fallback
+        key = ("oriented", id(e))
+    cached = per.get(key)
+    if cached is not None:
+        return cached
+    oriented = _orient_edges(e).localCheckpoint()
+    evict(per)
+    per[key] = oriented
+    return oriented
+
+
+def _orient_edges(e: DataFrame) -> DataFrame:
+    """The un-checkpointed orientation build plan (exposed so
+    tests/test_plans.py can assert the shuffle-hash degree joins on
+    the BUILD, which the eager checkpoint otherwise hides)."""
     deg = (
         e.select(F.col("doc_a").alias("v"))
         .unionAll(e.select(F.col("doc_b").alias("v")))

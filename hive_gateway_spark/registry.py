@@ -131,18 +131,21 @@ PRIORITY: tuple[str, ...] = (
 #: (tests/test_registry.py's debt ledger requires every registered
 #: query to hold a driver row, a window slot, or an entry here).
 #:
-#: r10 PRE-PLAN (VERDICT r8 task #4, written at r9 rotation time):
-#: 22 candidates exceed the 15 rotatable slots, so r10 ALSO rotates
-#: out seven §2.2 contract queries that are ≥5× driver-green and
+#: r10 PRE-PLAN (VERDICT r8 task #4, written at r9 rotation time;
+#: arithmetic updated for the 7 queries r9 itself added): 29
+#: candidates exceed the 15 rotatable slots, so r10 ALSO rotates out
+#: FOURTEEN §2.2 contract queries that are ≥5× driver-green and
 #: unchanged since r1 (q_scan_project, q_filter_predicate,
 #: q_expr_string, q_expr_case, q_expr_coalesce, q_expr_regex,
-#: q_json_extract — each holds eight consecutive green rows r1-r8;
-#: they rotate to the local parity gate like every past-window query
-#: and their historical rows keep the ledger green). The 15 r9
-#: occupants rotate out once they hold their r9 row. 15 + 7 = 22
-#: freed slots take ALL the candidates below, after which every
-#: registered query holds a driver row and the queue is EMPTY; new
-#: queries enter here as they are written.
+#: q_json_extract, q_join_left, q_join_semi, q_join_anti,
+#: q_set_union, q_set_intersect, q_set_except, q_sort_limit_topk —
+#: each holds nine consecutive green rows r1-r9; they rotate to the
+#: local parity gate like every past-window query and their
+#: historical rows keep the ledger green). The 15 r9 occupants rotate
+#: out once they hold their r9 row. 15 + 14 = 29 freed slots take ALL
+#: the candidates below, after which every registered query holds a
+#: driver row and the queue is EMPTY; new queries enter here as they
+#: are written.
 ROTATION_CANDIDATES: tuple[str, ...] = (
     # r7: Zipf rank-frequency fit (exact-regression corpus health).
     "q_zipf_fit",

@@ -237,6 +237,7 @@ def write_dataset(
         "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
         "version": 1,
         "files": _relative_files(path),
+        "schema_json": _file_schema_json(df, cols, partition_by),
         **(extra or {}),
     }
     _write_manifest(path, manifest)
@@ -277,7 +278,7 @@ def verify_dataset(spark: SparkSession, path: str) -> dict:
             "expected": expected,
             "actual": {"missing_files": missing},
         }
-    back = _read_manifest_files(spark, path, present)
+    back = _read_manifest_files(spark, path, present, expected.get("schema_json"))
     cols = expected["columns"]
     pby = expected["partition_by"]
     counts = _partition_counts(back, pby)
@@ -342,15 +343,35 @@ def _write_manifest(path: str, manifest: dict) -> None:
     _atomic(os.path.join(path, MANIFEST))
 
 
-def _read_manifest_files(spark: SparkSession, path: str, files: list[str]):
+def _file_schema_json(df: DataFrame, cols: list[str], pby: list[str]) -> str:
+    """The FILE columns' schema (partition columns live in paths, not
+    footers) as StructType JSON — recorded in the manifest so readers
+    never infer/merge schemas from footers (the Delta/Iceberg
+    schema-in-the-log move), which is also what lets an old file served
+    under an evolved schema fill its missing columns with NULLs."""
+    return df.select(*[c for c in cols if c not in pby]).schema.json()
+
+
+def _read_manifest_files(
+    spark: SparkSession, path: str, files: list[str], schema_json: str | None = None
+):
     """Read EXACTLY the manifest's file list (basePath keeps partition
     columns) — the reader contract everywhere: orphans from crashed
-    writes are invisible until a compaction sweeps them."""
+    writes are invisible until a compaction sweeps them. With a
+    recorded schema the reader skips footer inference entirely and
+    NULL-fills columns a pre-evolution file lacks."""
     absolute = [os.path.join(path, rel) for rel in files]
-    return spark.read.option("basePath", path).parquet(*absolute)
+    reader = spark.read.option("basePath", path)
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    return reader.parquet(*absolute)
 
 
-def append_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict:
+def append_dataset(
+    df: DataFrame, path: str, extra: dict | None = None, evolve: bool = False
+) -> dict:
     """Incremental append — the lakehouse commit a streaming ingest or
     daily batch runs against an existing export: new parquet files land
     beside the old (Spark append mode, fresh file names), the manifest
@@ -371,7 +392,15 @@ def append_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict:
     never a data rewrite).
 
     Schema contract: df must carry the manifest's columns (the
-    partition columns included when the dataset is partitioned)."""
+    partition columns included when the dataset is partitioned).
+    ``evolve=True`` additionally accepts NEW columns: the manifest's
+    column list and recorded schema widen, existing files are never
+    rewritten, and readers NULL-fill the new columns for
+    pre-evolution rows (add-column evolution, the Delta/Iceberg
+    semantics). An evolving commit pays ONE O(table) checksum rebase
+    — the row hash covers every column, so widening the schema
+    changes every historical row's hash; the rebase is explicit,
+    rare, and administrative (plain appends stay O(batch))."""
     prev = _current_manifest(path)
     if not prev.get("files"):
         raise ValueError(
@@ -387,11 +416,14 @@ def append_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict:
     # dict (ADVICE r8 #1), silently dropping last_batch_id on every
     # append and disarming the streaming sink's replay guard
     unexpected = [c for c in df.columns if c not in cols]
-    if unexpected:  # silent column drops are data loss; evolution is explicit
+    if unexpected and not evolve:
+        # silent column drops are data loss; evolution is explicit
         raise ValueError(
             f"append has columns the manifest lacks: {unexpected} "
-            "(schema evolution is an explicit rewrite, not an append)"
+            "(pass evolve=True for add-column schema evolution)"
         )
+    if evolve and unexpected:
+        cols = cols + unexpected
     # land THIS append's files under unique names (no directory diff —
     # see _land_files; concurrent writers can never claim each other's
     # files), then compute the batch deltas ONCE — they depend only on
@@ -404,27 +436,65 @@ def append_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict:
     # new = prev + sum(new rows' hashes) mod 2^64), so a commit's cost
     # is independent of table size; verify_dataset remains the full
     # recompute that audits the composition (pinned in tests).
+    evolved = bool(evolve and unexpected)
+    schema_json = (
+        _file_schema_json(df, cols, pby)
+        if evolved
+        else prev.get("schema_json")
+    )
     if created:
-        back = _read_manifest_files(spark, path, created)
+        back = _read_manifest_files(spark, path, created, schema_json)
         delta = _partition_counts(back, pby)
         delta_sum = int(_content_checksum(back.select(*cols), cols))
     else:  # empty append: stats unchanged, version still advances
         delta, delta_sum = {}, 0
     for _ in range(MAX_COMMIT_RETRIES):
+        if evolved:
+            # recompose against the (possibly new) winner: keep every
+            # column the winner's manifest knows PLUS df's new ones —
+            # schema fields merge by name so a concurrent evolver's
+            # column is never dropped from the recorded schema
+            cols = prev["columns"] + [
+                c for c in df.columns if c not in prev["columns"]
+            ]
+            base_fields = (
+                json.loads(prev["schema_json"])["fields"]
+                if prev.get("schema_json")
+                else []
+            )
+            have = {f["name"] for f in base_fields}
+            df_fields = json.loads(_file_schema_json(df, cols, pby))["fields"]
+            schema_json = json.dumps(
+                {
+                    "type": "struct",
+                    "fields": base_fields
+                    + [f for f in df_fields if f["name"] not in have],
+                }
+            )
         counts = dict(prev["partitions"])
         for k, v in delta.items():
             counts[k] = counts.get(k, 0) + v
+        all_files = sorted(set(prev["files"]) | set(created))
+        if evolved:
+            # O(table) checksum REBASE: the row hash covers every
+            # column, so widening the schema changes each historical
+            # row's hash — recompute the cumulative sum over the full
+            # composed file list under the widened schema (explicit,
+            # rare; plain appends below stay O(batch))
+            full = _read_manifest_files(spark, path, all_files, schema_json)
+            csum = _content_checksum(full.select(*cols), cols)
+        else:
+            csum = str((int(prev["content_xxh64_sum"]) + delta_sum) % (1 << 64))
         manifest = {
             "format": "parquet",
             "partition_by": pby,
             "columns": cols,
             "n_rows": sum(counts.values()),
             "partitions": dict(sorted(counts.items())),
-            "content_xxh64_sum": str(
-                (int(prev["content_xxh64_sum"]) + delta_sum) % (1 << 64)
-            ),
+            "content_xxh64_sum": csum,
             "version": int(prev.get("version", 1)) + 1,
-            "files": sorted(set(prev["files"]) | set(created)),
+            "files": all_files,
+            **({"schema_json": schema_json} if schema_json else {}),
             **(extra or {}),
         }
         if prev.get("cluster_by"):
@@ -492,7 +562,9 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
             "(schema evolution is an explicit rewrite, not a merge)"
         )
     for _ in range(MAX_COMMIT_RETRIES):
-        current = _read_manifest_files(spark, path, prev["files"]).select(*cols)
+        current = _read_manifest_files(
+            spark, path, prev["files"], prev.get("schema_json")
+        ).select(*cols)
         merged = current.join(
             df.select(key).distinct(), on=key, how="left_anti"
         ).unionByName(df.select(*cols))
@@ -508,6 +580,7 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
             "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
             "version": int(prev.get("version", 1)) + 1,
             "files": files,
+            "schema_json": _file_schema_json(merged, cols, pby),
         }
         _fire_race_hook()
         try:
@@ -582,6 +655,12 @@ def read_snapshot(
             rels = [rel for rel in rels if overlaps(rel)]
     files = [os.path.join(path, rel) for rel in rels]
     reader = spark.read.option("basePath", path)
+    if manifest.get("schema_json"):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(
+            StructType.fromJson(json.loads(manifest["schema_json"]))
+        )
     out = reader.parquet(*files)
     pby = manifest["partition_by"]
     cols = manifest["columns"] + [c for c in pby if c not in manifest["columns"]]
@@ -697,7 +776,9 @@ def compact_dataset(
         )
     pby = base["partition_by"]
     cols = base["columns"]
-    df = _read_manifest_files(spark, path, base["files"]).select(*cols)
+    df = _read_manifest_files(
+        spark, path, base["files"], base.get("schema_json")
+    ).select(*cols)
     if cluster_by is not None:
         n_files = max(1, files_per_partition)
         shaped = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(

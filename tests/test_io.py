@@ -1150,3 +1150,62 @@ def test_snapshot_diff_emits_cdf_between_versions(spark, tmp_path):
     )
     assert rev == [("delete", 4), ("update_post", 2), ("update_pre", 2)]
     assert snapshot_diff(spark, path, 1, 1, key="doc_id").count() == 0
+
+
+def test_append_schema_evolution_add_column(spark, tmp_path):
+    """Add-column evolution: evolve=True widens the manifest schema
+    without rewriting a single old file — readers NULL-fill the new
+    column for pre-evolution rows, the checksum rebase keeps
+    verify_dataset green, time travel to v1 still shows the original
+    schema, and a plain append with an unknown column still refuses."""
+    import pytest as _pytest
+
+    from hive_gateway_spark.sources.dataset_export import (
+        append_dataset,
+        compact_dataset,
+        read_snapshot,
+        verify_dataset,
+        write_dataset,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    path = str(tmp_path / "tbl_evo")
+    write_dataset(base, path, partition_by=["lang"])
+
+    more = spark.createDataFrame(
+        [(4, "d", "en", 0.9), (5, "e", "de", 0.4)],
+        "doc_id bigint, text string, lang string, quality double",
+    )
+    with _pytest.raises(ValueError, match="evolve=True"):
+        append_dataset(more, path)
+    m2 = append_dataset(more, path, evolve=True)
+    assert m2["columns"] == ["doc_id", "text", "lang", "quality"]
+    assert m2["version"] == 2 and m2["n_rows"] == 5
+
+    latest = {
+        r["doc_id"]: r["quality"] for r in read_snapshot(spark, path).collect()
+    }
+    assert latest == {1: None, 2: None, 3: None, 4: 0.9, 5: 0.4}
+    assert verify_dataset(spark, path)["ok"]
+
+    v1 = read_snapshot(spark, path, 1)
+    assert "quality" not in v1.columns and v1.count() == 3
+
+    # appends AFTER evolution must carry the widened schema
+    tail = spark.createDataFrame(
+        [(6, "f", "fr", 0.7)],
+        "doc_id bigint, text string, lang string, quality double",
+    )
+    m3 = append_dataset(tail, path)
+    assert m3["n_rows"] == 6
+    assert verify_dataset(spark, path)["ok"]
+
+    compact_dataset(spark, path)
+    after = {
+        r["doc_id"]: r["quality"] for r in read_snapshot(spark, path).collect()
+    }
+    assert after == {**latest, 6: 0.7}
+    assert verify_dataset(spark, path)["ok"]

@@ -312,9 +312,20 @@ def test_triangle_degree_orientation_plan(spark, sf_dir):
     SHUFFLE-HASH, never broadcast — and the wedge/closure joins must
     not degrade to a cartesian/BNLJ (VERDICT r8 footnote: the previous
     id-orientation relied implicitly on upstream LSH bucket caps for
-    its fan-out bound; degree orientation carries its own)."""
+    its fan-out bound; degree orientation carries its own). The BUILD
+    plan is asserted on the un-checkpointed orientation frame (the
+    staged checkpoint hides it from the query's own plan); the query
+    plan is additionally asserted join-safe."""
+    from hive_gateway_spark.operators.dedup import _jaccard_pairs, _orient_edges
+    from hive_gateway_spark.session import load_tables
+
+    e = _jaccard_pairs(load_tables(spark, sf_dir)).select("doc_a", "doc_b")
+    build = (
+        _orient_edges(e)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert build.count("ShuffledHashJoin") >= 2, build
+    assert "BroadcastHashJoin" not in build, build
     plan = plan_of(spark, sf_dir, "q_graph_triangles")
-    assert plan.count("ShuffledHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
