@@ -463,7 +463,11 @@ def append_dataset(
                 else []
             )
             have = {f["name"] for f in base_fields}
-            df_fields = json.loads(_file_schema_json(df, cols, pby))["fields"]
+            df_fields = json.loads(
+                _file_schema_json(
+                    df, [c for c in cols if c in df.columns], pby
+                )
+            )["fields"]
             schema_json = json.dumps(
                 {
                     "type": "struct",

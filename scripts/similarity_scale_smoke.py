@@ -74,9 +74,17 @@ def topk_sets(rows) -> dict[int, set[int]]:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
     from hive_gateway_spark import registry
+    from hive_gateway_spark.operators import similarity as sim
     from hive_gateway_spark.session import get_spark
 
     registry.load_all()
+    # optional: widen the bounded query block (crossover studies — the
+    # registered operators keep their production cap; this smoke knob
+    # exists to measure how the brute/ANN gap moves with query count)
+    nq = int(os.environ.get("SIM_SMOKE_QUERIES", "0"))
+    if nq:
+        sim.MAX_QUERIES = nq
+        sim.QUERY_ID_CAP = sim.QUERY_STRIDE * nq
     spark = get_spark("similarity-scale-smoke")
     report: dict = {"n_vectors": n, "dim": DIM}
     with tempfile.TemporaryDirectory(prefix="simsmoke_") as tmp:

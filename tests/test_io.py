@@ -1209,3 +1209,87 @@ def test_append_schema_evolution_add_column(spark, tmp_path):
     }
     assert after == {**latest, 6: 0.7}
     assert verify_dataset(spark, path)["ok"]
+
+
+def test_snapshot_diff_roundtrip_reconstructs_v2(spark, tmp_path):
+    """CDF soundness property: applying the diff to v1 (drop deleted
+    and update_pre keys, add insert and update_post rows) reproduces
+    v2 EXACTLY — on a randomized merge (seeded) so the property is
+    exercised beyond hand-planted rows."""
+    import random
+
+    from hive_gateway_spark.sources.dataset_export import (
+        merge_dataset,
+        read_snapshot,
+        snapshot_diff,
+        write_dataset,
+    )
+
+    rng = random.Random(7)
+    v1_rows = [(i, f"t{rng.randrange(1000)}", rng.choice("en fr de".split()))
+               for i in range(60)]
+    base = spark.createDataFrame(v1_rows, "doc_id bigint, text string, lang string")
+    path = str(tmp_path / "tbl_cdf_rt")
+    write_dataset(base, path, partition_by=["lang"])
+    up_rows = [(i, f"u{rng.randrange(1000)}", rng.choice("en fr de".split()))
+               for i in rng.sample(range(60), 20)]  # updates
+    up_rows += [(i, f"n{rng.randrange(1000)}", "de") for i in range(100, 110)]
+    merge_dataset(
+        spark.createDataFrame(up_rows, "doc_id bigint, text string, lang string"),
+        path,
+        key="doc_id",
+    )
+
+    d = snapshot_diff(spark, path, 1, 2, key="doc_id").collect()
+    v1 = {r["doc_id"]: (r["text"], r["lang"]) for r in read_snapshot(spark, path, 1).collect()}
+    v2 = {r["doc_id"]: (r["text"], r["lang"]) for r in read_snapshot(spark, path, 2).collect()}
+    rebuilt = dict(v1)
+    for r in d:
+        if r["op"] in ("delete", "update_pre"):
+            rebuilt.pop(r["doc_id"], None)
+    for r in d:
+        if r["op"] in ("insert", "update_post"):
+            rebuilt[r["doc_id"]] = (r["text"], r["lang"])
+    assert rebuilt == v2
+    # and the diff is minimal: no op rows for unchanged keys
+    changed = {r["doc_id"] for r in d}
+    unchanged = set(v1) & set(v2) - changed
+    assert all(v1[k] == v2[k] for k in unchanged)
+
+
+def test_concurrent_evolvers_merge_both_columns(spark, tmp_path):
+    """Two racing schema evolutions: writer A evolves with column
+    `score`, writer B (via the race hook) commits an evolution with
+    column `topic` first. A's retry must recompose against B's head —
+    the final schema carries BOTH new columns (field-name merge), no
+    column silently dropped, all rows readable with NULL backfill, and
+    the rebase keeps verify green."""
+    import hive_gateway_spark.sources.dataset_export as de
+
+    path = str(tmp_path / "race_evo")
+    de.write_dataset(_docs(spark, 0, 4, "base"), path)
+    b = spark.range(100, 103).selectExpr(
+        "id AS doc_id", "CONCAT('b-', CAST(id AS STRING)) AS text",
+        "CONCAT('topic', CAST(id % 3 AS STRING)) AS topic",
+    )
+    a = spark.range(200, 202).selectExpr(
+        "id AS doc_id", "CONCAT('a-', CAST(id AS STRING)) AS text",
+        "CAST(id AS DOUBLE) / 100 AS score",
+    )
+    de._RACE_HOOK = lambda: de.append_dataset(b, path, evolve=True)
+    try:
+        m = de.append_dataset(a, path, evolve=True)
+    finally:
+        de._RACE_HOOK = None
+    assert m["version"] == 3 and m["n_rows"] == 9
+    assert set(m["columns"]) == {"doc_id", "text", "topic", "score"}
+    import json as _json
+
+    fields = {f["name"] for f in _json.loads(m["schema_json"])["fields"]}
+    assert {"topic", "score"} <= fields
+    rows = {r["doc_id"]: (r["topic"], r["score"])
+            for r in de.read_snapshot(spark, path).collect()}
+    assert rows[0] == (None, None)
+    assert rows[100] == ("topic1", None)
+    assert rows[200] == (None, 2.0)
+    assert de.verify_dataset(spark, path)["ok"]
