@@ -156,6 +156,7 @@ HEADLINE_R9 = [
     "q_tpch_q18",
     "q_brand_affinity",
     "q_rfm_segments",
+    "q_chunk_windows",
 ]
 
 

@@ -1116,3 +1116,64 @@ def gopher_report(docs: DataFrame) -> DataFrame:
             "keep"
         ),
     )
+
+
+#: Sliding-window chunking geometry: window W tokens, stride S (W−S
+#: overlap carried between consecutive chunks).
+CHUNK_WIN = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "q_chunk_windows",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(
+               list_slice(words, i * {CHUNK_STRIDE} + 1,
+                          i * {CHUNK_STRIDE} + {CHUNK_WIN}), ' ') AS chunk,
+           CAST(LEAST(len(words) - i * {CHUNK_STRIDE}, {CHUNK_WIN}) AS BIGINT)
+             AS n_tokens
+    FROM w, UNNEST(range(
+        CASE WHEN len(words) <= {CHUNK_WIN} THEN 1
+             ELSE (len(words) - {CHUNK_WIN} + {CHUNK_STRIDE} - 1)
+                  // {CHUNK_STRIDE} + 1 END)) AS t(i)
+    """,
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (window {CHUNK_WIN}, stride
+    {CHUNK_STRIDE}) — how long documents become training sequences
+    when truncation would lose the tail: consecutive chunks overlap by
+    W−S tokens so no span falls across a boundary unseen. Emits
+    (doc_id, chunk_idx, chunk, n_tokens); the chunk count is
+    ceil((n−W)/S)+1 (min 1), so the LAST chunk is the only short one.
+
+    Determinism: pure integer geometry over the in-row words array —
+    identical slicing in both engines.
+
+    Scale shape: scan → in-row split → bounded explode (fan-out
+    n_tokens/S per doc, proportional to document length — the same
+    bounded-explode contract as q_interval_overlap); ZERO joins, no
+    window operator, no shuffle at all until a consumer aggregates."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    n = F.size("words")
+    n_chunks = F.when(n <= CHUNK_WIN, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_WIN + CHUNK_STRIDE - 1) / CHUNK_STRIDE) + 1
+    )
+    c = w.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.array_join(F.slice("words", start + 1, CHUNK_WIN), " ").alias("chunk"),
+        F.least(F.size("words") - start, F.lit(CHUNK_WIN))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )

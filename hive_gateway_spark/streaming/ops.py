@@ -885,3 +885,68 @@ def stream_gopher_screen(docs: DataFrame) -> DataFrame:
     from hive_gateway_spark.operators.text import gopher_report
 
     return gopher_report(docs)
+
+
+def stream_reservoir_sample(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_reservoir_per_source: maintain the k
+    lowest-hash documents PER SOURCE as the stream flows — the
+    bounded "live sample" an ingest dashboard shows per crawl source.
+    Because the "randomness" is the same portable LCG hash of doc_id
+    the batch query ranks by, the streaming reservoir CONVERGES to
+    exactly the batch answer once the same rows have flowed: determin-
+    istic top-k-by-hash is a commutative/idempotent fold, unlike a
+    true RNG reservoir which no batch oracle could reproduce.
+
+    Shape: hash computes in-row; the only stateful operator is an
+    applyInPandasWithState keyed by source whose state is the ≤ k
+    (hash, doc_id) frontier (~16 B·k per source). Each batch emits the
+    rows NEWLY ADMITTED to the reservoir (an admitted row may later be
+    evicted by a lower hash — the consumer keeps the k smallest of
+    what it has seen, which the equivalence test pins against the
+    batch query). State is O(sources · k); the shuffle key is source."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hive_gateway_spark.operators.sampling import _A, _B, _P, _RESERVOIR_K
+
+    k = _RESERVOIR_K
+    hashed = docs_stream.select(
+        "source",
+        "doc_id",
+        F.expr(f"({_A} * (doc_id % {_P}) + {_B}) % {_P}").alias("h"),
+    )
+    out_schema = "source string, doc_id bigint, h bigint"
+    state_schema = "hs array<bigint>, ids array<bigint>"
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - production path
+            state.remove()
+            return
+        frontier = (
+            list(zip(*state.get)) if state.exists else []
+        )  # [(h, doc_id), ...]
+        held = set(frontier)
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                frontier.append((int(row.h), int(row.doc_id)))
+        frontier = sorted(set(frontier))[:k]
+        admitted = [e for e in frontier if e not in held]
+        state.update(
+            ([h for h, _ in frontier], [i for _, i in frontier])
+        )
+        if admitted:
+            yield pd.DataFrame(
+                {
+                    "source": key[0],
+                    "doc_id": [i for _, i in admitted],
+                    "h": [h for h, _ in admitted],
+                }
+            )
+
+    return hashed.groupBy("source").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

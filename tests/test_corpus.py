@@ -321,3 +321,40 @@ def test_gopher_rules_planted_branches(spark):
     assert not res[6]["ok_ellipsis_lines"]
     assert not res[7]["ok_alpha_words"]
     assert not res[8]["ok_stopwords"] and not res[8]["keep"]
+
+
+def test_chunk_windows_boundary_geometry(spark):
+    """Planted chunking edge cases: a doc shorter than the window is
+    ONE full-copy chunk; an exact window-length doc is one chunk; a
+    window+1 doc spills a second chunk whose overlap is window−stride;
+    chunk counts follow ceil((n−W)/S)+1."""
+    from hive_gateway_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_WIN,
+        q_chunk_windows,
+    )
+    from hive_gateway_spark.operators import text as text_mod
+
+    w, s = CHUNK_WIN, CHUNK_STRIDE
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [(1, mk(10)), (2, mk(w)), (3, mk(w + 1)), (4, mk(2 * s + w))],
+        "doc_id bigint, text string",
+    )
+    orig = text_mod.load_tables
+    try:
+        text_mod.load_tables = lambda sp, d: {"documents": docs}
+        rows = q_chunk_windows(spark, "planted").collect()
+    finally:
+        text_mod.load_tables = orig
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk"] == mk(10)
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == w
+    assert len(by_doc[3]) == 2
+    last = sorted(by_doc[3], key=lambda r: r["chunk_idx"])[-1]
+    assert last["n_tokens"] == w + 1 - s
+    assert len(by_doc[4]) == 3  # ceil((2s+w-w)/s)+1
+    for r in sorted(by_doc[4], key=lambda r: r["chunk_idx"])[:-1]:
+        assert r["n_tokens"] == w  # every non-final chunk is full

@@ -805,3 +805,33 @@ def test_stream_gopher_screen_equal_batch(spark, sf_dir):
     w = want.sort_values("doc_id").reset_index(drop=True)
     cols = ["doc_id", "n_words", "ok_word_count", "ok_stopwords", "keep"]
     pd.testing.assert_frame_equal(g[cols], w[cols])
+
+
+def test_stream_reservoir_converges_to_batch_sample(spark, sf_dir):
+    """After the fixture stream drains, the k smallest (hash, doc_id)
+    per source among the emitted admissions are EXACTLY the batch
+    q_reservoir_per_source rows — the deterministic-hash reservoir's
+    convergence guarantee (a true RNG reservoir could never be pinned
+    like this)."""
+    from hive_gateway_spark.operators.sampling import _RESERVOIR_K
+    from hive_gateway_spark.streaming.ops import (
+        stream_documents,
+        stream_reservoir_sample,
+    )
+
+    got = drain(
+        stream_reservoir_sample(stream_documents(spark, sf_dir)), "s_resv"
+    )
+    final: dict[str, list] = {}
+    for r in got.itertuples(index=False):
+        final.setdefault(r.source, []).append((int(r.h), int(r.doc_id)))
+    kept = {
+        s: {i for _, i in sorted(set(v))[:_RESERVOIR_K]}
+        for s, v in final.items()
+    }
+    want: dict[str, set] = {}
+    for r in (
+        registry.QUERIES["q_reservoir_per_source"](spark, sf_dir).collect()
+    ):
+        want.setdefault(r["source"], set()).add(r["doc_id"])
+    assert kept == want and all(len(v) > 0 for v in want.values())
