@@ -157,6 +157,7 @@ HEADLINE_R9 = [
     "q_brand_affinity",
     "q_rfm_segments",
     "q_chunk_windows",
+    "q_first_touch",
 ]
 
 

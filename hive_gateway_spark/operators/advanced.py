@@ -1520,3 +1520,63 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.select("*", seg.alias("segment"))
+
+
+@query(
+    "q_first_touch",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, event_type AS first_touch FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT f.first_touch,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+             AS attributed_value
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY f.first_touch
+    """,
+)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — every user's LIFETIME value credited
+    to the event type that first brought them in (the marketing-
+    analytics classic; in a data-pipeline context the same shape
+    answers "which crawl seed discovered the documents that later
+    passed curation"). Per first-touch type: users acquired, their
+    total downstream events, and the exact-decimal value they carried.
+
+    Determinism: the first touch is ROW_NUMBER over (ts, event_id) — a
+    total order; value folds in exact decimal.
+
+    Scale shape: ONE user-keyed window (WindowGroupLimit pushes the
+    rn=1 cut before the exchange), then a user-keyed join carrying the
+    1-column first-touch label back onto the fact table — both sides
+    hash-partitioned on user_id, so at 100 TB this is two shuffles on
+    the same high-cardinality key and one 5-row aggregate."""
+    t = load_tables(spark, sf_dir)
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    firsts = (
+        t["events"]
+        .select("user_id", "event_type", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    return (
+        t["events"]
+        .join(firsts, "user_id")
+        .groupBy("first_touch")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
