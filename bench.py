@@ -158,6 +158,7 @@ HEADLINE_R9 = [
     "q_rfm_segments",
     "q_chunk_windows",
     "q_first_touch",
+    "q_compress_ratio",
 ]
 
 

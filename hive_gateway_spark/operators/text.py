@@ -1177,3 +1177,40 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+@query("q_compress_ratio")  # rows-only: no zlib in the SQL oracle engine
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (the Dolma / RedPajama
+    heuristic): compressed_len / raw_len per document. Highly
+    repetitive or templated text compresses far below natural prose;
+    near-random (encoded blobs, key-mash) barely compresses — the two
+    tails a quality stack cuts. Complements q_char_entropy (a model-
+    free entropy proxy) with the REAL coding length, and
+    q_doc_repetition (token-level) with a byte-level view.
+
+    Rows-only by design: DuckDB has no zlib, so the check is row-count
+    + property tests (ratio bounds; repetitive ≪ shuffled-vocab text —
+    tests/test_corpus.py).
+
+    Scale shape: scan → Arrow-batched deflate (the designated Python
+    slow path, same kernel budget as the codec family) → in-row ratio;
+    one aggregate-free projection, no shuffle. At 100 TB this runs at
+    ingest next to the Gopher screen and persists the score column."""
+    from hive_gateway_spark.functions.binary import deflate_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    raw = F.encode(F.col("text"), "UTF-8")
+    c = docs.select(
+        "doc_id",
+        F.length(raw).cast("bigint").alias("raw_bytes"),
+        F.length(deflate_udf(raw)).cast("bigint").alias("deflate_bytes"),
+    )
+    return c.select(
+        "doc_id",
+        "raw_bytes",
+        "deflate_bytes",
+        (F.col("deflate_bytes").cast("double") / F.col("raw_bytes")).alias(
+            "compress_ratio"
+        ),
+    )

@@ -358,3 +358,30 @@ def test_chunk_windows_boundary_geometry(spark):
     assert len(by_doc[4]) == 3  # ceil((2s+w-w)/s)+1
     for r in sorted(by_doc[4], key=lambda r: r["chunk_idx"])[:-1]:
         assert r["n_tokens"] == w  # every non-final chunk is full
+
+
+def test_compress_ratio_separates_repetition_from_noise(spark):
+    """Property gate for the rows-only q_compress_ratio: a highly
+    repetitive doc compresses far below a shuffled-vocabulary doc,
+    ratios live in (0, ~1.1], and raw_bytes matches the UTF-8 length."""
+    import random
+
+    from hive_gateway_spark.operators import text as text_mod
+
+    rng = random.Random(3)
+    vocab = [f"tok{i}" for i in range(500)]
+    noisy = " ".join(rng.choice(vocab) for _ in range(400))
+    repetitive = " ".join(["spam ham"] * 200)
+    docs = spark.createDataFrame(
+        [(1, repetitive), (2, noisy)], "doc_id bigint, text string"
+    )
+    orig = text_mod.load_tables
+    try:
+        text_mod.load_tables = lambda sp, d: {"documents": docs}
+        rows = {r["doc_id"]: r for r in text_mod.q_compress_ratio(spark, "p").collect()}
+    finally:
+        text_mod.load_tables = orig
+    assert rows[1]["raw_bytes"] == len(repetitive.encode())
+    for r in rows.values():
+        assert 0 < r["compress_ratio"] <= 1.1
+    assert rows[1]["compress_ratio"] < rows[2]["compress_ratio"] / 3
