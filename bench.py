@@ -159,6 +159,8 @@ HEADLINE_R9 = [
     "q_chunk_windows",
     "q_first_touch",
     "q_compress_ratio",
+    "q_tpch_q6",
+    "q_tpch_q13",
 ]
 
 

@@ -979,3 +979,77 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS forecast_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-
+    aggregate exemplar — every predicate pushes to the parquet scan
+    (plan-asserted), no join, no window, ONE map-side-combined
+    aggregate; revenue folds in exact decimal. The query whose plan
+    shows what predicate pushdown is worth at 100 TB: three pushed
+    ranges prune row groups before a single row deserializes."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(dec(F.col("l_extendedprice") * F.col("l_discount"), 4))
+        .cast("double")
+        .alias("forecast_revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT join so
+    never-ordered customers survive with count 0, the join predicate
+    (priority exclusion) living ON the join — not a post-filter, which
+    would silently delete the zero-order customers — then the classic
+    two-phase aggregate: per-customer counts, then the histogram.
+
+    Scale shape: one custkey-keyed shuffle join (both sides partition
+    on the key), one custkey partial-agg riding the same partitioning,
+    and a tiny histogram aggregate. COUNT(o_orderkey) counts matched
+    rows only — the LEFT-join null-counting trap both engines must
+    agree on (they do; it's ANSI)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))

@@ -357,3 +357,15 @@ def test_tpch_q18_semi_join_and_takeordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_tpch_q18")
     assert "LeftSemi" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6's plan contract: the date range, discount band, and quantity
+    cap ALL reach the parquet scan as pushed filters; the plan has no
+    join and a partial+final aggregate pair."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q6")
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_discount.*\]", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_quantity.*\]", plan), plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
