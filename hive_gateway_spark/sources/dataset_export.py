@@ -642,16 +642,23 @@ def read_snapshot(
     rels = manifest["files"]
     if between is not None:
         col, lo, hi = between
+        cb = manifest.get("cluster_by")
         stats = (
             manifest.get("file_stats", {})
-            if manifest.get("cluster_by") == col
+            if cb == col or (isinstance(cb, list) and col in cb)
             else {}
         )
         if stats:
             def overlaps(rel: str) -> bool:
                 if rel not in stats:
                     return True  # no stats → cannot prune, keep
-                s_lo, s_hi = stats[rel]
+                s = stats[rel]
+                if isinstance(s, dict):  # z-order: per-column ranges
+                    if col not in s:
+                        return True
+                    s_lo, s_hi = s[col]
+                else:
+                    s_lo, s_hi = s
                 try:
                     return not (s_hi < lo or s_lo > hi)
                 except TypeError:  # incomparable types (e.g. iso-string
@@ -726,11 +733,36 @@ def _file_stats(path: str, files: list[str], column: str) -> dict:
     return out
 
 
+def _morton_key(df: DataFrame, ca: str, cb: str):
+    """32-bit Morton (Z-order) key over two numeric columns, each
+    min-max-normalized to 16 bits against the dataset's own range (one
+    bounded 1-row aggregate). Bit interleaving is plain long
+    arithmetic — whole-stage codegen, no UDF."""
+    row = df.agg(F.min(ca), F.max(ca), F.min(cb), F.max(cb)).first()
+    a_lo, a_hi, b_lo, b_hi = (float(x) for x in row)
+
+    def norm(c: str, lo: float, hi: float):
+        if hi <= lo:
+            return F.lit(0).cast("long")
+        return F.least(
+            F.lit(65535),
+            F.floor((F.col(c).cast("double") - lo) / (hi - lo) * 65536),
+        ).cast("long")
+
+    na, nb = norm(ca, a_lo, a_hi), norm(cb, b_lo, b_hi)
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(na, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(nb, i).bitwiseAND(F.lit(1)), 2 * i))
+    return z
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,
     files_per_partition: int = 1,
-    cluster_by: str | None = None,
+    cluster_by: str | list[str] | None = None,
     orphan_grace_s: float = 24 * 3600.0,
 ) -> dict:
     """Small-files maintenance: rewrite the dataset so each partition
@@ -753,6 +785,16 @@ def compact_dataset(
     handful of files instead of all of them (asserted against the real
     footers in tests). Content is identical either way — the checksum
     gate is order-insensitive by construction.
+
+    ``cluster_by=[colA, colB]`` (a list of TWO numeric columns) is the
+    true OPTIMIZE ZORDER: rows are laid out along the Morton curve of
+    the two columns (each min-max-normalized to 16 bits, bits
+    interleaved into one 32-bit key, range-partitioned + sorted on
+    it), so EVERY file covers a small rectangle in (A, B) space and a
+    range read on EITHER column prunes files — where a 1-D sort gives
+    skipping only on its leading column. The manifest records per-file
+    min/max for BOTH columns; read_snapshot(between=) prunes with
+    whichever one the query constrains.
 
     Safety: the rewrite lands inside the table dir under fresh unique
     names (invisible until committed) and BOTH the content checksum
@@ -783,7 +825,17 @@ def compact_dataset(
     df = _read_manifest_files(
         spark, path, base["files"], base.get("schema_json")
     ).select(*cols)
-    if cluster_by is not None:
+    if isinstance(cluster_by, (list, tuple)):
+        if len(cluster_by) != 2:
+            raise ValueError("z-order cluster_by takes exactly two columns")
+        n_files = max(1, files_per_partition)
+        shaped = (
+            df.withColumn("_zkey", _morton_key(df, *cluster_by))
+            .repartitionByRange(n_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    elif cluster_by is not None:
         n_files = max(1, files_per_partition)
         shaped = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(
             cluster_by
@@ -820,9 +872,18 @@ def compact_dataset(
             "files": sorted(set(landed) | set(carried)),
         }
         if cluster_by is not None:
-            manifest["cluster_by"] = cluster_by
-            stats = _file_stats(path, landed, cluster_by)
-            if cur.get("cluster_by") == cluster_by:
+            if isinstance(cluster_by, (list, tuple)):
+                manifest["cluster_by"] = list(cluster_by)
+                per_col = {c: _file_stats(path, landed, c) for c in cluster_by}
+                stats = {
+                    rel: {c: per_col[c][rel] for c in cluster_by if rel in per_col[c]}
+                    for rel in landed
+                    if any(rel in per_col[c] for c in cluster_by)
+                }
+            else:
+                manifest["cluster_by"] = cluster_by
+                stats = _file_stats(path, landed, cluster_by)
+            if cur.get("cluster_by") == manifest["cluster_by"]:
                 # carried appends keep any stats the head already had
                 stats.update(
                     {

@@ -1293,3 +1293,39 @@ def test_concurrent_evolvers_merge_both_columns(spark, tmp_path):
     assert rows[100] == ("topic1", None)
     assert rows[200] == (None, 2.0)
     assert de.verify_dataset(spark, path)["ok"]
+
+
+def test_compact_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: after a two-column Morton compaction, a range
+    read on EITHER dimension file-prunes (each file covers a small
+    rectangle in (x, y) space) — where a 1-D cluster_by sort gives
+    skipping only on its leading column. Content survives the checksum
+    gate; the pruned read returns exactly the filtered rows."""
+    from hive_gateway_spark.sources.dataset_export import (
+        compact_dataset,
+        read_snapshot,
+        verify_dataset,
+        write_dataset,
+    )
+
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "CAST(id % 64 AS BIGINT) AS x",
+        "CAST(id div 64 AS BIGINT) AS y",
+    )
+    path = str(tmp_path / "tbl_z")
+    write_dataset(df.repartition(8), path)
+    out = compact_dataset(
+        spark, path, files_per_partition=16, cluster_by=["x", "y"]
+    )
+    assert out["files_after"] == 16
+    assert verify_dataset(spark, path)["ok"]
+
+    total = len(read_snapshot(spark, path).inputFiles())
+    assert total == 16
+    for col, lo, hi, n_match in (("x", 0, 7, 8 * 64), ("y", 0, 7, 8 * 64)):
+        snap = read_snapshot(spark, path, between=(col, lo, hi))
+        opened = len(snap.inputFiles())
+        assert opened <= total // 2, (col, opened, total)
+        assert snap.count() == n_match
