@@ -161,6 +161,7 @@ HEADLINE_R9 = [
     "q_compress_ratio",
     "q_tpch_q6",
     "q_tpch_q13",
+    "q_graph_kcore",
 ]
 
 

@@ -503,7 +503,7 @@ def _embed_dup_oracle() -> str:
 
 
 from hive_gateway_spark.registry import ORACLES as _ORACLES  # noqa: E402
-from hive_gateway_spark.staging import evict
+from hive_gateway_spark.staging import evict, release
 
 _ORACLES["q_dedup_embedding"] = _embed_dup_oracle()
 
@@ -1633,6 +1633,85 @@ def triangles_from_edges(e: DataFrame) -> DataFrame:
     return tri.select(
         ids[0].alias("doc_a"), ids[1].alias("doc_b"), ids[2].alias("doc_c")
     )
+
+
+#: Fixed k for the k-core peel (2-core: nodes in at least one cycle of
+#: the dup graph — a genuine CLUSTER member, not a chain straggler).
+KCORE_K = 2
+
+#: Peeling-round cap. Each round removes EVERY node below degree k, so
+#: rounds = the graph's peeling complexity — small for the dense
+#: cluster graphs dedup produces (a clique peels in 0 rounds, a star in
+#: 1); the pathological case is a long path (O(n) rounds), which a
+#: near-dup graph does not produce at τ = 0.5. If the cap trips, the
+#: residual is a SUPERSET of the k-core (never an under-report) and the
+#: converged flag in the output says so.
+KCORE_MAX_ROUNDS = 25
+
+
+@query("q_graph_kcore")  # rows-only: iterative peel, not SQL-expressible
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the near-dup graph (k = KCORE_K) — the fourth graph
+    operator beside connected components, PageRank and triangles: a
+    node survives the peel iff it keeps ≥ k neighbors among survivors,
+    so the 2-core separates docs embedded in dup CLUSTERS (cycles)
+    from chain stragglers that triangle counting also excludes, but
+    without requiring closure. The standard corpus-health complement:
+    cluster canonical election keeps one doc per component; the k-core
+    says which components are DENSE enough to trust the election.
+
+    Scale shape: each peeling round is one degree aggregate + one
+    semi-join filter over the (tiny vs corpus) edge list, checkpointed
+    so lineage stays flat; every round removes ALL sub-k nodes at
+    once, so rounds = peeling complexity (bounded by KCORE_MAX_ROUNDS,
+    with honest superset semantics if capped — see constant). Emits
+    (doc_id, core_degree, converged)."""
+    return kcore_nodes(
+        _jaccard_pairs(load_tables(spark, sf_dir)).select("doc_a", "doc_b")
+    )
+
+
+def kcore_nodes(e: DataFrame, k: int = KCORE_K) -> DataFrame:
+    """Peel ``e`` (undirected doc_a < doc_b) to its k-core."""
+    spark = e.sparkSession
+    F_ = F
+    edges = e.localCheckpoint()
+    converged = False
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = (
+            edges.select(F_.col("doc_a").alias("v"))
+            .unionAll(edges.select(F_.col("doc_b").alias("v")))
+            .groupBy("v")
+            .agg(F_.count(F_.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F_.col("deg") >= k).select("v")
+        nxt = (
+            edges.join(
+                keep.withColumnRenamed("v", "doc_a").hint("shuffle_hash"),
+                "doc_a",
+                "left_semi",
+            )
+            .join(
+                keep.withColumnRenamed("v", "doc_b").hint("shuffle_hash"),
+                "doc_b",
+                "left_semi",
+            )
+            .localCheckpoint()
+        )
+        n_before, n_after = edges.count(), nxt.count()
+        release(edges)
+        edges = nxt
+        if n_after == n_before:
+            converged = True
+            break
+    out_deg = (
+        edges.select(F_.col("doc_a").alias("doc_id"))
+        .unionAll(edges.select(F_.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F_.count(F_.lit(1)).alias("core_degree"))
+        .withColumn("converged", F_.lit(converged))
+    )
+    return out_deg
 
 
 #: Incremental-ingest split: doc_id % INC_MOD == 0 is "the new batch",

@@ -754,3 +754,23 @@ def test_triangle_hot_hub_bounded_by_degree_orientation(spark):
 
     tri = triangles_from_edges(e).collect()
     assert [(r["doc_a"], r["doc_b"], r["doc_c"]) for r in tri] == [(201, 202, 203)]
+
+
+def test_kcore_separates_clique_from_chain(spark):
+    """Planted semantics for the 2-core peel: a 4-clique survives with
+    core_degree 3 everywhere; a 5-node path peels to nothing (each
+    round strips both endpoints); a triangle dangling off the path's
+    middle survives alone. Convergence flag true in all cases."""
+    from hive_gateway_spark.operators.dedup import kcore_nodes
+
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    path = [(10, 11), (11, 12), (12, 13), (13, 14)]
+    tri = [(20, 21), (21, 22), (20, 22), (12, 20)]  # triangle hung on 12
+    e = spark.createDataFrame(
+        clique + path + tri, "doc_a bigint, doc_b bigint"
+    )
+    rows = {r["doc_id"]: r for r in kcore_nodes(e).collect()}
+    assert {i for i in rows} == {0, 1, 2, 3, 20, 21, 22}
+    assert all(rows[i]["core_degree"] == 3 for i in range(4))
+    assert all(rows[i]["core_degree"] == 2 for i in (20, 21, 22))
+    assert all(r["converged"] for r in rows.values())
