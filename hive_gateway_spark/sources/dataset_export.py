@@ -739,6 +739,8 @@ def _morton_key(df: DataFrame, ca: str, cb: str):
     bounded 1-row aggregate). Bit interleaving is plain long
     arithmetic — whole-stage codegen, no UDF."""
     row = df.agg(F.min(ca), F.max(ca), F.min(cb), F.max(cb)).first()
+    if row is None or any(x is None for x in row):  # empty table: no layout
+        return F.lit(0).cast("long")
     a_lo, a_hi, b_lo, b_hi = (float(x) for x in row)
 
     def norm(c: str, lo: float, hi: float):
