@@ -1672,9 +1672,21 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kcore_nodes(e: DataFrame, k: int = KCORE_K) -> DataFrame:
-    """Peel ``e`` (undirected doc_a < doc_b) to its k-core."""
-    spark = e.sparkSession
+    """Peel ``e`` (undirected doc_a < doc_b) to its k-core. The
+    converged edge frame is cached per (session, edge plan, k) — the
+    final round's checkpoint otherwise leaked one block set per call
+    (code-review r9 #6); cached entries release deterministically via
+    staging.evict like every other staged frame."""
     F_ = F
+    per = _PAIRS_CACHE.setdefault(e.sparkSession, {})
+    try:
+        key = ("kcore", k, e.semanticHash())
+    except Exception:  # pragma: no cover - non-classic session fallback
+        key = ("kcore", k, id(e))
+    cached = per.get(key)
+    if cached is not None:
+        edges, converged = cached
+        return _kcore_degrees(edges, converged)
     edges = e.localCheckpoint()
     converged = False
     for _ in range(KCORE_MAX_ROUNDS):
@@ -1704,14 +1716,20 @@ def kcore_nodes(e: DataFrame, k: int = KCORE_K) -> DataFrame:
         if n_after == n_before:
             converged = True
             break
-    out_deg = (
-        edges.select(F_.col("doc_a").alias("doc_id"))
-        .unionAll(edges.select(F_.col("doc_b").alias("doc_id")))
+    evict(per)
+    per[key] = (edges, converged)
+    return _kcore_degrees(edges, converged)
+
+
+def _kcore_degrees(edges: DataFrame, converged: bool) -> DataFrame:
+    """Survivor degrees over the peeled edge frame."""
+    return (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(edges.select(F.col("doc_b").alias("doc_id")))
         .groupBy("doc_id")
-        .agg(F_.count(F_.lit(1)).alias("core_degree"))
-        .withColumn("converged", F_.lit(converged))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .withColumn("converged", F.lit(converged))
     )
-    return out_deg
 
 
 #: Incremental-ingest split: doc_id % INC_MOD == 0 is "the new batch",

@@ -475,6 +475,19 @@ def append_dataset(
                     + [f for f in df_fields if f["name"] not in have],
                 }
             )
+        elif prev["columns"] != cols:
+            # a racing writer EVOLVED the schema while this plain
+            # append composed: adopt the winner's widened column list
+            # and schema (our landed files lack the new columns —
+            # readers NULL-fill them), and recompute the batch delta
+            # hashes under the widened list (a row's hash covers every
+            # column, so the old-column delta would compose a checksum
+            # verify_dataset can never reproduce)
+            cols = prev["columns"]
+            schema_json = prev.get("schema_json")
+            if created:
+                back = _read_manifest_files(spark, path, created, schema_json)
+                delta_sum = int(_content_checksum(back.select(*cols), cols))
         counts = dict(prev["partitions"])
         for k, v in delta.items():
             counts[k] = counts.get(k, 0) + v
@@ -566,12 +579,22 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
             "(schema evolution is an explicit rewrite, not a merge)"
         )
     for _ in range(MAX_COMMIT_RETRIES):
+        # cols re-derives from the CURRENT head each attempt: a merge
+        # that loses its race to a schema-evolving append must rewrite
+        # with the WINNER's widened column list (upsert rows NULL-fill
+        # the columns they don't carry, exactly as evolution NULL-fills
+        # pre-evolution files) — composing with the stale column list
+        # would silently drop the evolved column from the whole table
+        cols = prev["columns"]
         current = _read_manifest_files(
             spark, path, prev["files"], prev.get("schema_json")
         ).select(*cols)
         merged = current.join(
             df.select(key).distinct(), on=key, how="left_anti"
-        ).unionByName(df.select(*cols))
+        ).unionByName(
+            df.select(*[c for c in cols if c in df.columns]),
+            allowMissingColumns=True,
+        ).select(*cols)
         files = _land_files(merged, path, pby)
         back = _read_manifest_files(spark, path, files)
         counts = _partition_counts(back, pby)
@@ -766,6 +789,7 @@ def compact_dataset(
     files_per_partition: int = 1,
     cluster_by: str | list[str] | None = None,
     orphan_grace_s: float = 24 * 3600.0,
+    _rebase_attempts: int = 3,
 ) -> dict:
     """Small-files maintenance: rewrite the dataset so each partition
     holds at most `files_per_partition` data files, preserving content
@@ -866,6 +890,30 @@ def compact_dataset(
     base_files = set(base["files"])
     for _ in range(MAX_COMMIT_RETRIES):
         cur = _current_manifest(path)
+        # carry-through is only sound for APPEND winners (base files
+        # still present, new files beside them). A racing MERGE or
+        # COMPACTION REPLACES the file list — "carrying" its files
+        # would commit the base rows twice (its rewrite already
+        # contains them). Detect the replacement and restart the whole
+        # compaction against the new head instead (code-review r9 #3).
+        if not base_files.issubset(set(cur["files"])):
+            for rel in landed:
+                try:
+                    os.unlink(os.path.join(path, rel))
+                except FileNotFoundError:
+                    pass
+            if _rebase_attempts <= 0:
+                raise RuntimeError(
+                    f"compaction repeatedly raced full rewrites at {path}"
+                )
+            return compact_dataset(
+                spark,
+                path,
+                files_per_partition,
+                cluster_by,
+                orphan_grace_s,
+                _rebase_attempts - 1,
+            )
         # files committed since our base snapshot ride through untouched
         carried = [f for f in cur["files"] if f not in base_files]
         manifest = {

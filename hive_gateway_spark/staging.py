@@ -31,9 +31,17 @@ _SLOTS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 def release(obj) -> None:
     """Free the block-manager blocks behind a localCheckpoint()'ed
-    DataFrame NOW instead of at ContextCleaner GC time. Safe on
-    anything: non-DataFrames, non-checkpointed frames, and Connect
-    sessions all fall through silently."""
+    DataFrame NOW instead of at ContextCleaner GC time. Tuples/lists
+    are walked so composite cache entries (e.g. the IVF index's
+    (centers, inverted_file) pair) free their checkpointed members —
+    a bare tuple would otherwise no-op and defeat the deterministic
+    release (code-review r9 #5). Safe on anything else: non-DataFrames,
+    non-checkpointed frames, and Connect sessions fall through
+    silently."""
+    if isinstance(obj, (tuple, list)):
+        for item in obj:
+            release(item)
+        return
     try:
         plan = obj._jdf.queryExecution().analyzed()
         if plan.nodeName() == "LogicalRDD":
@@ -47,7 +55,13 @@ def evict(per: dict, cap: int = CACHE_CAP) -> None:
     exceeds ``cap``, release every held frame's blocks BEFORE dropping
     the dict entries (the leak ADVICE r8 #4 measured was clear()
     without release). Values that aren't checkpointed frames (e.g. the
-    BPE merge list) pass through release() harmlessly."""
+    BPE merge list) pass through release() harmlessly.
+
+    Contract (same as stage()): a caller that still holds a LAZY plan
+    over an evicted checkpoint must not execute it after eviction —
+    collect before triggering more staged queries. Every registered
+    query and the driver contract collect eagerly, so the hazard is
+    only holding un-executed frames across many staged calls."""
     if len(per) > cap:
         for v in per.values():
             release(v)

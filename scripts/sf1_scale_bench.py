@@ -74,9 +74,14 @@ SUPERLINEAR_FLAG = 25.0
 
 
 def _suffix_tokens(texts: pa.ChunkedArray, k: int) -> pa.Array:
+    import re
+
     suf = f"~{k}"
+    # regex substitution preserves ALL whitespace structure (newlines,
+    # runs) — a split/join rebuild would flatten multi-line docs and
+    # change the per-copy workload for line-keyed rules
     out = [
-        None if t is None else " ".join(w + suf for w in t.split())
+        None if t is None else re.sub(r"\S+", lambda m: m.group(0) + suf, t)
         for t in texts.to_pylist()
     ]
     return pa.array(out, pa.string())

@@ -1329,3 +1329,87 @@ def test_compact_zorder_prunes_on_both_dimensions(spark, tmp_path):
         opened = len(snap.inputFiles())
         assert opened <= total // 2, (col, opened, total)
         assert snap.count() == n_match
+
+
+def test_merge_racing_evolver_keeps_evolved_column(spark, tmp_path):
+    """code-review r9 #1: a merge that loses its commit race to a
+    schema-evolving append must re-apply with the WINNER's widened
+    column list — upsert rows NULL-fill the evolved column; composing
+    with the stale list would silently drop the column from the whole
+    table."""
+    import hive_gateway_spark.sources.dataset_export as de
+
+    path = str(tmp_path / "race_me")
+    de.write_dataset(_docs(spark, 0, 4, "base"), path)
+    evo = spark.range(100, 102).selectExpr(
+        "id AS doc_id", "CONCAT('e-', CAST(id AS STRING)) AS text",
+        "CAST(id AS DOUBLE) AS quality",
+    )
+    up = spark.createDataFrame(
+        [(2, "UPD-2"), (200, "new-200")], "doc_id bigint, text string"
+    )
+    de._RACE_HOOK = lambda: de.append_dataset(evo, path, evolve=True)
+    try:
+        m = de.merge_dataset(up, path, key="doc_id")
+    finally:
+        de._RACE_HOOK = None
+    assert m["version"] == 3
+    assert "quality" in m["columns"]
+    rows = {r["doc_id"]: (r["text"], r["quality"])
+            for r in de.read_snapshot(spark, path).collect()}
+    assert rows[2] == ("UPD-2", None)
+    assert rows[200] == ("new-200", None)
+    assert rows[100] == ("e-100", 100.0)  # the winner's column survives
+    assert de.verify_dataset(spark, path)["ok"]
+
+
+def test_plain_append_racing_evolver_adopts_widened_schema(spark, tmp_path):
+    """code-review r9 #2: a plain append losing its race to a schema
+    evolution must adopt the winner's widened column list and recompute
+    its batch delta under it — the stale composition rolled the schema
+    back and produced a checksum verify_dataset could never reproduce."""
+    import hive_gateway_spark.sources.dataset_export as de
+
+    path = str(tmp_path / "race_pe")
+    de.write_dataset(_docs(spark, 0, 4, "base"), path)
+    evo = spark.range(100, 102).selectExpr(
+        "id AS doc_id", "CONCAT('e-', CAST(id AS STRING)) AS text",
+        "CAST(id AS DOUBLE) AS quality",
+    )
+    de._RACE_HOOK = lambda: de.append_dataset(evo, path, evolve=True)
+    try:
+        m = de.append_dataset(_docs(spark, 300, 302, "late"), path)
+    finally:
+        de._RACE_HOOK = None
+    assert m["version"] == 3 and "quality" in m["columns"]
+    rows = {r["doc_id"]: r["quality"]
+            for r in de.read_snapshot(spark, path).collect()}
+    assert set(rows) == {0, 1, 2, 3, 100, 101, 300, 301}
+    assert rows[300] is None and rows[100] == 100.0
+    assert de.verify_dataset(spark, path)["ok"]
+
+
+def test_compact_racing_merge_restarts_instead_of_double_counting(
+    spark, tmp_path
+):
+    """code-review r9 #3: a compaction whose base files were REPLACED
+    by a racing merge must restart against the new head — 'carrying'
+    the merge's full rewrite through would commit every non-upserted
+    row twice."""
+    import hive_gateway_spark.sources.dataset_export as de
+
+    path = str(tmp_path / "race_cm")
+    de.write_dataset(_docs(spark, 0, 20, "base").repartition(6), path)
+    up = spark.createDataFrame(
+        [(5, "UPD-5"), (500, "new-500")], "doc_id bigint, text string"
+    )
+    de._RACE_HOOK = lambda: de.merge_dataset(up, path, key="doc_id")
+    try:
+        de.compact_dataset(spark, path, files_per_partition=2)
+    finally:
+        de._RACE_HOOK = None
+    m = de._current_manifest(path)
+    assert m["n_rows"] == 21  # 20 base, one upserted in place, one new
+    rows = sorted(r["doc_id"] for r in de.read_snapshot(spark, path).collect())
+    assert rows == list(range(20)) + [500]  # no duplicates
+    assert de.verify_dataset(spark, path)["ok"]
