@@ -1157,7 +1157,12 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens/S per doc, proportional to document length — the same
     bounded-explode contract as q_interval_overlap); ZERO joins, no
     window operator, no shuffle at all until a consumer aggregates."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    return chunk_windows(load_tables(spark, sf_dir)["documents"])
+
+
+def chunk_windows(docs: DataFrame) -> DataFrame:
+    """Core of q_chunk_windows over any (doc_id, text) frame — a pure
+    stateless projection+explode, valid on batch and streaming frames."""
     w = docs.select("doc_id", F.split("text", " ").alias("words"))
     n = F.size("words")
     n_chunks = F.when(n <= CHUNK_WIN, F.lit(1)).otherwise(

@@ -950,3 +950,16 @@ def stream_reservoir_sample(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_chunk_windows(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q_chunk_windows: sliding-window context
+    chunking at ingest — each arriving document explodes into its
+    overlapping W/S chunks in-row (stateless bounded explode, no
+    watermark, no state), so long crawl documents become
+    training-ready sequences the moment they land. Shared
+    implementation with the batch query (text.chunk_windows), so the
+    geometry cannot drift."""
+    from hive_gateway_spark.operators.text import chunk_windows
+
+    return chunk_windows(docs)

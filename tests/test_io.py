@@ -1413,3 +1413,36 @@ def test_compact_racing_merge_restarts_instead_of_double_counting(
     rows = sorted(r["doc_id"] for r in de.read_snapshot(spark, path).collect())
     assert rows == list(range(20)) + [500]  # no duplicates
     assert de.verify_dataset(spark, path)["ok"]
+
+
+def test_morton_key_matches_python_reference(spark):
+    """The Spark bit-interleave reproduces a Python Morton reference on
+    the normalized grid, and z-ordering preserves 2-D locality: the
+    key equals interleave(norm16(x), norm16(y)) exactly for corner and
+    random points."""
+    import random
+
+    from hive_gateway_spark.sources.dataset_export import _morton_key
+
+    rng = random.Random(11)
+    pts = [(0, 0), (63, 63), (0, 63), (63, 0)] + [
+        (rng.randrange(64), rng.randrange(64)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", _morton_key(df, "x", "y")).collect()
+    }
+
+    def norm16(v, lo=0, hi=63):
+        return min(65535, int((v - lo) / (hi - lo) * 65536))
+
+    def interleave(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == interleave(norm16(x), norm16(y)), (x, y, z)

@@ -835,3 +835,23 @@ def test_stream_reservoir_converges_to_batch_sample(spark, sf_dir):
     ):
         want.setdefault(r["source"], set()).add(r["doc_id"])
     assert kept == want and all(len(v) > 0 for v in want.values())
+
+
+def test_stream_chunk_windows_equal_batch(spark, sf_dir):
+    """Chunking drained over the fixture stream emits exactly the
+    batch projection's chunks (shared implementation)."""
+    from hive_gateway_spark.operators.text import chunk_windows
+    from hive_gateway_spark.streaming.ops import (
+        stream_chunk_windows,
+        stream_documents,
+    )
+
+    got = drain(stream_chunk_windows(stream_documents(spark, sf_dir)), "s_chunks")
+    want = chunk_windows(load_tables(spark, sf_dir)["documents"]).toPandas()
+    assert len(got) == len(want) > 0
+    g = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    w = want.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[["doc_id", "chunk_idx", "chunk", "n_tokens"]],
+        w[["doc_id", "chunk_idx", "chunk", "n_tokens"]],
+    )
