@@ -162,6 +162,8 @@ HEADLINE_R9 = [
     "q_tpch_q6",
     "q_tpch_q13",
     "q_graph_kcore",
+    "q_vocab_coverage",
+    "q_collocations",
 ]
 
 

@@ -1219,3 +1219,166 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compress_ratio"
         ),
     )
+
+
+#: Coverage thresholds (per-10k shares) for q_vocab_coverage.
+_COVERAGE_BPS = (5000, 9000, 9900)
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH wc AS (
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    tot AS (SELECT SUM(n) AS total FROM wc),
+    ranked AS (
+        SELECT word, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rank,
+               SUM(n) OVER (ORDER BY n DESC, word ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM wc
+    )
+    SELECT t.bps, MIN(r.rank) AS vocab_size
+    FROM ranked r
+    CROSS JOIN tot
+    JOIN (VALUES {", ".join(f"({b})" for b in _COVERAGE_BPS)}) AS t(bps)
+      ON r.cum * 10000 >= t.bps * tot.total
+    GROUP BY t.bps
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question "how
+    many word types cover 50% / 90% / 99% of all tokens?": rank words
+    by frequency, cumulate, report the smallest rank reaching each
+    threshold. The Zipf companion every vocab-size decision reads
+    (q_zipf_fit gives the exponent; this gives the actionable cut).
+
+    Determinism: counts and the cumulative sum are exact integers; the
+    threshold test is cleared of division (cum·10⁴ ≥ bps·total); the
+    ranking key (n DESC, word ASC) is a total order.
+
+    Scale shape: one word-count aggregate (map-side combined), then a
+    VOCABULARY-scale ranking window — Heaps' law keeps the vocabulary
+    millions where the corpus is trillions, and past that the cut
+    moves to the two-pass quantile form (the q_ccnet_buckets note);
+    the 1-row total broadcasts via scalar cross join."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window as W
+
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = wc.agg(F.sum("n").alias("total"))
+    w_rank = W.orderBy(F.col("n").desc(), F.col("word").asc())
+    ranked = wc.select(
+        "n",
+        F.row_number().over(w_rank).alias("rank"),
+        F.sum("n").over(w_rank.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    ).crossJoin(F.broadcast(tot))
+    thresholds = spark.createDataFrame(
+        [(b,) for b in _COVERAGE_BPS], "bps int"
+    )
+    return (
+        ranked.join(
+            F.broadcast(thresholds),
+            F.col("cum") * 10000 >= F.col("bps") * F.col("total"),
+        )
+        .groupBy("bps")
+        .agg(F.min("rank").alias("vocab_size"))
+    )
+
+
+#: PMI collocation report geometry.
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 50
+
+
+def _collocations_oracle() -> str:
+    return f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    bg AS (
+        SELECT words[i + 1] AS w1, words[i + 2] AS w2
+        FROM w, UNNEST(range(len(words) - 1)) AS t(i)
+        WHERE len(words) >= 2
+    ),
+    c2 AS (
+        SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2
+        HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+    ),
+    lc AS (SELECT w1 AS w, COUNT(*) AS nl FROM bg GROUP BY w1),
+    rc AS (SELECT w2 AS w, COUNT(*) AS nr FROM bg GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS n FROM bg)
+    SELECT c2.w1, c2.w2, c2.n12,
+           CAST(ROUND(ln(CAST(c2.n12 AS DOUBLE) * tot.n
+                         / (CAST(lc.nl AS DOUBLE) * rc.nr)), 6) AS DOUBLE)
+             AS pmi
+    FROM c2
+    JOIN lc ON lc.w = c2.w1
+    JOIN rc ON rc.w = c2.w2
+    CROSS JOIN tot
+    ORDER BY pmi DESC, c2.w1 ASC, c2.w2 ASC
+    LIMIT {_PMI_TOP_K}
+    """
+
+
+@query("q_collocations", oracle=_collocations_oracle())
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations (Church & Hanks 1990): adjacent word
+    pairs whose co-occurrence beats the independence baseline —
+    ln(n12·N / (n1·n2)) over bigram position counts, min count
+    5. The corpus-linguistics classic (and the multi-word-token
+    candidate generator a tokenizer pipeline feeds from).
+
+    Determinism: all four counts are exact integers; PMI is ONE libm
+    ln on an identical IEEE quotient, rounded 6 dp (the q_tf_idf
+    rule); the top-k order is fully tie-broken.
+
+    Scale shape: in-row bigrams (no self-join), three map-side-
+    combined count aggregates; the positional unigram tables are
+    VOCABULARY-scale but join the HAVING-filtered pair table (already
+    shrunk by min-count) — both joins vocabulary-keyed; the 1-row N
+    broadcasts; the top-k is TakeOrdered."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select(F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 2
+    )
+    bg = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words) - 2), "
+                "i -> struct(words[i] AS w1, words[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n12"))
+        .filter(F.col("n12") >= _PMI_MIN_COUNT)
+    )
+    lc = bg.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("nl"))
+    rc = bg.groupBy(F.col("w2").alias("w")).agg(F.count("*").alias("nr"))
+    tot = bg.agg(F.count("*").alias("n"))
+    pmi = F.round(
+        F.log(
+            F.col("n12").cast("double")
+            * F.col("n")
+            / (F.col("nl").cast("double") * F.col("nr"))
+        ),
+        6,
+    )
+    return (
+        c2.join(lc.withColumnRenamed("w", "w1"), "w1")
+        .join(rc.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(_PMI_TOP_K)
+    )
