@@ -82,6 +82,7 @@ def _try_commit(path: str, manifest: dict) -> None:
     On success the root pointer is refreshed (advisory — see
     _current_manifest)."""
     target = os.path.join(path, f"_MANIFEST.v{int(manifest['version'])}.json")
+    manifest.setdefault("committed_at_us", int(_time.time() * 1_000_000))
     tmp = target + f".{_uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -328,6 +329,8 @@ def _write_manifest(path: str, manifest: dict) -> None:
     rename, a crash leaves the previous manifest intact and this
     commit simply never happened (the crash-safety story the module
     docstring promises, applied to the manifest itself)."""
+
+    manifest.setdefault("committed_at_us", int(_time.time() * 1_000_000))
 
     def _atomic(target: str) -> None:
         tmp = target + ".tmp"
@@ -628,11 +631,34 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     )
 
 
+def version_at(path: str, as_of_us: int) -> int:
+    """TIMESTAMP AS OF resolution: the highest committed version whose
+    commit stamp is ≤ ``as_of_us`` (epoch microseconds). Scans the
+    immutable version log (same listing dataset_history reads).
+    Unstamped legacy versions are treated as always-visible."""
+    import glob as _glob
+
+    best = None
+    for vpath in sorted(_glob.glob(os.path.join(path, "_MANIFEST.v*.json"))):
+        with open(vpath) as f:
+            m = json.load(f)
+        ts = m.get("committed_at_us")
+        if ts is None or int(ts) <= as_of_us:
+            v = int(m["version"])
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"no version committed at or before {as_of_us} at {path}"
+        )
+    return best
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     between: tuple | None = None,
+    as_of_us: int | None = None,
 ) -> DataFrame:
     """Time-travel read: the dataset EXACTLY as manifest version N
     recorded it, by reading only that version's file list (basePath
@@ -652,6 +678,8 @@ def read_snapshot(
     stats the filter still applies — just without the skip.
 
     """
+    if version is None and as_of_us is not None:
+        version = version_at(path, as_of_us)  # TIMESTAMP AS OF
     if version is None:
         manifest = _current_manifest(path)
     else:
@@ -1049,13 +1077,15 @@ def dataset_history(spark: SparkSession, path: str) -> DataFrame:
         with open(vpath) as f:
             m = json.load(f)
         files = m.get("files", [])
+        cb = m.get("cluster_by")
         rows.append(
             (
                 int(m["version"]),
+                m.get("committed_at_us"),
                 int(m["n_rows"]),
                 len(files),
                 str(m.get("content_xxh64_sum")),
-                m.get("cluster_by"),
+                ",".join(cb) if isinstance(cb, list) else cb,
                 m.get("last_batch_id"),
                 all(
                     os.path.exists(os.path.join(path, rel)) for rel in files
@@ -1064,8 +1094,9 @@ def dataset_history(spark: SparkSession, path: str) -> DataFrame:
         )
     return spark.createDataFrame(
         sorted(rows),
-        "version int, n_rows bigint, n_files int, checksum string, "
-        "cluster_by string, last_batch_id bigint, readable boolean",
+        "version int, committed_at_us bigint, n_rows bigint, n_files int, "
+        "checksum string, cluster_by string, last_batch_id bigint, "
+        "readable boolean",
     )
 
 

@@ -1446,3 +1446,52 @@ def test_morton_key_matches_python_reference(spark):
 
     for (x, y), z in got.items():
         assert z == interleave(norm16(x), norm16(y)), (x, y, z)
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: every commit is stamped; reading as of a moment
+    between v1 and v2 returns exactly v1's rows, as of now returns the
+    head, and a pre-table timestamp errors. dataset_history surfaces
+    the stamps (and a z-ordered cluster_by renders as a string, not a
+    crash)."""
+    import time as _t
+
+    import pytest as _pytest
+
+    from hive_gateway_spark.sources.dataset_export import (
+        append_dataset,
+        compact_dataset,
+        dataset_history,
+        read_snapshot,
+        write_dataset,
+    )
+
+    path = str(tmp_path / "tbl_asof")
+    write_dataset(
+        spark.range(3).selectExpr(
+            "id AS doc_id", "CAST(id AS BIGINT) AS x", "CAST(id*2 AS BIGINT) AS y"
+        ),
+        path,
+    )
+    _t.sleep(0.01)
+    t_mid = int(_t.time() * 1_000_000)
+    _t.sleep(0.01)
+    append_dataset(
+        spark.range(10, 12).selectExpr(
+            "id AS doc_id", "CAST(id AS BIGINT) AS x", "CAST(id*2 AS BIGINT) AS y"
+        ),
+        path,
+    )
+    v1_rows = sorted(
+        r["doc_id"] for r in read_snapshot(spark, path, as_of_us=t_mid).collect()
+    )
+    assert v1_rows == [0, 1, 2]
+    now = int(_t.time() * 1_000_000)
+    assert read_snapshot(spark, path, as_of_us=now).count() == 5
+    with _pytest.raises(ValueError, match="no version committed"):
+        read_snapshot(spark, path, as_of_us=t_mid - 10_000_000)
+
+    compact_dataset(spark, path, files_per_partition=2, cluster_by=["x", "y"])
+    h = dataset_history(spark, path).collect()
+    assert all(r["committed_at_us"] is not None for r in h)
+    assert any(r["cluster_by"] == "x,y" for r in h)
