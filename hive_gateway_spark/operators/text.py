@@ -1341,11 +1341,17 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln on an identical IEEE quotient, rounded 6 dp (the q_tf_idf
     rule); the top-k order is fully tie-broken.
 
-    Scale shape: in-row bigrams (no self-join), three map-side-
-    combined count aggregates; the positional unigram tables are
-    VOCABULARY-scale but join the HAVING-filtered pair table (already
-    shrunk by min-count) — both joins vocabulary-keyed; the 1-row N
-    broadcasts; the top-k is TakeOrdered."""
+    Scale shape: ONE bigram explode + ONE pair-keyed count shuffle —
+    the marginal tables and N all DERIVE from the unfiltered pair
+    counts (nl = Σ n12 by w1, nr = Σ n12 by w2, N = Σ n12), which is
+    pair-scale re-aggregation, never a corpus re-scan (the naive form
+    re-ran the explode four times — code-review r9 #11); the staged
+    pair table is checkpointed so its four consumers share one build.
+    The marginal joins are vocabulary-keyed on the HAVING-shrunk pair
+    table; the 1-row N broadcasts; the top-k is TakeOrdered. The
+    bigram expression mirrors q_text_ngrams'/perplexity_report's
+    in-row idiom (struct form; all three parity-gated, so geometric
+    drift is caught by the oracles)."""
     docs = load_tables(spark, sf_dir)["documents"]
     w = docs.select(F.split("text", " ").alias("words")).filter(
         F.size("words") >= 2
@@ -1358,14 +1364,14 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    c2 = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count("*").alias("n12"))
-        .filter(F.col("n12") >= _PMI_MIN_COUNT)
+    pairs = stage(
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("n12")),
+        "collocations.pairs",
     )
-    lc = bg.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("nl"))
-    rc = bg.groupBy(F.col("w2").alias("w")).agg(F.count("*").alias("nr"))
-    tot = bg.agg(F.count("*").alias("n"))
+    c2 = pairs.filter(F.col("n12") >= _PMI_MIN_COUNT)
+    lc = pairs.groupBy(F.col("w1").alias("w")).agg(F.sum("n12").alias("nl"))
+    rc = pairs.groupBy(F.col("w2").alias("w")).agg(F.sum("n12").alias("nr"))
+    tot = pairs.agg(F.sum("n12").alias("n"))
     pmi = F.round(
         F.log(
             F.col("n12").cast("double")

@@ -82,7 +82,10 @@ def _try_commit(path: str, manifest: dict) -> None:
     On success the root pointer is refreshed (advisory — see
     _current_manifest)."""
     target = os.path.join(path, f"_MANIFEST.v{int(manifest['version'])}.json")
-    manifest.setdefault("committed_at_us", int(_time.time() * 1_000_000))
+    # stamped immediately before the dump, fresh on every attempt — the
+    # residual non-repeatability window for TIMESTAMP AS OF readers is
+    # the dump+fsync+link syscall run, microseconds on one filesystem
+    manifest["committed_at_us"] = int(_time.time() * 1_000_000)
     tmp = target + f".{_uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -631,15 +634,26 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     )
 
 
-def version_at(path: str, as_of_us: int) -> int:
+def version_at(path: str, as_of_us: int) -> int | None:
     """TIMESTAMP AS OF resolution: the highest committed version whose
     commit stamp is ≤ ``as_of_us`` (epoch microseconds). Scans the
     immutable version log (same listing dataset_history reads).
-    Unstamped legacy versions are treated as always-visible."""
+    Unstamped legacy versions are treated as always-visible; a
+    root-pointer-only legacy table returns None, meaning "serve the
+    root manifest" (read_snapshot's current-head path)."""
     import glob as _glob
 
     best = None
-    for vpath in sorted(_glob.glob(os.path.join(path, "_MANIFEST.v*.json"))):
+    vpaths = sorted(_glob.glob(os.path.join(path, "_MANIFEST.v*.json")))
+    if not vpaths:  # pre-CAS legacy table: only the root pointer exists
+        m = _current_manifest(path)
+        ts = m.get("committed_at_us")
+        if ts is None or int(ts) <= as_of_us:
+            return None  # "serve the root manifest" (always-visible)
+        raise ValueError(
+            f"no version committed at or before {as_of_us} at {path}"
+        )
+    for vpath in vpaths:
         with open(vpath) as f:
             m = json.load(f)
         ts = m.get("committed_at_us")
@@ -678,6 +692,11 @@ def read_snapshot(
     stats the filter still applies — just without the skip.
 
     """
+    if version is not None and as_of_us is not None:
+        raise ValueError(
+            "pass either version or as_of_us, not both (conflicting "
+            "snapshot selectors)"
+        )
     if version is None and as_of_us is not None:
         version = version_at(path, as_of_us)  # TIMESTAMP AS OF
     if version is None:
@@ -949,6 +968,10 @@ def compact_dataset(
             "version": int(cur.get("version", 1)) + 1,
             "files": sorted(set(landed) | set(carried)),
         }
+        # the spread would inherit cur's commit stamp and defeat the
+        # setdefault in _try_commit — every compaction would report its
+        # predecessor's time in DESCRIBE HISTORY (code-review r9 #8)
+        manifest.pop("committed_at_us", None)
         if cluster_by is not None:
             if isinstance(cluster_by, (list, tuple)):
                 manifest["cluster_by"] = list(cluster_by)

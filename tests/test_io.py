@@ -1495,3 +1495,35 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     h = dataset_history(spark, path).collect()
     assert all(r["committed_at_us"] is not None for r in h)
     assert any(r["cluster_by"] == "x,y" for r in h)
+
+
+def test_compaction_gets_its_own_commit_stamp(spark, tmp_path):
+    """code-review r9 #8: the compact manifest's `{**cur}` spread must
+    not inherit the predecessor's committed_at_us — DESCRIBE HISTORY
+    has to show the compaction at ITS OWN time, strictly after the
+    commit it compacted."""
+    from hive_gateway_spark.sources.dataset_export import (
+        append_dataset,
+        compact_dataset,
+        dataset_history,
+        read_snapshot,
+        write_dataset,
+    )
+
+    from hive_gateway_spark.sources.dataset_export import _current_manifest
+
+    path = str(tmp_path / "tbl_stamp")
+    write_dataset(_docs(spark, 0, 6, "b").repartition(4), path)
+    append_dataset(_docs(spark, 10, 12, "a"), path)
+    before = _current_manifest(path)["committed_at_us"]
+    compact_dataset(spark, path, files_per_partition=1)
+    after = _current_manifest(path)["committed_at_us"]
+    assert after is not None and after > before
+    h = {r["version"]: r["committed_at_us"]
+         for r in dataset_history(spark, path).collect()}
+    assert h[3] == after  # history surfaces the compaction's OWN stamp
+    # version+as_of together is a contract error, not a silent pick
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, path, version=1, as_of_us=after)
