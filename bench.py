@@ -164,6 +164,7 @@ HEADLINE_R9 = [
     "q_graph_kcore",
     "q_vocab_coverage",
     "q_collocations",
+    "q_mad_outliers",
 ]
 
 

@@ -1580,3 +1580,79 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_value"),
         )
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               ROUND(CAST(quantile_cont(adev, 0.5) AS DOUBLE), 4) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           MIN(d.med) AS median_value,
+           MIN(m.mad) AS mad,
+           CAST(SUM(CASE WHEN ABS(d.value - d.med) > 4.4478 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier screen (median absolute deviation, Hampel's
+    3·1.4826·MAD rule) — the robust complement to the 3σ family
+    (q_outliers, q_volume_anomaly): a single wild value inflates a
+    standard deviation and can HIDE other outliers; the median pair is
+    breakdown-point-0.5 immune to exactly that.
+
+    Determinism: both medians are exact interpolated percentiles
+    rounded to 4 dp (the q_latency_stats rule — identical IEEE inputs
+    either side), the threshold 4.4478·mad is one double product, the
+    flag one strict compare on identical operands.
+
+    Scale shape: two percentile aggregates keyed on the (small)
+    event_type dimension with the per-type medians broadcast back onto
+    the fact stream between them — two fact scans total (a median
+    genuinely needs its distribution before deviations exist); at
+    100 TB the second pass rides the first's shuffle partitioning."""
+    t = load_tables(spark, sf_dir)
+    med = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("med"))
+    )
+    dev = t["events"].join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(adev, 0.5)"), 4).alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 4.4478 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
