@@ -165,6 +165,7 @@ HEADLINE_R9 = [
     "q_vocab_coverage",
     "q_collocations",
     "q_mad_outliers",
+    "q_event_gaps",
 ]
 
 

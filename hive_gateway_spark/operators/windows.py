@@ -411,3 +411,81 @@ def q_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+#: Gap-histogram band upper bounds in µs (last band open-ended).
+_GAP_BANDS_US = (
+    ("lt_1m", 60 * 1_000_000),
+    ("1m_10m", 600 * 1_000_000),
+    ("10m_30m", 1800 * 1_000_000),
+    ("30m_24h", 86400 * 1_000_000),
+)
+
+
+def _gap_band_sql(expr: str) -> str:
+    cases = []
+    prev = 0
+    for name, hi in _GAP_BANDS_US:
+        cases.append(f"WHEN {expr} < {hi} THEN '{name}'")
+        prev = hi
+    return "CASE " + " ".join(cases) + " ELSE 'ge_24h' END"
+
+
+@query(
+    "q_event_gaps",
+    oracle=f"""
+    WITH g AS (
+        SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    b AS (
+        SELECT {_gap_band_sql("gap_us")} AS band, gap_us
+        FROM g WHERE gap_us IS NOT NULL
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM b)
+    SELECT b.band,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(b.gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(b.gap_us) AS BIGINT) AS max_gap_us,
+           CAST(COUNT(*) AS DOUBLE) / tot.n AS share
+    FROM b CROSS JOIN tot
+    GROUP BY b.band, tot.n
+    """,
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram per user stream — the evidence behind
+    the sessionizer's 30-minute cut (SESSION_GAP_US): consecutive-event
+    gaps bucketed into fixed bands with counts, extremes, and shares.
+    A healthy parameter sits in the histogram's valley (few gaps near
+    the 10m–30m boundary); a fat 10m_30m band means the cut bisects
+    real sessions. The same chart tunes watermark delays for the
+    streaming twins.
+
+    Determinism: gaps are exact epoch-µs differences over the fully
+    tie-broken (ts, event_id) order; bands are integer comparisons;
+    share is one integer-ratio IEEE division.
+
+    Scale shape: ONE user-keyed window (the sessionizer's own shuffle
+    shape) → in-row band CASE → one partial-agg shuffle on ≤ 5 bands;
+    the 1-row total broadcasts via scalar cross join."""
+    t = load_tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = t["events"].select((us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    band = F.expr(_gap_band_sql("gap_us"))
+    b = g.select(band.alias("band"), "gap_us")
+    tot = b.agg(F.count("*").alias("n"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("band", "n")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            (F.count("*").cast("double") / F.col("n")).alias("share"),
+        )
+        .drop("n")
+    )
