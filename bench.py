@@ -166,6 +166,7 @@ HEADLINE_R9 = [
     "q_collocations",
     "q_mad_outliers",
     "q_event_gaps",
+    "q_churn_matrix",
 ]
 
 

@@ -1656,3 +1656,106 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "q_churn_matrix",
+    oracle="""
+    WITH am AS (
+        SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(m) AS first_m FROM am GROUP BY user_id),
+    months AS (SELECT DISTINCT m FROM am),
+    state AS (
+        SELECT cur.m, cur.user_id,
+               CASE WHEN f.first_m = cur.m THEN 'new'
+                    WHEN prev.user_id IS NOT NULL THEN 'retained'
+                    ELSE 'resurrected' END AS state
+        FROM am cur
+        JOIN firsts f USING (user_id)
+        LEFT JOIN am prev
+          ON prev.user_id = cur.user_id
+         AND prev.m = cur.m - INTERVAL 1 MONTH
+    ),
+    churned AS (
+        SELECT n.m, prev.user_id, 'churned' AS state
+        FROM am prev
+        JOIN months n ON n.m = prev.m + INTERVAL 1 MONTH
+        LEFT JOIN am cur
+          ON cur.user_id = prev.user_id AND cur.m = n.m
+        WHERE cur.user_id IS NULL
+    )
+    SELECT m, state, COUNT(*) AS n_users
+    FROM (SELECT m, user_id, state FROM state
+          UNION ALL SELECT m, user_id, state FROM churned)
+    GROUP BY m, state
+    """,
+)
+def q_churn_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting (the new / retained / resurrected /
+    churned matrix): each month's active users classified by history —
+    first month ever = new; active last month too = retained; active
+    before but not last month = resurrected; last month's actives
+    missing this month = churned (counted against the month they
+    missed, only when that month exists in the data). The
+    subscription-analytics classic, and the corpus analog tracks
+    source/domain participation across crawl months.
+
+    Determinism: set algebra over exact (user, month) distincts; month
+    arithmetic is calendar-exact INTERVAL in both engines; counts are
+    integers.
+
+    Scale shape: one (user, month) dedup shuffle, then self-joins
+    keyed on the high-cardinality user_id (the month predicate rides
+    ON the join); firsts is one user-keyed aggregate riding the same
+    partitioning; the months dim broadcasts. No window over the time
+    axis — nothing serializes."""
+    t = load_tables(spark, sf_dir)
+    am = (
+        t["events"]
+        .select("user_id", F.date_trunc("month", "ts").alias("m"))
+        .distinct()
+    )
+    firsts = am.groupBy("user_id").agg(F.min("m").alias("first_m"))
+    months = am.select("m").distinct()
+    prev = am.select(
+        F.col("user_id").alias("p_user"), F.col("m").alias("p_m")
+    )
+    state = (
+        am.join(firsts, "user_id")
+        .join(
+            prev,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_m") == F.col("m") - F.expr("INTERVAL 1 MONTH")),
+            "left",
+        )
+        .select(
+            "m",
+            "user_id",
+            F.when(F.col("first_m") == F.col("m"), "new")
+            .when(F.col("p_user").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("state"),
+        )
+    )
+    nxt = months.select(F.col("m").alias("n_m"))
+    churned = (
+        am.join(
+            F.broadcast(nxt),
+            F.col("n_m") == F.col("m") + F.expr("INTERVAL 1 MONTH"),
+        )
+        .join(
+            am.select(
+                F.col("user_id").alias("c_user"), F.col("m").alias("c_m")
+            ),
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_m") == F.col("n_m")),
+            "left_anti",
+        )
+        .select(F.col("n_m").alias("m"), "user_id", F.lit("churned").alias("state"))
+    )
+    return (
+        state.unionByName(churned)
+        .groupBy("m", "state")
+        .agg(F.count("*").alias("n_users"))
+    )
