@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
+from hive_gateway_spark.staging import stage
 
 #: Admission cap per (user, day). The reference caps at 10 req/s/token
 #: (gateway.ts:144); fixture traffic is ~2.5 events/user/day, so the
@@ -468,7 +469,10 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE user-keyed window (the sessionizer's own shuffle
     shape) → in-row band CASE → one partial-agg shuffle on ≤ 5 bands;
-    the 1-row total broadcasts via scalar cross join."""
+    the total derives from the BAND COUNTS (≤ 5 rows), not a second
+    pass over the fact stream — a scalar-total cross join on the gap
+    frame would duplicate the window subtree and run the fact window
+    twice (caught by the plan assertion)."""
     t = load_tables(spark, sf_dir)
     us = F.unix_micros(F.col("ts"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -476,16 +480,27 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gap_us").isNotNull()
     )
     band = F.expr(_gap_band_sql("gap_us"))
-    b = g.select(band.alias("band"), "gap_us")
-    tot = b.agg(F.count("*").alias("n"))
-    return (
-        b.crossJoin(F.broadcast(tot))
-        .groupBy("band", "n")
+    bc = (
+        g.select(band.alias("band"), "gap_us")
+        .groupBy("band")
         .agg(
             F.count("*").alias("n_gaps"),
             F.min("gap_us").cast("bigint").alias("min_gap_us"),
             F.max("gap_us").cast("bigint").alias("max_gap_us"),
-            (F.count("*").cast("double") / F.col("n")).alias("share"),
         )
-        .drop("n")
+    )
+    # stage the ≤5-row band table so BOTH consumers (the total and the
+    # report) read one materialization — without it Catalyst re-runs
+    # the fact window under the total's subtree (plan-asserted)
+    bc = stage(bc, "event_gaps.bands")
+    tot = bc.agg(F.sum("n_gaps").alias("n"))
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_gaps",
+            "min_gap_us",
+            "max_gap_us",
+            (F.col("n_gaps").cast("double") / F.col("n")).alias("share"),
+        )
     )

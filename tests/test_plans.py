@@ -369,3 +369,26 @@ def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
     assert re.search(r"PushedFilters: \[.*l_quantity.*\]", plan), plan
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_event_gaps_single_user_window_no_join(spark, sf_dir):
+    """The gap histogram is ONE user-keyed window + a band aggregate —
+    a join or a second window here means the plan regressed."""
+    plan = plan_of(spark, sf_dir, "q_event_gaps")
+    # the band table is STAGED (checkpointed at build), so the served
+    # plan reads the materialization — at most one Window may appear
+    # ("(N) Window" numbered-operator entries; two would mean the
+    # scalar-total subtree re-runs the fact window, the regression the
+    # staging exists to prevent)
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_churn_matrix_no_cartesian_or_bnlj(spark, sf_dir):
+    """Growth accounting self-joins key on user_id with the month
+    predicate riding the join — never a cartesian/BNLJ, never a
+    serialized time window."""
+    plan = plan_of(spark, sf_dir, "q_churn_matrix")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
