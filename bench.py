@@ -167,6 +167,7 @@ HEADLINE_R9 = [
     "q_mad_outliers",
     "q_event_gaps",
     "q_churn_matrix",
+    "q_dedup_normalized",
 ]
 
 

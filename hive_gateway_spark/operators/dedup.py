@@ -1949,3 +1949,62 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "removable_docs",
     )
+
+
+@query(
+    "q_dedup_normalized",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, lang, n_chars,
+               trim(regexp_replace(regexp_replace(upper(text),
+                    '[^A-Z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    g AS (
+        SELECT norm, MIN(doc_id) AS canonical, COUNT(*) AS n_copies
+        FROM n GROUP BY norm HAVING COUNT(*) > 1
+    )
+    SELECT n.doc_id, g.canonical, g.n_copies, n.lang,
+           (n.doc_id = g.canonical) AS is_canonical
+    FROM n JOIN g USING (norm)
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on NORMALIZED text (q_text_normalize's
+    casefold + punctuation-strip + whitespace-collapse) — the layer
+    between raw exact dedup and shingle near-dup: catches the
+    re-encoded / re-punctuated / re-cased copies that byte-exact
+    hashing misses and shingle similarity over-pays for. Emits every
+    member of a multi-copy normalized group with its min-doc_id
+    canonical — the row set a dedup stage drops (members where NOT
+    is_canonical).
+
+    Determinism: the normalization is the exact q_text_normalize
+    expression (same regexes both engines); grouping and the canonical
+    election are integer-exact.
+
+    Scale shape: one shuffle on the normalized-text key (at 100 TB:
+    sha2 of the normalized form — q_dedup_exact's note, same plan),
+    HAVING shrinks to dup groups only, and the member join keys on the
+    same normalized hash the aggregate just shuffled on."""
+    t = load_tables(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.upper(F.col("text")), "[^A-Z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    n = t["documents"].select("doc_id", "lang", "n_chars", norm.alias("norm"))
+    g = (
+        n.groupBy("norm")
+        .agg(F.min("doc_id").alias("canonical"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+    return n.join(g, "norm").select(
+        "doc_id",
+        "canonical",
+        "n_copies",
+        "lang",
+        (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
+    )

@@ -128,26 +128,26 @@ PRIORITY: tuple[str, ...] = (
 #: r10 rotation candidates — after the r9 rotation took the first 15
 #: of the r8 queue into the window, 22 remained (q_zipf_fit — the r7
 #: tail's last entry — plus the twenty-one queries WRITTEN in r8);
-#: the EIGHTEEN queries written in r9 queue behind them, for 40 total
+#: the NINETEEN queries written in r9 queue behind them, for 41 total
 #: (tests/test_registry.py's debt ledger requires every registered
 #: query to hold a driver row, a window slot, or an entry here).
 #:
 #: r10 PRE-PLAN (VERDICT r8 task #4, written at r9 rotation time;
-#: arithmetic updated for the 18 queries r9 itself added): 40
+#: arithmetic updated for the 19 queries r9 itself added): 41
 #: candidates exceed the 15 rotatable slots, so r10 ALSO rotates out
-#: TWENTY-FIVE §2.2 contract queries that are ≥5× driver-green and
+#: TWENTY-SIX §2.2 contract queries that are ≥5× driver-green and
 #: unchanged since r1 (q_scan_project, q_filter_predicate,
 #: q_expr_string, q_expr_case, q_expr_coalesce, q_expr_regex,
 #: q_json_extract, q_join_left, q_join_semi, q_join_anti,
 #: q_set_union, q_set_intersect, q_set_except, q_sort_limit_topk,
 #: q_agg_distinct, q_agg_having, q_agg_rollup, q_agg_cube,
 #: q_window_rank, q_window_analytic, q_text_tokenize, q_text_stats,
-#: q_latency_stats, q_window_rate_limit, q_dedup_exact — each holds
-#: nine consecutive green rows r1-r9 (twenty-five rotate-outs in
-#: all); they rotate to the
+#: q_latency_stats, q_window_rate_limit, q_dedup_exact,
+#: q_join_broadcast — each holds nine consecutive green rows r1-r9
+#: (twenty-six rotate-outs in all); they rotate to the
 #: local parity gate like every past-window query and their
 #: historical rows keep the ledger green). The 15 r9 occupants rotate
-#: out once they hold their r9 row. 15 + 25 = 40 freed slots take ALL
+#: out once they hold their r9 row. 15 + 26 = 41 freed slots take ALL
 #: the candidates below, after which every registered query holds a
 #: driver row and the queue is EMPTY; new queries enter here as they
 #: are written.
@@ -200,6 +200,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_mad_outliers",  # robust MAD screen (Hampel rule; 3-sigma complement)
     "q_event_gaps",  # inter-event gap histogram (the session-gap evidence)
     "q_churn_matrix",  # monthly growth accounting (new/retained/resurrected/churned)
+    "q_dedup_normalized",  # near-exact dedup on normalized text (canonical election)
 )
 
 
