@@ -31,177 +31,92 @@ ORACLES: dict[str, str] = {}
 #: pytest parity gate (tests/test_parity.py runs ALL of them); rounds
 #: rotate the tail through the window so each gains a driver row.
 PRIORITY: tuple[str, ...] = (
-    # -- §2.2 relational core (driver-verified green in r01, unchanged) --
-    "q_scan_project",
-    "q_filter_predicate",
-    "q_expr_string",
-    "q_expr_case",
-    "q_expr_coalesce",
-    "q_expr_regex",
-    "q_json_extract",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
+    # -- r10 rotation (executing the r9-close pre-plan, VERDICT r9 task
+    # #1, verbatim): the TWENTY-SIX nine-times-green §2.2 contract
+    # queries named in the pre-plan (q_scan_project, q_filter_predicate,
+    # q_expr_string, q_expr_case, q_expr_coalesce, q_expr_regex,
+    # q_json_extract, q_join_left, q_join_semi, q_join_anti,
+    # q_set_union, q_set_intersect, q_set_except, q_sort_limit_topk,
+    # q_agg_distinct, q_agg_having, q_agg_rollup, q_agg_cube,
+    # q_window_rank, q_window_analytic, q_text_tokenize, q_text_stats,
+    # q_latency_stats, q_window_rate_limit, q_dedup_exact,
+    # q_join_broadcast) rotate OUT to the local parity gate, as do the
+    # 15 r9 occupants (q_dedup_incremental … q_dedup_cross_lingual —
+    # all 15 earned their r9 rows: 13 hash-green, 2 rows-only by
+    # design). The 41 freed slots take ALL 41 ROTATION_CANDIDATES in
+    # FIFO order, emptying the queue: after r10 every registered query
+    # holds a driver row.
+    #
+    # -- the nine §2.2/§2.3 contract queries still in-window (each
+    # holds nine green rows too, but the contract core keeps
+    # representation while slots allow) --
     "q_join_multiway",
     "q_join_range",
     "q_agg_group",
-    "q_agg_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_window_rate_limit",
-    "q_window_rank",
-    "q_window_analytic",
-    "q_sessionize",  # oracle type fix this round — must re-verify
-    "q_latency_stats",
-    "q_sort_limit_topk",
-    "q_set_union",
-    "q_set_intersect",
-    "q_set_except",
-    "q_dedup_exact",
-    "q_text_tokenize",
-    "q_text_stats",
-    # -- §2.3 LLM-extension contract --
+    "q_sessionize",
     "q_sim_cosine_pairs",
     "q_sim_topk",
-    "q_dedup_fuzzy",
+    "q_dedup_fuzzy",  # rows-only by design (MinHash LSH)
     "q_embed_agg",
     "q_text_lang_report",
-    # -- r04 rotation: the 15 tail queries that had never received a
-    # driver CORRECTNESS row (VERDICT r03 "Next round" #1). The r02/r03
-    # window occupants (q_dedup_ngram … q_udaf_wmean) rotate OUT — each
-    # already holds two green driver rows — and stay in the local pytest
-    # parity gate like every past-window query. q_expr_string2's function
-    # surface (lpad/reverse/repeat/split_part/strpos/translate/left/
-    # right) was folded into the contract slot q_expr_string so that all
-    # fifteen tail queries' semantics get driver rows while
-    # q_contamination (de-vacuated this round with planted cross-%97
-    # near-dups — spark_rows must be > 0 now) keeps slot 50: 35 + 14 + 1.
-    # -- r06 rotation: the six queries whose IMPLEMENTATIONS changed
-    # this round take the slots of six twice-green unchanged scalar
-    # queries (q_expr_array/math/datetime, q_join_full, q_unpivot,
-    # q_window_sliding — each holds r4+r5 green rows and rotates to the
-    # local parity gate). q_join_asof + q_window_range_frame were hit
-    # by the NTZ fixture drift (fixed in session._normalize_timestamps);
-    # q_dedup_ngram/clusters/training_pipeline got the length-filter +
-    # staged-pair-set rework; q_multimodal_codecs is new (real
-    # PPM/BMP/PNG/JPEG encode→decode round-trip with an arithmetic
-    # oracle). q_time_bucket stays: ERR in r5, must re-earn green.
-    # -- r08 rotation (executing the r7-close pre-plan + VERDICT r7
-    # task #1): ALL 15 r7-window rotatables rotate out. Seven are
-    # twice-green (q_join_asof, q_window_range_frame, q_dedup_ngram,
-    # q_dedup_clusters, q_training_pipeline, q_multimodal_codecs,
-    # q_agg_kmv — r6 AND r7 rows); the eight once-green r7 entries
-    # (q_dedup_canonical … q_lsh_candidates) also rotate because slots
-    # run short (the pre-plan's escape clause): 31 candidates were
-    # queued and the queue must drain to zero by r9 (VERDICT r7 #8).
-    # All 15 leavers stay in the local pytest parity gate. The freed
-    # -- r09 rotation (executing the r8-close pre-plan + VERDICT r8
-    # task #2): all 15 r8 occupants (q_audio_features …
-    # q_graph_triangles) earned their r8 rows (12 hash-green, 3
-    # rows-only by design) and rotate to the local parity gate. The
-    # freed slots take the FIRST 15 ROTATION_CANDIDATES in FIFO order:
-    "q_dedup_incremental",
-    "q_ts_gapfill",
-    "q_join_fuzzy",
-    "q_curation_v3",
-    "q_corpus_drift",
-    # q_substring_trim enters the window in the SAME round its plan is
-    # de-weaked (VERDICT r8 task #1): the holder-set broadcast is now a
-    # shuffle-hash gram join, the oracle stays hash-identical, and the
-    # driver row proves it — the established de-weak-then-verify
-    # pattern (r7: q_lm_perplexity; r9: this + q_dedup_substring's
-    # sibling rework already green in r8's window shape).
-    "q_substring_trim",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_curation_trace",
-    "q_template_catalog",
-    "q_outliers",
-    "q_event_transitions",
-    "q_image_phash",  # rows-only by design (perceptual-hash near-dup)
-    "q_audio_fingerprint",  # rows-only by design (energy fingerprint)
-    "q_dedup_cross_lingual",
+    # -- the r7/r8 queue (22) --
+    "q_zipf_fit",
+    "q_text_readability",
+    "q_sample_temperature",
+    "q_user_paths",
+    "q_k_anonymity",
+    "q_ann_buckets",
+    "q_interval_overlap",
+    "q_event_value_corr",
+    "q_rolling_wau",
+    "q_ngram_novelty",
+    "q_audience_overlap",
+    "q_char_entropy",
+    "q_curation_funnel",
+    "q_lsh_quality",
+    "q_dedup_cluster_stats",
+    "q_volume_anomaly",
+    "q_pii_exposure",
+    "q_curation_shift",
+    "q_session_depth",
+    "q_tpch_q10",
+    "q_late_ship_report",
+    "q_null_profile",
+    # -- the r9 queue (19) --
+    "q_gopher_rules",
+    # q_ccnet_buckets + q_rfm_segments enter the window in the SAME
+    # round their NTILE plans are de-weaked (VERDICT r9 task #2) — the
+    # established de-weak-then-verify pattern (r7: q_lm_perplexity;
+    # r9: q_substring_trim).
+    "q_ccnet_buckets",
+    "q_reservoir_per_source",
+    "q_tpch_q5",
+    "q_tpch_q18",
+    "q_brand_affinity",
+    "q_rfm_segments",
+    "q_chunk_windows",
+    "q_first_touch",
+    "q_compress_ratio",  # rows-only by design (zlib coding length)
+    "q_tpch_q6",
+    "q_tpch_q13",
+    "q_graph_kcore",  # rows-only by design (iterative peel; planted tests)
+    "q_vocab_coverage",
+    "q_collocations",
+    "q_mad_outliers",
+    "q_event_gaps",
+    "q_churn_matrix",
+    "q_dedup_normalized",
 )
 
-#: r10 rotation candidates — after the r9 rotation took the first 15
-#: of the r8 queue into the window, 22 remained (q_zipf_fit — the r7
-#: tail's last entry — plus the twenty-one queries WRITTEN in r8);
-#: the NINETEEN queries written in r9 queue behind them, for 41 total
-#: (tests/test_registry.py's debt ledger requires every registered
-#: query to hold a driver row, a window slot, or an entry here).
-#:
-#: r10 PRE-PLAN (VERDICT r8 task #4, written at r9 rotation time;
-#: arithmetic updated for the 19 queries r9 itself added): 41
-#: candidates exceed the 15 rotatable slots, so r10 ALSO rotates out
-#: TWENTY-SIX §2.2 contract queries that are ≥5× driver-green and
-#: unchanged since r1 (q_scan_project, q_filter_predicate,
-#: q_expr_string, q_expr_case, q_expr_coalesce, q_expr_regex,
-#: q_json_extract, q_join_left, q_join_semi, q_join_anti,
-#: q_set_union, q_set_intersect, q_set_except, q_sort_limit_topk,
-#: q_agg_distinct, q_agg_having, q_agg_rollup, q_agg_cube,
-#: q_window_rank, q_window_analytic, q_text_tokenize, q_text_stats,
-#: q_latency_stats, q_window_rate_limit, q_dedup_exact,
-#: q_join_broadcast — each holds nine consecutive green rows r1-r9
-#: (twenty-six rotate-outs in all); they rotate to the
-#: local parity gate like every past-window query and their
-#: historical rows keep the ledger green). The 15 r9 occupants rotate
-#: out once they hold their r9 row. 15 + 26 = 41 freed slots take ALL
-#: the candidates below, after which every registered query holds a
-#: driver row and the queue is EMPTY; new queries enter here as they
-#: are written.
-ROTATION_CANDIDATES: tuple[str, ...] = (
-    # r7: Zipf rank-frequency fit (exact-regression corpus health).
-    "q_zipf_fit",
-    # r8 additions (registered after the r8 window froze; they queue
-    # behind the r7 tail — with all seven, the r9 pre-plan above
-    # leaves TWENTY-TWO candidates for r10, not one):
-    "q_text_readability",  # ARI per doc (exact counts + libm-rule score)
-    "q_sample_temperature",  # α=1/2 source mixture weights (sqrt-exact)
-    "q_user_paths",  # top journey prefixes (bounded window + fold)
-    "q_k_anonymity",  # quasi-identifier re-identification audit
-    "q_ann_buckets",  # SQL-green sibling of the hyperplane-LSH ANN path
-    "q_interval_overlap",  # bounded-explode interval×week overlap
-    "q_event_value_corr",  # exact-sufficient-statistics Pearson r
-    "q_rolling_wau",  # DAU/rolling-7d distinct users, explode-dedup
-    "q_ngram_novelty",  # marginal-novelty curve (first-seen 3-grams)
-    "q_audience_overlap",  # event-type audience Jaccard matrix
-    "q_char_entropy",  # per-doc character entropy (gibberish screen)
-    "q_curation_funnel",  # where-did-my-corpus-go summary over the trace
-    "q_lsh_quality",  # ANN precision/recall vs the exact pair set
-    "q_dedup_cluster_stats",  # dup-cluster size histogram (health chart)
-    "q_volume_anomaly",  # integer-exact 3-sigma daily-volume screen
-    "q_pii_exposure",  # per-source PII exposure rates (audit view)
-    "q_curation_shift",  # language-mix shift through the v3 selection
-    "q_session_depth",  # engagement-shape histogram over sessionize
-    "q_tpch_q10",  # returned-item revenue top-20 (two-fact-join classic)
-    "q_late_ship_report",  # EXISTS→semi-join SLA report (Q4 shape)
-    "q_null_profile",  # Deequ-style completeness profile, one pass
-    # r9 additions (queue behind the r8 block; the r10 pre-plan's
-    # "rotate out ≥5×-green §2.2 contract queries" rule extends to
-    # cover them — 23 §2.2 queries remain eligible beyond the 7
-    # already named):
-    "q_gopher_rules",  # Gopher App. A1.1 rule battery (integer-exact)
-    "q_ccnet_buckets",  # CCNet head/middle/tail perplexity cut (composed)
-    "q_reservoir_per_source",  # deterministic k-per-source sample (LCG rank)
-    "q_tpch_q5",  # local-supplier volume (six-way snowflake classic)
-    "q_tpch_q18",  # large-volume customers (HAVING→semi-join classic)
-    "q_brand_affinity",  # market-basket support/lift (fact-scale co-occurrence)
-    "q_rfm_segments",  # RFM quintile segmentation (three-ranking classic)
-    "q_chunk_windows",  # sliding-window long-doc chunking (bounded explode)
-    "q_first_touch",  # first-touch attribution (windowed label join-back)
-    "q_compress_ratio",  # zlib coding-length quality signal (rows-only)
-    "q_tpch_q6",  # pure pushed-predicate scan-aggregate classic
-    "q_tpch_q13",  # LEFT-join order-count distribution classic
-    "q_graph_kcore",  # 2-core peel of the dup graph (rows-only, planted)
-    "q_vocab_coverage",  # tokenizer-design coverage curve (integer-exact)
-    "q_collocations",  # top-50 PMI collocations (Church & Hanks 1990)
-    "q_mad_outliers",  # robust MAD screen (Hampel rule; 3-sigma complement)
-    "q_event_gaps",  # inter-event gap histogram (the session-gap evidence)
-    "q_churn_matrix",  # monthly growth accounting (new/retained/resurrected/churned)
-    "q_dedup_normalized",  # near-exact dedup on normalized text (canonical election)
-)
+#: r11 rotation candidates. The r10 rotation drained the whole 41-entry
+#: queue into the window (VERDICT r9 task #1), so at r10-open the queue
+#: is EMPTY — for the first time every registered query holds a driver
+#: row or a current window slot. Queries WRITTEN during r10 enter here
+#: (FIFO) and take r11 slots; the standing rotate-out pool is the
+#: many-times-green §2.2 contract tail plus the r10 occupants once they
+#: earn their r10 rows (tests/test_registry.py's debt ledger enforces
+#: row-or-slot-or-queue for every registered query).
+ROTATION_CANDIDATES: tuple[str, ...] = ()
 
 
 def ordered_queries() -> dict[str, QueryFn]:
