@@ -1470,16 +1470,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: recency is an exact day diff against the 1-row corpus
     max (broadcast cross join); frequency/monetary are exact counts
-    and decimal sums; every NTILE orders by (key, c_custkey) — a total
-    order, so quintile membership is engine-independent; the segment
+    and decimal sums; every quintile cut orders by (key, c_custkey) — a
+    total order, so membership is engine-independent; the segment
     label is a pure CASE over the scores.
 
-    Scale shape: ONE custkey-keyed partial aggregate over orders, then
-    three global ntile windows over the CUSTOMER-scale result. A
-    global NTILE serializes on one partition, fine for ≤ tens of
-    millions of customers; past that the cut moves to the two-pass
-    percentile-threshold form (the q_ccnet_buckets note) — documented
-    rather than hidden."""
+    Scale shape (de-weaked r10, VERDICT r9 task #2): ONE custkey-keyed
+    partial aggregate over orders, then three ``exact_ntile`` cuts over
+    the CUSTOMER-scale result — each is the two-pass
+    percentile-threshold form (ranking.py): approximate range splits
+    bound every window partition to ~1/32² of the group (tie-heavy
+    ``frequency`` gets tiebreak sub-splits), ranks are exact integer
+    arithmetic, and NO global single-partition NTILE window remains
+    (plan-asserted in tests/test_plans.py)."""
     t = load_tables(spark, sf_dir)
     mx = t["orders"].select(F.max("o_orderdate").alias("mxd"))
     per = (
@@ -1500,17 +1502,42 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r_s = F.ntile(5).over(W.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc()))
-    f_s = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc()))
-    m_s = F.ntile(5).over(W.orderBy(F.col("monetary").desc(), F.col("c_custkey").asc()))
-    scored = per.select(
+    from hive_gateway_spark.operators.ranking import exact_ntile
+    from hive_gateway_spark.staging import stage
+
+    # Stage the customer aggregate once (exact_ntile reads its input
+    # several times — split/sub-split/cell/rank passes — and an
+    # unstaged chain would recompute the orders aggregate per pass;
+    # measured 20 s warm at sf0.1 vs 0.4 s). Then UNPIVOT the three
+    # ranking keys into (metric, v) rows — DESC keys negated, so every
+    # cut is ascending — and run the machinery ONCE partitioned by
+    # metric: one split table, one cell table, one rank shuffle for all
+    # three quintile cuts instead of 3× the fixed pass cost. A
+    # custkey-keyed conditional aggregate folds the tiles back to one
+    # row per customer.
+    base = stage(
+        per.select("c_custkey", "recency_days", "frequency", "monetary"),
+        "rfm_per_customer",
+    )
+    un = base.selectExpr(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        r_s.alias("r_score"),
-        f_s.alias("f_score"),
-        m_s.alias("m_score"),
+        "stack(3, 'r', CAST(recency_days AS DOUBLE),"
+        " 'f', -CAST(frequency AS DOUBLE),"
+        " 'm', -monetary) AS (metric, v)",
+    )
+    tiles = exact_ntile(
+        un, 5, "v", "c_custkey", partition_cols=["metric"], out_col="t"
+    )
+    pick = lambda m: F.max(F.when(F.col("metric") == m, F.col("t")))  # noqa: E731
+    scored = tiles.groupBy(
+        "c_custkey", "recency_days", "frequency", "monetary"
+    ).agg(
+        pick("r").alias("r_score"),
+        pick("f").alias("f_score"),
+        pick("m").alias("m_score"),
     )
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")

@@ -392,3 +392,31 @@ def test_churn_matrix_no_cartesian_or_bnlj(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def _no_corpus_scale_ntile(plan: str) -> None:
+    """The de-weak contract (VERDICT r9 task #2): no NTILE window at
+    all, and every corpus-touching row_number window partitions on the
+    range-bucket cell key (__coarse, __sub) — never globally, never on
+    a low-cardinality column alone. The only other windows are the
+    cumulative-offset sums over the TINY cell-count table, which carry
+    no row_number."""
+    # \b guards against percentile_approx; ntile( is the window fn
+    assert not re.search(r"(?<![a-z_])ntile\(", plan), plan
+    for m in re.finditer(r"\(\d+\) Window\b.*?(?=\(\d+\) |\Z)", plan, re.S):
+        block = m.group(0)
+        if "row_number" in block:
+            assert "__coarse" in block and "__sub" in block, block
+
+
+def test_rfm_segments_no_global_ntile(spark, sf_dir):
+    """r10 de-weak: the three quintile cuts are exact_ntile range-bucket
+    rank projections — the three former GLOBAL NTILE(5) windows
+    (single-partition corpus sort) must be gone."""
+    _no_corpus_scale_ntile(plan_of(spark, sf_dir, "q_rfm_segments"))
+
+
+def test_ccnet_buckets_no_lang_partition_ntile(spark, sf_dir):
+    """r10 de-weak: the per-lang perplexity cut must not window on the
+    5-value lang key alone (corpus/5 rows per partition)."""
+    _no_corpus_scale_ntile(plan_of(spark, sf_dir, "q_ccnet_buckets"))

@@ -183,3 +183,90 @@ def test_results_invariant_to_shuffle_width(spark, sf_dir):
     for n, (narrow, wide) in results.items():
         assert narrow == wide, f"{n}: width-1 vs default mismatch"
         assert len(narrow) > 0
+
+
+# ---------------------------------------------------------------------------
+# exact_ntile ≡ NTILE (ranking.py, the r10 de-weak machinery)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "n_tiles,desc,domain",
+    [
+        (5, False, 1_000_000),  # near-continuous values
+        (5, True, 1_000_000),
+        (3, False, 7),  # massive ties — the sub-split path
+        (5, True, 7),
+        (4, False, 1),  # ALL rows tie on one value
+        (7, False, 40),  # n % k != 0, tie-heavy
+        (5, False, 1_000_000),
+    ],
+)
+def test_exact_ntile_matches_native_ntile(spark, n_tiles, desc, domain):
+    """exact_ntile must be BIT-IDENTICAL to NTILE over the same total
+    order — global and per-group, ascending and descending, continuous
+    and massively tied ranking keys (the tiebreak sub-split path), and
+    group sizes below n_tiles."""
+    from hive_gateway_spark.operators.ranking import exact_ntile
+
+    n = 4000
+    base = spark.range(n).select(
+        F.col("id").alias("tb"),
+        (F.xxhash64(F.col("id"), F.lit(domain)) % domain).alias("v"),
+        (F.xxhash64(F.col("id"), F.lit("g")) % 3).alias("g"),
+    )
+    # one tiny group (< n_tiles) to exercise the q=0 branch
+    tiny = spark.range(2).select(
+        (F.col("id") + n).alias("tb"), F.col("id").alias("v"), F.lit(99).alias("g")
+    )
+    df = base.unionByName(tiny)
+
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("tb").asc()]
+    expected = df.select(
+        "g", "tb", F.ntile(n_tiles).over(W.partitionBy("g").orderBy(*order)).alias("t")
+    )
+    actual = exact_ntile(
+        df, n_tiles, "v", "tb", value_desc=desc, partition_cols=["g"],
+        buckets=8, out_col="t",
+    ).select("g", "tb", "t")
+    a = actual.toPandas().sort_values(["g", "tb"]).reset_index(drop=True)
+    e = expected.toPandas().sort_values(["g", "tb"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, e, check_dtype=False)
+
+
+def test_exact_ntile_global_matches_native(spark):
+    """No partition columns — the q_rfm_segments shape."""
+    from hive_gateway_spark.operators.ranking import exact_ntile
+
+    df = spark.range(3000).select(
+        F.col("id").alias("tb"), (F.xxhash64("id") % 11).alias("v")
+    )
+    expected = df.select(
+        "tb", F.ntile(5).over(W.orderBy(F.col("v").desc(), F.col("tb"))).alias("t")
+    )
+    actual = exact_ntile(
+        df, 5, "v", "tb", value_desc=True, buckets=8, out_col="t"
+    ).select("tb", "t")
+    a = actual.toPandas().sort_values("tb").reset_index(drop=True)
+    e = expected.toPandas().sort_values("tb").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, e, check_dtype=False)
+
+
+def test_exact_ntile_without_subsplit_still_exact(spark):
+    """tie_subsplit=False (the documented-continuous fast path) must
+    stay bit-identical even when the key DOES tie heavily — only
+    balance may degrade, never values."""
+    from hive_gateway_spark.operators.ranking import exact_ntile
+
+    df = spark.range(2000).select(
+        F.col("id").alias("tb"), (F.xxhash64("id") % 5).alias("v")
+    )
+    expected = df.select(
+        "tb", F.ntile(3).over(W.orderBy(F.col("v"), F.col("tb"))).alias("t")
+    )
+    actual = exact_ntile(
+        df, 3, "v", "tb", buckets=8, out_col="t", tie_subsplit=False
+    ).select("tb", "t")
+    a = actual.toPandas().sort_values("tb").reset_index(drop=True)
+    e = expected.toPandas().sort_values("tb").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, e, check_dtype=False)
