@@ -178,6 +178,14 @@ HEADLINE_R9 = [
 REGRESSION_RATIO = 1.5
 REGRESSION_FLOOR_SEC = 0.2
 
+#: Cold-run gate (VERDICT r9 task #3 / "What's wrong" #2): session
+#: staging makes WARM numbers reflect cache hits, so a staging-BUILD
+#: blow-up could hide behind a healthy warm ratio. Colds are gated
+#: with a looser ratio/floor (codegen compile + file-index setup make
+#: them noisier) under the same median normalization.
+COLD_REGRESSION_RATIO = 2.0
+COLD_REGRESSION_FLOOR_SEC = 0.5
+
 #: Global-slowdown tripwire (ADVICE r7 #5): median-normalizing the
 #: per-query gate makes it blind to a change that slows EVERY query
 #: uniformly (e.g. a session-config regression inflates the median and
@@ -191,12 +199,31 @@ REGRESSION_FLOOR_SEC = 0.2
 GLOBAL_SLOWDOWN_RATIO = 1.4
 
 
+def _round_of(path: str) -> int:
+    m = re.search(r"_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else -1
+
+
 def _previous_bench() -> tuple[str, dict] | None:
-    """Latest committed BENCH_r*.json with a queries block, or None."""
+    """The best per-query baseline on disk (VERDICT r9 task #3).
+
+    The driver's BENCH_r07..r09 records stored only a truncated `tail`,
+    which silently pinned the effective baseline at BENCH_r06 and left
+    every query added since UNGUARDED. bench.py therefore writes its own
+    COMPLETE per-query record (BENCH_LOCAL_r{N}.json, `_write_local`)
+    at every close and prefers the newest such file — BENCH_LOCAL beats
+    a driver BENCH of the same round; newest round wins overall. A
+    second run within one round ratchets against the first."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+    candidates = sorted(
+        glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
+        + glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: (_round_of(p), "BENCH_LOCAL" in os.path.basename(p)),
+        reverse=True,
+    )
+    for path in candidates:
         try:
             with open(path) as f:
                 doc = json.load(f)
@@ -207,6 +234,22 @@ def _previous_bench() -> tuple[str, dict] | None:
         if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
             return os.path.basename(path), doc
     return None
+
+
+def _write_local(record: dict) -> None:
+    """Persist the complete per-query record as BENCH_LOCAL_r{N}.json,
+    N = the round in flight (one past the newest driver BENCH_r*). Never
+    raises: a read-only checkout must not fail the bench itself."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [_round_of(p) for p in glob.glob(os.path.join(here, "BENCH_r*.json"))]
+    n = (max(rounds) if rounds else 0) + 1
+    try:
+        with open(os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json"), "w") as f:
+            json.dump(record, f)
+    except OSError:  # pragma: no cover
+        pass
 
 
 def main() -> None:
@@ -266,7 +309,9 @@ def main() -> None:
     # per-query regression.
     prev = _previous_bench()
     regressions: dict[str, dict] = {}
+    cold_regressions: dict[str, dict] = {}
     median_ratio = 1.0
+    cold_median_ratio = 1.0
     if prev is not None:
         prev_name, prev_doc = prev
         shared = {
@@ -290,8 +335,29 @@ def main() -> None:
                     "ratio": round(now / before, 2),
                     "median_ratio": round(median_ratio, 2),
                 }
-    print(
-        json.dumps(
+        prev_cold = prev_doc.get("queries_cold") or {}
+        shared_cold = {
+            name: now / prev_cold[name]
+            for name, now in cold.items()
+            if prev_cold.get(name)
+        }
+        if shared_cold:
+            rs = sorted(shared_cold.values())
+            cold_median_ratio = max(1.0, rs[len(rs) // 2])
+        for name, now in cold.items():
+            before = prev_cold.get(name)
+            if (
+                before
+                and now > before * COLD_REGRESSION_RATIO * cold_median_ratio
+                and now - before > COLD_REGRESSION_FLOOR_SEC
+            ):
+                cold_regressions[name] = {
+                    "prev": before,
+                    "now": now,
+                    "ratio": round(now / before, 2),
+                    "median_ratio": round(cold_median_ratio, 2),
+                }
+    record = (
             {
                 "metric": "headline_query_wall_clock_total",
                 "value": r01_comparable,
@@ -311,20 +377,27 @@ def main() -> None:
                 "regression_baseline": prev[0] if prev else None,
                 "regression_median_ratio": round(median_ratio, 3),
                 "regressions": regressions,
+                "cold_median_ratio": round(cold_median_ratio, 3),
+                "cold_regressions": cold_regressions,
                 "regression_gate": (
                     "fail"
                     if regressions
                     else (
-                        "warn_global_slowdown"
-                        if median_ratio > GLOBAL_SLOWDOWN_RATIO
-                        else "pass"
+                        "fail_cold"
+                        if cold_regressions
+                        else (
+                            "warn_global_slowdown"
+                            if median_ratio > GLOBAL_SLOWDOWN_RATIO
+                            else "pass"
+                        )
                     )
                 ),
             }
-        )
     )
+    _write_local(record)
+    print(json.dumps(record))
     spark.stop()
-    if regressions:
+    if regressions or cold_regressions:
         sys.exit(1)
 
 
