@@ -241,7 +241,17 @@ def _ivf_index(spark: SparkSession, t, e) -> tuple:
     query, exactly as a production ANN index is built once and served;
     the inverted file is localCheckpoint()'ed so cache hits re-scan
     nothing. Eviction goes through staging.evict (deterministic block
-    release, ADVICE r8 #4)."""
+    release, ADVICE r8 #4).
+
+    Serve path (VERDICT r9 task #4): when the session conf
+    ``hive_gateway.ann.index_path`` names a lakehouse index published by
+    persist_ivf_index, a cache miss LOADS it instead of training — at
+    100 TB the index build is a cluster job, not a session warm-up, so
+    a fresh serving session must never pay the O(N·cells·dim)
+    assignment. The loaded inverted file stays FILE-BACKED (no
+    checkpoint): it is hive-partitioned by cell, so the probe filter in
+    q_sim_topk_ivf prunes to assign·probes/cells of the files before
+    Spark opens anything."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -258,6 +268,17 @@ def _ivf_index(spark: SparkSession, t, e) -> tuple:
             centers_rows, "cell int, center array<double>"
         )
         return centers, inv_file
+    idx_path = spark.conf.get("hive_gateway.ann.index_path", "")
+    if idx_path:
+        loaded = _load_persisted_ivf(spark, idx_path, emb)
+        if loaded is not None:
+            evict(per)
+            per[key] = loaded
+            centers_rows, inv_file = loaded
+            return (
+                spark.createDataFrame(centers_rows, "cell int, center array<double>"),
+                inv_file,
+            )
     # Train the coarse quantizer on a BOUNDED, MATERIALIZED sample: at
     # corpus scale you never k-means the full table for an IVF coarse
     # index (faiss trains on ~max(10k, 50·cells) points). Order matters
@@ -321,6 +342,84 @@ def _ivf_index(spark: SparkSession, t, e) -> tuple:
     evict(per)
     per[key] = (centers_rows, inv_file)
     return centers, inv_file
+
+
+def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> dict:
+    """Publish the IVF index as a lakehouse artifact (VERDICT r9 #4).
+
+    At 100 TB the index build is a JOB — O(N·cells·dim) assignment over
+    the whole corpus — and serving sessions are many and short-lived, so
+    the build result must be data, not session state. Two dataset_export
+    tables under ``path``, each with the full manifest contract
+    (per-partition row counts, content checksum, versioned commits,
+    time travel):
+
+      centroids/  (cell, center)               — cells rows, tiny
+      invfile/    (neighbor_id, vb, nb) PARTITIONED BY cell — N·assign rows
+
+    ``partition_by=["cell"]`` is the serving win: q_sim_topk_ivf filters
+    the inverted file to its probed cells, so a fresh session reads
+    ≈ assign·probes/cells of the FILES (hive partition pruning) instead
+    of scanning the full index. The manifest records the geometry and
+    the corpus row count; _load_persisted_ivf refuses a mismatch, the
+    same pin a production index carries against its corpus snapshot
+    version. Returns {"centroids": manifest, "invfile": manifest}."""
+    from hive_gateway_spark.sources.dataset_export import write_dataset
+
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    centers, inv_file = _ivf_index(spark, t, e)
+    geometry = {
+        "ivf_cells": IVF_CELLS,
+        "ivf_assign": IVF_ASSIGN,
+        "n_corpus_vectors": t["embeddings"].count(),
+    }
+    man_c = write_dataset(centers, f"{path}/centroids", extra=geometry)
+    man_i = write_dataset(
+        inv_file.select("neighbor_id", "cell", "vb", "nb"),
+        f"{path}/invfile",
+        partition_by=["cell"],
+        extra=geometry,
+    )
+    return {"centroids": man_c, "invfile": man_i}
+
+
+def _load_persisted_ivf(spark: SparkSession, path: str, emb: DataFrame):
+    """Load a persist_ivf_index artifact, or None if absent/mismatched.
+
+    Sanity pins before trusting the index: the manifest's geometry must
+    match the module constants and its recorded corpus size must match
+    the embeddings table (count() is parquet metadata — no scan). A
+    stale index (corpus grew, geometry changed) falls through to a
+    fresh build rather than silently serving wrong cells; production
+    would pin the index to a corpus snapshot version the same way.
+    Returns (centers_rows, inv_file) shaped exactly like the build
+    path's cache entry — inv_file deliberately NOT checkpointed (see
+    _ivf_index docstring)."""
+    from hive_gateway_spark.sources.dataset_export import (
+        _current_manifest,
+        read_snapshot,
+    )
+
+    try:
+        man = _current_manifest(f"{path}/invfile")
+    except Exception:
+        return None
+    if (
+        man.get("ivf_cells") != IVF_CELLS
+        or man.get("ivf_assign") != IVF_ASSIGN
+        or man.get("n_corpus_vectors") != emb.count()
+    ):
+        return None
+    centers_rows = [
+        (int(r["cell"]), [float(x) for x in r["center"]])
+        for r in read_snapshot(spark, f"{path}/centroids").collect()
+    ]
+    centers_rows.sort()
+    inv_file = read_snapshot(spark, f"{path}/invfile").select(
+        "neighbor_id", "cell", "vb", "nb"
+    )
+    return centers_rows, inv_file
 
 
 @query("q_sim_topk_ivf")  # rows-only: IVF is approximate — no SQL oracle
@@ -422,8 +521,15 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    cand = inv_file.select("neighbor_id", "cell", "vb", "nb").mapInPandas(
-        score_cells, "query_id bigint, neighbor_id bigint, sim double"
+    # Restrict the inverted-file scan to the probed cells BEFORE the
+    # kernel: on a persisted index (partition_by=["cell"]) this is hive
+    # partition pruning — ≈ assign·probes/cells of the files opened —
+    # and on the session-checkpointed build it is a cheap row filter.
+    probed_cells = sorted({r["cell"] for r in probed})
+    cand = (
+        inv_file.where(F.col("cell").isin(probed_cells))
+        .select("neighbor_id", "cell", "vb", "nb")
+        .mapInPandas(score_cells, "query_id bigint, neighbor_id bigint, sim double")
     )
     # multi-assignment: the same (query, neighbor) can meet in up to
     # min(assign, probes) cells with identical sim — dedup the K·Q·batch

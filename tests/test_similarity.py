@@ -166,3 +166,90 @@ def test_ann_buckets_covers_lsh_topk_candidates(spark, sf_dir):
         if (r["query_id"], r["neighbor_id"]) not in cand
     ]
     assert not missing, missing[:5]
+
+
+def test_ivf_persisted_index_serves_fresh_session(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r9 task #4: the IVF index as a lakehouse artifact.
+
+    Session A builds + publishes (persist_ivf_index → two write_dataset
+    tables, invfile hive-partitioned by cell); session B — a fresh
+    newSession with an empty _IVF_CACHE — points
+    ``hive_gateway.ann.index_path`` at it and serves q_sim_topk_ivf
+    WITHOUT training (KMeans is poisoned to prove the build never
+    runs), returning the build session's exact result. Both tables
+    pass verify_dataset; the serve-path inverted-file scan carries a
+    partition filter on cell (file-level pruning, not a row filter)."""
+    import pyspark.ml.clustering as _clust
+
+    from hive_gateway_spark.operators import similarity as sim
+    from hive_gateway_spark.session import load_tables
+    from hive_gateway_spark.sources.dataset_export import verify_dataset
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ann_index")
+    manifests = sim.persist_ivf_index(spark, sf_dir, path)
+    assert manifests["invfile"]["ivf_cells"] == sim.IVF_CELLS
+    assert manifests["invfile"]["partition_by"] == ["cell"]
+    assert verify_dataset(spark, f"{path}/centroids")["ok"]
+    assert verify_dataset(spark, f"{path}/invfile")["ok"]
+    expected = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank_k"], r["cos_sim"])
+        for r in sim.q_sim_topk_ivf(spark, sf_dir).collect()
+    )
+
+    fresh = spark.newSession()
+    fresh.conf.set("hive_gateway.ann.index_path", path)
+
+    class _Poisoned:
+        def __init__(self, *a, **k):
+            raise AssertionError("serve path must not train KMeans")
+
+    monkeypatch.setattr(_clust, "KMeans", _Poisoned)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank_k"], r["cos_sim"])
+        for r in sim.q_sim_topk_ivf(fresh, sf_dir).collect()
+    )
+    assert got == expected and len(got) > 0
+
+    # file-level pruning evidence: a probed-cell filter over the loaded
+    # inverted file lands in PartitionFilters (the scan opens only the
+    # probed cells' files), not in a post-scan row Filter.
+    emb = load_tables(fresh, sf_dir)["embeddings"]
+    loaded = sim._load_persisted_ivf(fresh, path, emb)
+    assert loaded is not None
+    plan = (
+        loaded[1]
+        .where(F.col("cell").isin([0, 1, 2]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    after = plan.split("PartitionFilters: [", 1)
+    assert len(after) == 2 and "cell" in after[1][:120], plan
+
+
+def test_ivf_persisted_index_rejects_stale_corpus(spark, sf_dir, tmp_path):
+    """A persisted index pinned to a different corpus size (the corpus
+    grew since the build job ran) must NOT be served — _load_persisted_ivf
+    returns None and the caller falls through to a fresh build."""
+    import json
+    import os
+
+    from hive_gateway_spark.operators import similarity as sim
+    from hive_gateway_spark.session import load_tables
+    from hive_gateway_spark.sources.dataset_export import _current_manifest
+
+    path = str(tmp_path / "ann_index_stale")
+    sim.persist_ivf_index(spark, sf_dir, path)
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    assert sim._load_persisted_ivf(spark, path, emb) is not None
+    man = _current_manifest(f"{path}/invfile")
+    man["n_corpus_vectors"] = man["n_corpus_vectors"] + 1
+    vs = [
+        f
+        for f in os.listdir(f"{path}/invfile")
+        if f.startswith("_MANIFEST.v") and f.endswith(".json")
+    ]
+    with open(f"{path}/invfile/{sorted(vs)[-1]}", "w") as f:
+        json.dump(man, f)
+    assert sim._load_persisted_ivf(spark, path, emb) is None
