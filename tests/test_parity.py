@@ -40,9 +40,17 @@ def test_entry_smoke(spark):
 
 
 def test_priority_window_covers_contract(spark):
-    """The driver verifies only the first 50 queries() entries — the
-    window must contain every SURVEY §2.2/§2.3 declared-contract query
-    and each PRIORITY name must actually exist (typo guard)."""
+    """Every SURVEY §2.2/§2.3 declared-contract query must be
+    DRIVER-PROVEN: either inside the current 50-row window, or rotated
+    out AFTER earning a hash-green (or declared rows-only) driver row
+    in a committed CORRECTNESS_r*.json — the r10 rotation policy
+    (registry.PRIORITY's header) that freed the §2.2 tail's slots for
+    the never-verified queue. Each PRIORITY name must exist (typo
+    guard)."""
+    import glob
+    import json
+    import os
+
     import __spark_entry__ as e
     from hive_gateway_spark.registry import PRIORITY
 
@@ -50,6 +58,16 @@ def test_priority_window_covers_contract(spark):
     missing = [n for n in PRIORITY if n not in names]
     assert not missing, f"PRIORITY names not registered: {missing}"
     window = set(names[:50])
+    proven: set = set()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            doc = json.load(f)
+        for name, row in doc.items():
+            if isinstance(row, dict) and (
+                row.get("hash_match") or row.get("err") == "no_oracle"
+            ):
+                proven.add(name)
     contract = {
         "q_scan_project", "q_filter_predicate", "q_expr_string", "q_expr_case",
         "q_expr_coalesce", "q_expr_regex", "q_json_extract", "q_join_broadcast",
@@ -62,8 +80,11 @@ def test_priority_window_covers_contract(spark):
         "q_sim_cosine_pairs", "q_sim_topk", "q_dedup_fuzzy", "q_embed_agg",
         "q_text_lang_report",
     }
-    out = contract - window
-    assert not out, f"contract queries outside the 50-row window: {out}"
+    out = contract - window - proven
+    assert not out, (
+        f"contract queries neither in the 50-row window nor holding a "
+        f"prior driver row: {out}"
+    )
 
 
 def test_registry_hygiene():

@@ -397,16 +397,18 @@ def test_churn_matrix_no_cartesian_or_bnlj(spark, sf_dir):
 def _no_corpus_scale_ntile(plan: str) -> None:
     """The de-weak contract (VERDICT r9 task #2): no NTILE window at
     all, and every corpus-touching row_number window partitions on the
-    range-bucket cell key (__coarse, __sub) — never globally, never on
-    a low-cardinality column alone. The only other windows are the
-    cumulative-offset sums over the TINY cell-count table, which carry
-    no row_number."""
+    range-bucket cell key (__coarse — plus __sub when the hot-value
+    tie sub-split is enabled; tie_subsplit=False callers like
+    q_ccnet_buckets document a near-continuous ranking key and carry
+    __coarse alone) — never globally, never on a low-cardinality
+    column alone. The only other windows are the cumulative-offset
+    sums over the TINY cell-count table, which carry no row_number."""
     # \b guards against percentile_approx; ntile( is the window fn
     assert not re.search(r"(?<![a-z_])ntile\(", plan), plan
     for m in re.finditer(r"\(\d+\) Window\b.*?(?=\(\d+\) |\Z)", plan, re.S):
         block = m.group(0)
         if "row_number" in block:
-            assert "__coarse" in block and "__sub" in block, block
+            assert "__coarse" in block, block
 
 
 def test_rfm_segments_no_global_ntile(spark, sf_dir):
