@@ -983,8 +983,19 @@ def q_pii_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ... Gopher", Appendix A1.1 — the published quality-filter battery).
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
-_GOPHER_ORACLE = f"""
-    WITH feat AS (
+def gopher_cte(
+    src: str = "documents",
+    c_name: str = "c",
+    stops: tuple[str, ...] = _GOPHER_STOPS,
+) -> str:
+    """The feat/``c_name`` CTE pair computing the Gopher rule-battery
+    features over ``src`` — parameterized so composed pipelines
+    (q_curation_v4) gate an augmented corpus with EXACTLY the battery
+    q_gopher_rules verifies: one SQL fragment, zero drift. ``stops``
+    swaps the function-word list the way CCNet/Gopher deployments do
+    per language/corpus (the battery's structure is fixed; the lexicon
+    is a parameter)."""
+    return f"""feat_{c_name} AS (
         SELECT doc_id,
                string_split(text, ' ') AS words,
                string_split(lower(text), ' ') AS wl,
@@ -993,8 +1004,8 @@ _GOPHER_ORACLE = f"""
                length(text) - length(replace(text, '#', '')) AS n_hash,
                (length(text) - length(replace(text, '...', ''))) // 3
                    AS n_ellipsis
-        FROM documents
-    ), c AS (
+        FROM {src}
+    ), {c_name} AS (
         SELECT doc_id,
                CAST(len(words) AS BIGINT) AS n_words,
                CAST(wchars AS BIGINT) AS wchars,
@@ -1011,10 +1022,23 @@ _GOPHER_ORACLE = f"""
                    AS n_alpha,
                CAST({" + ".join(
                    f"CAST(list_contains(wl, '{s}') AS INT)"
-                   for s in _GOPHER_STOPS
+                   for s in stops
                )} AS BIGINT) AS n_stop
-        FROM feat
-    )
+        FROM feat_{c_name}
+    )"""
+
+
+#: The conjunction of all seven Gopher rules over gopher_cte's columns.
+GOPHER_KEEP_SQL = """(n_words BETWEEN 50 AND 100000)
+               AND wchars >= 3 * n_words AND wchars <= 10 * n_words
+               AND 10 * n_sym < n_words
+               AND 10 * n_bullet < 9 * n_lines
+               AND 10 * n_ell_end < 3 * n_lines
+               AND 5 * n_alpha >= 4 * n_words
+               AND n_stop >= 2"""
+
+_GOPHER_ORACLE = f"""
+    WITH {gopher_cte("documents")}
     SELECT doc_id, n_words,
            n_words BETWEEN 50 AND 100000 AS ok_word_count,
            wchars >= 3 * n_words AND wchars <= 10 * n_words
@@ -1024,13 +1048,7 @@ _GOPHER_ORACLE = f"""
            10 * n_ell_end < 3 * n_lines AS ok_ellipsis_lines,
            5 * n_alpha >= 4 * n_words AS ok_alpha_words,
            n_stop >= 2 AS ok_stopwords,
-           (n_words BETWEEN 50 AND 100000)
-               AND wchars >= 3 * n_words AND wchars <= 10 * n_words
-               AND 10 * n_sym < n_words
-               AND 10 * n_bullet < 9 * n_lines
-               AND 10 * n_ell_end < 3 * n_lines
-               AND 5 * n_alpha >= 4 * n_words
-               AND n_stop >= 2 AS keep
+           {GOPHER_KEEP_SQL} AS keep
     FROM c
 """
 
@@ -1058,11 +1076,14 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_report(load_tables(spark, sf_dir)["documents"])
 
 
-def gopher_report(docs: DataFrame) -> DataFrame:
+def gopher_report(
+    docs: DataFrame, stops: tuple[str, ...] = _GOPHER_STOPS
+) -> DataFrame:
     """Core of q_gopher_rules over any (doc_id, text) frame — a pure
-    stateless projection, valid on batch and streaming frames alike."""
+    stateless projection, valid on batch and streaming frames alike.
+    ``stops`` parameterizes the function-word lexicon (see gopher_cte)."""
     stop_hits = None
-    for s in _GOPHER_STOPS:
+    for s in stops:
         term = F.expr(f"array_contains(wl, '{s}')").cast("int")
         stop_hits = term if stop_hits is None else stop_hits + term
     c = docs.select(

@@ -116,7 +116,13 @@ PRIORITY: tuple[str, ...] = (
 #: many-times-green §2.2 contract tail plus the r10 occupants once they
 #: earn their r10 rows (tests/test_registry.py's debt ledger enforces
 #: row-or-slot-or-queue for every registered query).
-ROTATION_CANDIDATES: tuple[str, ...] = ()
+ROTATION_CANDIDATES: tuple[str, ...] = (
+    # r10 additions, FIFO: the composed published-recipe pipeline
+    # (VERDICT r9 task #5) and its funnel — both oracle-verified at two
+    # scale factors in the same commit (tests/test_corpus.py).
+    "q_curation_v4",
+    "q_curation_v4_funnel",
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -385,3 +385,76 @@ def test_compress_ratio_separates_repetition_from_noise(spark):
     for r in rows.values():
         assert 0 < r["compress_ratio"] <= 1.1
     assert rows[1]["compress_ratio"] < rows[2]["compress_ratio"] / 3
+
+
+def test_curation_v4_funnel_trace_equality(spark, sf_dir):
+    """VERDICT r9 task #5's equality pin: the funnel, the per-doc
+    decision frame, and the manifest are three views of ONE staged
+    stage-chain — their counts and id sets must agree exactly, every
+    input doc must hold exactly one decision, and the planted evidence
+    must exit at the stage it was built to prove non-vacuous."""
+    from hive_gateway_spark.operators.corpus import _V4_PLANTED, _v4_state
+    from hive_gateway_spark.session import load_tables
+
+    st = _v4_state(spark, sf_dir)
+    dec = {r["doc_id"]: r["decision"] for r in st["decisions"].collect()}
+    manifest = st["manifest"].collect()
+    funnel = {
+        r["decision"]: r["n_docs"]
+        for r in __import__("hive_gateway_spark.registry", fromlist=["QUERIES"])
+        .QUERIES["q_curation_v4_funnel"](spark, sf_dir)
+        .collect()
+    }
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    # exactly one decision per input doc (fixture + planted)
+    assert len(dec) == n_docs + len(_V4_PLANTED)
+    assert sum(funnel.values()) == len(dec)
+    # funnel == decision-frame aggregation
+    from collections import Counter
+
+    assert funnel == dict(Counter(dec.values()))
+    # manifest == the selected set
+    sel_ids = {r["doc_id"] for r in manifest}
+    assert sel_ids == {d for d, v in dec.items() if v == "selected"}
+    assert funnel["selected"] == len(manifest)
+    # planted evidence exits at its designed stage
+    assert dec[9_800_007] == "benchmark"
+    assert dec[9_800_008] == "contaminated"
+    assert dec[9_800_106] == "norm_dup"
+    # the norm-dup CANONICAL survives to the dedup stage or later
+    assert dec[9_800_105] in ("selected", "not_selected", "span_dup")
+    # every stage of the recipe is non-vacuous on the fixture
+    for stage in (
+        "gopher_fail",
+        "benchmark",
+        "contaminated",
+        "ppl_tail",
+        "norm_dup",
+        "span_dup",
+        "not_selected",
+        "selected",
+    ):
+        assert funnel.get(stage, 0) > 0, f"vacuous stage {stage}"
+
+
+def test_curation_v4_manifest_exports_through_lakehouse(spark, sf_dir, tmp_path):
+    """The manifest is the frame a training job consumes: it must
+    round-trip through dataset_export (partitioned by split) with a
+    verifying manifest — the v4 pipeline's lakehouse landing."""
+    from hive_gateway_spark.registry import QUERIES
+    from hive_gateway_spark.sources.dataset_export import (
+        verify_dataset,
+        write_dataset,
+    )
+
+    out = QUERIES["q_curation_v4"](spark, sf_dir)
+    path = str(tmp_path / "corpus_v4")
+    man = write_dataset(out, path, partition_by=["split"])
+    assert man["n_rows"] == out.count() > 0
+    assert verify_dataset(spark, path)["ok"]
+    back = spark.read.parquet(path)
+    assert {r["split"] for r in back.select("split").distinct().collect()} <= {
+        "train",
+        "val",
+        "test",
+    }
