@@ -47,7 +47,27 @@ import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hive_gateway_spark.sources.commitlog import CommitLog, PosixCommitLog
+
 MANIFEST = "_MANIFEST.json"
+
+#: The storage primitive behind every manifest read/claim/replace (see
+#: commitlog module docstring): POSIX link/rename locally, swappable
+#: for any conditional-put object store. Data files are NOT routed —
+#: they land under unique names and need no coordination.
+_LOG: CommitLog = PosixCommitLog()
+
+
+def set_commit_log(log: CommitLog) -> CommitLog:
+    """Swap the manifest-log backend (test seam / deployment hook);
+    returns the previous one so callers can restore it."""
+    global _LOG
+    old, _LOG = _LOG, log
+    return old
+
+
+def _dump(manifest: dict) -> bytes:
+    return json.dumps(manifest, indent=1, sort_keys=True).encode()
 
 #: Commit-claim retry budget. Each retry means another writer landed a
 #: commit between our read and our claim; 20 lost races in a row is
@@ -75,31 +95,21 @@ def _fire_race_hook() -> None:
 
 def _try_commit(path: str, manifest: dict) -> None:
     """Conditional commit: atomically claim `_MANIFEST.v{version}.json`
-    or raise CommitConflict. The manifest is fully written + fsync'd
-    under a unique temp name first, then hardlinked into the slot —
-    link(2) is atomic and EXCLUSIVE on one filesystem, so the slot can
-    never hold a partial manifest and exactly one racing writer wins.
-    On success the root pointer is refreshed (advisory — see
-    _current_manifest)."""
-    target = os.path.join(path, f"_MANIFEST.v{int(manifest['version'])}.json")
+    or raise CommitConflict — ONE put-if-absent against the commit log
+    (POSIX: temp+fsync+link; object store: ETag-conditional PutObject;
+    see commitlog), so the slot can never hold a partial manifest and
+    exactly one racing writer wins. On success the root pointer is
+    refreshed (advisory — see _current_manifest)."""
     # stamped immediately before the dump, fresh on every attempt — the
     # residual non-repeatability window for TIMESTAMP AS OF readers is
-    # the dump+fsync+link syscall run, microseconds on one filesystem
+    # the dump+put run, microseconds on one filesystem
     manifest["committed_at_us"] = int(_time.time() * 1_000_000)
-    tmp = target + f".{_uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, target)
-    except FileExistsError:
-        os.unlink(tmp)
+    name = f"_MANIFEST.v{int(manifest['version'])}.json"
+    if not _LOG.put_if_absent(path, name, _dump(manifest)):
         raise CommitConflict(
             f"version {manifest['version']} already committed by another "
             f"writer at {path}"
-        ) from None
-    os.unlink(tmp)
+        )
     _refresh_root(path)
 
 
@@ -111,12 +121,7 @@ def _refresh_root(path: str) -> None:
     the max; the root is a fast path and a human-readable convenience,
     never the source of truth."""
     head = _current_manifest(path)
-    tmp = os.path.join(path, MANIFEST + f".{_uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(head, f, indent=1, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(path, MANIFEST))
+    _LOG.put(path, MANIFEST, _dump(head))
 
 
 def _current_manifest(path: str) -> dict:
@@ -125,20 +130,14 @@ def _current_manifest(path: str) -> dict:
     directory listing + one read) — only the max-numbered file is
     opened; an object-store deployment lists the commit log with a
     key-order marker the same way."""
-    best_v, best_p = -1, None
-    try:
-        names = os.listdir(path)
-    except FileNotFoundError:
-        names = []
-    for name in names:
+    best_v, best_n = -1, None
+    for name in _LOG.list_names(path):
         m = _re.fullmatch(r"_MANIFEST\.v(\d+)\.json", name)
         if m and int(m.group(1)) > best_v:
-            best_v, best_p = int(m.group(1)), os.path.join(path, name)
-    if best_p is None:
-        with open(os.path.join(path, MANIFEST)) as f:
-            return json.load(f)
-    with open(best_p) as f:
-        return json.load(f)
+            best_v, best_n = int(m.group(1)), name
+    if best_n is None:
+        return json.loads(_LOG.get(path, MANIFEST))
+    return json.loads(_LOG.get(path, best_n))
 
 
 def _land_files(
@@ -325,28 +324,22 @@ def _write_manifest(path: str, manifest: dict) -> None:
     copy (_MANIFEST.v{N}.json) — the plain-parquet analog of a table
     format's snapshot log.
 
-    ATOMIC: each file lands under a temp name and os.rename's into
-    place (POSIX rename is atomic on one filesystem) — a plain
+    ATOMIC: each file lands through the commit log's atomic put (POSIX:
+    temp + rename; object store: whole-object PutObject) — a plain
     open(w) would truncate the table's root pointer before json.dump
     finishes, so a crash mid-write bricked every later read; with the
-    rename, a crash leaves the previous manifest intact and this
+    atomic put, a crash leaves the previous manifest intact and this
     commit simply never happened (the crash-safety story the module
     docstring promises, applied to the manifest itself)."""
 
     manifest.setdefault("committed_at_us", int(_time.time() * 1_000_000))
 
-    def _atomic(target: str) -> None:
-        tmp = target + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, target)
-
     # version copy FIRST, root pointer last: if the crash lands between
-    # the two, the root still describes the previous committed state
-    _atomic(os.path.join(path, f"_MANIFEST.v{manifest['version']}.json"))
-    _atomic(os.path.join(path, MANIFEST))
+    # the two, the root still describes the previous committed state.
+    # Both are atomic puts through the commit log (POSIX rename here;
+    # whole-object PutObject on a store).
+    _LOG.put(path, f"_MANIFEST.v{manifest['version']}.json", _dump(manifest))
+    _LOG.put(path, MANIFEST, _dump(manifest))
 
 
 def _file_schema_json(df: DataFrame, cols: list[str], pby: list[str]) -> str:
@@ -641,11 +634,13 @@ def version_at(path: str, as_of_us: int) -> int | None:
     Unstamped legacy versions are treated as always-visible; a
     root-pointer-only legacy table returns None, meaning "serve the
     root manifest" (read_snapshot's current-head path)."""
-    import glob as _glob
-
     best = None
-    vpaths = sorted(_glob.glob(os.path.join(path, "_MANIFEST.v*.json")))
-    if not vpaths:  # pre-CAS legacy table: only the root pointer exists
+    vnames = sorted(
+        n
+        for n in _LOG.list_names(path)
+        if _re.fullmatch(r"_MANIFEST\.v(\d+)\.json", n)
+    )
+    if not vnames:  # pre-CAS legacy table: only the root pointer exists
         m = _current_manifest(path)
         ts = m.get("committed_at_us")
         if ts is None or int(ts) <= as_of_us:
@@ -653,9 +648,8 @@ def version_at(path: str, as_of_us: int) -> int | None:
         raise ValueError(
             f"no version committed at or before {as_of_us} at {path}"
         )
-    for vpath in vpaths:
-        with open(vpath) as f:
-            m = json.load(f)
+    for vname in vnames:
+        m = json.loads(_LOG.get(path, vname))
         ts = m.get("committed_at_us")
         if ts is None or int(ts) <= as_of_us:
             v = int(m["version"])
@@ -702,8 +696,7 @@ def read_snapshot(
     if version is None:
         manifest = _current_manifest(path)
     else:
-        with open(os.path.join(path, f"_MANIFEST.v{version}.json")) as f:
-            manifest = json.load(f)
+        manifest = json.loads(_LOG.get(path, f"_MANIFEST.v{version}.json"))
     if not manifest.get("files"):
         raise ValueError(
             "manifest has no files list (pre-snapshot or corrupt) — "
@@ -1025,10 +1018,10 @@ def compact_dataset(
                 os.unlink(victim)
             except FileNotFoundError:
                 pass
-    for name in os.listdir(path):
+    for name in _LOG.list_names(path):
         m = _re.fullmatch(r"_MANIFEST\.v(\d+)\.json", name)
         if m and int(m.group(1)) < int(manifest["version"]):
-            os.unlink(os.path.join(path, name))
+            _LOG.delete(path, name)
     # orphan sweep (Iceberg remove_orphan_files): data files no manifest
     # references — crashed appends, lost merge races. The GRACE PERIOD
     # is what makes this concurrent-safe: a file younger than the grace
@@ -1093,12 +1086,14 @@ def dataset_history(spark: SparkSession, path: str) -> DataFrame:
     state, and whether the version is still time-travelable (its files
     all present — compaction expires older versions' files). The
     operational view an on-call engineer reads before a rollback."""
-    import glob as _glob
-
     rows = []
-    for vpath in sorted(_glob.glob(os.path.join(path, "_MANIFEST.v*.json"))):
-        with open(vpath) as f:
-            m = json.load(f)
+    vnames = sorted(
+        n
+        for n in _LOG.list_names(path)
+        if _re.fullmatch(r"_MANIFEST\.v(\d+)\.json", n)
+    )
+    for vname in vnames:
+        m = json.loads(_LOG.get(path, vname))
         files = m.get("files", [])
         cb = m.get("cluster_by")
         rows.append(

@@ -1527,3 +1527,52 @@ def test_compaction_gets_its_own_commit_stamp(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not both"):
         read_snapshot(spark, path, version=1, as_of_us=after)
+
+
+def test_commit_protocol_runs_against_object_store_double(spark, tmp_path):
+    """VERDICT r9 task #6: the multi-writer protocol must be provably
+    portable off POSIX. Install the FakeS3CommitLog (conditional-put
+    only: no link, no rename, no directories) and re-run the core race
+    scenarios — a lost append race retrying on top of the winner, and
+    four true-thread writers — plus time travel and verification, all
+    against the double."""
+    import hive_gateway_spark.sources.dataset_export as de
+    from hive_gateway_spark.sources.commitlog import FakeS3CommitLog
+
+    fake = FakeS3CommitLog()
+    old = de.set_commit_log(fake)
+    try:
+        path = str(tmp_path / "s3_race")
+        de.write_dataset(_docs(spark, 0, 5, "base"), path)
+        # the manifest log lives ONLY in the double
+        assert not [
+            n for n in __import__("os").listdir(path) if n.startswith("_MANIFEST")
+        ]
+        assert fake.list_names(path)
+        # lost race → conflict → retry on top of the winner
+        de._RACE_HOOK = lambda: de.append_dataset(_docs(spark, 100, 103, "b"), path)
+        try:
+            m = de.append_dataset(_docs(spark, 200, 204, "a"), path)
+        finally:
+            de._RACE_HOOK = None
+        assert m["version"] == 3 and m["n_rows"] == 12
+        got = sorted(r["doc_id"] for r in de.read_snapshot(spark, path).collect())
+        assert got == [0, 1, 2, 3, 4, 100, 101, 102, 200, 201, 202, 203]
+        assert de.read_snapshot(spark, path, version=2).count() == 8
+        assert de.verify_dataset(spark, path)["ok"]
+        # four unorchestrated threaded writers — conditional put is the
+        # only serializer available to them
+        from concurrent.futures import ThreadPoolExecutor
+
+        def work(i):
+            de.append_dataset(
+                _docs(spark, 1000 * i, 1000 * i + 5, f"w{i}"), path
+            )
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(work, range(1, 5)))
+        m = de._current_manifest(path)
+        assert m["version"] == 7 and m["n_rows"] == 32
+        assert de.verify_dataset(spark, path)["ok"]
+    finally:
+        de.set_commit_log(old)
