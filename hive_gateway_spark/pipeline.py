@@ -122,16 +122,183 @@ class CurationPipeline:
 
         return self._add("select_dsir", stage)
 
+    # ------------------------------------------------- v4 recipe stages
+
+    def gate_gopher(self, stops: tuple[str, ...] | None = None) -> "CurationPipeline":
+        """Keep docs passing the full Gopher rule battery
+        (q_gopher_rules' core; ``stops`` swaps the function-word
+        lexicon per corpus/language)."""
+
+        def stage(docs: DataFrame) -> DataFrame:
+            from hive_gateway_spark.operators.text import (
+                _GOPHER_STOPS,
+                gopher_report,
+            )
+
+            keep = gopher_report(docs, stops=stops or _GOPHER_STOPS).filter(
+                "keep"
+            ).select("doc_id")
+            return docs.join(keep, "doc_id")
+
+        return self._add("gate_gopher", stage)
+
+    def decontaminate(
+        self, bench_mod: int = 97, min_shared: int = 5
+    ) -> "CurationPipeline":
+        """Drop the benchmark slice (doc_id % bench_mod == 0) AND every
+        training doc sharing >= min_shared word-shingles with it
+        (q_contamination's machinery over the CURRENT frame). The
+        shingle meet is a shuffle-hash join on the 8-byte hash — never
+        a corpus broadcast."""
+
+        def stage(docs: DataFrame) -> DataFrame:
+            from hive_gateway_spark.operators.dedup import (
+                SHINGLE_N,
+                _SHINGLE_EXPR,
+            )
+
+            hs = f"array_distinct(transform({_SHINGLE_EXPR}, s -> xxhash64(s)))"
+            sh = (
+                docs.withColumn("words", F.split("text", " "))
+                .filter(F.size("words") >= SHINGLE_N)
+                .select("doc_id", F.explode(F.expr(hs)).alias("h"))
+            )
+            bench = sh.filter(F.col("doc_id") % bench_mod == 0).select(
+                F.col("doc_id").alias("bench_id"), "h"
+            )
+            train = sh.filter(F.col("doc_id") % bench_mod != 0).select(
+                F.col("doc_id").alias("train_id"), "h"
+            )
+            contaminated = (
+                train.hint("shuffle_hash")
+                .join(bench, "h")
+                .groupBy("bench_id", "train_id")
+                .agg(F.count("*").alias("sn"))
+                .filter(F.col("sn") >= min_shared)
+                .select(F.col("train_id").alias("doc_id"))
+                .distinct()
+            )
+            return docs.filter(F.col("doc_id") % bench_mod != 0).join(
+                contaminated, "doc_id", "left_anti"
+            )
+
+        return self._add("decontaminate", stage)
+
+    def cut_perplexity_tail(self, tiles: int = 3) -> "CurationPipeline":
+        """CCNet cut: retrain the bigram LM on the current frame, rank
+        per lang by mean_nll via the scalable exact NTILE, drop the
+        last (least fluent) of ``tiles`` tiles."""
+
+        def stage(docs: DataFrame) -> DataFrame:
+            from hive_gateway_spark.operators.corpus import perplexity_report
+            from hive_gateway_spark.operators.ranking import exact_ntile
+
+            ppl = perplexity_report(docs)
+            ranked = exact_ntile(
+                ppl.join(docs.select("doc_id", "lang"), "doc_id").select(
+                    "lang", "doc_id", "mean_nll"
+                ),
+                tiles,
+                "mean_nll",
+                "doc_id",
+                partition_cols=["lang"],
+                out_col="t",
+                tie_subsplit=False,
+            )
+            tail = ranked.filter(F.col("t") == tiles).select("doc_id")
+            return docs.join(tail, "doc_id", "left_anti")
+
+        return self._add("cut_perplexity_tail", stage)
+
+    def dedup_normalized(self) -> "CurationPipeline":
+        """Keep the lowest doc_id per NORMALIZED text (casefold +
+        punctuation-strip + whitespace-collapse — q_dedup_normalized's
+        canonical election)."""
+
+        def stage(docs: DataFrame) -> DataFrame:
+            norm = F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.upper(F.col("text")), "[^A-Z0-9 ]", ""),
+                    " +",
+                    " ",
+                )
+            )
+            nn = docs.withColumn("__norm", norm)
+            keymin = nn.groupBy("__norm").agg(F.min("doc_id").alias("doc_id"))
+            return nn.join(keymin, ["__norm", "doc_id"]).drop("__norm")
+
+        return self._add("dedup_normalized", stage)
+
+    def split_pack(self) -> "CurationPipeline":
+        """Terminal manifest stage: deterministic 80/10/10 hash split,
+        hash shard, and contiguous cumsum token bins per (split, lang,
+        shard) — q_split_assign + q_pack_sequences composed."""
+
+        def stage(docs: DataFrame) -> DataFrame:
+            from pyspark.sql import Window
+
+            from hive_gateway_spark.operators.sampling import (
+                _PACK_BUDGET,
+                _PACK_SHARDS,
+                _TRAIN_LT,
+                _VAL_LT,
+                _h,
+            )
+            from hive_gateway_spark.operators.text import _BPE_RE
+
+            bucket = _h(F.col("doc_id")) % 1000
+            split = (
+                F.when(bucket < _TRAIN_LT, "train")
+                .when(bucket < _VAL_LT, "val")
+                .otherwise("test")
+            )
+            sized = docs.select(
+                "*",
+                split.alias("split"),
+                (_h(F.col("doc_id")) % _PACK_SHARDS).alias("shard"),
+                F.regexp_count("text", F.lit(_BPE_RE))
+                .cast("bigint")
+                .alias("__n_tok"),
+            )
+            w = (
+                Window.partitionBy("split", "lang", "shard")
+                .orderBy(F.col("doc_id").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            return sized.withColumn(
+                "bin",
+                F.floor(
+                    (
+                        (F.sum("__n_tok").over(w) - F.col("__n_tok")).cast(
+                            "double"
+                        )
+                    )
+                    / F.lit(_PACK_BUDGET)
+                ).cast("bigint"),
+            ).drop("__n_tok")
+
+        return self._add("split_pack", stage)
+
     # ---------------------------------------------------------- execution
 
-    def run(self) -> DataFrame:
+    def run(self, materialize: bool = True) -> DataFrame:
         """Fold the stages over the source; the result is cached on the
-        builder for export()."""
+        builder for export().
+
+        ``materialize`` (default) localCheckpoints each stage boundary —
+        the staging-table pattern every multi-stage corpus build uses:
+        stages like cut_perplexity_tail make several passes over their
+        input (LM aggregate + ranking), so an unmaterialized chain
+        re-executes the whole upstream per pass (measured 5× wall on
+        the v4 chain). Pass False for one lazy end-to-end plan when the
+        chain is single-pass."""
         if self._source is None:
             raise ValueError("no source: call read_parquet() or from_frame()")
         out = self._source
         for _, fn in self._stages:
             out = fn(out)
+            if materialize:
+                out = out.localCheckpoint()
         self._result = out
         return out
 

@@ -82,3 +82,38 @@ def test_pipeline_append_commits_next_version(spark, sf_dir, tmp_path):
     assert m2["version"] == 2 and m2["n_rows"] > m1["n_rows"]
     assert verify_dataset(spark, path)["ok"]
     assert read_snapshot(spark, path, 1).count() == m1["n_rows"]
+
+
+def test_v4_chain_equals_curation_v4(spark, sf_dir):
+    """The facade's v4 recipe chain must reproduce q_curation_v4's
+    manifest exactly (same selected docs, weights, splits, shards,
+    bins) when fed the same augmented corpus — the facade adds zero
+    semantics over the registered pipeline."""
+    from hive_gateway_spark.operators.corpus import _V4_PLANTED, V4_STOPS, V4_TOP
+    from hive_gateway_spark.pipeline import CurationPipeline
+    from hive_gateway_spark.registry import QUERIES
+    from hive_gateway_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang", "text")
+    planted = spark.createDataFrame(
+        _V4_PLANTED, "doc_id bigint, lang string, text string"
+    )
+    out = (
+        CurationPipeline(spark)
+        .from_frame(docs.unionByName(planted))
+        .gate_gopher(stops=V4_STOPS)
+        .decontaminate()
+        .cut_perplexity_tail()
+        .dedup_normalized()
+        .drop_span_duplicates(0.6)
+        .select_dsir(top=V4_TOP)
+        .split_pack()
+        .run()
+    )
+    cols = ["doc_id", "lang", "logw", "split", "shard", "bin"]
+    facade = sorted(tuple(r[c] for c in cols) for r in out.select(*cols).collect())
+    v4 = sorted(
+        tuple(r[c] for c in cols)
+        for r in QUERIES["q_curation_v4"](spark, sf_dir).select(*cols).collect()
+    )
+    assert facade == v4 and len(facade) > 0
