@@ -170,6 +170,11 @@ HEADLINE_R9 = [
     "q_dedup_normalized",
 ]
 
+HEADLINE_R10 = [
+    "q_curation_v4",
+    "q_curation_v4_funnel",
+]
+
 
 #: Regression gate (VERDICT r6 task #6): warm ratio vs the previous
 #: round's recorded bench above which the run FAILS (rc != 0), so a perf
@@ -264,7 +269,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in (HEADLINE + HEADLINE_R2 + HEADLINE_R6 + HEADLINE_R7
-                 + HEADLINE_R8 + HEADLINE_R9):
+                 + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10):
         fn = registry.QUERIES[name]
         # drop the previous query's dead broadcasts/UDF workers before
         # timing this one — without it, late queries in a 30-query
@@ -297,6 +302,7 @@ def main() -> None:
     r7_total = round(sum(timings[n] for n in HEADLINE_R7), 3)
     r8_total = round(sum(timings[n] for n in HEADLINE_R8), 3)
     r9_total = round(sum(timings[n] for n in HEADLINE_R9), 3)
+    r10_total = round(sum(timings[n] for n in HEADLINE_R10), 3)
 
     # Per-query regression gate vs the previous round's recorded bench.
     # The per-query ratio is NORMALIZED by the round's median ratio over
@@ -367,9 +373,10 @@ def main() -> None:
                 "value_r7_ops": r7_total,
                 "value_r8_ops": r8_total,
                 "value_r9_ops": r9_total,
+                "value_r10_ops": r10_total,
                 "value_all": round(
                     r01_comparable + r2_total + r6_total + r7_total
-                    + r8_total + r9_total, 3
+                    + r8_total + r9_total + r10_total, 3
                 ),
                 "queries": timings,
                 "queries_cold": cold,
