@@ -17,4 +17,5 @@ def load_all() -> None:
         sampling,
         corpus,
         bpe,
+        ranking,
     )

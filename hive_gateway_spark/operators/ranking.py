@@ -176,3 +176,81 @@ def exact_ntile(
         rem + F.floor((r - head + q_safe - 1) / q_safe)
     )
     return ranked.withColumn(out_col, tile.cast("int")).select(*out_cols)
+
+
+#: Decile count for the direct NTILE-parity query below.
+NTILE_K = 10
+
+
+def _register() -> None:
+    """Register q_ntile_assign — deferred so this util module stays
+    importable without the registry (it is also imported BY operator
+    modules during load_all)."""
+    from hive_gateway_spark.registry import query
+    from hive_gateway_spark.session import load_tables
+
+    @query(
+        "q_ntile_assign",
+        oracle=f"""
+        WITH t AS (
+            SELECT c.c_mktsegment AS segment, o.o_totalprice AS price,
+                   NTILE({NTILE_K}) OVER (
+                       PARTITION BY c.c_mktsegment
+                       ORDER BY o.o_totalprice ASC, o.o_orderkey ASC
+                   ) AS tile
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        )
+        SELECT segment, CAST(tile AS BIGINT) AS tile,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM t GROUP BY segment, tile
+        """,
+    )
+    def q_ntile_assign(spark, sf_dir: str) -> DataFrame:
+        """Per-segment order-value deciles — the DIRECT driver pin of
+        the exact_ntile kernel against the engine-native NTILE: the
+        oracle is a literal ``NTILE({NTILE_K}) OVER (PARTITION BY
+        c_mktsegment ORDER BY o_totalprice, o_orderkey)`` (5-value
+        partition key, heavy price ties — exactly the giant-partition
+        shape the kernel de-weaks), the Spark side is the range-bucket
+        rank projection with the tie sub-split ON. Reported per
+        (segment, tile): order count and the exact-decimal price sum.
+
+        Scale shape: a shuffle-hash fact join on custkey, then
+        exact_ntile's one corpus shuffle over ~buckets² cells per
+        segment + tiny broadcast split/offset tables — no ntile()
+        window, no corpus-in-5-partitions sort (plan-asserted in
+        tests/test_plans.py)."""
+        t = load_tables(spark, sf_dir)
+        o = (
+            t["orders"]
+            .join(
+                t["customer"].hint("shuffle_hash"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select(
+                F.col("c_mktsegment").alias("segment"),
+                F.col("o_totalprice").alias("price"),
+                "o_orderkey",
+            )
+        )
+        ranked = exact_ntile(
+            o,
+            NTILE_K,
+            "price",
+            "o_orderkey",
+            partition_cols=["segment"],
+            out_col="tile",
+        )
+        return ranked.groupBy(
+            "segment", F.col("tile").cast("bigint").alias("tile")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+
+
+_register()

@@ -122,6 +122,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # scale factors in the same commit (tests/test_corpus.py).
     "q_curation_v4",
     "q_curation_v4_funnel",
+    # direct NTILE-parity pin of the exact_ntile kernel (DuckDB NTILE
+    # oracle over a 5-value partition key with heavy price ties)
+    "q_ntile_assign",
 )
 
 

@@ -422,3 +422,12 @@ def test_ccnet_buckets_no_lang_partition_ntile(spark, sf_dir):
     """r10 de-weak: the per-lang perplexity cut must not window on the
     5-value lang key alone (corpus/5 rows per partition)."""
     _no_corpus_scale_ntile(plan_of(spark, sf_dir, "q_ccnet_buckets"))
+
+
+def test_ntile_assign_no_ntile_window(spark, sf_dir):
+    """The direct NTILE-parity query must itself run the de-weaked
+    form: no ntile() window anywhere, row_number only over range-bucket
+    cell keys, and the fact join on custkey is never a broadcast of a
+    corpus-scale side... the oracle is literal NTILE — the plan must
+    not be."""
+    _no_corpus_scale_ntile(plan_of(spark, sf_dir, "q_ntile_assign"))
