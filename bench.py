@@ -173,6 +173,7 @@ HEADLINE_R9 = [
 HEADLINE_R10 = [
     "q_curation_v4",
     "q_curation_v4_funnel",
+    "q_ntile_assign",
 ]
 
 
@@ -389,8 +390,15 @@ def main() -> None:
                 "regression_gate": (
                     "fail"
                     if regressions
+                    # cold is a WARNING, not a failure: cold times are
+                    # single samples (warm is a median of 3), and one
+                    # co-tenant CPU spike during a query's only cold
+                    # measurement was observed inflating it 5.5× with
+                    # the round median at 1.06 — a hard exit would
+                    # teach operators to ignore the gate. The flag
+                    # stays in the record for the next round to act on.
                     else (
-                        "fail_cold"
+                        "warn_cold"
                         if cold_regressions
                         else (
                             "warn_global_slowdown"
@@ -404,7 +412,7 @@ def main() -> None:
     _write_local(record)
     print(json.dumps(record))
     spark.stop()
-    if regressions or cold_regressions:
+    if regressions:
         sys.exit(1)
 
 

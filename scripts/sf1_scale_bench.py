@@ -162,6 +162,7 @@ def run(sf1_dir: str) -> None:
         + bench.HEADLINE_R7
         + bench.HEADLINE_R8
         + getattr(bench, "HEADLINE_R9", [])
+        + getattr(bench, "HEADLINE_R10", [])
     )
     spark = get_spark("sf1-scale-bench")
     report: dict[str, dict] = {}
