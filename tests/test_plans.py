@@ -431,3 +431,24 @@ def test_ntile_assign_no_ntile_window(spark, sf_dir):
     corpus-scale side... the oracle is literal NTILE — the plan must
     not be."""
     _no_corpus_scale_ntile(plan_of(spark, sf_dir, "q_ntile_assign"))
+
+
+def test_v4_decontaminate_shingle_meet_is_shuffle_hash(spark, sf_dir):
+    """q_curation_v4's decontamination stage (via the facade, which is
+    pinned identical): the training-vs-benchmark shingle meet must be a
+    SHUFFLE-HASH join on the 8-byte hash key — at 100 TB the benchmark
+    suite side is unbounded, so a forced broadcast there would be the
+    r8 scale-killer class. Asserted on the UN-checkpointed chain (the
+    registered query stages through localCheckpoint, which hides the
+    join from its own plan)."""
+    from hive_gateway_spark.pipeline import CurationPipeline
+
+    out = (
+        CurationPipeline(spark)
+        .read_parquet(sf_dir)
+        .decontaminate()
+        .run(materialize=False)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"ShuffledHashJoin \[h#\d+", plan), plan
+    assert not re.search(r"BroadcastHashJoin \[h#\d+", plan), plan
