@@ -1053,3 +1053,69 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — THE canonical warehouse
+    aggregate: one pushed shipdate predicate, a 2-key group over the
+    whole fact table, eight aggregates per group. Every sum folds in
+    exact decimal (scale covering each expression's true decimal
+    width: qty/price 2 dp, price·(1−disc) 4 dp, ·(1+tax) 6 dp — the
+    products are single IEEE expressions identical in both engines
+    before the cast); averages are one exact-sum-over-exact-count IEEE
+    division each.
+
+    Scale shape: scan (predicate pushed, 7 columns read) → map-side
+    partial aggregate → exchange on the 4-group key → final aggregate.
+    The shuffle carries 4 partial states, not rows — the purest
+    demonstration that a 100 TB group-by costs one scan."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias(
+            "sum_base_price"
+        ),
+        F.sum(dec(disc_price, 4)).cast("double").alias("sum_disc_price"),
+        F.sum(dec(charge, 6)).cast("double").alias("sum_charge"),
+        (F.sum(dec(F.col("l_quantity"))).cast("double") / n.cast("double")).alias(
+            "avg_qty"
+        ),
+        (
+            F.sum(dec(F.col("l_extendedprice"))).cast("double")
+            / n.cast("double")
+        ).alias("avg_price"),
+        (F.sum(dec(F.col("l_discount"))).cast("double") / n.cast("double")).alias(
+            "avg_disc"
+        ),
+        n.alias("count_order"),
+    )

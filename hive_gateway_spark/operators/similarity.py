@@ -317,16 +317,27 @@ def _ivf_index(spark: SparkSession, t, e) -> tuple:
         (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
     ]
     centers = spark.createDataFrame(centers_rows, "cell int, center array<double>")
-    # Multi-assignment inverted file: each base vector lands in its
-    # IVF_ASSIGN nearest cells (by centroid dot — same ranking heuristic
-    # as the probe step), replicated via a broadcast-centroid join + per-
-    # vector row_number — no KMeans.transform single-cell limitation.
+    inv_file = _assign_cells(e, centers).localCheckpoint()
+    evict(per)
+    per[key] = (centers_rows, inv_file)
+    return centers, inv_file
+
+
+def _assign_cells(e, centers) -> DataFrame:
+    """Multi-assignment inverted-file rows for the vectors in ``e``
+    ((vec_id, v, n2) quantized frame): each base vector lands in its
+    IVF_ASSIGN nearest cells (by centroid dot — same ranking heuristic
+    as the probe step), replicated via a broadcast-centroid join + per-
+    vector row_number — no KMeans.transform single-cell limitation.
+    Shared by the index BUILD and the incremental APPEND (faiss add()):
+    maintenance assigns against the existing centroids, it never
+    retrains."""
     cdot_b = F.expr(
         "aggregate(zip_with(v, center, (x, y) -> CAST(x AS DOUBLE) * y), "
         "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
     )
     wb = W.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
-    inv_file = (
+    return (
         e.join(F.broadcast(centers))
         .select("vec_id", "v", "n2", "cell", cdot_b.alias("cdot"))
         .withColumn("arank", F.row_number().over(wb))
@@ -337,11 +348,7 @@ def _ivf_index(spark: SparkSession, t, e) -> tuple:
             F.col("v").alias("vb"),
             F.col("n2").alias("nb"),
         )
-        .localCheckpoint()
     )
-    evict(per)
-    per[key] = (centers_rows, inv_file)
-    return centers, inv_file
 
 
 def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> dict:
@@ -382,6 +389,43 @@ def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> dict:
         extra=geometry,
     )
     return {"centroids": man_c, "invfile": man_i}
+
+
+def append_ivf_index(spark: SparkSession, new_embeddings: DataFrame, path: str) -> dict:
+    """Incremental index maintenance — faiss's add(), lakehouse-style:
+    assign NEW vectors to the index's EXISTING centroids (no retrain)
+    and commit their inverted-file rows as manifest version N+1 via
+    append_dataset (O(batch), versioned, time-travelable — a crashed
+    append leaves orphans invisible to every manifest). The geometry
+    extras carry forward with the corpus-size pin advanced by the batch
+    row count, so a serving session's _load_persisted_ivf accepts the
+    grown index against the grown corpus and refuses a partial one.
+
+    At 100 TB this is the difference between a nightly O(N) rebuild and
+    an O(new-data) maintenance commit; centroid drift is a monitored
+    quantity and the full rebuild (persist_ivf_index) stays the
+    scheduled job that resets it. ``new_embeddings`` must carry
+    (vec_id, embedding) with vec_ids disjoint from the indexed corpus —
+    the same append-only id discipline every vector store demands."""
+    from hive_gateway_spark.sources.dataset_export import (
+        _current_manifest,
+        append_dataset,
+        read_snapshot,
+    )
+
+    man = _current_manifest(f"{path}/invfile")
+    centers = read_snapshot(spark, f"{path}/centroids").select("cell", "center")
+    e = new_embeddings.select(
+        "vec_id", vec_q("embedding").alias("v")
+    ).withColumn("n2", norm2_q("v"))
+    rows = _assign_cells(e, centers).select("neighbor_id", "cell", "vb", "nb")
+    geometry = {
+        "ivf_cells": man["ivf_cells"],
+        "ivf_assign": man["ivf_assign"],
+        "n_corpus_vectors": int(man["n_corpus_vectors"])
+        + new_embeddings.count(),
+    }
+    return append_dataset(rows, f"{path}/invfile", extra=geometry)
 
 
 def _load_persisted_ivf(spark: SparkSession, path: str, emb: DataFrame):

@@ -125,6 +125,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # direct NTILE-parity pin of the exact_ntile kernel (DuckDB NTILE
     # oracle over a 5-value partition key with heavy price ties)
     "q_ntile_assign",
+    # the canonical TPC-H pricing summary (completes the Q-family:
+    # 1/3/5/6/10/13/18)
+    "q_tpch_q1",
 )
 
 

@@ -253,3 +253,62 @@ def test_ivf_persisted_index_rejects_stale_corpus(spark, sf_dir, tmp_path):
     with open(f"{path}/invfile/{sorted(vs)[-1]}", "w") as f:
         json.dump(man, f)
     assert sim._load_persisted_ivf(spark, path, emb) is None
+
+
+def test_ivf_index_incremental_append(spark, sf_dir, tmp_path, monkeypatch):
+    """Index MAINTENANCE (faiss add(), lakehouse-style): build + persist
+    on half the corpus, append_ivf_index the other half (assignment
+    against the EXISTING centroids — KMeans is poisoned to prove no
+    retrain), then serve the FULL corpus from the grown index in a
+    fresh session: the corpus-size pin accepts exactly the grown
+    index, the manifest advanced to version 2, and recall vs the
+    exact baseline holds."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pyspark.ml.clustering as _clust
+
+    from hive_gateway_spark.operators import similarity as sim
+    from hive_gateway_spark.session import load_tables
+    from hive_gateway_spark.sources.dataset_export import _current_manifest
+
+    half_dir = str(tmp_path / "sf_half")
+    os.makedirs(half_dir)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    even = emb.filter(__import__("pyarrow").compute.equal(
+        __import__("pyarrow").compute.bit_wise_and(emb["vec_id"], 1), 0
+    ))
+    pq.write_table(even, os.path.join(half_dir, "embeddings.parquet"))
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(
+            os.path.join(sf_dir, f"{name}.parquet"),
+            os.path.join(half_dir, f"{name}.parquet"),
+        )
+    path = str(tmp_path / "ann_index_inc")
+    sim.persist_ivf_index(spark, half_dir, path)
+
+    class _Poisoned:
+        def __init__(self, *a, **k):
+            raise AssertionError("maintenance must not retrain KMeans")
+
+    monkeypatch.setattr(_clust, "KMeans", _Poisoned)
+    full_emb = load_tables(spark, sf_dir)["embeddings"]
+    odd = full_emb.filter(full_emb.vec_id % 2 == 1)
+    man = sim.append_ivf_index(spark, odd, path)
+    assert man["version"] == 2
+    assert man["n_corpus_vectors"] == full_emb.count()
+    assert man["ivf_cells"] == sim.IVF_CELLS
+    assert _current_manifest(f"{path}/invfile")["n_rows"] == (
+        full_emb.count() * sim.IVF_ASSIGN
+    )
+
+    fresh = spark.newSession()
+    fresh.conf.set("hive_gateway.ann.index_path", path)
+    got = sim.q_sim_topk_ivf(fresh, sf_dir).collect()
+    exact = _topk(sim.q_sim_topk(fresh, sf_dir).collect())
+    approx = _topk(got)
+    total = sum(len(v) for v in exact.values())
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    assert total > 0 and hits / total >= 0.6, hits / total
