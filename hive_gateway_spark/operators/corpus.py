@@ -2161,6 +2161,13 @@ def q_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_corpus.py exports + verifies it through the lakehouse
     layer).
 
+    Published-recipe provenance (technique citations, PAPERS.md — no
+    code consulted): rule battery Rae et al. 2021 App. A1.1 (Gopher);
+    perplexity bucketing Wenzek et al. 2020 (CCNet); span/dedup stages
+    Lee et al. 2022 ("Deduplicating Training Data..."); selection Xie
+    et al. 2023 (DSIR); the composed gate order follows the open
+    RedPajama / Dolma data pipelines' published stage lists.
+
     Scale shape: the composition adds nothing beyond its stages' own
     audited shapes — per-doc projections, one shingle-hash shuffle-hash
     join, the shuffle-hash LM joins, the range-bucket NTILE (no

@@ -1024,3 +1024,38 @@ def q_dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+@query("q_ann_index_stats")  # rows-only: the index is a KMeans artifact
+def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-health monitor — the drift quantity the maintenance
+    story names (append_ivf_index grows cells WITHOUT retraining, so
+    occupancy skew is what tells the operator when the scheduled
+    rebuild is due): per-cell inverted-file occupancy, its share of
+    the index, and the imbalance factor n_cell/mean. A healthy coarse
+    quantizer sits near imbalance 1; a hot cell near cells/1 means
+    probes scan a corpus-sized cell — IVF degraded to brute force.
+
+    Rows-only by design (KMeans is not SQL-expressible); the counting
+    identities (sum == assign·N, cells bounded, shares sum to 1) are
+    property-pinned in tests/test_similarity.py. Scale shape: ONE
+    map-side-combined aggregate over the (already-built or loaded)
+    inverted file + a 1-row total broadcast — the index is read, never
+    rebuilt, so the monitor costs one pass over index rows."""
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    _, inv_file = _ivf_index(spark, t, e)
+    occ = inv_file.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    tot = occ.agg(
+        F.sum("n_vectors").alias("tot"),
+        F.count("*").cast("double").alias("ncells"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.round(F.col("n_vectors") / F.col("tot"), 4).alias("occupancy_share"),
+        F.round(
+            F.col("n_vectors").cast("double") / (F.col("tot") / F.col("ncells")),
+            4,
+        ).alias("imbalance"),
+    )

@@ -128,6 +128,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # the canonical TPC-H pricing summary (completes the Q-family:
     # 1/3/5/6/10/13/18)
     "q_tpch_q1",
+    # rows-only: per-cell IVF occupancy + imbalance (the maintenance
+    # drift monitor; counting identities property-pinned)
+    "q_ann_index_stats",
 )
 
 

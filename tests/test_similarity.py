@@ -312,3 +312,20 @@ def test_ivf_index_incremental_append(spark, sf_dir, tmp_path, monkeypatch):
     total = sum(len(v) for v in exact.values())
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     assert total > 0 and hits / total >= 0.6, hits / total
+
+
+def test_ann_index_stats_counting_identities(spark, sf_dir):
+    """The index monitor's identities: occupancy sums to assign·N over
+    ≤ IVF_CELLS cells, shares sum to ~1, imbalance is positive and
+    mean-normalized (sum(n)/cells == mean ⇒ mean imbalance 1)."""
+    from hive_gateway_spark.operators import similarity as sim
+    from hive_gateway_spark.session import load_tables
+
+    rows = sim.q_ann_index_stats(spark, sf_dir).collect()
+    n = load_tables(spark, sf_dir)["embeddings"].count()
+    assert 0 < len(rows) <= sim.IVF_CELLS
+    assert sum(r["n_vectors"] for r in rows) == n * sim.IVF_ASSIGN
+    assert abs(sum(r["occupancy_share"] for r in rows) - 1.0) < 0.01
+    imb = [r["imbalance"] for r in rows]
+    assert all(i > 0 for i in imb)
+    assert abs(sum(imb) / len(imb) - 1.0) < 0.01
