@@ -409,7 +409,14 @@ def main() -> None:
                 ),
             }
     )
-    _write_local(record)
+    # A FAILING run must not become the next baseline: persisting its
+    # timings would let one re-run launder any warm regression into the
+    # ratchet (the regressed value compares against itself → ratio 1.0
+    # → pass). warn_cold / warn_global runs still persist — they are
+    # advisory and blocking them would re-flag legitimate one-time
+    # shifts against an ever-staler baseline forever.
+    if not regressions:
+        _write_local(record)
     print(json.dumps(record))
     spark.stop()
     if regressions:

@@ -1634,9 +1634,15 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_gateway_spark.operators.ranking import exact_ntile
 
     ppl = perplexity_report(t["documents"])
+    # exact_ntile makes ~3 passes over its input — stage the small
+    # per-doc score frame so the LM joins behind it run once
+    # (q_rfm_segments measured this exact re-execution mode)
     ranked = exact_ntile(
-        ppl.join(t["documents"].select("doc_id", "lang"), "doc_id").select(
-            "lang", "doc_id", "n_bigrams", "mean_nll"
+        stage(
+            ppl.join(t["documents"].select("doc_id", "lang"), "doc_id").select(
+                "lang", "doc_id", "n_bigrams", "mean_nll"
+            ),
+            "ccnet.ntile_input",
         ),
         3,
         "mean_nll",
@@ -1681,6 +1687,15 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: contaminated) — they never influence the LM, dedup, or DSIR
 #: statistics of real documents. IDs far above the fixture range.
 V4_TOP = 120
+
+#: dedup's benchmark-slice modulus, bound once here so every v4 CTE
+#: AND the funnel's decision CASE interpolate the same constant (a
+#: hardcoded copy in one spot would silently desync the funnel's
+#: benchmark attribution if the modulus ever changed). Module-level
+#: import is cycle-safe: dedup never imports corpus.
+from hive_gateway_spark.operators.dedup import (  # noqa: E402
+    CONTAM_BENCH_MOD as _V4_BENCH_MOD,
+)
 
 #: The Gopher battery's stopword rule with the CORPUS-APPROPRIATE
 #: function-word lexicon (the battery's structure is fixed; the lexicon
@@ -1921,7 +1936,7 @@ _V4_FUNNEL_ORACLE = f"""
     FROM (
         SELECT v.doc_id,
                CASE WHEN gok.doc_id IS NULL THEN 'gopher_fail'
-                    WHEN v.doc_id % 97 = 0 THEN 'benchmark'
+                    WHEN v.doc_id % {_V4_BENCH_MOD} = 0 THEN 'benchmark'
                     WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
                     WHEN tl.doc_id IS NOT NULL THEN 'ppl_tail'
                     WHEN nw.doc_id IS NULL THEN 'norm_dup'
@@ -2018,9 +2033,14 @@ def _v4_state(spark: SparkSession, sf_dir: str) -> dict:
     # range-bucket rank projection (no corpus-in-5-partitions window),
     # tail third dropped.
     ppl = perplexity_report(d)
+    # staged: exact_ntile's multi-pass ranking must not re-run the LM
+    # scoring joins per pass (same fix as q_ccnet_buckets)
     ranked = exact_ntile(
-        ppl.join(d.select("doc_id", "lang"), "doc_id").select(
-            "lang", "doc_id", "mean_nll"
+        stage(
+            ppl.join(d.select("doc_id", "lang"), "doc_id").select(
+                "lang", "doc_id", "mean_nll"
+            ),
+            "v4.ntile_input",
         ),
         3,
         "mean_nll",

@@ -143,13 +143,25 @@ class CurationPipeline:
         return self._add("gate_gopher", stage)
 
     def decontaminate(
-        self, bench_mod: int = 97, min_shared: int = 5
+        self,
+        bench_mod: int = 97,
+        min_shared: int = 5,
+        bench_corpus: DataFrame | None = None,
     ) -> "CurationPipeline":
         """Drop the benchmark slice (doc_id % bench_mod == 0) AND every
         training doc sharing >= min_shared word-shingles with it
-        (q_contamination's machinery over the CURRENT frame). The
-        shingle meet is a shuffle-hash join on the 8-byte hash — never
-        a corpus broadcast."""
+        (q_contamination's machinery). The shingle meet is a
+        shuffle-hash join on the 8-byte hash — never a corpus
+        broadcast.
+
+        ``bench_corpus``: the frame the BENCHMARK shingle set is built
+        from. Benchmark suites exist independently of quality gates, so
+        when decontaminate() runs after a filtering stage, pass the
+        UNFILTERED corpus here — otherwise a benchmark doc the earlier
+        gate dropped would no longer protect against its near-dups
+        (q_curation_v4 builds its benchmark set from the full input
+        corpus for exactly this reason). Defaults to the current
+        frame."""
 
         def stage(docs: DataFrame) -> DataFrame:
             from hive_gateway_spark.operators.dedup import (
@@ -158,12 +170,17 @@ class CurationPipeline:
             )
 
             hs = f"array_distinct(transform({_SHINGLE_EXPR}, s -> xxhash64(s)))"
-            sh = (
-                docs.withColumn("words", F.split("text", " "))
-                .filter(F.size("words") >= SHINGLE_N)
-                .select("doc_id", F.explode(F.expr(hs)).alias("h"))
-            )
-            bench = sh.filter(F.col("doc_id") % bench_mod == 0).select(
+
+            def shingles(frame: DataFrame) -> DataFrame:
+                return (
+                    frame.withColumn("words", F.split("text", " "))
+                    .filter(F.size("words") >= SHINGLE_N)
+                    .select("doc_id", F.explode(F.expr(hs)).alias("h"))
+                )
+
+            sh = shingles(docs)
+            bench_src = shingles(bench_corpus) if bench_corpus is not None else sh
+            bench = bench_src.filter(F.col("doc_id") % bench_mod == 0).select(
                 F.col("doc_id").alias("bench_id"), "h"
             )
             train = sh.filter(F.col("doc_id") % bench_mod != 0).select(
@@ -192,11 +209,16 @@ class CurationPipeline:
         def stage(docs: DataFrame) -> DataFrame:
             from hive_gateway_spark.operators.corpus import perplexity_report
             from hive_gateway_spark.operators.ranking import exact_ntile
+            from hive_gateway_spark.staging import stage as _stage
 
             ppl = perplexity_report(docs)
+            # staged: exact_ntile re-reads its input per ranking pass
             ranked = exact_ntile(
-                ppl.join(docs.select("doc_id", "lang"), "doc_id").select(
-                    "lang", "doc_id", "mean_nll"
+                _stage(
+                    ppl.join(docs.select("doc_id", "lang"), "doc_id").select(
+                        "lang", "doc_id", "mean_nll"
+                    ),
+                    "pipeline.ntile_input",
                 ),
                 tiles,
                 "mean_nll",

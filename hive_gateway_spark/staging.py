@@ -35,9 +35,14 @@ def release(obj) -> None:
     are walked so composite cache entries (e.g. the IVF index's
     (centers, inverted_file) pair) free their checkpointed members —
     a bare tuple would otherwise no-op and defeat the deterministic
-    release (code-review r9 #5). Safe on anything else: non-DataFrames,
-    non-checkpointed frames, and Connect sessions fall through
-    silently."""
+    release (code-review r9 #5); dicts walk their values for the same
+    reason (the v4 state cache holds {'decisions': df, 'manifest': df}).
+    Safe on anything else: non-DataFrames, non-checkpointed frames, and
+    Connect sessions fall through silently."""
+    if isinstance(obj, dict):
+        for item in obj.values():
+            release(item)
+        return
     if isinstance(obj, (tuple, list)):
         for item in obj:
             release(item)

@@ -98,11 +98,15 @@ def test_v4_chain_equals_curation_v4(spark, sf_dir):
     planted = spark.createDataFrame(
         _V4_PLANTED, "doc_id bigint, lang string, text string"
     )
+    corpus = docs.unionByName(planted)
     out = (
         CurationPipeline(spark)
-        .from_frame(docs.unionByName(planted))
+        .from_frame(corpus)
         .gate_gopher(stops=V4_STOPS)
-        .decontaminate()
+        # benchmark shingles from the UNGATED corpus — a benchmark doc
+        # the Gopher gate drops must still protect against its
+        # near-dups (matches q_curation_v4's scope exactly)
+        .decontaminate(bench_corpus=corpus)
         .cut_perplexity_tail()
         .dedup_normalized()
         .drop_span_duplicates(0.6)

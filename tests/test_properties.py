@@ -199,7 +199,7 @@ def test_results_invariant_to_shuffle_width(spark, sf_dir):
         (5, True, 7),
         (4, False, 1),  # ALL rows tie on one value
         (7, False, 40),  # n % k != 0, tie-heavy
-        (5, False, 1_000_000),
+        (10, True, 1_000_000),  # many tiles, descending, continuous
     ],
 )
 def test_exact_ntile_matches_native_ntile(spark, n_tiles, desc, domain):
