@@ -188,6 +188,21 @@ def _register() -> None:
     modules during load_all)."""
     from hive_gateway_spark.registry import query
     from hive_gateway_spark.session import load_tables
+    from hive_gateway_spark.staging import stage
+
+    def _fact(t) -> DataFrame:
+        return (
+            t["orders"]
+            .join(
+                t["customer"].hint("shuffle_hash"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select(
+                F.col("c_mktsegment").alias("segment"),
+                F.col("o_totalprice").alias("price"),
+                "o_orderkey",
+            )
+        )
 
     @query(
         "q_ntile_assign",
@@ -223,18 +238,9 @@ def _register() -> None:
         window, no corpus-in-5-partitions sort (plan-asserted in
         tests/test_plans.py)."""
         t = load_tables(spark, sf_dir)
-        o = (
-            t["orders"]
-            .join(
-                t["customer"].hint("shuffle_hash"),
-                F.col("o_custkey") == F.col("c_custkey"),
-            )
-            .select(
-                F.col("c_mktsegment").alias("segment"),
-                F.col("o_totalprice").alias("price"),
-                "o_orderkey",
-            )
-        )
+        # staged: exact_ntile's ranking passes must not re-run the
+        # fact join per pass (the ccnet/v4/facade rule applied here)
+        o = stage(_fact(t), "ntile_assign.fact")
         ranked = exact_ntile(
             o,
             NTILE_K,
