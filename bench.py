@@ -412,11 +412,23 @@ def main() -> None:
     # A FAILING run must not become the next baseline: persisting its
     # timings would let one re-run launder any warm regression into the
     # ratchet (the regressed value compares against itself → ratio 1.0
-    # → pass). warn_cold / warn_global runs still persist — they are
-    # advisory and blocking them would re-flag legitimate one-time
-    # shifts against an ever-staler baseline forever.
+    # → pass). warn_cold runs persist — they are advisory — but the
+    # FLAGGED queries' previous cold values are carried into the
+    # written baseline, so the warning re-fires on every run until the
+    # cold cost is actually fixed (or the old value naturally ages out
+    # of a later passing run) instead of self-erasing after one rerun.
     if not regressions:
-        _write_local(record)
+        baseline = record
+        if cold_regressions and prev is not None:
+            carried = dict(record["queries_cold"])
+            for name in cold_regressions:
+                old = (prev[1].get("queries_cold") or {}).get(name)
+                if old:
+                    carried[name] = old
+            # the BASELINE carries the old colds; the printed record
+            # below keeps this run's true measurements
+            baseline = {**record, "queries_cold": carried}
+        _write_local(baseline)
     print(json.dumps(record))
     spark.stop()
     if regressions:

@@ -1993,8 +1993,19 @@ def _v4_state(spark: SparkSession, sf_dir: str) -> dict:
         _V4_PLANTED, "doc_id bigint, lang string, text string"
     )
     corpus = docs.unionByName(planted)
+    # Per-stage doc_id verdict frames are checkpointed ONCE: both
+    # consumers (the manifest chain and the decisions/funnel frame)
+    # read them, and unmaterialized they would re-execute the gopher
+    # scan, the contamination shuffle join, the ranking passes, the
+    # gram meet, and the DSIR scoring a second time each (code-review
+    # r10: the decisions frame roughly doubled the chain's cold cost).
     # 1. Gopher rule battery (stateless in-row projection, zero shuffle)
-    gok = gopher_report(corpus, stops=V4_STOPS).filter("keep").select("doc_id")
+    gok = (
+        gopher_report(corpus, stops=V4_STOPS)
+        .filter("keep")
+        .select("doc_id")
+        .localCheckpoint()
+    )
     g = corpus.join(gok, "doc_id")
     # 2. Decontamination: the fixture side reuses the session-wide
     # checkpointed shingle staging; the 2-row planted side shingles
@@ -2022,6 +2033,7 @@ def _v4_state(spark: SparkSession, sf_dir: str) -> dict:
         .filter(F.col("sn") >= CONTAM_MIN_SHARED)
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
+        .localCheckpoint()
     )
     d = (
         g.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
@@ -2049,7 +2061,9 @@ def _v4_state(spark: SparkSession, sf_dir: str) -> dict:
         out_col="t",
         tie_subsplit=False,
     )
-    tail_ids = ranked.filter(F.col("t") == 3).select("doc_id")
+    tail_ids = (
+        ranked.filter(F.col("t") == 3).select("doc_id").localCheckpoint()
+    )
     c3 = d.join(tail_ids, "doc_id", "left_anti")
     # 4. Normalized-text dedup (one shuffle on the normalized key)
     norm = F.trim(
@@ -2069,12 +2083,14 @@ def _v4_state(spark: SparkSession, sf_dir: str) -> dict:
     )
     # 5. Duplicated-span drop (>=60% coverage) on the canonical set
     sub = substring_report(nwin.select("doc_id", "text"))
-    sdrop = sub.filter(
-        10 * F.col("dup_tokens") >= 6 * F.col("n_tokens")
-    ).select("doc_id")
+    sdrop = (
+        sub.filter(10 * F.col("dup_tokens") >= 6 * F.col("n_tokens"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
     surv = nwin.join(sdrop, "doc_id", "left_anti").localCheckpoint()
     # 6. DSIR selection (retrained on survivors, deterministic top-N)
-    sel = dsir_report(surv, top=V4_TOP)
+    sel = dsir_report(surv, top=V4_TOP).localCheckpoint()
     # 7. Split + pack: hash split, hash shard, contiguous cumsum bins
     # per (split, lang, shard) — every window partition bounded.
     bucket = _h(F.col("doc_id")) % 1000
@@ -2148,9 +2164,8 @@ def _v4_state(spark: SparkSession, sf_dir: str) -> dict:
         )
         .localCheckpoint()
     )
-    release(d)
-    release(nwin)
-    release(surv)
+    for frame in (d, nwin, surv, gok, contam_ids, tail_ids, sdrop, sel):
+        release(frame)  # decisions+manifest are materialized; free the stages
     evict(per)
     st = {"decisions": decisions, "manifest": manifest}
     per[sf_dir] = st

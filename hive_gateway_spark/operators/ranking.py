@@ -75,7 +75,12 @@ def exact_ntile(
     """``NTILE(n_tiles) OVER (PARTITION BY partition_cols ORDER BY
     value_col [DESC], tiebreak_col)`` — exact, but scalable.
 
-    Requirements for exactness: ``value_col`` numeric and non-null;
+    Requirements for exactness: ``value_col`` numeric, non-null, and
+    exactly representable as a double (|v| < 2⁵³ for integer/decimal
+    keys — beyond that, DISTINCT values can collapse to one double in
+    the bucketing surrogate, and if that collapsed value is also
+    tie-sub-split the interleaved cells break the NTILE guarantee;
+    every caller here ranks on doubles or small integers);
     ``tiebreak_col`` numeric, non-null, and unique within each group
     (the total-order house rule every NTILE caller already follows).
     ``value_desc`` flips the ranking key only; the tiebreak is always

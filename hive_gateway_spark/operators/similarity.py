@@ -419,6 +419,12 @@ def append_ivf_index(spark: SparkSession, new_embeddings: DataFrame, path: str) 
         "vec_id", vec_q("embedding").alias("v")
     ).withColumn("n2", norm2_q("v"))
     rows = _assign_cells(e, centers).select("neighbor_id", "cell", "vb", "nb")
+    # Geometry keys carry forward; the corpus-size pin is NOT stored as
+    # an extra here — a lost commit race would recompose n_rows on top
+    # of the winner but keep a stale pre-read extra, silently desyncing
+    # the pin forever. _load_persisted_ivf derives the pin from the
+    # manifest's n_rows (which append_dataset composes associatively
+    # under races) divided by ivf_assign — one source of truth.
     geometry = {
         "ivf_cells": man["ivf_cells"],
         "ivf_assign": man["ivf_assign"],
@@ -449,10 +455,15 @@ def _load_persisted_ivf(spark: SparkSession, path: str, emb: DataFrame):
         man = _current_manifest(f"{path}/invfile")
     except Exception:
         return None
+    # Corpus-size pin derived from n_rows (every vector contributes
+    # exactly ivf_assign inverted-file rows), NOT from the stored
+    # n_corpus_vectors extra: n_rows composes associatively through
+    # append_dataset's commit-retry loop, so the pin survives lost
+    # append races where a pre-read extra would go stale.
     if (
         man.get("ivf_cells") != IVF_CELLS
         or man.get("ivf_assign") != IVF_ASSIGN
-        or man.get("n_corpus_vectors") != emb.count()
+        or man.get("n_rows", -1) != emb.count() * IVF_ASSIGN
     ):
         return None
     centers_rows = [

@@ -144,15 +144,17 @@ class CurationPipeline:
 
     def decontaminate(
         self,
-        bench_mod: int = 97,
-        min_shared: int = 5,
+        bench_mod: int | None = None,
+        min_shared: int | None = None,
         bench_corpus: DataFrame | None = None,
     ) -> "CurationPipeline":
         """Drop the benchmark slice (doc_id % bench_mod == 0) AND every
         training doc sharing >= min_shared word-shingles with it
-        (q_contamination's machinery). The shingle meet is a
-        shuffle-hash join on the 8-byte hash — never a corpus
-        broadcast.
+        (q_contamination's machinery). Defaults come from dedup's
+        CONTAM_BENCH_MOD / CONTAM_MIN_SHARED — hardcoded copies here
+        would silently desync the facade from the registered pipeline
+        if the constants moved. The shingle meet is a shuffle-hash
+        join on the 8-byte hash — never a corpus broadcast.
 
         ``bench_corpus``: the frame the BENCHMARK shingle set is built
         from. Benchmark suites exist independently of quality gates, so
@@ -165,10 +167,14 @@ class CurationPipeline:
 
         def stage(docs: DataFrame) -> DataFrame:
             from hive_gateway_spark.operators.dedup import (
+                CONTAM_BENCH_MOD,
+                CONTAM_MIN_SHARED,
                 SHINGLE_N,
                 _SHINGLE_EXPR,
             )
 
+            mod = CONTAM_BENCH_MOD if bench_mod is None else bench_mod
+            shared = CONTAM_MIN_SHARED if min_shared is None else min_shared
             hs = f"array_distinct(transform({_SHINGLE_EXPR}, s -> xxhash64(s)))"
 
             def shingles(frame: DataFrame) -> DataFrame:
@@ -180,10 +186,10 @@ class CurationPipeline:
 
             sh = shingles(docs)
             bench_src = shingles(bench_corpus) if bench_corpus is not None else sh
-            bench = bench_src.filter(F.col("doc_id") % bench_mod == 0).select(
+            bench = bench_src.filter(F.col("doc_id") % mod == 0).select(
                 F.col("doc_id").alias("bench_id"), "h"
             )
-            train = sh.filter(F.col("doc_id") % bench_mod != 0).select(
+            train = sh.filter(F.col("doc_id") % mod != 0).select(
                 F.col("doc_id").alias("train_id"), "h"
             )
             contaminated = (
@@ -191,11 +197,11 @@ class CurationPipeline:
                 .join(bench, "h")
                 .groupBy("bench_id", "train_id")
                 .agg(F.count("*").alias("sn"))
-                .filter(F.col("sn") >= min_shared)
+                .filter(F.col("sn") >= shared)
                 .select(F.col("train_id").alias("doc_id"))
                 .distinct()
             )
-            return docs.filter(F.col("doc_id") % bench_mod != 0).join(
+            return docs.filter(F.col("doc_id") % mod != 0).join(
                 contaminated, "doc_id", "left_anti"
             )
 
@@ -313,14 +319,28 @@ class CurationPipeline:
         input (LM aggregate + ranking), so an unmaterialized chain
         re-executes the whole upstream per pass (measured 5× wall on
         the v4 chain). Pass False for one lazy end-to-end plan when the
-        chain is single-pass."""
+        chain is single-pass.
+
+        Block hygiene: each boundary's checkpoint is RELEASED as soon
+        as its successor materializes (only the final result stays
+        pinned), and a re-run releases the previous result first —
+        otherwise every stage of every run would leak corpus-scale
+        block-manager blocks for the session's lifetime (the ADVICE r8
+        #4 class staging.release exists for)."""
+        from hive_gateway_spark.staging import release
+
         if self._source is None:
             raise ValueError("no source: call read_parquet() or from_frame()")
+        release(self._result)  # re-run: the old result is superseded
+        self._result = None
         out = self._source
+        prev_ckpt = None
         for _, fn in self._stages:
             out = fn(out)
             if materialize:
                 out = out.localCheckpoint()
+                release(prev_ckpt)  # successor materialized; free it
+                prev_ckpt = out
         self._result = out
         return out
 

@@ -243,8 +243,11 @@ def test_ivf_persisted_index_rejects_stale_corpus(spark, sf_dir, tmp_path):
     sim.persist_ivf_index(spark, sf_dir, path)
     emb = load_tables(spark, sf_dir)["embeddings"]
     assert sim._load_persisted_ivf(spark, path, emb) is not None
+    # the serve pin derives from n_rows / ivf_assign (composes
+    # associatively under append races, unlike a pre-read extra) —
+    # desync IT to simulate an index that no longer covers the corpus
     man = _current_manifest(f"{path}/invfile")
-    man["n_corpus_vectors"] = man["n_corpus_vectors"] + 1
+    man["n_rows"] = man["n_rows"] + man["ivf_assign"]
     vs = [
         f
         for f in os.listdir(f"{path}/invfile")
