@@ -46,7 +46,10 @@ def synth_corpus(tmp: str, n: int) -> str:
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(11)
-    words = np.array([f"w{i:04d}" for i in range(VOCAB)])
+    # the two top-zipf tokens are real function words so the Gopher
+    # stopword rule (q_curation_v4's gate, V4_STOPS) sees them in
+    # nearly every doc — the other operators treat them as any token
+    words = np.array(["the", "a"] + [f"w{i:04d}" for i in range(2, VOCAB)])
     lens = rng.integers(DOC_LEN[0], DOC_LEN[1], n)
     # zipf-ish unigram distribution so the bigram LM has structure
     p = 1.0 / np.arange(1, VOCAB + 1)
@@ -140,6 +143,18 @@ def main() -> None:
                 "dsir_top_rows", len(q["q_dsir_weights"](spark, sf).collect())
             ),
         )
+        # the COMPLETE composed recipe at 20× sf0.1 — the number that
+        # says the composition (not just its stages) holds its shape
+        timed(
+            "curation_v4",
+            lambda: out.__setitem__(
+                "v4_selected", q["q_curation_v4"](spark, sf).count()
+            ),
+        )
+        out["v4_funnel"] = {
+            r["decision"]: r["n_docs"]
+            for r in q["q_curation_v4_funnel"](spark, sf).collect()
+        }
     print(json.dumps(out))
 
 
