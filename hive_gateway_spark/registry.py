@@ -142,9 +142,19 @@ def ordered_queries() -> dict[str, QueryFn]:
 
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
-    """Register ``fn`` as queries()[name]; optionally its DuckDB oracle SQL."""
+    """Register ``fn`` as queries()[name]; optionally its DuckDB oracle SQL.
+
+    Duplicate names RAISE: module import order would otherwise decide
+    which implementation silently wins (and which oracle the driver
+    compares it against) — a collision must be renamed, never resolved
+    by load order."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"query {name!r} already registered by "
+                f"{QUERIES[name].__module__} — rename the new one"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
