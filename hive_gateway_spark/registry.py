@@ -110,12 +110,22 @@ PRIORITY: tuple[str, ...] = (
 
 #: r11 rotation candidates. The r10 rotation drained the whole 41-entry
 #: queue into the window (VERDICT r9 task #1), so at r10-open the queue
-#: is EMPTY — for the first time every registered query holds a driver
-#: row or a current window slot. Queries WRITTEN during r10 enter here
-#: (FIFO) and take r11 slots; the standing rotate-out pool is the
-#: many-times-green §2.2 contract tail plus the r10 occupants once they
-#: earn their r10 rows (tests/test_registry.py's debt ledger enforces
-#: row-or-slot-or-queue for every registered query).
+#: was EMPTY; the five r10-written queries below entered FIFO. Queries
+#: WRITTEN during r10 enter here (FIFO) and take r11 slots; the
+#: standing rotate-out pool is the many-times-green §2.2 contract tail
+#: plus the r10 occupants once they earn their r10 rows
+#: (tests/test_registry.py's debt ledger enforces row-or-slot-or-queue
+#: for every registered query).
+#:
+#: r11 PRE-PLAN (written at r10 close, the r9→r10 pattern): once
+#: CORRECTNESS_r10 lands rows for the 41 r10 entrants, rotate OUT the
+#: first five of the r7/r8 queue block (q_zipf_fit,
+#: q_text_readability, q_sample_temperature, q_user_paths,
+#: q_k_anonymity — each then r10-green) and take ALL FIVE candidates
+#: below, emptying the queue again: after r11 every registered query
+#: holds a driver row. Expected r11 row mix: q_curation_v4 +
+#: q_curation_v4_funnel + q_ntile_assign + q_tpch_q1 hash-green,
+#: q_ann_index_stats rows-only by declared design.
 ROTATION_CANDIDATES: tuple[str, ...] = (
     # r10 additions, FIFO: the composed published-recipe pipeline
     # (VERDICT r9 task #5) and its funnel — both oracle-verified at two
