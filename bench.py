@@ -174,6 +174,8 @@ HEADLINE_R10 = [
     "q_curation_v4",
     "q_curation_v4_funnel",
     "q_ntile_assign",
+    "q_tpch_q1",
+    "q_ann_index_stats",
 ]
 
 
