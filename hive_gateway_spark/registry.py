@@ -59,12 +59,15 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_fuzzy",  # rows-only by design (MinHash LSH)
     "q_embed_agg",
     "q_text_lang_report",
-    # -- the r7/r8 queue (22) --
-    "q_zipf_fit",
-    "q_text_readability",
-    "q_sample_temperature",
-    "q_user_paths",
-    "q_k_anonymity",
+    # -- r11 rotation (executing the r10-close pre-plan, VERDICT r10
+    # task #1, verbatim): the first five of the r7/r8 queue block
+    # (q_zipf_fit, q_text_readability, q_sample_temperature,
+    # q_user_paths, q_k_anonymity — each r10-green) rotate OUT to the
+    # local parity gate; the five r10-written ROTATION_CANDIDATES take
+    # their slots below (after the r9-queue block), emptying the queue:
+    # after r11 every registered query holds a driver row.
+    #
+    # -- the r7/r8 queue (17 remaining) --
     "q_ann_buckets",
     "q_interval_overlap",
     "q_event_value_corr",
@@ -106,6 +109,14 @@ PRIORITY: tuple[str, ...] = (
     "q_event_gaps",
     "q_churn_matrix",
     "q_dedup_normalized",
+    # -- the r10 queue (5): the composed published-recipe pipeline +
+    # funnel (VERDICT r9 task #5), the exact_ntile parity pin, TPC-H Q1,
+    # and the IVF occupancy monitor (rows-only by declared design) --
+    "q_curation_v4",
+    "q_curation_v4_funnel",
+    "q_ntile_assign",
+    "q_tpch_q1",
+    "q_ann_index_stats",  # rows-only by design (IVF occupancy monitor)
 )
 
 #: r11 rotation candidates. The r10 rotation drained the whole 41-entry
@@ -117,31 +128,18 @@ PRIORITY: tuple[str, ...] = (
 #: (tests/test_registry.py's debt ledger enforces row-or-slot-or-queue
 #: for every registered query).
 #:
-#: r11 PRE-PLAN (written at r10 close, the r9→r10 pattern): once
-#: CORRECTNESS_r10 lands rows for the 41 r10 entrants, rotate OUT the
-#: first five of the r7/r8 queue block (q_zipf_fit,
-#: q_text_readability, q_sample_temperature, q_user_paths,
-#: q_k_anonymity — each then r10-green) and take ALL FIVE candidates
-#: below, emptying the queue again: after r11 every registered query
-#: holds a driver row. Expected r11 row mix: q_curation_v4 +
-#: q_curation_v4_funnel + q_ntile_assign + q_tpch_q1 hash-green,
-#: q_ann_index_stats rows-only by declared design.
-ROTATION_CANDIDATES: tuple[str, ...] = (
-    # r10 additions, FIFO: the composed published-recipe pipeline
-    # (VERDICT r9 task #5) and its funnel — both oracle-verified at two
-    # scale factors in the same commit (tests/test_corpus.py).
-    "q_curation_v4",
-    "q_curation_v4_funnel",
-    # direct NTILE-parity pin of the exact_ntile kernel (DuckDB NTILE
-    # oracle over a 5-value partition key with heavy price ties)
-    "q_ntile_assign",
-    # the canonical TPC-H pricing summary (completes the Q-family:
-    # 1/3/5/6/10/13/18)
-    "q_tpch_q1",
-    # rows-only: per-cell IVF occupancy + imbalance (the maintenance
-    # drift monitor; counting identities property-pinned)
-    "q_ann_index_stats",
-)
+#: The r11 rotation executed the r10-close pre-plan verbatim (five
+#: candidates into the window, queue emptied). Queries WRITTEN during
+#: r11 enter here (FIFO) and take r12 slots; the standing rotate-out
+#: pool is the many-times-green r7/r8-queue tail (q_ann_buckets …)
+#: plus the r11 occupants once they earn their r11 rows.
+#:
+#: r12 PRE-PLAN (to be confirmed at r11 close): rotate OUT as many of
+#: the r7/r8-queue heads (q_ann_buckets, q_interval_overlap,
+#: q_event_value_corr, q_rolling_wau, q_ngram_novelty, … — each then
+#: r10+r11-green) as there are candidates below, take the candidates
+#: FIFO, keeping the window at exactly 50.
+ROTATION_CANDIDATES: tuple[str, ...] = ()
 
 
 def ordered_queries() -> dict[str, QueryFn]:
