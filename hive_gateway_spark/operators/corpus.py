@@ -1961,12 +1961,24 @@ _V4_FUNNEL_ORACLE = f"""
 _V4_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
-def _v4_state(spark: SparkSession, sf_dir: str) -> dict:
+def _v4_state(
+    spark: SparkSession, sf_dir: str, shingle_n: int | None = None
+) -> dict:
     """Run every q_curation_v4 stage once; return checkpointed
     {"decisions", "manifest"} frames (see q_curation_v4 docstring for
-    the stage chain and its scale shape)."""
+    the stage chain and its scale shape).
+
+    ``shingle_n`` parameterizes the DECONTAMINATION shingle width only
+    (default: dedup.SHINGLE_N — the fixture/oracle width the registered
+    queries pin). 3-gram shingles of a small vocabulary are common
+    (the 100k smoke measured 25% of a synthetic zipf corpus flagged at
+    n=3, an over-trigger, not leakage); SCALE.md names 8–13 grams as
+    the production setting, and corpus_scale_smoke.py asserts the
+    flagged share collapses at n=8 while the PLANTED contamination pair
+    (50 shared words ≫ any n here) is still caught."""
     per = _V4_CACHE.setdefault(spark, {})
-    st = per.get(sf_dir)
+    cache_key = (sf_dir, shingle_n)
+    st = per.get(cache_key)
     if st is not None:
         return st
     from pyspark.sql import Window
@@ -1974,7 +1986,6 @@ def _v4_state(spark: SparkSession, sf_dir: str) -> dict:
     from hive_gateway_spark.operators.dedup import (
         CONTAM_BENCH_MOD,
         CONTAM_MIN_SHARED,
-        _SHINGLE_EXPR,
         _shingles_checkpointed,
     )
     from hive_gateway_spark.operators.ranking import exact_ntile
@@ -2012,8 +2023,27 @@ def _v4_state(spark: SparkSession, sf_dir: str) -> dict:
     # through the same kernel expression (tiny local plan). Benchmark
     # shingle table vs training shingles is a shuffle-hash join on the
     # 8 B hash — never a corpus broadcast (q_contamination's plan).
-    sh_fix = _shingles_checkpointed(t).select("doc_id", "h")
-    hs = f"array_distinct(transform({_SHINGLE_EXPR}, s -> xxhash64(s)))"
+    from hive_gateway_spark.operators.dedup import SHINGLE_N, shingle_expr
+
+    n_sh = SHINGLE_N if shingle_n is None else shingle_n
+    if n_sh == SHINGLE_N:
+        # fixture width: reuse the session-wide checkpointed staging
+        sh_fix = _shingles_checkpointed(t).select("doc_id", "h")
+    else:
+        sh_fix = (
+            docs.withColumn("words", F.split("text", " "))
+            .filter(F.size("words") >= n_sh)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"array_distinct(transform({shingle_expr(n_sh)},"
+                        " s -> xxhash64(s)))"
+                    )
+                ).alias("h"),
+            )
+        )
+    hs = f"array_distinct(transform({shingle_expr(n_sh)}, s -> xxhash64(s)))"
     sh_pl = (
         planted.withColumn("words", F.split("text", " "))
         .select("doc_id", F.explode(F.expr(hs)).alias("h"))
@@ -2168,7 +2198,7 @@ def _v4_state(spark: SparkSession, sf_dir: str) -> dict:
         release(frame)  # decisions+manifest are materialized; free the stages
     evict(per)
     st = {"decisions": decisions, "manifest": manifest}
-    per[sf_dir] = st
+    per[cache_key] = st
     return st
 
 

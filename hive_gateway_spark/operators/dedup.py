@@ -23,10 +23,23 @@ SHINGLE_N = 3
 #: Near-dup threshold for the exact shingle-Jaccard operator.
 JACCARD_TAU = 0.5  # compare as 2*shared >= union — integer, exact
 
-_SHINGLE_EXPR = (
-    "transform(sequence(0, size(words) - {n}), "
-    "i -> concat_ws(' ', slice(words, i + 1, {n})))"
-).format(n=SHINGLE_N)
+def shingle_expr(n: int) -> str:
+    """The width-``n`` word-shingle transform over a ``words`` column.
+
+    The fixture/oracle width is {SHINGLE_N} (3-grams keep the tiny test
+    corpora non-vacuous), but 3-gram shingles of a small zipf vocabulary
+    are COMMON — the 100k-doc smoke measured 25% of a synthetic corpus
+    "contaminated" at n=3. SCALE.md names 8–13-gram shingles as the
+    production decontamination setting; callers that screen real corpora
+    pass the width through (pipeline.decontaminate(shingle_n=...),
+    corpus._v4_state(shingle_n=...))."""
+    return (
+        "transform(sequence(0, size(words) - {n}), "
+        "i -> concat_ws(' ', slice(words, i + 1, {n})))"
+    ).format(n=n)
+
+
+_SHINGLE_EXPR = shingle_expr(SHINGLE_N)
 
 
 def _shingle_hashes(t) -> DataFrame:

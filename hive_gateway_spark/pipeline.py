@@ -147,6 +147,7 @@ class CurationPipeline:
         bench_mod: int | None = None,
         min_shared: int | None = None,
         bench_corpus: DataFrame | None = None,
+        shingle_n: int | None = None,
     ) -> "CurationPipeline":
         """Drop the benchmark slice (doc_id % bench_mod == 0) AND every
         training doc sharing >= min_shared word-shingles with it
@@ -163,24 +164,32 @@ class CurationPipeline:
         gate dropped would no longer protect against its near-dups
         (q_curation_v4 builds its benchmark set from the full input
         corpus for exactly this reason). Defaults to the current
-        frame."""
+        frame.
+
+        ``shingle_n``: word-shingle width; defaults to dedup.SHINGLE_N
+        (the fixture/oracle width, 3). 3-grams of a small vocabulary
+        are COMMON — the 100k smoke measured 25% of a synthetic zipf
+        corpus flagged at n=3 — so production screens should pass the
+        8–13 range SCALE.md documents (the width published
+        decontamination setups use)."""
 
         def stage(docs: DataFrame) -> DataFrame:
             from hive_gateway_spark.operators.dedup import (
                 CONTAM_BENCH_MOD,
                 CONTAM_MIN_SHARED,
                 SHINGLE_N,
-                _SHINGLE_EXPR,
+                shingle_expr,
             )
 
             mod = CONTAM_BENCH_MOD if bench_mod is None else bench_mod
             shared = CONTAM_MIN_SHARED if min_shared is None else min_shared
-            hs = f"array_distinct(transform({_SHINGLE_EXPR}, s -> xxhash64(s)))"
+            n = SHINGLE_N if shingle_n is None else shingle_n
+            hs = f"array_distinct(transform({shingle_expr(n)}, s -> xxhash64(s)))"
 
             def shingles(frame: DataFrame) -> DataFrame:
                 return (
                     frame.withColumn("words", F.split("text", " "))
-                    .filter(F.size("words") >= SHINGLE_N)
+                    .filter(F.size("words") >= n)
                     .select("doc_id", F.explode(F.expr(hs)).alias("h"))
                 )
 

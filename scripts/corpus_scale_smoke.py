@@ -155,6 +155,31 @@ def main() -> None:
             r["decision"]: r["n_docs"]
             for r in q["q_curation_v4_funnel"](spark, sf).collect()
         }
+        # VERDICT r10 task #5: at the fixture width (n=3), 3-gram
+        # shingles of this 4k-token zipf vocabulary are COMMON — ~25%
+        # of the corpus gets flagged "contaminated" (an over-trigger of
+        # the screen, not leakage). At the production width (n=8,
+        # SCALE.md's documented setting) random 8-gram collisions
+        # vanish, so only genuine overlaps remain.
+        from hive_gateway_spark.operators.corpus import _v4_state
+
+        t0 = time.time()
+        f8 = {
+            r["decision"]: r["n_docs"]
+            for r in _v4_state(spark, sf, shingle_n=8)["decisions"]
+            .groupBy("decision")
+            .count()
+            .withColumnRenamed("count", "n_docs")
+            .collect()
+        }
+        out["v4_n8_sec"] = round(time.time() - t0, 2)
+        out["v4_funnel_n8"] = f8
+        share3 = out["v4_funnel"].get("contaminated", 0) / n
+        share8 = f8.get("contaminated", 0) / n
+        out["contam_share_n3"] = round(share3, 4)
+        out["contam_share_n8"] = round(share8, 4)
+        # the realistic band: < 1% flagged at n=8 (vs ~25% at n=3)
+        out["contam_n8_realistic"] = bool(share8 < 0.01 and share8 <= share3)
     print(json.dumps(out))
 
 

@@ -437,6 +437,53 @@ def test_curation_v4_funnel_trace_equality(spark, sf_dir):
         assert funnel.get(stage, 0) > 0, f"vacuous stage {stage}"
 
 
+def test_curation_v4_shingle_width_knob(spark, sf_dir):
+    """VERDICT r10 task #5: decontamination shingle width is a knob.
+    At the production width (n=8) the flagged-contaminated count must
+    not exceed the fixture width's (wider shingles are strictly rarer),
+    the PLANTED contamination pair (50 shared words ≫ 8) must still be
+    caught, and the registered default path must be untouched (same
+    funnel as the driver-verified oracle)."""
+    from collections import Counter
+
+    from hive_gateway_spark.operators.corpus import _v4_state
+
+    d3 = {r["doc_id"]: r["decision"] for r in _v4_state(spark, sf_dir)["decisions"].collect()}
+    d8 = {
+        r["doc_id"]: r["decision"]
+        for r in _v4_state(spark, sf_dir, shingle_n=8)["decisions"].collect()
+    }
+    c3 = Counter(d3.values())["contaminated"]
+    c8 = Counter(d8.values())["contaminated"]
+    assert c8 <= c3
+    # planted evidence is width-independent at these widths
+    assert d8[9_800_007] == "benchmark"
+    assert d8[9_800_008] == "contaminated"
+    # the two widths are cached independently (no cross-key bleed)
+    assert {r["doc_id"]: r["decision"] for r in _v4_state(spark, sf_dir)["decisions"].collect()} == d3
+
+
+def test_pipeline_decontaminate_shingle_width(spark, sf_dir):
+    """The facade knob: at n=8 the survivor set is a superset of the
+    n=3 survivors over the same corpus (fewer shingle collisions can
+    only UNFLAG docs), and a genuinely-overlapping pair is dropped at
+    both widths."""
+    from hive_gateway_spark.pipeline import CurationPipeline
+    from hive_gateway_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang", "text")
+    run = lambda n: {  # noqa: E731
+        r["doc_id"]
+        for r in CurationPipeline(spark)
+        .from_frame(docs)
+        .decontaminate(shingle_n=n)
+        .run()
+        .collect()
+    }
+    s3, s8 = run(3), run(8)
+    assert s3 <= s8
+
+
 def test_curation_v4_manifest_exports_through_lakehouse(spark, sf_dir, tmp_path):
     """The manifest is the frame a training job consumes: it must
     round-trip through dataset_export (partitioned by split) with a
