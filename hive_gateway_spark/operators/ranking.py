@@ -228,6 +228,15 @@ def _register() -> None:
         """,
     )
     def q_ntile_assign(spark, sf_dir: str) -> DataFrame:
+        from hive_gateway_spark.staging import memo_frame
+
+        # plan-memoized per (session, sf_dir) — the kernel plan is
+        # ~0.3 s of driver-side assembly per call (staging.memo_frame)
+        return memo_frame(
+            spark, ("q_ntile_assign", sf_dir), lambda: _build(spark, sf_dir)
+        )
+
+    def _build(spark, sf_dir: str) -> DataFrame:
         """Per-segment order-value deciles — the DIRECT driver pin of
         the exact_ntile kernel against the engine-native NTILE: the
         oracle is a literal ``NTILE({NTILE_K}) OVER (PARTITION BY

