@@ -232,6 +232,25 @@ IVF_CELLS = 10
 IVF_PROBES = 3
 IVF_ASSIGN = 2
 
+#: Rebuild threshold for the APPENDED index (VERDICT r10 task #7):
+#: append_ivf_index grows cells against frozen centroids, so drifted
+#: ingest concentrates new vectors into ever-fewer cells; the scheduled
+#: full rebuild (persist_ivf_index) is due when q_ann_index_stats' max
+#: per-cell imbalance (n_cell / mean) crosses this bound. Measured on a
+#: corpus grown 10x by progressively-drifting appends
+#: (scripts/ann_append_drift_smoke.py, curve in SCALE.md): recall vs
+#: the exact baseline holds its floor while max imbalance stays at or
+#: under the bound, and the monitor crosses the bound BEFORE recall
+#: decays — the alarm leads the damage: a 10x growth of same-mixture
+#: (even drifting ~1 sigma) ingest keeps max imbalance ~1.35, while a
+#: REGIME-CHANGE ingest (clusters the quantizer never saw, all landing
+#: in their few nearest frozen cells) crosses 2 within a few batches.
+#: Past the bound the hottest cell holds bound/cells of the index, so
+#: probes touching it scan ~2x their fair share — pay the O(N) rebuild
+#: before that multiple compounds. Fixture-scale floor + alarm
+#: ordering asserted in tests/test_similarity.py.
+IVF_REBUILD_IMBALANCE = 2.0
+
 
 def _ivf_index(spark: SparkSession, t, e) -> tuple:
     """Build (or fetch) the IVF coarse index for this corpus: KMeans

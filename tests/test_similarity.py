@@ -332,3 +332,102 @@ def test_ann_index_stats_counting_identities(spark, sf_dir):
     imb = [r["imbalance"] for r in rows]
     assert all(i > 0 for i in imb)
     assert abs(sum(imb) / len(imb) - 1.0) < 0.01
+
+
+def test_ivf_append_drift_monitor_fires_before_recall_decays(spark, tmp_path):
+    """VERDICT r10 task #7: the appended-index maintenance contract.
+    Same-mixture (drifting) appends keep q_ann_index_stats' max
+    imbalance under IVF_REBUILD_IMBALANCE; a regime-change ingest
+    (a cluster the quantizer never saw — every vector lands in its few
+    nearest frozen cells) pushes it OVER the bound while recall vs the
+    exact baseline is still intact: the rebuild alarm leads the damage.
+    Mirrors scripts/ann_append_drift_smoke.py at fixture scale."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark.operators import similarity as sim
+    from hive_gateway_spark.sources.dataset_export import read_snapshot
+
+    rng = np.random.default_rng(7)
+    # 20 clusters over IVF_CELLS=10 like the 100k smoke: a coarser
+    # mixture (e.g. 8 clusters) leaves the BASE quantizer itself near
+    # imbalance 2 at this tiny scale, drowning the signal under test
+    dim, n_clusters, n = 16, 20, 2000
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    sfd = str(tmp_path / "sf_drift")
+    ddir = os.path.join(sfd, "embeddings.parquet")
+    os.makedirs(ddir)
+
+    def write_part(ids, vecs, label, part):
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    list(vecs.astype(np.float32)), pa.list_(pa.float32())
+                ),
+                "label": pa.array(label.astype(np.int32), pa.int32()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(ddir, f"part-{part:02d}.parquet"))
+
+    label = rng.integers(0, n_clusters, n)
+    write_part(
+        np.arange(n), centers[label] + rng.normal(0, 0.35, (n, dim)), label, 0
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(
+            os.path.join("/root/testdata/sf0.001", f"{name}.parquet"),
+            os.path.join(sfd, f"{name}.parquet"),
+        )
+    idx = str(tmp_path / "ann_index_drift")
+    sim.persist_ivf_index(spark.newSession(), sfd, idx)
+
+    def append(step, vecs, label):
+        ids = np.arange(step * n, (step + 1) * n)
+        write_part(ids, vecs, label, step)
+        s = spark.newSession()
+        new = s.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        sim.append_ivf_index(s, new, idx)
+
+    def max_imbalance():
+        occ = (
+            read_snapshot(spark, f"{idx}/invfile")
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        ns = [r["count"] for r in occ]
+        return max(ns) / (sum(ns) / len(ns))
+
+    # drift phase: the same mixture, nudged — must NOT alarm
+    for k in (1, 2):
+        lab = rng.integers(0, n_clusters, n)
+        append(k, centers[lab] + 0.05 * k + rng.normal(0, 0.35, (n, dim)), lab)
+    drift_imb = max_imbalance()
+    assert drift_imb <= sim.IVF_REBUILD_IMBALANCE, drift_imb
+
+    # novel phase: one cluster the quantizer never saw — must alarm
+    novel = rng.normal(0, 1, (1, dim))
+    for k in (3, 4, 5):
+        lab = np.zeros(n, dtype=np.int64)
+        append(k, novel[lab] + rng.normal(0, 0.35, (n, dim)), lab + n_clusters)
+    serve = spark.newSession()
+    serve.conf.set("hive_gateway.ann.index_path", idx)
+    stats = sim.q_ann_index_stats(serve, sfd).collect()
+    fired = max(r["imbalance"] for r in stats)
+    assert fired > sim.IVF_REBUILD_IMBALANCE, fired
+
+    # ... while recall is still intact (the alarm leads the damage)
+    exact = _topk(sim.q_sim_topk(serve, sfd).collect())
+    approx = _topk(sim.q_sim_topk_ivf(serve, sfd).collect())
+    total = sum(len(v) for v in exact.values())
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    assert total > 0 and hits / total >= 0.9, hits / total
