@@ -178,6 +178,16 @@ HEADLINE_R10 = [
     "q_ann_index_stats",
 ]
 
+#: Round-11 additions: conditional-agg fact-fact join, disjunctive
+#: predicate extraction, the exact_rank distribution projection, the
+#: packing-efficiency audit.
+HEADLINE_R11 = [
+    "q_tpch_q12",
+    "q_tpch_q19",
+    "q_rank_distribution",
+    "q_pack_efficiency",
+]
+
 
 #: Regression gate (VERDICT r6 task #6): warm ratio vs the previous
 #: round's recorded bench above which the run FAILS (rc != 0), so a perf
@@ -340,7 +350,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in (HEADLINE + HEADLINE_R2 + HEADLINE_R6 + HEADLINE_R7
-                 + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10):
+                 + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11):
         fn = registry.QUERIES[name]
         # drop the previous query's dead broadcasts/UDF workers before
         # timing this one — without it, late queries in a 30-query
@@ -430,6 +440,7 @@ def main() -> None:
     r8_total = round(sum(timings[n] for n in HEADLINE_R8), 3)
     r9_total = round(sum(timings[n] for n in HEADLINE_R9), 3)
     r10_total = round(sum(timings[n] for n in HEADLINE_R10), 3)
+    r11_total = round(sum(timings[n] for n in HEADLINE_R11), 3)
     record = (
             {
                 "metric": "headline_query_wall_clock_total",
@@ -441,9 +452,10 @@ def main() -> None:
                 "value_r8_ops": r8_total,
                 "value_r9_ops": r9_total,
                 "value_r10_ops": r10_total,
+                "value_r11_ops": r11_total,
                 "value_all": round(
                     r01_comparable + r2_total + r6_total + r7_total
-                    + r8_total + r9_total + r10_total, 3
+                    + r8_total + r9_total + r10_total + r11_total, 3
                 ),
                 "queries": timings,
                 "queries_cold": cold,

@@ -60,31 +60,25 @@ def _count_less(arr: Column, x: Column) -> Column:
     )
 
 
-def exact_ntile(
+def exact_rank(
     df: DataFrame,
-    n_tiles: int,
     value_col: str,
     tiebreak_col: str,
     *,
     value_desc: bool = False,
     partition_cols: Sequence[str] = (),
     buckets: int = DEFAULT_BUCKETS,
-    out_col: str = "__ntile",
+    rank_col: str = "__rank",
+    n_col: str = "__n",
     tie_subsplit: bool = True,
 ) -> DataFrame:
-    """``NTILE(n_tiles) OVER (PARTITION BY partition_cols ORDER BY
-    value_col [DESC], tiebreak_col)`` — exact, but scalable.
-
-    Requirements for exactness: ``value_col`` numeric, non-null, and
-    exactly representable as a double (|v| < 2⁵³ for integer/decimal
-    keys — beyond that, DISTINCT values can collapse to one double in
-    the bucketing surrogate, and if that collapsed value is also
-    tie-sub-split the interleaved cells break the NTILE guarantee;
-    every caller here ranks on doubles or small integers);
-    ``tiebreak_col`` numeric, non-null, and unique within each group
-    (the total-order house rule every NTILE caller already follows).
-    ``value_desc`` flips the ranking key only; the tiebreak is always
-    ascending. Returns ``df`` plus ``out_col`` (int tile in 1..n_tiles).
+    """``ROW_NUMBER() OVER (PARTITION BY partition_cols ORDER BY
+    value_col [DESC], tiebreak_col)`` plus the group size — exact, but
+    scalable (the rank projection exact_ntile, percent_rank, and
+    cume_dist all derive from; see the module docstring for the
+    two-pass percentile-threshold machinery and its exactness
+    requirements). Returns ``df`` plus ``rank_col`` (bigint, 1-based)
+    and ``n_col`` (bigint group size).
 
     ``tie_subsplit=False`` skips the hot-value detection + tiebreak
     sub-split passes (two fewer broadcast-build jobs). Only for ranking
@@ -93,7 +87,7 @@ def exact_ntile(
     degrades one window partition's balance back to the size of that
     tie's run, never the values.
     """
-    out_cols = [*df.columns, out_col]
+    out_cols = [*df.columns, rank_col, n_col]
     groups = list(partition_cols) or ["__grp"]
     work = df if partition_cols else df.withColumn("__grp", F.lit(0))
     # __v: bucketing surrogate — monotone (non-strict) in the ranking
@@ -165,13 +159,56 @@ def exact_ntile(
     ]
     w_cell = W.partitionBy(*groups, "__coarse", "__sub").orderBy(*order)
     ranked = ann.join(F.broadcast(offsets), on=[*groups, "__coarse", "__sub"]).withColumn(
-        "__rank", F.col("__off") + F.row_number().over(w_cell)
+        rank_col, (F.col("__off") + F.row_number().over(w_cell)).cast("bigint")
     )
+    return ranked.withColumn(n_col, F.col("__n").cast("bigint")).select(*out_cols)
 
-    # NTILE sizing: q = n div k, rem = n mod k; tiles 1..rem hold q+1
-    # rows, the rest q. ceil via integer floor-shift; the q=0 (n < k)
-    # case resolves entirely in the first branch, but greatest() keeps
-    # the dead branch division-safe under ANSI.
+
+def exact_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    value_desc: bool = False,
+    partition_cols: Sequence[str] = (),
+    buckets: int = DEFAULT_BUCKETS,
+    out_col: str = "__ntile",
+    tie_subsplit: bool = True,
+) -> DataFrame:
+    """``NTILE(n_tiles) OVER (PARTITION BY partition_cols ORDER BY
+    value_col [DESC], tiebreak_col)`` — exact, but scalable.
+
+    Requirements for exactness: ``value_col`` numeric, non-null, and
+    exactly representable as a double (|v| < 2⁵³ for integer/decimal
+    keys — beyond that, DISTINCT values can collapse to one double in
+    the bucketing surrogate, and if that collapsed value is also
+    tie-sub-split the interleaved cells break the NTILE guarantee;
+    every caller here ranks on doubles or small integers);
+    ``tiebreak_col`` numeric, non-null, and unique within each group
+    (the total-order house rule every NTILE caller already follows).
+    ``value_desc`` flips the ranking key only; the tiebreak is always
+    ascending. Returns ``df`` plus ``out_col`` (int tile in 1..n_tiles).
+
+    Pure integer arithmetic over exact_rank's (rank, n): q = n div k,
+    rem = n mod k; tiles 1..rem hold q+1 rows, the rest q — NTILE's
+    first-``n % k``-tiles-get-one-extra sizing, bit-identical.
+    """
+    out_cols = [*df.columns, out_col]
+    ranked = exact_rank(
+        df,
+        value_col,
+        tiebreak_col,
+        value_desc=value_desc,
+        partition_cols=partition_cols,
+        buckets=buckets,
+        rank_col="__rank",
+        n_col="__n",
+        tie_subsplit=tie_subsplit,
+    )
+    # ceil via integer floor-shift; the q=0 (n < k) case resolves
+    # entirely in the first branch, but greatest() keeps the dead
+    # branch division-safe under ANSI.
     k = F.lit(n_tiles).cast("bigint")
     n, r = F.col("__n"), F.col("__rank")
     q, rem = F.floor(n / k), n % k
@@ -270,6 +307,60 @@ def _register() -> None:
             F.sum(F.col("price").cast("decimal(18,2)"))
             .cast("double")
             .alias("total_price"),
+        )
+
+    @query(
+        "q_rank_distribution",
+        oracle="""
+        SELECT doc_id, lang, n_chars,
+               PERCENT_RANK() OVER (
+                   PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC
+               ) AS pct_rank,
+               CUME_DIST() OVER (
+                   PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC
+               ) AS cume_dist
+        FROM documents
+        """,
+    )
+    def q_rank_distribution(spark, sf_dir: str) -> DataFrame:
+        """Per-language PERCENT_RANK / CUME_DIST of document length —
+        the distribution-position projection every quality-score
+        normalization wants ("this doc is longer than 93% of its
+        language"), driver-pinned against the engine-native window
+        functions.
+
+        Exactness: the ORDER BY carries the doc_id tiebreak, so the
+        order is total — PERCENT_RANK's rank() equals the row number
+        and CUME_DIST's ≤-count equals it too; both reduce to pure
+        integer arithmetic over exact_rank's (rank, n), divided once
+        as doubles (bit-identical across engines). The n=1 group edge
+        (0/0) is PERCENT_RANK = 0 by definition, guarded explicitly.
+
+        Scale shape: exact_rank's range-bucket rank projection — a
+        per-lang NTILE-style window would serialize each language
+        through one partition at 100 TB; here every window partition
+        is ~1/buckets² of a language and the split/offset tables
+        broadcast (same plan family as q_ntile_assign, plan-asserted
+        window-free of corpus-scale partitions)."""
+        t = load_tables(spark, sf_dir)
+        ranked = exact_rank(
+            t["documents"].select("doc_id", "lang", "n_chars"),
+            "n_chars",
+            "doc_id",
+            partition_cols=["lang"],
+            rank_col="__r",
+            n_col="__n",
+        )
+        r, n = F.col("__r"), F.col("__n")
+        pct = F.when(
+            n > 1, (r - 1).cast("double") / (n - 1).cast("double")
+        ).otherwise(F.lit(0.0))
+        return ranked.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            pct.alias("pct_rank"),
+            (r.cast("double") / n.cast("double")).alias("cume_dist"),
         )
 
 

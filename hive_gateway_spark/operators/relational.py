@@ -1119,3 +1119,97 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         n.alias("count_order"),
     )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape on the fixture's columns (the fixture carries
+    no l_shipmode/commit/receipt dates, so "late" is ship > order + 60d
+    and the mode dimension is l_linestatus): per line status, order
+    lines split into high- vs low-priority counts — the conditional-
+    aggregation-over-a-fact-join exemplar (CASE inside SUM, not a
+    second scan per branch).
+
+    Scale shape: one orderkey-keyed shuffle join between the two fact
+    tables (both sides prune to three columns — ReadSchema-asserted
+    family), the date predicate evaluates in the join's residual, and
+    the 2-row aggregate finishes map-side. No window, no broadcast of
+    a fact side."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_linestatus AS linestatus,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_priority_lines,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_priority_lines
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY l.l_linestatus
+        """
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates) on the
+    fixture's columns (no p_container/l_shipmode/l_shipinstruct — the
+    brand/size/quantity OR-of-ANDs is the part Catalyst has to work
+    for): three disjoint brand branches, each with its own size and
+    quantity band.
+
+    Scale shape: the optimizer extracts the COMMON constraints of the
+    disjunction for pushdown (p_size BETWEEN 1 AND 15, l_quantity
+    BETWEEN 1 AND 30 reach the scans as PushedFilters) while the full
+    OR evaluates in the join residual — the classic "derive pushable
+    conjuncts from a disjunction" rewrite. part joins broadcast
+    (dimension-sized); revenue folds in exact decimal."""
+    t = load_tables(spark, sf_dir)
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+    )
+    return j.filter(branch).agg(
+        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )

@@ -145,10 +145,11 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_pack_sequences",
-    oracle=f"""
-    WITH sized AS (
+#: Shared oracle CTE: per-doc bin placement (the q_pack_sequences
+#: semantics), reused verbatim by the packing report and its
+#: efficiency audit so the two oracles cannot drift.
+_PACK_PLACED_CTE = f"""
+    sized AS (
       SELECT doc_id, lang,
              {_h_sql('doc_id')} % {_PACK_SHARDS} AS shard,
              CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
@@ -161,7 +162,13 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS UNBOUNDED PRECEDING
              ) - n_tok AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS bin
       FROM sized
-    )
+    )"""
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH {_PACK_PLACED_CTE}
     SELECT lang, shard, bin,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
@@ -215,6 +222,65 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return placed.groupBy("lang", "shard", "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+    )
+
+
+@query(
+    "q_pack_efficiency",
+    oracle=f"""
+    WITH {_PACK_PLACED_CTE},
+    bins AS (
+      SELECT lang, shard, bin,
+             CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+      FROM placed
+      GROUP BY lang, shard, bin
+    )
+    SELECT lang,
+           COUNT(*) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN bin_tokens < {_PACK_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_underfull,
+           CAST(SUM(CASE WHEN bin_tokens < {_PACK_BUDGET}
+                         THEN {_PACK_BUDGET} - bin_tokens
+                         ELSE 0 END) AS BIGINT) AS padding_tokens,
+           CAST(SUM(bin_tokens) AS DOUBLE)
+             / (COUNT(*) * {_PACK_BUDGET}) AS fill_rate
+    FROM bins
+    GROUP BY lang
+    """,
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over q_pack_sequences' bins — the
+    number a dataloader owner actually watches: per language, how many
+    fixed-budget sequences the corpus packs into, how many are
+    underfull (they pay padding), the total padding tokens wasted, and
+    the fill rate. Greedy contiguous packing leaves underfull bins only
+    at stream tails and after over-budget documents, so a healthy
+    corpus shows fill_rate near 1 — a packing regression (bad shard
+    key, broken cumsum order) shows up here instantly.
+
+    Scale shape: the q_pack_sequences plan (bounded (lang, shard)
+    cumsum windows) plus one more tiny aggregate over bin rows —
+    nothing corpus-scale is added."""
+    bins = q_pack_sequences(spark, sf_dir)
+    return bins.groupBy("lang").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("bin_tokens") < _PACK_BUDGET, 1).otherwise(0)
+        ).alias("n_underfull"),
+        F.sum(
+            F.when(
+                F.col("bin_tokens") < _PACK_BUDGET,
+                F.lit(_PACK_BUDGET) - F.col("bin_tokens"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("padding_tokens"),
+        (
+            F.sum("bin_tokens").cast("double")
+            / (F.count("*") * F.lit(_PACK_BUDGET))
+        ).alias("fill_rate"),
     )
 
 

@@ -139,7 +139,17 @@ PRIORITY: tuple[str, ...] = (
 #: q_event_value_corr, q_rolling_wau, q_ngram_novelty, … — each then
 #: r10+r11-green) as there are candidates below, take the candidates
 #: FIFO, keeping the window at exactly 50.
-ROTATION_CANDIDATES: tuple[str, ...] = ()
+ROTATION_CANDIDATES: tuple[str, ...] = (
+    # r11 additions, FIFO: two TPC-H shapes the family lacked
+    # (conditional aggregation over a fact-fact join; disjunctive
+    # predicate extraction), the scale-safe PERCENT_RANK/CUME_DIST
+    # projection riding the exact_rank kernel, and the packing
+    # efficiency audit over q_pack_sequences' bins.
+    "q_tpch_q12",
+    "q_tpch_q19",
+    "q_rank_distribution",
+    "q_pack_efficiency",
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:

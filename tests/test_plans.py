@@ -452,3 +452,41 @@ def test_v4_decontaminate_shingle_meet_is_shuffle_hash(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"ShuffledHashJoin \[h#\d+", plan), plan
     assert not re.search(r"BroadcastHashJoin \[h#\d+", plan), plan
+
+
+def test_tpch_q19_common_conjuncts_pushed(spark, sf_dir):
+    """The disjunction's COMMON constraints must be extracted for scan
+    pushdown (p_size ≤ 15 / l_quantity ≤ 30 hold in every branch) while
+    the full OR evaluates in the residual; the part side broadcasts."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q19")
+    assert re.search(r"PushedFilters: \[.*p_size.*\]", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_quantity.*\]", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q12_reads_only_needed_columns(spark, sf_dir):
+    """Both fact scans prune to the three columns each side uses — a
+    100 TB lineitem scan that deserializes l_comment-class baggage for
+    a 2-row report is the classic wasted-IO plan."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q12")
+    schemas = re.findall(r"ReadSchema: (.*)", plan)
+    assert schemas, plan
+    joined = " ".join(schemas)
+    for col in ("l_extendedprice", "l_discount", "o_totalprice"):
+        assert col not in joined, (col, joined)
+
+
+def test_rank_distribution_no_corpus_scale_window(spark, sf_dir):
+    """q_rank_distribution rides exact_rank: no window partitioned by
+    the bare low-cardinality lang key (the corpus-in-~30-partitions
+    sort); every window partition carries the (coarse, sub) range-
+    bucket key, and the split/offset tables broadcast."""
+    plan = plan_of(spark, sf_dir, "q_rank_distribution")
+    import re as _re
+
+    for m in _re.finditer(r"Window .*?windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "lang" in spec:
+            assert "__coarse" in spec or "_coarse" in spec, spec
+    assert "BroadcastExchange" in plan, plan
