@@ -453,6 +453,42 @@ def append_ivf_index(spark: SparkSession, new_embeddings: DataFrame, path: str) 
     return append_dataset(rows, f"{path}/invfile", extra=geometry)
 
 
+def maybe_rebuild_ivf(spark: SparkSession, sf_dir: str, path: str) -> dict:
+    """The scheduled maintenance decision, as code: read the persisted
+    index's occupancy (one aggregate over inverted-file rows), compare
+    max imbalance to IVF_REBUILD_IMBALANCE, and run the full O(N)
+    rebuild (persist_ivf_index — fresh KMeans, manifest version N+1)
+    only when the monitor fires. Returns
+    {"max_imbalance", "rebuilt", "manifests"?} — the dict a nightly
+    maintenance job logs. Idempotent under healthy indexes (no-op but
+    the read), exactly the check-then-act loop the drift study pins
+    (SCALE.md round 11): drifting same-mixture appends never trigger
+    it; a regime-change ingest does, while recall is still intact.
+
+    Caveat the operator must know: the monitor measures cell skew from
+    ANY source. Appended drift resets on rebuild; inherently lumpy
+    DATA (one tight cluster holding most of the corpus) can leave even
+    a fresh quantizer above the bound (measured: 3 tight clusters at
+    50% share rebuild to ~2.0) — if a rebuild does not reset the
+    alarm, the fix is geometry (more cells for the grown corpus, the
+    cells ≈ √N production rule), not another rebuild."""
+    from hive_gateway_spark.sources.dataset_export import read_snapshot
+
+    occ = (
+        read_snapshot(spark, f"{path}/invfile")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    ns = [r["n"] for r in occ]
+    imb = max(ns) / (sum(ns) / len(ns))
+    out: dict = {"max_imbalance": round(imb, 4), "rebuilt": False}
+    if imb > IVF_REBUILD_IMBALANCE:
+        out["manifests"] = persist_ivf_index(spark, sf_dir, path)
+        out["rebuilt"] = True
+    return out
+
+
 def _load_persisted_ivf(spark: SparkSession, path: str, emb: DataFrame):
     """Load a persist_ivf_index artifact, or None if absent/mismatched.
 

@@ -158,28 +158,41 @@ def main() -> None:
         # VERDICT r10 task #5: at the fixture width (n=3), 3-gram
         # shingles of this 4k-token zipf vocabulary are COMMON — ~25%
         # of the corpus gets flagged "contaminated" (an over-trigger of
-        # the screen, not leakage). At the production width (n=8,
-        # SCALE.md's documented setting) random 8-gram collisions
-        # vanish, so only genuine overlaps remain.
+        # the screen, not leakage). At the production width (n=8)
+        # random 8-gram collisions vanish; what remains is REAL shared
+        # text: the planted 12-token runs (5 shared 8-grams = exactly
+        # CONTAM_MIN_SHARED) and the 11-word footer boilerplate on 30%
+        # of docs (4 shared 8-grams — one chance gram away from the
+        # threshold, the measured residual driver). So the sharp
+        # assertion is on the NON-footer slice (i % 10 >= 3), where
+        # n=8 flags < 1%; production removes boilerplate before
+        # decontaminating for exactly this reason (the v4 recipe's
+        # remove_boilerplate stage precedes it in the facade).
         from hive_gateway_spark.operators.corpus import _v4_state
 
         t0 = time.time()
+        dec8 = _v4_state(spark, sf, shingle_n=8)["decisions"]
         f8 = {
             r["decision"]: r["n_docs"]
-            for r in _v4_state(spark, sf, shingle_n=8)["decisions"]
-            .groupBy("decision")
+            for r in dec8.groupBy("decision")
             .count()
             .withColumnRenamed("count", "n_docs")
             .collect()
         }
+        contam8_nofoot = dec8.filter(
+            "decision = 'contaminated' AND doc_id % 10 >= 3 AND doc_id < {n}".format(n=n)
+        ).count()
         out["v4_n8_sec"] = round(time.time() - t0, 2)
         out["v4_funnel_n8"] = f8
         share3 = out["v4_funnel"].get("contaminated", 0) / n
         share8 = f8.get("contaminated", 0) / n
+        share8_nofoot = contam8_nofoot / (n * 0.7)
         out["contam_share_n3"] = round(share3, 4)
         out["contam_share_n8"] = round(share8, 4)
-        # the realistic band: < 1% flagged at n=8 (vs ~25% at n=3)
-        out["contam_n8_realistic"] = bool(share8 < 0.01 and share8 <= share3)
+        out["contam_share_n8_nonfooter"] = round(share8_nofoot, 4)
+        out["contam_n8_realistic"] = bool(
+            share8 < share3 and share8_nofoot < 0.01
+        )
     print(json.dumps(out))
 
 

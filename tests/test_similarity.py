@@ -431,3 +431,98 @@ def test_ivf_append_drift_monitor_fires_before_recall_decays(spark, tmp_path):
     total = sum(len(v) for v in exact.values())
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     assert total > 0 and hits / total >= 0.9, hits / total
+
+
+def test_maybe_rebuild_ivf_fires_and_improves(spark, tmp_path):
+    """The maintenance loop as code: a healthy index is a no-op, a
+    fired monitor triggers the O(N) rebuild (fresh KMeans over the
+    CURRENT grown corpus), and the rebuild strictly improves balance —
+    check-then-act, idempotent when healthy."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, n = 16, 20, 2000
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    sfd = str(tmp_path / "sf_rebuild")
+    ddir = os.path.join(sfd, "embeddings.parquet")
+    os.makedirs(ddir)
+
+    def write_part(ids, vecs, label, part):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        list(vecs.astype(np.float32)), pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(label.astype(np.int32), pa.int32()),
+                }
+            ),
+            os.path.join(ddir, f"part-{part:02d}.parquet"),
+        )
+
+    label = rng.integers(0, n_clusters, n)
+    write_part(
+        np.arange(n), centers[label] + rng.normal(0, 0.35, (n, dim)), label, 0
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(
+            os.path.join("/root/testdata/sf0.001", f"{name}.parquet"),
+            os.path.join(sfd, f"{name}.parquet"),
+        )
+    idx = str(tmp_path / "ann_index_rebuild")
+    sim.persist_ivf_index(spark.newSession(), sfd, idx)
+
+    healthy = sim.maybe_rebuild_ivf(spark.newSession(), sfd, idx)
+    assert healthy["rebuilt"] is False
+    assert healthy["max_imbalance"] <= sim.IVF_REBUILD_IMBALANCE
+
+    # regime-change appends skew the frozen-centroid assignment
+    novel = rng.normal(0, 1, (3, dim))
+    for k in (1, 2, 3):
+        ids = np.arange(k * n, (k + 1) * n)
+        lab = rng.integers(0, 3, n)
+        vecs = novel[lab] + rng.normal(0, 0.35, (n, dim))
+        write_part(ids, vecs, lab + n_clusters, k)
+        s = spark.newSession()
+        sim.append_ivf_index(
+            s,
+            s.createDataFrame(
+                [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+                "vec_id bigint, embedding array<float>",
+            ),
+            idx,
+        )
+
+    maint = spark.newSession()
+    fired = sim.maybe_rebuild_ivf(maint, sfd, idx)
+    assert fired["rebuilt"] is True
+    assert fired["max_imbalance"] > sim.IVF_REBUILD_IMBALANCE
+    # the rebuild retrained on the CURRENT (grown) corpus...
+    assert fired["manifests"]["invfile"]["n_rows"] == 4 * n * sim.IVF_ASSIGN
+    # ...and strictly improved balance. NOT asserted: "back under the
+    # bound" — this corpus is deliberately lumpy (3 tight novel
+    # clusters hold half the mass), and an L2-normalized quantizer
+    # cannot split angle-tight directions, so even a fresh KMeans
+    # settles near ~2 here (maybe_rebuild_ivf's documented caveat:
+    # when a rebuild doesn't reset the alarm, the fix is geometry,
+    # not another rebuild).
+    from hive_gateway_spark.sources.dataset_export import read_snapshot
+
+    ns = [
+        r["count"]
+        for r in read_snapshot(spark.newSession(), f"{idx}/invfile")
+        .groupBy("cell")
+        .count()
+        .collect()
+    ]
+    after_imb = max(ns) / (sum(ns) / len(ns))
+    assert after_imb < fired["max_imbalance"]
