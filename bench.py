@@ -186,6 +186,7 @@ HEADLINE_R11 = [
     "q_tpch_q19",
     "q_rank_distribution",
     "q_pack_efficiency",
+    "q_exact_quantiles",
 ]
 
 

@@ -310,6 +310,72 @@ def _register() -> None:
         )
 
     @query(
+        "q_exact_quantiles",
+        oracle="""
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        SELECT lang,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)
+                        THEN n_chars END) AS BIGINT) AS p50,
+               CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.9 * n) AS BIGINT), 1)
+                        THEN n_chars END) AS BIGINT) AS p90,
+               CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.99 * n) AS BIGINT), 1)
+                        THEN n_chars END) AS BIGINT) AS p99
+        FROM ranked
+        GROUP BY lang
+        """,
+    )
+    def q_exact_quantiles(spark, sf_dir: str) -> DataFrame:
+        """EXACT per-language p50/p90/p99 of document length — the
+        discrete quantile (value at rank ceil(q·n), the classic
+        type-1/lower-quantile definition) computed WITHOUT a
+        per-group sort: exact_rank's range-bucket projection finds
+        each row's exact global rank in bounded partitions, then the
+        quantile is a 1-row-per-group conditional aggregate over the
+        three matching ranks.
+
+        Why it matters at 100 TB: percentile_approx is the usual
+        escape hatch precisely because exact quantiles need a total
+        order per group — with ~30 language groups that's the
+        corpus-in-30-partitions window. exact_rank removes the
+        constraint, so exact SLO-grade percentiles (billing, latency
+        attestation) stay available at any scale; the approx variant
+        remains the right default when ±ε is acceptable.
+
+        Scale shape: one corpus shuffle over (lang, coarse, sub)
+        cells, tiny broadcast split/offset tables, then a map-side
+        conditional aggregate — no giant-partition window
+        (plan-asserted family)."""
+        t = load_tables(spark, sf_dir)
+        ranked = exact_rank(
+            t["documents"].select("doc_id", "lang", "n_chars"),
+            "n_chars",
+            "doc_id",
+            partition_cols=["lang"],
+            rank_col="__r",
+            n_col="__n",
+        )
+        r, n = F.col("__r"), F.col("__n")
+
+        def at(q: float):
+            target = F.greatest(F.ceil(F.lit(q) * n).cast("bigint"), F.lit(1))
+            return F.max(F.when(r == target, F.col("n_chars"))).cast("bigint")
+
+        return ranked.groupBy("lang").agg(
+            F.max(n).cast("bigint").alias("n_docs"),
+            at(0.5).alias("p50"),
+            at(0.9).alias("p90"),
+            at(0.99).alias("p99"),
+        )
+
+    @query(
         "q_rank_distribution",
         oracle="""
         SELECT doc_id, lang, n_chars,

@@ -134,11 +134,13 @@ PRIORITY: tuple[str, ...] = (
 #: pool is the many-times-green r7/r8-queue tail (q_ann_buckets …)
 #: plus the r11 occupants once they earn their r11 rows.
 #:
-#: r12 PRE-PLAN (to be confirmed at r11 close): rotate OUT as many of
-#: the r7/r8-queue heads (q_ann_buckets, q_interval_overlap,
-#: q_event_value_corr, q_rolling_wau, q_ngram_novelty, … — each then
-#: r10+r11-green) as there are candidates below, take the candidates
-#: FIFO, keeping the window at exactly 50.
+#: r12 PRE-PLAN (written at r11 close, the r9→r10→r11 pattern): once
+#: CORRECTNESS_r11 lands rows for the r11 window, rotate OUT the five
+#: r7/r8-queue heads (q_ann_buckets, q_interval_overlap,
+#: q_event_value_corr, q_rolling_wau, q_ngram_novelty — each then
+#: r10+r11-green) and take ALL FIVE candidates below FIFO, keeping the
+#: window at exactly 50 and emptying the queue. Expected r12 row mix:
+#: all five hash-green (every one carries an exact DuckDB oracle).
 ROTATION_CANDIDATES: tuple[str, ...] = (
     # r11 additions, FIFO: two TPC-H shapes the family lacked
     # (conditional aggregation over a fact-fact join; disjunctive
@@ -149,6 +151,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_tpch_q19",
     "q_rank_distribution",
     "q_pack_efficiency",
+    # exact per-group p50/p90/p99 without a per-group sort (the
+    # exact_rank kernel's quantile payoff)
+    "q_exact_quantiles",
 )
 
 
