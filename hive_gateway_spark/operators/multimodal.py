@@ -1237,17 +1237,23 @@ def _phash_build(docs: DataFrame) -> DataFrame:
             ph = (bits * weights).sum(axis=1).astype(np.int64)
             yield pd.DataFrame({"doc_id": ids, "phash": ph})
 
-    # Repartition BEFORE the kernel: the fixture is one parquet file,
-    # so the hash pass otherwise runs as ONE task and every core but
-    # one idles (the _shingles_checkpointed lesson — same size-scaled
-    # partition count, ~300 docs/task, so tiny inputs don't pay 32-task
-    # scheduling overhead). 8 B/doc shuffles; at 100 TB the asset table
-    # arrives as many files and this spreads whatever skew the file
-    # layout has.
-    cap = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Repartition BEFORE the kernel (batch only): the fixture is one
+    # parquet file, so the hash pass otherwise runs as ONE task and
+    # every core but one idles (the _shingles_checkpointed lesson —
+    # same size-scaled partition count, ~300 docs/task, so tiny inputs
+    # don't pay 32-task scheduling overhead). 8 B/doc shuffles; at
+    # 100 TB the asset table arrives as many files and this spreads
+    # whatever skew the file layout has. Streaming frames pass through
+    # untouched: count() can't run on an unstarted stream, and each
+    # micro-batch already arrives partitioned by the source.
     ids = docs.select("doc_id")
-    npart = max(1, min(cap, ids.count() // 300))
-    return ids.repartition(npart).mapInPandas(run, schema)
+    if not docs.isStreaming:
+        cap = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        npart = max(1, min(cap, ids.count() // 300))
+        ids = ids.repartition(npart)
+    return ids.mapInPandas(run, schema)
 
 
 @query("q_image_phash")
