@@ -71,3 +71,43 @@ def test_repeated_query_calls_do_not_accumulate_blocks(spark, sf_dir):
     for _ in range(3):
         q(spark, sf_dir).collect()
     assert _n_persistent(spark) == after_first
+
+
+def test_stage_reuses_plan_identical_checkpoint(spark):
+    """r11: a repeat stage() call with a semantically identical plan
+    must return the SAME materialized checkpoint (no re-checkpoint, no
+    extra persistent RDD) — the warm-path fix that took
+    q_rfm_segments from 1.85 s to 0.91 s."""
+    base = _n_persistent(spark)
+    df = spark.range(500).selectExpr("id", "id * 3 AS y")
+    a = stage(df, "test.reuse")
+    assert _n_persistent(spark) == base + 1
+    b = stage(spark.range(500).selectExpr("id", "id * 3 AS y"), "test.reuse")
+    assert b is a  # cache hit: the very same frame
+    assert _n_persistent(spark) == base + 1
+    release(a)
+
+
+def test_stage_supersede_clears_plan_memos(spark):
+    """A memoized final plan may reference a staged checkpoint; when a
+    DIFFERENT plan supersedes that slot (the old blocks are released,
+    and a released localCheckpoint cannot be recomputed), every memo
+    for the session must drop so no caller executes a dead plan."""
+    from hive_gateway_spark.staging import _FRAMES, memo_frame
+
+    a = stage(spark.range(50), "test.memo_slot")
+    built = []
+
+    def build():
+        built.append(1)
+        return a.selectExpr("id * 2 AS z")
+
+    m1 = memo_frame(spark, ("q_test", "sf"), build)
+    m2 = memo_frame(spark, ("q_test", "sf"), build)
+    assert m1 is m2 and len(built) == 1  # memo hit
+    assert m1.count() == 50
+    b = stage(spark.range(60), "test.memo_slot")  # supersede → memos drop
+    assert ("q_test", "sf") not in _FRAMES.get(spark, {})
+    m3 = memo_frame(spark, ("q_test", "sf"), lambda: b.selectExpr("id AS z"))
+    assert m3.count() == 60
+    release(b)
