@@ -187,6 +187,11 @@ HEADLINE_R11 = [
     "q_rank_distribution",
     "q_pack_efficiency",
     "q_exact_quantiles",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q22",
 ]
 
 

@@ -1213,3 +1213,308 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "q_tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l.l_shipdate) AS BIGINT)
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations by ship year — the two-fact-plus-four-dimension join
+    exemplar with a symmetric disjunctive nation predicate.
+
+    Scale shape: lineitem-orders is the one fact-fact shuffle
+    (orderkey); supplier/customer/nation are dimension broadcasts; the
+    nation-pair disjunction evaluates post-join (its component
+    IN-lists push to the dimension scans); revenue folds in exact
+    decimal; ≤ 2 nations × 2 years of output rows."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l.l_shipdate) AS BIGINT)
+        """
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4)) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n2.n_regionkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'REGION_0' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
+                AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM base
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): within one region's customers
+    and one part type, the share of yearly revenue supplied by one
+    nation — the deepest dimension chain in the registry (two facts +
+    five dimensions, the customer side resolving through nation →
+    region).
+
+    Determinism: volumes fold in exact decimal; the share divides the
+    two exact-decimal-derived doubles once per 2-row year group.
+
+    Scale shape: one orderkey fact-fact shuffle; part/supplier/
+    customer/nation/region broadcast (the region and type filters
+    prune the broadcast builds first); conditional decimal aggregation
+    instead of a second scan for the numerator."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH base AS (
+            SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,4)) AS volume,
+                   n1.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN part p     ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+            JOIN region r   ON r.r_regionkey = n2.n_regionkey
+            JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+            WHERE r.r_name = 'REGION_0' AND p.p_type = 'PROMO'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                             THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
+                    AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+               CAST(SUM(volume) AS DOUBLE) AS total_volume
+        FROM base
+        GROUP BY o_year
+        """
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose 3-month revenue
+    equals the maximum — the scalar-subquery-over-an-aggregate
+    exemplar (the reference's view; a CTE is the modern spelling).
+
+    Determinism: the quarter's revenue per supplier folds in exact
+    decimal, and the max-equality compares DECIMALS (exact), not
+    doubles — ties, if any, all surface.
+
+    Scale shape: one suppkey-keyed partial aggregate over the pruned
+    scan (ship-date range pushes down), STAGED once (the revenue table
+    is suppliers-sized — exactly what any engine materializes for
+    max-equality queries); the 1-row max and the final filter both
+    read the checkpoint, so lineitem scans ONCE. Both the scalar-
+    subquery SQL spelling and the shared-DataFrame spelling planned
+    the scan + aggregate TWICE (neither static exchange reuse nor
+    AQE's stage cache deduped them — measured); staging is the form
+    that provably doesn't. Plan-asserted: zero lineitem file scans in
+    the registered query's own plan."""
+    from hive_gateway_spark.staging import stage
+
+    t = load_tables(spark, sf_dir)
+    rev = stage(
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .alias("total_revenue")
+        ),
+        "tpch_q15.revenue",
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["mx"])
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    WITH pavg AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pavg  a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost to
+    below-20%-of-average-quantity orders of one brand — the
+    correlated-scalar-aggregate exemplar, decorrelated into a
+    per-part average joined back (the rewrite Catalyst performs for
+    the correlated spelling; written decorrelated so both engines run
+    the identical shape).
+
+    Determinism: the per-part average is an exact-decimal sum divided
+    by an exact count — identical doubles on both engines — and the
+    final revenue folds in exact decimal before the single /7.0.
+
+    Scale shape: TWO partkey-keyed shuffles over lineitem (the
+    average build and the join back — at 100 TB the average table is
+    parts-sized and broadcastable after its own partial agg), the
+    brand dimension broadcasts and prunes FIRST."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH pavg AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0 AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN pavg  a ON a.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13' AND l.l_quantity < 0.2 * a.avg_qty
+        """
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c CROSS JOIN pos
+    WHERE c.c_acctbal > pos.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): wealthy-but-inactive
+    customers — above the positive-balance average, with NO orders —
+    counted per market segment (the fixture carries no phone country
+    codes, so segment is the grouping dimension). The
+    NOT-EXISTS-to-anti-join exemplar combined with a 1-row scalar
+    aggregate broadcast.
+
+    Determinism: the average is an exact-decimal sum over an exact
+    count (identical doubles both engines); balances fold in exact
+    decimal.
+
+    Scale shape: the orders side of the anti join reduces to its
+    custkey set (shuffle on custkey — never a broadcast of a fact);
+    the 1-row average broadcasts; a 5-row aggregate finishes
+    map-side."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c.c_mktsegment,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer c CROSS JOIN pos
+        WHERE c.c_acctbal > pos.avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          )
+        GROUP BY c.c_mktsegment
+        """
+    )

@@ -154,6 +154,15 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # exact per-group p50/p90/p99 without a per-group sort (the
     # exact_rank kernel's quantile payoff)
     "q_exact_quantiles",
+    # the second r11 TPC-H batch: bilateral trade (Q7), national
+    # market share through the deepest dimension chain (Q8), top
+    # supplier via scalar subquery (Q15), decorrelated per-part
+    # average (Q17), wealthy-inactive anti join (Q22)
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q22",
 )
 
 

@@ -490,3 +490,34 @@ def test_rank_distribution_no_corpus_scale_window(spark, sf_dir):
         if "lang" in spec:
             assert "__coarse" in spec or "_coarse" in spec, spec
     assert "BroadcastExchange" in plan, plan
+
+
+def test_tpch_q22_not_exists_is_anti_join(spark, sf_dir):
+    """NOT EXISTS must decorrelate to a left-anti join shuffled on
+    custkey — never a per-row subquery or a fact broadcast — and the
+    1-row average arrives as a broadcast."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q22")
+    assert re.search(r"(?i)leftanti", plan), plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q8_dimensions_broadcast(spark, sf_dir):
+    """The deepest dimension chain in the registry: part / supplier /
+    customer / nation / nation / region all broadcast; the only
+    shuffle join is lineitem-orders."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_reuses_revenue_aggregate(spark, sf_dir):
+    """The revenue table feeds both the join side and the scalar max —
+    it must be computed ONCE. Neither static exchange reuse nor AQE's
+    stage cache deduped the two aggregates (measured: two full
+    lineitem scans), so the revenue table is staged; the registered
+    query's own plan therefore contains NO lineitem file scan — both
+    consumers read the checkpoint."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q15")
+    assert "FileScan parquet [l_suppkey" not in plan, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
