@@ -192,6 +192,7 @@ HEADLINE_R11 = [
     "q_tpch_q15",
     "q_tpch_q17",
     "q_tpch_q22",
+    "q_hard_negatives",
 ]
 
 

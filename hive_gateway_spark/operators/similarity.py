@@ -220,6 +220,109 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    q AS (SELECT * FROM v
+          WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}),
+    dots AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM(q.val * b.val) AS DOUBLE) AS dot
+        FROM q JOIN v b ON q.pos = b.pos AND q.label <> b.label
+        GROUP BY q.vec_id, b.vec_id
+    ),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               d.dot / sqrt(nq.norm2 * nb.norm2) AS sim
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nb ON nb.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank_k, ROUND(sim, 4) AS cos_sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rank_k
+        FROM scored
+    )
+    WHERE rank_k <= {TOP_K}
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each query
+    vector's top-{TOP_K} most-similar neighbors with a DIFFERENT label
+    — the exact examples an embedding trainer wants as negatives
+    (similar enough to be confused, labeled as something else). Same
+    machinery as q_sim_topk with the mask inverted: same-label columns
+    (which include the self-pair) are excluded inside the kernel, so
+    nothing same-labeled ever leaves an executor.
+
+    Determinism: exact int64 GEMM dots, IEEE float64 sim from exact
+    integers, neighbor_id tie-break — the q_sim_topk discipline.
+
+    Scale shape: identical to q_sim_topk — bounded query block
+    broadcast, base table streams through the mapInPandas GEMM kernel
+    emitting K·Q rows per batch, one tiny window merge. No cartesian,
+    no label shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    q_rows = (
+        e.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("vec_id") < QUERY_ID_CAP)
+        )
+        .select("vec_id", "label", "v", "n2")
+        .collect()  # bounded: ≤ MAX_QUERIES rows by construction
+    )
+    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qlab = np.asarray([r["label"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["v"] for r in q_rows], dtype=np.int64)
+    qn = np.asarray([r["n2"] for r in q_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, qlab, Q, qn))
+    k = TOP_K
+
+    def score_batches(batches):
+        qids, qlab, Q, qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:  # degenerate Arrow batch
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            lab = pdf["label"].to_numpy(np.int64)
+            X = np.asarray(pdf["v"].tolist(), dtype=np.int64)
+            n2 = pdf["n2"].to_numpy(np.float64)
+            sim = (Q @ X.T).astype(np.float64) / np.sqrt(qn[:, None] * n2[None, :])
+            sim[qlab[:, None] == lab[None, :]] = -np.inf  # positives out
+            take = min(k, sim.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, -sim[qi]))[:take]
+                keep = sim[qi][order] > -np.inf
+                out_q.append(np.full(keep.sum(), qids[qi]))
+                out_n.append(ids[order][keep])
+                out_s.append(sim[qi][order][keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = e.select("vec_id", "label", "v", "n2").mapInPandas(
+        score_batches, "query_id bigint, neighbor_id bigint, sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank_k", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
 #: IVF geometry: number of coarse cells, cells probed per query, and the
 #: number of cells each BASE vector is assigned to (multi-assignment /
 #: replication — the standard recall fix when the corpus has weak

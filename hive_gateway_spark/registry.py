@@ -163,6 +163,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_tpch_q15",
     "q_tpch_q17",
     "q_tpch_q22",
+    # contrastive-training hard negatives: top-k cross-label cosine
+    # (the q_sim_topk kernel with the mask inverted)
+    "q_hard_negatives",
 )
 
 

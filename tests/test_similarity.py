@@ -526,3 +526,36 @@ def test_maybe_rebuild_ivf_fires_and_improves(spark, tmp_path):
     ]
     after_imb = max(ns) / (sum(ns) / len(ns))
     assert after_imb < fired["max_imbalance"]
+
+
+def test_hard_negatives_are_cross_label_topk(spark, sf_dir):
+    """Every mined negative carries a label DIFFERENT from its query's
+    (that is the point), every query in the bounded block yields
+    exactly k rows, and each emitted similarity is at least the
+    same-rank similarity of the unrestricted top-k (removing the
+    same-label candidates can only lower or keep each rank's score)."""
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.session import load_tables
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_tables(spark, sf_dir)["embeddings"]
+        .select("vec_id", "label")
+        .collect()
+    }
+    neg = registry.QUERIES["q_hard_negatives"](spark, sf_dir).collect()
+    assert len(neg) > 0
+    for r in neg:
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]], r
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in neg)
+    assert all(v == 5 for v in per_q.values())
+    topk = registry.QUERIES["q_sim_topk"](spark, sf_dir).collect()
+    best = {(r["query_id"], r["rank_k"]): r["cos_sim"] for r in topk}
+    assert set(per_q) == {r["query_id"] for r in topk}
+    for r in neg:
+        ub = best.get((r["query_id"], r["rank_k"]))
+        if ub is not None:
+            assert r["cos_sim"] <= ub + 1e-9, r
