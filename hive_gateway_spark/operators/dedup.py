@@ -347,38 +347,104 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_fuzzy")  # rows-only: MinHash LSH has no SQL oracle (SURVEY §2.3)
-def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup candidates (the scale path: signature →
-    band → bucket join; shuffle is bounded by band buckets, immune to
-    hot-shingle skew). MLlib MinHashLSH with a fixed seed over hashed
-    shingle features; candidates at Jaccard distance ≤ 0.5.
-
-    Verified rows-only; the *exact* twin q_dedup_ngram is the SQL-
-    verified ground truth, and tests/test_dedup.py checks LSH recall
-    against it."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].withColumn("words", F.split("text", " ")).filter(
-        F.size("words") >= SHINGLE_N
+def _dedup_fuzzy_oracle() -> str:
+    """The full MinHash-LSH fuzzy-dedup oracle: portable signatures →
+    capped band buckets → candidate pairs → EXACT shingle-Jaccard
+    verification at τ = JACCARD_TAU (integer predicate). Built lazily
+    because _LSH_SIG_CTE is defined below with the banding machinery."""
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    hv AS (
+        SELECT doc_id, {_MH_HV_DUCK} AS hv
+        FROM sh
+    ),
+    {_LSH_SIG_CTE},
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bounded a JOIN bounded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS shared,
+               MAX(na.n) AS n_a, MAX(nb.n) AS n_b
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        JOIN sizes na ON na.doc_id = c.doc_a
+        JOIN sizes nb ON nb.doc_id = c.doc_b
+        GROUP BY c.doc_a, c.doc_b
     )
-    shingled = docs.select(
-        "doc_id", F.expr(_SHINGLE_EXPR).alias("shingles")
-    )
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(shingled).filter(F.expr("size(shingles) > 0"))
-    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=16, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
+    SELECT doc_a, doc_b,
+           ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 4) AS jaccard
+    FROM verified
+    WHERE 2 * shared >= (n_a + n_b - shared)
+    """
+
+
+def _register_dedup_fuzzy() -> None:
+    """Deferred registration: the oracle composes _LSH_SIG_CTE, which
+    is defined further down this module (with the banding machinery it
+    describes); registering after module definitions keeps one source
+    of truth for the band geometry instead of a forward copy."""
+
+    @query("q_dedup_fuzzy", oracle=_dedup_fuzzy_oracle())
+    def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MinHash LSH fuzzy dedup, END-TO-END hash-verified (SURVEY
+        §2.3; until r11 this was the one rows-only contract query):
+        portable k={MINHASH_K} universal-hash MinHash signatures
+        (q_minhash_signatures' exact-integer arithmetic) → capped
+        4-band × 2-row bucket join (q_lsh_candidates' machinery,
+        {_LSH_BUCKET_CAP}-member bucket cap modeled in the oracle) →
+        EXACT shingle-Jaccard verification of the candidates at
+        τ = {JACCARD_TAU} (integer predicate, xxhash64 shingle
+        equality — the q_dedup_ngram discipline). Emits
+        (doc_a, doc_b, jaccard) for verified near-dups.
+
+        This is the production fuzzy-dedup shape: candidates are
+        generated by banding (bounded fan-out, immune to hot-shingle
+        skew), then only the small candidate set pays the exact
+        verification joins — precision 1.0 by construction, recall =
+        the S-curve's (1−(1−s²)⁴), pinned vs the exact twin in
+        tests/test_dedup.py.
+
+        Scale shape: one signature aggregate (64 B/doc), one capped
+        (band, bkey) equi-join, two candidate-bounded hash joins over
+        the checkpointed shingle staging — never all-pairs, no
+        corpus broadcast."""
+        t = load_tables(spark, sf_dir)
+        cand = _lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        tok = _shingles_checkpointed(t)  # shared staging (doc_id, n, h)
+        pa = cand.join(
+            tok.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h"),
+            "doc_a",
         )
-    )
+        return (
+            pa.join(
+                tok.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h"
+                ),
+                ["doc_b", "h"],
+            )
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count("*").alias("shared"))
+            .filter(
+                2 * F.col("shared")
+                >= (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("shared").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                    4,
+                ).alias("jaccard"),
+            )
+        )
 
 
 @query("q_dedup_simhash")  # rows-only: engine-native hash (xxhash64) — no SQL oracle
@@ -1072,6 +1138,13 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped at {_LSH_BUCKET_CAP} members (same policy as JACCARD_DF_CAP;
     the cap is modeled in the oracle). Recall vs the exact Jaccard
     pair set is pinned in tests/test_dedup.py."""
+    return _lsh_candidate_pairs(spark, sf_dir)
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) — the capped band-bucket join over
+    the portable signature frame, shared by q_lsh_candidates and
+    q_dedup_fuzzy (whose verification stage consumes the candidates)."""
     sig = _minhash_sig_frame(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -2021,3 +2094,8 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
     )
+
+
+# Deferred (needs _LSH_SIG_CTE, defined above with the banding
+# machinery): the end-to-end hash-verified MinHash-LSH fuzzy dedup.
+_register_dedup_fuzzy()

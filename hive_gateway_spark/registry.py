@@ -56,7 +56,8 @@ PRIORITY: tuple[str, ...] = (
     "q_sessionize",
     "q_sim_cosine_pairs",
     "q_sim_topk",
-    "q_dedup_fuzzy",  # rows-only by design (MinHash LSH)
+    "q_dedup_fuzzy",  # hash-verified since r11 (portable MinHash LSH
+    # + exact Jaccard verify — was the contract's one rows-only query)
     "q_embed_agg",
     "q_text_lang_report",
     # -- r11 rotation (executing the r10-close pre-plan, VERDICT r10
