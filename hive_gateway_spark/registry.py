@@ -136,12 +136,15 @@ PRIORITY: tuple[str, ...] = (
 #: plus the r11 occupants once they earn their r11 rows.
 #:
 #: r12 PRE-PLAN (written at r11 close, the r9→r10→r11 pattern): once
-#: CORRECTNESS_r11 lands rows for the r11 window, rotate OUT the five
-#: r7/r8-queue heads (q_ann_buckets, q_interval_overlap,
-#: q_event_value_corr, q_rolling_wau, q_ngram_novelty — each then
-#: r10+r11-green) and take ALL FIVE candidates below FIFO, keeping the
-#: window at exactly 50 and emptying the queue. Expected r12 row mix:
-#: all five hash-green (every one carries an exact DuckDB oracle).
+#: CORRECTNESS_r11 lands rows for the r11 window, rotate OUT the
+#: ELEVEN r7/r8-queue heads (q_ann_buckets, q_interval_overlap,
+#: q_event_value_corr, q_rolling_wau, q_ngram_novelty,
+#: q_audience_overlap, q_char_entropy, q_curation_funnel,
+#: q_lsh_quality, q_dedup_cluster_stats, q_volume_anomaly — each then
+#: r10+r11-green) and take ALL ELEVEN candidates below FIFO, keeping
+#: the window at exactly 50 and emptying the queue. Expected r12 row
+#: mix: all eleven hash-green (every one carries an exact DuckDB
+#: oracle).
 ROTATION_CANDIDATES: tuple[str, ...] = (
     # r11 additions, FIFO: two TPC-H shapes the family lacked
     # (conditional aggregation over a fact-fact join; disjunctive
