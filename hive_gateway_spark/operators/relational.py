@@ -1283,7 +1283,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
         JOIN region r   ON r.r_regionkey = n2.n_regionkey
         JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
-        WHERE r.r_name = 'REGION_0' AND p.p_type = 'PROMO'
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
     )
     SELECT o_year,
            CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
@@ -1325,7 +1325,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
             JOIN region r   ON r.r_regionkey = n2.n_regionkey
             JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
-            WHERE r.r_name = 'REGION_0' AND p.p_type = 'PROMO'
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
         )
         SELECT o_year,
                CAST(SUM(CASE WHEN supp_nation = 'NATION_3'

@@ -155,15 +155,15 @@ def run(sf1_dir: str) -> None:
     from hive_gateway_spark.session import get_spark
 
     registry.load_all()
-    names = (
-        bench.HEADLINE
-        + bench.HEADLINE_R2
-        + bench.HEADLINE_R6
-        + bench.HEADLINE_R7
-        + bench.HEADLINE_R8
-        + getattr(bench, "HEADLINE_R9", [])
-        + getattr(bench, "HEADLINE_R10", [])
-    )
+    # every HEADLINE_* block, current and future — a hardcoded list
+    # silently dropped the r11 block the round it was added
+    names = list(bench.HEADLINE)
+    for attr in sorted(a for a in dir(bench) if a.startswith("HEADLINE_R")):
+        names += getattr(bench, attr)
+    only = os.environ.get("SF1_ONLY", "")
+    if only:  # delta runs: measure just the named queries
+        pick = set(only.split(","))
+        names = [n for n in names if n in pick]
     spark = get_spark("sf1-scale-bench")
     report: dict[str, dict] = {}
     for name in names:
