@@ -2037,14 +2037,35 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted case/punct variant pair (the q_contamination non-vacuity
+#: rule, VERDICT r03 #2): the sf0.01 fixture has ZERO normalized-dup
+#: groups, so without planted evidence the driver's hash compare was
+#: trivially green on 0 = 0 rows (caught by the r11 registry-wide
+#: zero-row audit). Both variants normalize to the same string; ids
+#: far above the fixture range; modeled in the oracle VALUES.
+_NORM_PLANTED = [
+    (9_900_105, "en", "The Planted Normalized Pair, runs: HERE!"),
+    (9_900_106, "en", "the planted normalized pair runs here"),
+]
+_NORM_PLANTED_VALUES = ", ".join(
+    f"({i}, '{g}', '{s}', CAST({len(s)} AS BIGINT))" for i, g, s in _NORM_PLANTED
+)
+
+
 @query(
     "q_dedup_normalized",
-    oracle="""
-    WITH n AS (
+    oracle=f"""
+    WITH docs_aug AS (
+        SELECT doc_id, lang, text, n_chars FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES {_NORM_PLANTED_VALUES})
+             AS v(doc_id, lang, text, n_chars)
+    ),
+    n AS (
         SELECT doc_id, lang, n_chars,
                trim(regexp_replace(regexp_replace(upper(text),
                     '[^A-Z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
-        FROM documents
+        FROM docs_aug
     ),
     g AS (
         SELECT norm, MIN(doc_id) AS canonical, COUNT(*) AS n_copies
@@ -2072,8 +2093,17 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle on the normalized-text key (at 100 TB:
     sha2 of the normalized form — q_dedup_exact's note, same plan),
     HAVING shrinks to dup groups only, and the member join keys on the
-    same normalized hash the aggregate just shuffled on."""
+    same normalized hash the aggregate just shuffled on. The planted
+    variant pair (_NORM_PLANTED) keeps the driver row non-vacuous at
+    sf0.01, where the raw fixture has no normalized dups."""
     t = load_tables(spark, sf_dir)
+    planted = spark.createDataFrame(
+        [(i, g, s, len(s)) for i, g, s in _NORM_PLANTED],
+        "doc_id bigint, lang string, text string, n_chars bigint",
+    )
+    docs_aug = t["documents"].select(
+        "doc_id", "lang", "text", "n_chars"
+    ).unionByName(planted)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.upper(F.col("text")), "[^A-Z0-9 ]", ""),
@@ -2081,7 +2111,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    n = t["documents"].select("doc_id", "lang", "n_chars", norm.alias("norm"))
+    n = docs_aug.select("doc_id", "lang", "n_chars", norm.alias("norm"))
     g = (
         n.groupBy("norm")
         .agg(F.min("doc_id").alias("canonical"), F.count("*").alias("n_copies"))

@@ -1465,16 +1465,22 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q22",
     oracle="""
-    WITH pos AS (
+    WITH customer_aug AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        UNION ALL
+        SELECT CAST(9900001 AS BIGINT), CAST(99999.99 AS DOUBLE),
+               'BUILDING'
+    ),
+    pos AS (
         SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                  / COUNT(*) AS avg_bal
-        FROM customer WHERE c_acctbal > 0.0
+        FROM customer_aug WHERE c_acctbal > 0.0
     )
     SELECT c.c_mktsegment,
            COUNT(*) AS numcust,
            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
              AS totacctbal
-    FROM customer c CROSS JOIN pos
+    FROM customer_aug c CROSS JOIN pos
     WHERE c.c_acctbal > pos.avg_bal
       AND NOT EXISTS (
           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -1497,20 +1503,29 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the orders side of the anti join reduces to its
     custkey set (shuffle on custkey — never a broadcast of a fact);
     the 1-row average broadcasts; a 5-row aggregate finishes
-    map-side."""
+    map-side. The planted wealthy-inactive customer (id 9900001,
+    modeled in both SQL texts) keeps the result non-vacuous at sf0.01,
+    where every fixture customer has orders (the r11 zero-row audit's
+    q_contamination rule)."""
     load_tables(spark, sf_dir)
     return spark.sql(
         """
-        WITH pos AS (
+        WITH customer_aug AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+            UNION ALL
+            SELECT CAST(9900001 AS BIGINT), CAST(99999.99 AS DOUBLE),
+                   'BUILDING'
+        ),
+        pos AS (
             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                      / COUNT(*) AS avg_bal
-            FROM customer WHERE c_acctbal > 0.0
+            FROM customer_aug WHERE c_acctbal > 0.0
         )
         SELECT c.c_mktsegment,
                COUNT(*) AS numcust,
                CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                  AS totacctbal
-        FROM customer c CROSS JOIN pos
+        FROM customer_aug c CROSS JOIN pos
         WHERE c.c_acctbal > pos.avg_bal
           AND NOT EXISTS (
               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
