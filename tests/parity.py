@@ -37,6 +37,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def assert_parity(spark_df, oracle_sql: str, sf_dir: str, name: str = "") -> None:
     actual = canon(spark_df.toPandas())
     expected = canon(duck_df(oracle_sql, sf_dir))
+    # Non-vacuity gate (r11 zero-row audit): a 0 = 0 row compare is
+    # trivially hash-green and verifies NOTHING — q_tpch_q8 shipped
+    # with a literal that didn't exist in the fixture and
+    # q_dedup_normalized / q_tpch_q22 had no qualifying fixture rows
+    # at sf0.01 until evidence was planted. Every oracled query must
+    # produce at least one row at every test scale.
+    assert len(actual) > 0, f"{name}: VACUOUS — 0 rows from both engines"
     assert len(actual) == len(expected), (
         f"{name}: row count {len(actual)} != oracle {len(expected)}"
     )
