@@ -193,6 +193,9 @@ HEADLINE_R11 = [
     "q_tpch_q17",
     "q_tpch_q22",
     "q_hard_negatives",
+    # benched since its r11 hash-verified rewrite (the MLlib spelling
+    # this replaces was never in a headline block)
+    "q_dedup_fuzzy",
 ]
 
 
