@@ -357,10 +357,23 @@ def main() -> None:
 
     import gc
 
+    # every HEADLINE_* block, current and future, swept and totaled
+    # DYNAMICALLY: the hardcoded chain this replaces is the exact
+    # failure class that silently dropped the r11 block from
+    # sf1_scale_bench.py the round it was added (code-review r11).
+    blocks = dict(
+        sorted(
+            (
+                ("r" + a[len("HEADLINE_R"):].zfill(2), globals()[a])
+                for a in globals()
+                if a.startswith("HEADLINE_R")
+            ),
+            key=lambda kv: kv[0],  # numeric round order, r02..r11
+        )
+    )
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in (HEADLINE + HEADLINE_R2 + HEADLINE_R6 + HEADLINE_R7
-                 + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11):
+    for name in (HEADLINE + [q for b in blocks.values() for q in b]):
         fn = registry.QUERIES[name]
         # drop the previous query's dead broadcasts/UDF workers before
         # timing this one — without it, late queries in a 30-query
@@ -439,33 +452,24 @@ def main() -> None:
                     "median_ratio": round(cold_median_ratio, 2),
                 }
     # "value" stays the sum over the SAME 22 queries r01 benched, so the
-    # round-over-round headline compares like-for-like; the round-2+
-    # additions are reported separately (and inside "queries"). Summed
-    # AFTER the gate so a retracted flag's re-measured steady-state
-    # number is what the totals carry.
+    # round-over-round headline compares like-for-like; each round
+    # block's total is reported separately (and inside "queries").
+    # Summed AFTER the gate so a retracted flag's re-measured
+    # steady-state number is what the totals carry.
     r01_comparable = round(sum(timings[n] for n in HEADLINE), 3)
-    r2_total = round(sum(timings[n] for n in HEADLINE_R2), 3)
-    r6_total = round(sum(timings[n] for n in HEADLINE_R6), 3)
-    r7_total = round(sum(timings[n] for n in HEADLINE_R7), 3)
-    r8_total = round(sum(timings[n] for n in HEADLINE_R8), 3)
-    r9_total = round(sum(timings[n] for n in HEADLINE_R9), 3)
-    r10_total = round(sum(timings[n] for n in HEADLINE_R10), 3)
-    r11_total = round(sum(timings[n] for n in HEADLINE_R11), 3)
+    # keys match the historical record shape: HEADLINE_R7 → value_r7_ops
+    block_totals = {
+        f"value_r{int(tag[1:])}_ops": round(sum(timings[n] for n in qs), 3)
+        for tag, qs in blocks.items()
+    }
     record = (
             {
                 "metric": "headline_query_wall_clock_total",
                 "value": r01_comparable,
                 "unit": "sec",
-                "value_r2_ops": r2_total,
-                "value_r6_ops": r6_total,
-                "value_r7_ops": r7_total,
-                "value_r8_ops": r8_total,
-                "value_r9_ops": r9_total,
-                "value_r10_ops": r10_total,
-                "value_r11_ops": r11_total,
+                **block_totals,
                 "value_all": round(
-                    r01_comparable + r2_total + r6_total + r7_total
-                    + r8_total + r9_total + r10_total + r11_total, 3
+                    r01_comparable + sum(block_totals.values()), 3
                 ),
                 "queries": timings,
                 "queries_cold": cold,

@@ -1987,8 +1987,13 @@ def _v4_state(
     the production setting, and corpus_scale_smoke.py asserts the
     flagged share collapses at n=8 while the PLANTED contamination pair
     (50 shared words ≫ any n here) is still caught."""
+    from hive_gateway_spark.operators.dedup import SHINGLE_N as _DEFAULT_N
+
     per = _V4_CACHE.setdefault(spark, {})
-    cache_key = (sf_dir, shingle_n)
+    # normalize: an explicit shingle_n == the default must hit the same
+    # cache entry as shingle_n=None (else the whole v4 chain re-runs
+    # and double-checkpoints for a semantically identical request)
+    cache_key = (sf_dir, _DEFAULT_N if shingle_n is None else shingle_n)
     st = per.get(cache_key)
     if st is not None:
         return st

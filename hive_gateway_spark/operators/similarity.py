@@ -163,27 +163,44 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: dot products are exact int64 (GEMM); sim = dot/sqrt(nq·nb)
     in IEEE float64 from exact integers — bit-identical to the oracle's
     expression, so ranks (with neighbor_id tie-break) agree."""
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    return _gemm_topk(spark, e, cross_label=False)
+
+
+def _gemm_topk(spark: SparkSession, e: DataFrame, *, cross_label: bool) -> DataFrame:
+    """The bounded-query GEMM top-k kernel shared by q_sim_topk and
+    q_hard_negatives — every determinism-critical detail (exact int64
+    GEMM, -inf masking, lexsort (sim desc, neighbor_id asc) tie-break,
+    per-batch local top-k, tiny window merge) lives ONCE here.
+    ``cross_label=False`` masks self-pairs (nearest neighbors);
+    ``cross_label=True`` masks every same-label column including self
+    (hard negatives)."""
     import numpy as np
     import pandas as pd
 
-    t = load_tables(spark, sf_dir)
-    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    cols = ["vec_id", "label", "v", "n2"] if cross_label else ["vec_id", "v", "n2"]
     q_rows = (
         e.filter(
             (F.col("vec_id") % QUERY_STRIDE == 0)
             & (F.col("vec_id") < QUERY_ID_CAP)
         )
-        .select("vec_id", "v", "n2")
+        .select(*cols)
         .collect()  # bounded: ≤ MAX_QUERIES rows by construction
     )
     qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qlab = (
+        np.asarray([r["label"] for r in q_rows], dtype=np.int64)
+        if cross_label
+        else None
+    )
     Q = np.asarray([r["v"] for r in q_rows], dtype=np.int64)
     qn = np.asarray([r["n2"] for r in q_rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((qids, Q, qn))
+    bc = spark.sparkContext.broadcast((qids, qlab, Q, qn))
     k = TOP_K
 
     def score_batches(batches):
-        qids, Q, qn = bc.value
+        qids, qlab, Q, qn = bc.value
         for pdf in batches:
             if len(pdf) == 0 or len(qids) == 0:  # degenerate Arrow batch
                 continue
@@ -191,7 +208,11 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             X = np.asarray(pdf["v"].tolist(), dtype=np.int64)
             n2 = pdf["n2"].to_numpy(np.float64)
             sim = (Q @ X.T).astype(np.float64) / np.sqrt(qn[:, None] * n2[None, :])
-            sim[qids[:, None] == ids[None, :]] = -np.inf  # self-pairs out
+            if qlab is None:
+                sim[qids[:, None] == ids[None, :]] = -np.inf  # self-pairs out
+            else:
+                lab = pdf["label"].to_numpy(np.int64)
+                sim[qlab[:, None] == lab[None, :]] = -np.inf  # positives out
             take = min(k, sim.shape[1])
             out_q, out_n, out_s = [], [], []
             for qi in range(len(qids)):
@@ -209,7 +230,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    cand = e.select("vec_id", "v", "n2").mapInPandas(
+    cand = e.select(*cols).mapInPandas(
         score_batches, "query_id bigint, neighbor_id bigint, sim double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -264,63 +285,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to q_sim_topk — bounded query block
     broadcast, base table streams through the mapInPandas GEMM kernel
     emitting K·Q rows per batch, one tiny window merge. No cartesian,
-    no label shuffle."""
-    import numpy as np
-    import pandas as pd
-
+    no label shuffle. One shared kernel (_gemm_topk, mask
+    parameterized) serves both queries, so the determinism-critical
+    details can never diverge."""
     t = load_tables(spark, sf_dir)
     e = _quantized(t).withColumn("n2", norm2_q("v"))
-    q_rows = (
-        e.filter(
-            (F.col("vec_id") % QUERY_STRIDE == 0)
-            & (F.col("vec_id") < QUERY_ID_CAP)
-        )
-        .select("vec_id", "label", "v", "n2")
-        .collect()  # bounded: ≤ MAX_QUERIES rows by construction
-    )
-    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
-    qlab = np.asarray([r["label"] for r in q_rows], dtype=np.int64)
-    Q = np.asarray([r["v"] for r in q_rows], dtype=np.int64)
-    qn = np.asarray([r["n2"] for r in q_rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((qids, qlab, Q, qn))
-    k = TOP_K
-
-    def score_batches(batches):
-        qids, qlab, Q, qn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0 or len(qids) == 0:  # degenerate Arrow batch
-                continue
-            ids = pdf["vec_id"].to_numpy(np.int64)
-            lab = pdf["label"].to_numpy(np.int64)
-            X = np.asarray(pdf["v"].tolist(), dtype=np.int64)
-            n2 = pdf["n2"].to_numpy(np.float64)
-            sim = (Q @ X.T).astype(np.float64) / np.sqrt(qn[:, None] * n2[None, :])
-            sim[qlab[:, None] == lab[None, :]] = -np.inf  # positives out
-            take = min(k, sim.shape[1])
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(qids)):
-                order = np.lexsort((ids, -sim[qi]))[:take]
-                keep = sim[qi][order] > -np.inf
-                out_q.append(np.full(keep.sum(), qids[qi]))
-                out_n.append(ids[order][keep])
-                out_s.append(sim[qi][order][keep])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "sim": np.concatenate(out_s),
-                }
-            )
-
-    cand = e.select("vec_id", "label", "v", "n2").mapInPandas(
-        score_batches, "query_id bigint, neighbor_id bigint, sim double"
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        cand.withColumn("rank_k", F.row_number().over(w))
-        .filter(F.col("rank_k") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank_k", F.round("sim", 4).alias("cos_sim"))
-    )
+    return _gemm_topk(spark, e, cross_label=True)
 
 
 #: IVF geometry: number of coarse cells, cells probed per query, and the
@@ -568,14 +538,22 @@ def maybe_rebuild_ivf(spark: SparkSession, sf_dir: str, path: str) -> dict:
     (SCALE.md round 11): drifting same-mixture appends never trigger
     it; a regime-change ingest does, while recall is still intact.
 
-    Caveat the operator must know: the monitor measures cell skew from
-    ANY source. Appended drift resets on rebuild; inherently lumpy
-    DATA (one tight cluster holding most of the corpus) can leave even
-    a fresh quantizer above the bound (measured: 3 tight clusters at
-    50% share rebuild to ~2.0) — if a rebuild does not reset the
-    alarm, the fix is geometry (more cells for the grown corpus, the
-    cells ≈ √N production rule), not another rebuild."""
-    from hive_gateway_spark.sources.dataset_export import read_snapshot
+    Caveats the operator must know: the monitor measures cell skew
+    from ANY source. Appended drift resets on rebuild; inherently
+    lumpy DATA (one tight cluster holding most of the corpus) can
+    leave even a fresh quantizer above the bound (measured: 3 tight
+    clusters at 50% share rebuild to ~2.0) — if a rebuild does not
+    reset the alarm, the fix is geometry (more cells for the grown
+    corpus, the cells ≈ √N production rule), not another rebuild.
+    And the rebuild re-trains from ``sf_dir``'s embeddings TABLE, so
+    vectors that entered only via append_ivf_index (an ingest frame
+    not yet merged into the table) would silently vanish from the
+    rebuilt index — the corpus-size pin below REFUSES that rebuild
+    with ``error: corpus_behind_index`` instead."""
+    from hive_gateway_spark.sources.dataset_export import (
+        _current_manifest,
+        read_snapshot,
+    )
 
     occ = (
         read_snapshot(spark, f"{path}/invfile")
@@ -584,9 +562,19 @@ def maybe_rebuild_ivf(spark: SparkSession, sf_dir: str, path: str) -> dict:
         .collect()
     )
     ns = [r["n"] for r in occ]
+    if not ns:  # failed/partial persist: unhealthy, but never a crash
+        return {"max_imbalance": None, "rebuilt": False, "error": "empty_index"}
     imb = max(ns) / (sum(ns) / len(ns))
     out: dict = {"max_imbalance": round(imb, 4), "rebuilt": False}
     if imb > IVF_REBUILD_IMBALANCE:
+        man = _current_manifest(f"{path}/invfile")
+        n_table = load_tables(spark, sf_dir)["embeddings"].count()
+        n_index = man["n_rows"] // man["ivf_assign"]
+        if n_table != n_index:
+            out["error"] = "corpus_behind_index"
+            out["corpus_rows"] = n_table
+            out["index_rows"] = n_index
+            return out
         out["manifests"] = persist_ivf_index(spark, sf_dir, path)
         out["rebuilt"] = True
     return out

@@ -208,7 +208,12 @@ def main() -> None:
     # and the monitor FIRES under the novel regime
     under = [p for p in report["curve"]
              if p["max_imbalance"] <= sim.IVF_REBUILD_IMBALANCE]
-    report["recall_floor_under_bound"] = min(p["recall"] for p in under)
+    # a tiny/lumpy corpus can start ABOVE the bound (the fixture-scale
+    # test notes base imbalance ~2 for coarse mixtures) — report None
+    # rather than crash after the whole multi-session study ran
+    report["recall_floor_under_bound"] = (
+        min(p["recall"] for p in under) if under else None
+    )
     report["recall_floor_overall"] = min(p["recall"] for p in report["curve"])
     report["monitor_fired"] = any(
         p["max_imbalance"] > sim.IVF_REBUILD_IMBALANCE

@@ -439,9 +439,11 @@ def test_curation_v4_funnel_trace_equality(spark, sf_dir):
 
 def test_curation_v4_shingle_width_knob(spark, sf_dir):
     """VERDICT r10 task #5: decontamination shingle width is a knob.
-    At the production width (n=8) the flagged-contaminated count must
-    not exceed the fixture width's (wider shingles are strictly rarer),
-    the PLANTED contamination pair (50 shared words ≫ 8) must still be
+    On THESE fixtures the n=8 flagged-contaminated count is lower than
+    n=3's (distinct n-gram overlap counts are not monotone in n in
+    general — low-period boilerplate can share more 8-grams than
+    3-grams — so this pins fixture behavior, not an invariant), the
+    PLANTED contamination pair (50 shared words ≫ 8) must still be
     caught, and the registered default path must be untouched (same
     funnel as the driver-verified oracle)."""
     from collections import Counter
@@ -464,10 +466,10 @@ def test_curation_v4_shingle_width_knob(spark, sf_dir):
 
 
 def test_pipeline_decontaminate_shingle_width(spark, sf_dir):
-    """The facade knob: at n=8 the survivor set is a superset of the
-    n=3 survivors over the same corpus (fewer shingle collisions can
-    only UNFLAG docs), and a genuinely-overlapping pair is dropped at
-    both widths."""
+    """The facade knob: on THESE fixtures the n=8 survivor set is a
+    superset of the n=3 survivors (random 3-gram collisions dominate,
+    so widening unflags; not a universal invariant — see the width-knob
+    test above)."""
     from hive_gateway_spark.pipeline import CurationPipeline
     from hive_gateway_spark.session import load_tables
 

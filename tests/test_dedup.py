@@ -13,9 +13,14 @@ def _exact_pairs(spark, sf_dir):
 
 
 def test_minhash_lsh_recall(spark, sf_dir):
-    """LSH candidates must contain every exact pair at τ=0.5 (16 hash
-    tables give near-1 recall at this similarity; a miss means the
-    banding is misconfigured, not bad luck)."""
+    """q_dedup_fuzzy must contain every exact pair ON THESE FIXTURES:
+    their near-dup pairs sit at jaccard ≈ 0.99, where the 4-band ×
+    2-row S-curve (1−(1−s²)⁴) is ≈ 1 − 10⁻⁷ — a miss means the
+    banding/signature arithmetic is broken, not bad luck. This is NOT
+    a claim about borderline pairs: at s = 0.5 the same geometry
+    recalls ~68% by design (the operator docstring documents the
+    curve; raising k/bands is the recall knob, priced in shuffle
+    volume)."""
     exact = _exact_pairs(spark, sf_dir)
     assert exact, "fixture has no near-dup pairs — assumptions broke"
     lsh = {

@@ -559,3 +559,68 @@ def test_hard_negatives_are_cross_label_topk(spark, sf_dir):
         ub = best.get((r["query_id"], r["rank_k"]))
         if ub is not None:
             assert r["cos_sim"] <= ub + 1e-9, r
+
+
+def test_maybe_rebuild_refuses_when_corpus_behind_index(spark, tmp_path):
+    """Vectors appended to the INDEX from an ingest frame that was
+    never merged into the embeddings table must not be silently
+    dropped by a rebuild (persist_ivf_index retrains from the table
+    alone): when the monitor fires but table rows != index rows,
+    maybe_rebuild_ivf refuses with corpus_behind_index instead of
+    rebuilding a smaller index and calling it success."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(13)
+    dim, n_clusters, n = 16, 20, 2000
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    sfd = str(tmp_path / "sf_behind")
+    ddir = os.path.join(sfd, "embeddings.parquet")
+    os.makedirs(ddir)
+    label = rng.integers(0, n_clusters, n)
+    vecs = centers[label] + rng.normal(0, 0.35, (n, dim))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    list(vecs.astype(np.float32)), pa.list_(pa.float32())
+                ),
+                "label": pa.array(label.astype(np.int32), pa.int32()),
+            }
+        ),
+        os.path.join(ddir, "part-00.parquet"),
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(
+            os.path.join("/root/testdata/sf0.001", f"{name}.parquet"),
+            os.path.join(sfd, f"{name}.parquet"),
+        )
+    idx = str(tmp_path / "ann_index_behind")
+    sim.persist_ivf_index(spark.newSession(), sfd, idx)
+
+    # append a skewing ingest batch to the INDEX ONLY (no parquet merge)
+    novel = rng.normal(0, 1, (1, dim))
+    for k in (1, 2, 3):
+        ids = np.arange(k * n, (k + 1) * n)
+        vs = novel[np.zeros(n, dtype=np.int64)] + rng.normal(0, 0.35, (n, dim))
+        s = spark.newSession()
+        sim.append_ivf_index(
+            s,
+            s.createDataFrame(
+                [(int(i), [float(x) for x in v]) for i, v in zip(ids, vs)],
+                "vec_id bigint, embedding array<float>",
+            ),
+            idx,
+        )
+    out = sim.maybe_rebuild_ivf(spark.newSession(), sfd, idx)
+    assert out["rebuilt"] is False
+    assert out.get("error") == "corpus_behind_index", out
+    assert out["index_rows"] == 4 * n and out["corpus_rows"] == n
