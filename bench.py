@@ -232,21 +232,32 @@ def _round_of(path: str) -> int:
     return int(m.group(1)) if m else -1
 
 
-def _previous_bench() -> tuple[str, dict] | None:
-    """The best per-query baseline on disk (VERDICT r9 task #3).
+def _previous_bench(sf: float) -> tuple[str, dict] | None:
+    """The best per-query baseline on disk FOR THIS SCALE FACTOR
+    (VERDICT r9 task #3; per-sf selection ADVICE r11 #4).
 
     The driver's BENCH_r07..r09 records stored only a truncated `tail`,
     which silently pinned the effective baseline at BENCH_r06 and left
     every query added since UNGUARDED. bench.py therefore writes its own
-    COMPLETE per-query record (BENCH_LOCAL_r{N}.json, `_write_local`)
-    at every close and prefers the newest such file — BENCH_LOCAL beats
-    a driver BENCH of the same round; newest round wins overall. A
-    second run within one round ratchets against the first."""
+    COMPLETE per-query record (BENCH_LOCAL[_sf*]_r{N}.json,
+    `_write_local`) at every close and prefers the newest such file —
+    BENCH_LOCAL beats a driver BENCH of the same round; newest round
+    wins overall. A second run within one round ratchets against the
+    first.
+
+    Records from a DIFFERENT scale factor are SKIPPED, not returned:
+    before this, one baseline landing at another sf permanently
+    disabled the ratchet for the current sf (the foreign record kept
+    winning the newest-round sort while the gate and the baseline
+    write were both conditioned on sf comparability). Each sf now
+    maintains its own ratchet; sf-less legacy records still match any
+    run."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     candidates = sorted(
         glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
+        + glob.glob(os.path.join(here, "BENCH_LOCAL_sf*_r*.json"))
         + glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: (_round_of(p), "BENCH_LOCAL" in os.path.basename(p)),
         reverse=True,
@@ -259,22 +270,34 @@ def _previous_bench() -> tuple[str, dict] | None:
             continue
         if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
             doc = doc["parsed"]  # driver-recorded shape wraps the JSON line
-        if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
-            return os.path.basename(path), doc
+        if not (isinstance(doc, dict) and isinstance(doc.get("queries"), dict)):
+            continue
+        if doc.get("sf") not in (None, sf):
+            continue  # foreign-sf record: this sf's ratchet lives elsewhere
+        return os.path.basename(path), doc
     return None
 
 
 def _write_local(record: dict) -> None:
-    """Persist the complete per-query record as BENCH_LOCAL_r{N}.json,
-    N = the round in flight (one past the newest driver BENCH_r*). Never
-    raises: a read-only checkout must not fail the bench itself."""
+    """Persist the complete per-query record as BENCH_LOCAL_r{N}.json
+    (the default sf0.1 ratchet) or BENCH_LOCAL_sf{sf}_r{N}.json for any
+    other scale factor — per-sf files keep one sf's run from clobbering
+    another's baseline within a round (ADVICE r11 #4). N = the round in
+    flight (one past the newest driver BENCH_r*). Never raises: a
+    read-only checkout must not fail the bench itself."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [_round_of(p) for p in glob.glob(os.path.join(here, "BENCH_r*.json"))]
     n = (max(rounds) if rounds else 0) + 1
+    sf = record.get("sf")
+    stem = (
+        f"BENCH_LOCAL_r{n:02d}.json"
+        if sf in (None, 0.1)
+        else f"BENCH_LOCAL_sf{sf}_r{n:02d}.json"
+    )
     try:
-        with open(os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json"), "w") as f:
+        with open(os.path.join(here, stem), "w") as f:
             json.dump(record, f)
     except OSError:  # pragma: no cover
         pass
@@ -401,18 +424,13 @@ def main() -> None:
     # against the round's own baseline shift. The median divisor is
     # floored at 1.0 so a globally FASTER round can never mask a real
     # per-query regression.
-    prev = _previous_bench()
-    # A baseline from a DIFFERENT scale factor is not comparable: gating
-    # against it is meaningless, and writing this run as the new baseline
-    # would poison the ratchet for every future same-sf run (e.g. a quick
-    # sf0.01 smoke silently becoming the bar sf0.1 is judged against).
-    sf_comparable = prev is None or prev[1].get("sf") in (None, sf)
+    prev = _previous_bench(sf)  # per-sf ratchet (ADVICE r11 #4)
     regressions: dict[str, dict] = {}
     record_first_pass: dict[str, dict] = {}
     cold_regressions: dict[str, dict] = {}
     median_ratio = 1.0
     cold_median_ratio = 1.0
-    if prev is not None and sf_comparable:
+    if prev is not None:
         prev_name, prev_doc = prev
 
         def _remeasure(name: str) -> float:
@@ -510,7 +528,7 @@ def main() -> None:
     # written baseline, so the warning re-fires on every run until the
     # cold cost is actually fixed (or the old value naturally ages out
     # of a later passing run) instead of self-erasing after one rerun.
-    if not regressions and sf_comparable:
+    if not regressions:
         baseline = record
         if cold_regressions and prev is not None:
             carried = dict(record["queries_cold"])

@@ -2052,6 +2052,61 @@ _NORM_PLANTED_VALUES = ", ".join(
 )
 
 
+def dedup_normalized(
+    spark: SparkSession,
+    sf_dir: str,
+    extra_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-exact dedup on NORMALIZED text (q_text_normalize's
+    casefold + punctuation-strip + whitespace-collapse) — the layer
+    between raw exact dedup and shingle near-dup: catches the
+    re-encoded / re-punctuated / re-cased copies that byte-exact
+    hashing misses and shingle similarity over-pays for. Emits every
+    member of a multi-copy normalized group with its min-doc_id
+    canonical — the row set a dedup stage drops (members where NOT
+    is_canonical).
+
+    ``extra_docs`` is a TEST-HARNESS hook (rows unioned in before
+    grouping); the registered fixture query plants a variant pair
+    through it. Production callers omit it — planted rows here were
+    always additive/ID-disjoint (they form their own normalized
+    group), but they belong to the harness, not the operator
+    (ADVICE r11 #1).
+
+    Determinism: the normalization is the exact q_text_normalize
+    expression (same regexes both engines); grouping and the canonical
+    election are integer-exact.
+
+    Scale shape: one shuffle on the normalized-text key (at 100 TB:
+    sha2 of the normalized form — q_dedup_exact's note, same plan),
+    HAVING shrinks to dup groups only, and the member join keys on the
+    same normalized hash the aggregate just shuffled on."""
+    t = load_tables(spark, sf_dir)
+    docs_aug = t["documents"].select("doc_id", "lang", "text", "n_chars")
+    if extra_docs is not None:
+        docs_aug = docs_aug.unionByName(extra_docs)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.upper(F.col("text")), "[^A-Z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    n = docs_aug.select("doc_id", "lang", "n_chars", norm.alias("norm"))
+    g = (
+        n.groupBy("norm")
+        .agg(F.min("doc_id").alias("canonical"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+    return n.join(g, "norm").select(
+        "doc_id",
+        "canonical",
+        "n_copies",
+        "lang",
+        (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
+    )
+
+
 @query(
     "q_dedup_normalized",
     oracle=f"""
@@ -2077,53 +2132,16 @@ _NORM_PLANTED_VALUES = ", ".join(
     """,
 )
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-exact dedup on NORMALIZED text (q_text_normalize's
-    casefold + punctuation-strip + whitespace-collapse) — the layer
-    between raw exact dedup and shingle near-dup: catches the
-    re-encoded / re-punctuated / re-cased copies that byte-exact
-    hashing misses and shingle similarity over-pays for. Emits every
-    member of a multi-copy normalized group with its min-doc_id
-    canonical — the row set a dedup stage drops (members where NOT
-    is_canonical).
-
-    Determinism: the normalization is the exact q_text_normalize
-    expression (same regexes both engines); grouping and the canonical
-    election are integer-exact.
-
-    Scale shape: one shuffle on the normalized-text key (at 100 TB:
-    sha2 of the normalized form — q_dedup_exact's note, same plan),
-    HAVING shrinks to dup groups only, and the member join keys on the
-    same normalized hash the aggregate just shuffled on. The planted
-    variant pair (_NORM_PLANTED) keeps the driver row non-vacuous at
-    sf0.01, where the raw fixture has no normalized dups."""
-    t = load_tables(spark, sf_dir)
+    """Registered fixture harness for :func:`dedup_normalized`:
+    unions the planted case/punct variant pair (_NORM_PLANTED,
+    mirrored in the oracle's VALUES) so the driver row stays
+    non-vacuous at sf0.01, where the raw fixture has no normalized
+    dups. The plant lives HERE, not in the operator."""
     planted = spark.createDataFrame(
         [(i, g, s, len(s)) for i, g, s in _NORM_PLANTED],
         "doc_id bigint, lang string, text string, n_chars bigint",
     )
-    docs_aug = t["documents"].select(
-        "doc_id", "lang", "text", "n_chars"
-    ).unionByName(planted)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.upper(F.col("text")), "[^A-Z0-9 ]", ""),
-            " +",
-            " ",
-        )
-    )
-    n = docs_aug.select("doc_id", "lang", "n_chars", norm.alias("norm"))
-    g = (
-        n.groupBy("norm")
-        .agg(F.min("doc_id").alias("canonical"), F.count("*").alias("n_copies"))
-        .filter(F.col("n_copies") > 1)
-    )
-    return n.join(g, "norm").select(
-        "doc_id",
-        "canonical",
-        "n_copies",
-        "lang",
-        (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
-    )
+    return dedup_normalized(spark, sf_dir, extra_docs=planted)
 
 
 # Deferred (needs _LSH_SIG_CTE, defined above with the banding

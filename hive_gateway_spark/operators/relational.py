@@ -1430,36 +1430,109 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue): revenue lost to
     below-20%-of-average-quantity orders of one brand — the
     correlated-scalar-aggregate exemplar, decorrelated into a
-    per-part average joined back (the rewrite Catalyst performs for
-    the correlated spelling; written decorrelated so both engines run
-    the identical shape).
+    per-part average joined back.
+
+    The brand filter is pushed BELOW the average build: the per-part
+    average is unchanged by restricting which parts are considered
+    (it aggregates within a partkey), so both lineitem passes run
+    over the ~1/25th brand subset after one broadcast semi-join —
+    the classic Q17 rewrite Catalyst does not derive (partial
+    aggregate pushdown through a join is not in its rule set; the
+    oracle's CTE spelling makes DuckDB average ALL parts, same
+    values).
 
     Determinism: the per-part average is an exact-decimal sum divided
     by an exact count — identical doubles on both engines — and the
     final revenue folds in exact decimal before the single /7.0.
 
-    Scale shape: TWO partkey-keyed shuffles over lineitem (the
-    average build and the join back — at 100 TB the average table is
-    parts-sized and broadcastable after its own partial agg), the
-    brand dimension broadcasts and prunes FIRST."""
-    load_tables(spark, sf_dir)
-    return spark.sql(
-        """
-        WITH pavg AS (
-            SELECT l_partkey,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                     / COUNT(*) AS avg_qty
-            FROM lineitem GROUP BY l_partkey
-        )
-        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / 7.0 AS avg_yearly,
-               COUNT(*) AS n_items
-        FROM lineitem l
-        JOIN part p ON p.p_partkey = l.l_partkey
-        JOIN pavg  a ON a.l_partkey = l.l_partkey
-        WHERE p.p_brand = 'Brand#13' AND l.l_quantity < 0.2 * a.avg_qty
-        """
+    Scale shape: one broadcast hash join prunes lineitem to the
+    brand's rows with NO fact shuffle, ONE partkey shuffle over that
+    subset builds the averages, and the parts-sized average table
+    broadcasts back — at 100 TB nothing bigger than the brand subset
+    ever shuffles."""
+    t = load_tables(spark, sf_dir)
+    brand_parts = (
+        t["part"].filter(F.col("p_brand") == "Brand#13").select("p_partkey")
     )
+    li = t["lineitem"].join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    pavg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(F.broadcast(pavg), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def tpch_q22(
+    spark: SparkSession,
+    sf_dir: str,
+    extra_customers: DataFrame | None = None,
+) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) — the PURE operator:
+    wealthy-but-inactive customers, above the positive-balance
+    average with NO orders, counted per market segment (the fixture
+    carries no phone country codes, so segment is the grouping
+    dimension). The NOT-EXISTS-to-anti-join exemplar combined with a
+    1-row scalar aggregate broadcast.
+
+    ``extra_customers`` is a TEST-HARNESS hook: rows unioned in
+    before the average (the registered fixture query uses it to
+    plant a qualifying customer, since every sf0.01 fixture customer
+    has orders). Production callers omit it — no synthetic rows ever
+    touch a real corpus's threshold or groups (ADVICE r11 #1: the
+    plant was previously baked into the operator itself, where it
+    shifted the avg_bal threshold for REAL customers).
+
+    Determinism: the average is an exact-decimal sum over an exact
+    count (identical doubles both engines); balances fold in exact
+    decimal.
+
+    Scale shape: the orders side of the anti join reduces to its
+    custkey set (shuffle on custkey — never a broadcast of a fact);
+    the 1-row average broadcasts; a 5-row aggregate finishes
+    map-side."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select("c_custkey", "c_acctbal", "c_mktsegment")
+    if extra_customers is not None:
+        c = c.unionByName(extra_customers)
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        c.join(F.broadcast(pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"].select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+#: Fixture-only planted wealthy-inactive customer (id far above the
+#: fixture custkey range): keeps the registered q_tpch_q22 row
+#: non-vacuous at sf0.01, where every fixture customer has orders
+#: (the r11 zero-row audit's q_contamination rule). Modeled in the
+#: oracle's customer_aug CTE; NEVER applied by the pure tpch_q22().
+_Q22_PLANTED = [(9_900_001, 99999.99, "BUILDING")]
 
 
 @query(
@@ -1489,47 +1562,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 (global sales opportunity): wealthy-but-inactive
-    customers — above the positive-balance average, with NO orders —
-    counted per market segment (the fixture carries no phone country
-    codes, so segment is the grouping dimension). The
-    NOT-EXISTS-to-anti-join exemplar combined with a 1-row scalar
-    aggregate broadcast.
-
-    Determinism: the average is an exact-decimal sum over an exact
-    count (identical doubles both engines); balances fold in exact
-    decimal.
-
-    Scale shape: the orders side of the anti join reduces to its
-    custkey set (shuffle on custkey — never a broadcast of a fact);
-    the 1-row average broadcasts; a 5-row aggregate finishes
-    map-side. The planted wealthy-inactive customer (id 9900001,
-    modeled in both SQL texts) keeps the result non-vacuous at sf0.01,
-    where every fixture customer has orders (the r11 zero-row audit's
-    q_contamination rule)."""
-    load_tables(spark, sf_dir)
-    return spark.sql(
-        """
-        WITH customer_aug AS (
-            SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
-            UNION ALL
-            SELECT CAST(9900001 AS BIGINT), CAST(99999.99 AS DOUBLE),
-                   'BUILDING'
-        ),
-        pos AS (
-            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                     / COUNT(*) AS avg_bal
-            FROM customer_aug WHERE c_acctbal > 0.0
-        )
-        SELECT c.c_mktsegment,
-               COUNT(*) AS numcust,
-               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                 AS totacctbal
-        FROM customer_aug c CROSS JOIN pos
-        WHERE c.c_acctbal > pos.avg_bal
-          AND NOT EXISTS (
-              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-          )
-        GROUP BY c.c_mktsegment
-        """
+    """Registered fixture harness for :func:`tpch_q22`: unions the
+    planted wealthy-inactive customer (_Q22_PLANTED, mirrored in the
+    oracle) so the driver row stays non-vacuous at fixture scale.
+    The plant lives HERE, not in the operator — real corpora run
+    tpch_q22() with no synthetic rows."""
+    planted = spark.createDataFrame(
+        _Q22_PLANTED, "c_custkey bigint, c_acctbal double, c_mktsegment string"
     )
+    return tpch_q22(spark, sf_dir, extra_customers=planted)

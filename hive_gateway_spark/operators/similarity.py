@@ -570,10 +570,16 @@ def maybe_rebuild_ivf(spark: SparkSession, sf_dir: str, path: str) -> dict:
         man = _current_manifest(f"{path}/invfile")
         n_table = load_tables(spark, sf_dir)["embeddings"].count()
         n_index = man["n_rows"] // man["ivf_assign"]
-        if n_table != n_index:
+        out["corpus_rows"] = n_table
+        out["index_rows"] = n_index
+        # Direction matters (ADVICE r11 #2): refuse ONLY when the
+        # index holds vectors the table lacks (n_table < n_index —
+        # append-only ingest not yet merged; a retrain from the table
+        # would silently drop them). A table AT or AHEAD of the index
+        # is the normal grown-corpus case — the full retrain reads
+        # every vector and loses nothing, so it proceeds.
+        if n_table < n_index:
             out["error"] = "corpus_behind_index"
-            out["corpus_rows"] = n_table
-            out["index_rows"] = n_index
             return out
         out["manifests"] = persist_ivf_index(spark, sf_dir, path)
         out["rebuilt"] = True

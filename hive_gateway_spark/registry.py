@@ -60,26 +60,19 @@ PRIORITY: tuple[str, ...] = (
     # + exact Jaccard verify — was the contract's one rows-only query)
     "q_embed_agg",
     "q_text_lang_report",
-    # -- r11 rotation (executing the r10-close pre-plan, VERDICT r10
-    # task #1, verbatim): the first five of the r7/r8 queue block
-    # (q_zipf_fit, q_text_readability, q_sample_temperature,
-    # q_user_paths, q_k_anonymity — each r10-green) rotate OUT to the
-    # local parity gate; the five r10-written ROTATION_CANDIDATES take
-    # their slots below (after the r9-queue block), emptying the queue:
-    # after r11 every registered query holds a driver row.
+    # -- r12 rotation (executing the r11-close pre-plan, verbatim):
+    # the ELEVEN r7/r8-queue heads (q_ann_buckets, q_interval_overlap,
+    # q_event_value_corr, q_rolling_wau, q_ngram_novelty,
+    # q_audience_overlap, q_char_entropy, q_curation_funnel,
+    # q_lsh_quality, q_dedup_cluster_stats, q_volume_anomaly — each
+    # r10+r11-green) rotate OUT to the local parity gate; the eleven
+    # r11-written ROTATION_CANDIDATES (TPC-H Q12/Q19/Q7/Q8/Q15/Q17/Q22,
+    # q_rank_distribution, q_pack_efficiency, q_exact_quantiles,
+    # q_hard_negatives — all exact-oracled) take their slots below,
+    # emptying the queue: after r12 every query registered through r11
+    # holds a driver row.
     #
-    # -- the r7/r8 queue (17 remaining) --
-    "q_ann_buckets",
-    "q_interval_overlap",
-    "q_event_value_corr",
-    "q_rolling_wau",
-    "q_ngram_novelty",
-    "q_audience_overlap",
-    "q_char_entropy",
-    "q_curation_funnel",
-    "q_lsh_quality",
-    "q_dedup_cluster_stats",
-    "q_volume_anomaly",
+    # -- the r7/r8 queue (6 remaining) --
     "q_pii_exposure",
     "q_curation_shift",
     "q_session_depth",
@@ -118,6 +111,20 @@ PRIORITY: tuple[str, ...] = (
     "q_ntile_assign",
     "q_tpch_q1",
     "q_ann_index_stats",  # rows-only by design (IVF occupancy monitor)
+    # -- the r11 queue (11): two fact-fact TPC-H shapes, the
+    # exact_rank projections, the packing audit, the second TPC-H
+    # batch (Q7/Q8/Q15/Q17/Q22), and contrastive hard negatives --
+    "q_tpch_q12",
+    "q_tpch_q19",
+    "q_rank_distribution",
+    "q_pack_efficiency",
+    "q_exact_quantiles",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q22",
+    "q_hard_negatives",
 )
 
 #: r11 rotation candidates. The r10 rotation drained the whole 41-entry
@@ -129,47 +136,30 @@ PRIORITY: tuple[str, ...] = (
 #: (tests/test_registry.py's debt ledger enforces row-or-slot-or-queue
 #: for every registered query).
 #:
-#: The r11 rotation executed the r10-close pre-plan verbatim (five
-#: candidates into the window, queue emptied). Queries WRITTEN during
-#: r11 enter here (FIFO) and take r12 slots; the standing rotate-out
-#: pool is the many-times-green r7/r8-queue tail (q_ann_buckets …)
-#: plus the r11 occupants once they earn their r11 rows.
-#:
-#: r12 PRE-PLAN (written at r11 close, the r9→r10→r11 pattern): once
-#: CORRECTNESS_r11 lands rows for the r11 window, rotate OUT the
-#: ELEVEN r7/r8-queue heads (q_ann_buckets, q_interval_overlap,
-#: q_event_value_corr, q_rolling_wau, q_ngram_novelty,
-#: q_audience_overlap, q_char_entropy, q_curation_funnel,
-#: q_lsh_quality, q_dedup_cluster_stats, q_volume_anomaly — each then
-#: r10+r11-green) and take ALL ELEVEN candidates below FIFO, keeping
-#: the window at exactly 50 and emptying the queue. Expected r12 row
-#: mix: all eleven hash-green (every one carries an exact DuckDB
-#: oracle).
+#: The r12 rotation executed the r11-close pre-plan verbatim (all
+#: eleven r11-written candidates into the window, the eleven
+#: r10+r11-green r7/r8-queue heads out, queue emptied). Queries
+#: WRITTEN during r12 enter here (FIFO) and take r13 slots; the
+#: standing rotate-out pool is the remaining r7/r8/r9-queue tail
+#: (q_pii_exposure …) plus the r12 occupants once they earn their
+#: r12 rows (tests/test_registry.py's debt ledger enforces
+#: row-or-slot-or-queue for every registered query).
 ROTATION_CANDIDATES: tuple[str, ...] = (
-    # r11 additions, FIFO: two TPC-H shapes the family lacked
-    # (conditional aggregation over a fact-fact join; disjunctive
-    # predicate extraction), the scale-safe PERCENT_RANK/CUME_DIST
-    # projection riding the exact_rank kernel, and the packing
-    # efficiency audit over q_pack_sequences' bins.
-    "q_tpch_q12",
-    "q_tpch_q19",
-    "q_rank_distribution",
-    "q_pack_efficiency",
-    # exact per-group p50/p90/p99 without a per-group sort (the
-    # exact_rank kernel's quantile payoff)
-    "q_exact_quantiles",
-    # the second r11 TPC-H batch: bilateral trade (Q7), national
-    # market share through the deepest dimension chain (Q8), top
-    # supplier via scalar subquery (Q15), decorrelated per-part
-    # average (Q17), wealthy-inactive anti join (Q22)
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q22",
-    # contrastive-training hard negatives: top-k cross-label cosine
-    # (the q_sim_topk kernel with the mask inverted)
-    "q_hard_negatives",
+    # r12 additions, FIFO: the TPC-H completion batch (Q3 and Q14
+    # already exist as q_tpch_q3 / q_promo_revenue, both
+    # driver-green) — late-order EXISTS probe (Q4), product-type
+    # profit (Q9), min-cost supplier over the lineitem-derived
+    # part-supplier catalog (Q2), important part concentration via
+    # scalar-subquery HAVING (Q11), supplier-diversity NOT-IN rollup
+    # (Q16), half-of-shipments nested-subquery filter (Q20),
+    # sole-late-supplier double-correlated EXISTS/NOT-EXISTS (Q21).
+    "q_tpch_q4",
+    "q_tpch_q9",
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q21",
 )
 
 

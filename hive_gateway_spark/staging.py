@@ -38,7 +38,17 @@ def release(obj) -> None:
     release (code-review r9 #5); dicts walk their values for the same
     reason (the v4 state cache holds {'decisions': df, 'manifest': df}).
     Safe on anything else: non-DataFrames, non-checkpointed frames, and
-    Connect sessions fall through silently."""
+    Connect sessions fall through silently.
+
+    release() is the single choke point for freeing checkpoint blocks
+    (ADVICE r11 #3/#5), so the session invalidation lives HERE, not in
+    stage()'s supersede branch: before unpersisting, every _FRAMES memo
+    for the session is dropped (a memoized final plan may reference the
+    freed checkpoint — truncated lineage cannot recompute) and any
+    _SLOTS entry handing out THIS frame is removed (a released
+    checkpoint must never be served to a later plan-identical stage()
+    call). Memos/slots are pure plan assembly and rebuild on the next
+    call, so the conservative clear is semantics-free."""
     if isinstance(obj, dict):
         for item in obj.values():
             release(item)
@@ -49,10 +59,25 @@ def release(obj) -> None:
         return
     try:
         plan = obj._jdf.queryExecution().analyzed()
-        if plan.nodeName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+        if plan.nodeName() != "LogicalRDD":
+            return
     except Exception:
-        pass  # non-classic session / not a checkpoint: nothing to free
+        return  # non-classic session / not a checkpoint: nothing to free
+    try:
+        spark = obj.sparkSession
+        frames = _FRAMES.get(spark)
+        if frames:
+            frames.clear()
+        slots = _SLOTS.get(spark)
+        if slots:
+            for name in [n for n, e in slots.items() if e[-1] is obj]:
+                del slots[name]
+    except Exception:
+        pass
+    try:
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def evict(per: dict, cap: int = CACHE_CAP) -> None:
@@ -115,9 +140,14 @@ def stage(df: DataFrame, slot: str) -> DataFrame:
     (_TABLE_CACHE, _SHINGLE_CACHE, the v4 state). Before this, every
     warm call to an exact_ntile consumer re-ran and re-checkpointed
     its staged aggregate (measured ~1 s of q_rfm_segments' 1.85 s warm
-    at sf0.1 — VERDICT r10 "wrong" #2). A caller whose underlying
-    FILES changed under an unchanged plan must go through a new
-    session (or new path), exactly as with the other caches."""
+    at sf0.1 — VERDICT r10 "wrong" #2). The 32-bit hash hit is
+    CONFIRMED with ``sameSemantics`` against the stored input plan
+    before the occupant is served (ADVICE r11 #3: a bare hash
+    collision between genuinely different plans would silently return
+    wrong data); a released occupant can never be served because
+    release() drops its slot entry. A caller whose underlying FILES
+    changed under an unchanged plan must go through a new session (or
+    new path), exactly as with the other caches."""
     per = _SLOTS.setdefault(df.sparkSession, {})
     try:
         key = df.semanticHash()
@@ -125,17 +155,17 @@ def stage(df: DataFrame, slot: str) -> DataFrame:
         key = None
     prev = per.get(slot)
     if prev is not None and key is not None and prev[0] == key:
-        return prev[1]
+        try:
+            same = df.sameSemantics(prev[1])
+        except Exception:  # pragma: no cover - non-classic session
+            same = False
+        if same:
+            return prev[2]
     out = df.localCheckpoint()
     if prev is not None:
-        # A memoized final plan (memo_frame) may reference the occupant
-        # being released — a released localCheckpoint cannot be
-        # recomputed (truncated lineage), so drop every memo for this
-        # session before freeing the blocks. Conservative and cheap:
-        # memos are pure plan assembly and rebuild on the next call.
-        frames = _FRAMES.get(df.sparkSession)
-        if frames:
-            frames.clear()
-        release(prev[1])
-    per[slot] = (key, out)
+        # release() drops this session's memo_frame entries and the
+        # superseded slot itself before freeing the blocks (the single
+        # choke point — see release()'s docstring).
+        release(prev[2])
+    per[slot] = (key, df, out)
     return out

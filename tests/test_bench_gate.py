@@ -79,3 +79,30 @@ def test_sub_floor_delta_never_flags():
         timings, prev, lambda n: (_ for _ in ()).throw(AssertionError)
     )
     assert confirmed == {} and first_pass == {}
+
+
+def test_previous_bench_selects_same_sf_baseline(tmp_path, monkeypatch):
+    """ADVICE r11 #4: a newer baseline at a DIFFERENT sf must be
+    skipped, not returned — each sf keeps its own ratchet, and a new-sf
+    run (no matching record) gets None so it can seed a baseline."""
+    import json
+    import os
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    old = {"queries": {"q_a": 1.0}, "sf": 0.1}
+    foreign = {"queries": {"q_a": 0.1}, "sf": 0.01}
+    (tmp_path / "BENCH_LOCAL_r05.json").write_text(json.dumps(old))
+    (tmp_path / "BENCH_LOCAL_sf0.01_r06.json").write_text(json.dumps(foreign))
+    name, doc = bench._previous_bench(0.1)
+    assert name == "BENCH_LOCAL_r05.json" and doc["sf"] == 0.1
+    name, doc = bench._previous_bench(0.01)
+    assert name == "BENCH_LOCAL_sf0.01_r06.json" and doc["sf"] == 0.01
+    assert bench._previous_bench(1.0) is None
+    # sf-less legacy records match any run
+    (tmp_path / "BENCH_LOCAL_r07.json").write_text(
+        json.dumps({"queries": {"q_a": 2.0}})
+    )
+    name, _ = bench._previous_bench(1.0)
+    assert name == "BENCH_LOCAL_r07.json"

@@ -624,3 +624,39 @@ def test_maybe_rebuild_refuses_when_corpus_behind_index(spark, tmp_path):
     assert out["rebuilt"] is False
     assert out.get("error") == "corpus_behind_index", out
     assert out["index_rows"] == 4 * n and out["corpus_rows"] == n
+
+    # The OTHER direction must NOT refuse (ADVICE r11 #2): merge the
+    # appended batches into the table parquet plus one batch the index
+    # never saw — table AHEAD of index is the normal grown-corpus
+    # case, where a full retrain from the table loses nothing. The
+    # rebuild proceeds and the fresh manifest covers the whole table.
+    extra_ids = np.arange(n, 5 * n)
+    extra_vs = np.concatenate(
+        [
+            novel[np.zeros(3 * n, dtype=np.int64)]
+            + rng.normal(0, 0.35, (3 * n, dim)),
+            centers[label] + rng.normal(0, 0.35, (n, dim)),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(extra_ids, pa.int64()),
+                "embedding": pa.array(
+                    list(extra_vs.astype(np.float32)), pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    np.zeros(4 * n, dtype=np.int32), pa.int32()
+                ),
+            }
+        ),
+        os.path.join(ddir, "part-01.parquet"),
+    )
+    ahead = sim.maybe_rebuild_ivf(spark.newSession(), sfd, idx)
+    assert ahead["corpus_rows"] == 5 * n and ahead["index_rows"] == 4 * n
+    assert "error" not in ahead, ahead
+    assert ahead["rebuilt"] is True
+    from hive_gateway_spark.sources.dataset_export import _current_manifest
+
+    man = _current_manifest(f"{idx}/invfile")
+    assert man["n_rows"] // man["ivf_assign"] == 5 * n

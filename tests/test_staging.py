@@ -88,6 +88,56 @@ def test_stage_reuses_plan_identical_checkpoint(spark):
     release(a)
 
 
+def test_stage_never_serves_released_checkpoint(spark):
+    """ADVICE r11 #3: release() must drop the slot entry, so a later
+    plan-identical stage() call re-checkpoints instead of handing back
+    a frame whose blocks were freed (a released localCheckpoint cannot
+    be recomputed)."""
+    base = _n_persistent(spark)
+    a = stage(spark.range(70).selectExpr("id * 7 AS k"), "test.released")
+    assert a.count() == 70
+    release(a)
+    assert _n_persistent(spark) == base
+    b = stage(spark.range(70).selectExpr("id * 7 AS k"), "test.released")
+    assert b is not a
+    assert b.count() == 70  # fresh, executable checkpoint
+    release(b)
+
+
+def test_stage_hash_collision_guard(spark):
+    """A 32-bit semanticHash() collision between genuinely different
+    plans must NOT serve the other plan's data: the reuse path confirms
+    with sameSemantics against the stored input plan. Simulated by
+    forging a slot entry whose recorded key matches the incoming plan's
+    hash but whose plan/checkpoint belong to a different query."""
+    from hive_gateway_spark.staging import _SLOTS
+
+    wrong = spark.range(10).selectExpr("id AS v")
+    incoming = spark.range(99).selectExpr("id * 2 AS v")
+    _SLOTS.setdefault(spark, {})["test.collide"] = (
+        incoming.semanticHash(),  # forged: collides with incoming
+        wrong,
+        wrong.localCheckpoint(),
+    )
+    out = stage(incoming, "test.collide")
+    assert out.count() == 99  # the incoming plan's data, not the forgery's
+    release(out)
+
+
+def test_direct_release_clears_plan_memos(spark):
+    """ADVICE r11 #5: memo invalidation lives in release() itself (the
+    single choke point for freeing checkpoint blocks) — a memoized plan
+    over a checkpoint freed by a DIRECT release() call, with no slot
+    supersede involved, must drop instead of failing on next execution."""
+    from hive_gateway_spark.staging import _FRAMES, memo_frame
+
+    ck = spark.range(40).localCheckpoint()
+    m = memo_frame(spark, ("q_direct", "sf"), lambda: ck.selectExpr("id AS w"))
+    assert m.count() == 40
+    release(ck)
+    assert ("q_direct", "sf") not in _FRAMES.get(spark, {})
+
+
 def test_stage_supersede_clears_plan_memos(spark):
     """A memoized final plan may reference a staged checkpoint; when a
     DIFFERENT plan supersedes that slot (the old blocks are released,
