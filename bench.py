@@ -198,6 +198,20 @@ HEADLINE_R11 = [
     "q_dedup_fuzzy",
 ]
 
+#: Round-12 additions: the TPC-H completion batch (every published
+#: query shape now registered — Q2/Q11/Q16/Q20 over the
+#: lineitem-derived part-supplier catalog, Q4/Q21 with shipdate
+#: lateness, Q9's five-way star).
+HEADLINE_R12 = [
+    "q_tpch_q4",
+    "q_tpch_q9",
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q21",
+]
+
 
 #: Regression gate (VERDICT r6 task #6): warm ratio vs the previous
 #: round's recorded bench above which the run FAILS (rc != 0), so a perf

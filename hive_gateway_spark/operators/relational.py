@@ -1571,3 +1571,488 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Q22_PLANTED, "c_custkey bigint, c_acctbal double, c_mktsegment string"
     )
     return tpch_q22(spark, sf_dir, extra_customers=planted)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion batch (r12): Q4, Q9, Q2, Q11, Q16, Q20, Q21 — with
+# Q3/Q14 (q_tpch_q3 / q_promo_revenue) these close out all 22 TPC-H
+# query shapes. The fixture carries no partsupp table and no
+# commit/receipt dates (TESTDATA.md), so Q2/Q11/Q16/Q20 derive the
+# part-supplier catalog from lineitem (distinct (l_partkey, l_suppkey)
+# with exact-decimal cost/volume aggregates) and Q4/Q21 express
+# lateness as shipdate vs orderdate + INTERVAL — the documented
+# adaptations keep every query's CHARACTERISTIC plan shape (the thing
+# being tested) intact: decorrelated scalar aggregates, semi/anti
+# joins, scalar-subquery HAVING, double-correlated EXISTS/NOT-EXISTS.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders placed in one
+    half-year window with at least one line shipped more than 30 days
+    after the order date, counted by priority. The fixture carries no
+    commit/receipt dates, so lateness is shipdate vs orderdate —
+    q_late_ship_report covers the same EXISTS shape corpus-wide via
+    SQL; this is Q4 proper (the date window) spelled as an explicit
+    DataFrame semi join with a compound condition, proving the
+    non-equi part of the correlation rides the join.
+
+    Scale shape: the date window prunes orders at the scan; the
+    left-semi join shuffles both facts on orderkey (each order emitted
+    at most once regardless of late-line count); the 5-row priority
+    aggregate finishes map-side."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(t["lineitem"], late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                  - CAST(p.p_retailprice * l.l_quantity * 0.6 AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit): per supplier-nation and order
+    year, profit on one product line. The fixture has no partsupp, so
+    supply cost is proxied at 60% of retail price × quantity (the
+    docstring constant a real deployment would replace with
+    ps_supplycost); the five-way star join and the two-level rollup —
+    Q9's actual test — are unchanged.
+
+    Determinism: revenue and cost each fold through the established
+    double-product → DECIMAL(18,4) cast before the order-independent
+    sum; the year extraction is integer-exact.
+
+    Scale shape: part (name-filtered), supplier, and nation broadcast;
+    the only fact-fact shuffle is lineitem ⋈ orders on orderkey; the
+    nation×year aggregate finishes map-side partials first."""
+    t = load_tables(spark, sf_dir)
+    red = t["part"].filter(F.col("p_name").like("red%"))
+    amount = dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ) - dec(F.col("p_retailprice") * F.col("l_quantity") * 0.6, 4)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    el AS (
+        SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_cost,
+               s.s_acctbal, s.s_name, n.n_name
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    mn AS (
+        SELECT ps_partkey, MIN(ps_cost) AS min_cost
+        FROM el GROUP BY ps_partkey
+    )
+    SELECT el.s_acctbal, el.s_name, el.n_name,
+           p.p_partkey, p.p_name,
+           CAST(el.ps_cost AS DOUBLE) AS supply_cost
+    FROM el
+    JOIN mn ON mn.ps_partkey = el.ps_partkey AND el.ps_cost = mn.min_cost
+    JOIN part p ON p.p_partkey = el.ps_partkey
+    WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 20 AND 30
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    region's supplier(s) offering it at the minimum cost — the
+    correlated-MIN-subquery exemplar, decorrelated into a per-part min
+    joined back on (partkey, cost). The fixture has no partsupp, so
+    the part-supplier catalog is derived from lineitem (distinct
+    pairs, cost = MIN extended price as exact DECIMAL, so the
+    min-equality join key is bit-stable on both engines — never a
+    float division).
+
+    Scale shape: ONE partkey+suppkey shuffle builds the catalog (at
+    100 TB this is the materialized partsupp a lakehouse would keep);
+    supplier/nation/region broadcast onto it; the per-part min is a
+    second, already-reduced shuffle; part (type+size filtered)
+    broadcasts into the final join. TPC-H's ORDER BY/LIMIT 100
+    presentation is dropped (the driver compare is order-insensitive);
+    a serving layer adds exact_rank for pagination."""
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(dec("l_extendedprice")).alias("ps_cost"))
+    )
+    dims = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    el = ps.join(F.broadcast(dims), F.col("s_suppkey") == F.col("ps_suppkey"))
+    mn = el.groupBy(F.col("ps_partkey").alias("mn_partkey")).agg(
+        F.min("ps_cost").alias("min_cost")
+    )
+    qual = t["part"].filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(20, 30)
+    )
+    return (
+        el.join(
+            mn,
+            (F.col("mn_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(qual), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH v AS (
+        SELECT l.l_partkey AS partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1
+    )
+    SELECT partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) * 0.0012 FROM v)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts whose supply
+    value through one region's suppliers exceeds a fixed fraction of
+    that region's total — the scalar-subquery-in-HAVING exemplar. The
+    fixture has no partsupp, so value = exact-decimal sum of extended
+    price over the region's lineitems; TPC-H scales the fraction by
+    1/SF — 0.0012 sits below the fixture's max part share at both test
+    scales so the driver row is never vacuous, and production would
+    scale it the same way.
+
+    Determinism: both sides of the threshold compare are the SAME
+    exact-decimal sums cast to double, so the comparison is bit-stable
+    on both engines.
+
+    Scale shape: region-filtered supplier dims broadcast; ONE partkey
+    shuffle builds v; the grand total is a 1-row broadcast joined back
+    (never a driver-side collect)."""
+    t = load_tables(spark, sf_dir)
+    dims = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    v = (
+        t["lineitem"]
+        .join(F.broadcast(dims), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(dec("l_extendedprice")).alias("val"))
+    )
+    total = v.agg((F.sum("val").cast("double") * 0.0012).alias("threshold"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT pr.l_suppkey) AS supplier_cnt
+    FROM pairs pr
+    JOIN part p ON p.p_partkey = pr.l_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p.p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+      AND pr.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many distinct
+    suppliers can deliver each qualifying (brand, type, size) bucket,
+    excluding a blacklist — the COUNT(DISTINCT) + NOT-IN exemplar. The
+    fixture has no partsupp (pairs derive from lineitem) and no
+    s_comment (the '%Customer%Complaints%' blacklist becomes the
+    low-balance suppliers); both swaps preserve the plan under test.
+
+    NOT-IN note: s_suppkey is non-null by schema, so the NOT IN is
+    exactly a left-anti join (the NULL-poisoned NOT-IN trap does not
+    arise); Spark spells the anti join explicitly.
+
+    Scale shape: one partkey+suppkey shuffle dedups the catalog, the
+    blacklist broadcasts into the anti join, the part dim broadcasts
+    with all three filters pushed, and the distinct count reuses the
+    pair shuffle's partitioning."""
+    t = load_tables(spark, sf_dir)
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    blacklist = t["supplier"].filter(F.col("s_acctbal") < 1000.0).select(
+        "s_suppkey"
+    )
+    qual = t["part"].filter(
+        (F.col("p_brand") != "Brand#4")
+        & ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        pairs.join(
+            F.broadcast(blacklist),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(qual), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH t96 AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_1996
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    tall AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (
+          SELECT t96.l_suppkey
+          FROM t96
+          JOIN tall ON tall.l_partkey = t96.l_partkey
+                   AND tall.l_suppkey = t96.l_suppkey
+          JOIN part p ON p.p_partkey = t96.l_partkey
+          WHERE p.p_name LIKE 'red%'
+            AND CAST(t96.qty_1996 AS DOUBLE) >
+                0.5 * CAST(tall.qty_all AS DOUBLE)
+      )
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): one region's suppliers who
+    concentrated more than half of their all-time shipped volume of a
+    product line into 1996 — the nested
+    IN(aggregate-subquery-with-threshold) exemplar. The fixture has no
+    partsupp availqty, so the threshold compares the year's shipped
+    quantity against all-time shipped quantity per (part, supplier) —
+    the same two-aggregate correlated structure as the published query.
+
+    Determinism: both quantities are exact-decimal sums; the threshold
+    compares their double casts with the same expression on both
+    engines.
+
+    Scale shape: the two volume aggregates shuffle on the SAME
+    (partkey, suppkey) key — the join between them is co-partitioned
+    with no extra exchange; the name-filtered part dim broadcasts; the
+    surviving supplier keys collapse to a distinct set that semi-joins
+    the region's (broadcast-joined) supplier dim."""
+    t = load_tables(spark, sf_dir)
+    qty = F.sum(dec("l_quantity"))
+    t96 = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(qty.alias("qty_1996"))
+    )
+    tall = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("a_partkey"),
+            F.col("l_suppkey").alias("a_suppkey"),
+        )
+        .agg(qty.alias("qty_all"))
+    )
+    red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    keys = (
+        t96.join(
+            tall,
+            (F.col("a_partkey") == F.col("l_partkey"))
+            & (F.col("a_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            F.col("qty_1996").cast("double")
+            > 0.5 * F.col("qty_all").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .join(keys, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): late lines on
+    finished multi-supplier orders where the line's supplier was the
+    ONLY late one — the double-correlated EXISTS/NOT-EXISTS exemplar.
+    The oracle keeps the subquery spelling (DuckDB decorrelates it);
+    Spark's correlated-subquery support rejects the non-equality
+    correlation (l2.l_suppkey <> l1.l_suppkey), so the DataFrame side
+    is the MANUAL decorrelation every engine performs internally: per
+    order, count distinct suppliers and distinct LATE suppliers, then
+    keep late lines on orders with >1 supplier and exactly 1 late one.
+    The hash compare proves the rewrite equivalent. Lateness is
+    shipdate vs orderdate + 60 days (no commit/receipt dates in the
+    fixture).
+
+    Scale shape: the supplier census is a TWO-LEVEL aggregate — first
+    reduce to distinct (order, supplier, ever-late) on one
+    (orderkey, suppkey) shuffle, then count per order over the
+    already-reduced pairs — instead of two countDistincts, whose
+    Expand doubles every lineitem row before a wider shuffle; the
+    qualifying-order set then joins the late lines on orderkey; the
+    supplier dim broadcasts for the final name rollup."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t["lineitem"].join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    li = li.withColumn("is_late", late)
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("is_late"), 1).otherwise(0)).alias("supp_late")
+    )
+    census = pair.groupBy(F.col("l_orderkey").alias("c_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+    )
+    waiting = (
+        li.filter(F.col("is_late"))
+        .join(
+            census.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            F.col("c_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(t["supplier"]),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

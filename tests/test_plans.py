@@ -521,3 +521,47 @@ def test_tpch_q15_reuses_revenue_aggregate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_tpch_q15")
     assert "FileScan parquet [l_suppkey" not in plan, plan
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_tpch_completion_batch_plans(spark, sf_dir):
+    """The r12 TPC-H completion batch: no cartesian products or
+    nested-loop joins anywhere; dimension joins broadcast; Q21's
+    supplier census must aggregate WITHOUT an Expand (two-level
+    pair-then-order aggregate, not countDistinct×2 which doubles
+    every lineitem row before a wider shuffle); Q16's NOT-IN is an
+    anti join; Q4's EXISTS is a semi join."""
+    for name in (
+        "q_tpch_q4",
+        "q_tpch_q9",
+        "q_tpch_q2",
+        "q_tpch_q16",
+        "q_tpch_q20",
+        "q_tpch_q21",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # Q11's threshold is a 1-row scalar aggregate: the correct way to
+    # attach it is a broadcast nested-loop of the single row — assert
+    # it broadcasts (and nothing degenerates to a cartesian).
+    q11 = plan_of(spark, sf_dir, "q_tpch_q11")
+    assert "CartesianProduct" not in q11, q11
+    assert "BroadcastExchange" in q11, q11
+    assert "Expand" not in plan_of(spark, sf_dir, "q_tpch_q21")
+    q16 = plan_of(spark, sf_dir, "q_tpch_q16")
+    assert re.search(r"(?i)leftanti", q16), q16
+    q4 = plan_of(spark, sf_dir, "q_tpch_q4")
+    assert re.search(r"(?i)leftsemi", q4), q4
+    # Q9: the star's three dimensions (part, supplier, nation) broadcast
+    assert plan_of(spark, sf_dir, "q_tpch_q9").count("BroadcastHashJoin") >= 4
+
+
+def test_tpch_q17_single_subset_shuffle(spark, sf_dir):
+    """r12 rewrite: the brand filter is pushed below the per-part
+    average via a broadcast semi-join, so lineitem itself is never
+    exchange-partitioned — the only hash exchange runs over the
+    brand-pruned subset (the pavg build), and the averages broadcast
+    back."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q17")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
