@@ -1745,16 +1745,30 @@ def q_churn_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is calendar-exact INTERVAL in both engines; counts are
     integers.
 
-    Scale shape: one (user, month) dedup shuffle, then self-joins
-    keyed on the high-cardinality user_id (the month predicate rides
-    ON the join); firsts is one user-keyed aggregate riding the same
-    partitioning; the months dim broadcasts. No window over the time
-    axis — nothing serializes."""
+    Scale shape: ONE (user, month) dedup shuffle whose result is
+    STAGED (five consumers — firsts/months/prev/both churned sides —
+    would otherwise each re-run the events dedup; at 100 TB this is
+    the materialized active-months table a growth stack keeps), then
+    self-joins keyed on the high-cardinality user_id (the month
+    predicate rides ON the join); firsts is one user-keyed aggregate
+    riding the same partitioning; the months dim broadcasts. No
+    window over the time axis — nothing serializes."""
+    from hive_gateway_spark.staging import memo_frame
+
+    return memo_frame(
+        spark, ("q_churn_matrix", sf_dir), lambda: _churn_build(spark, sf_dir)
+    )
+
+
+def _churn_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_gateway_spark.staging import stage
+
     t = load_tables(spark, sf_dir)
-    am = (
+    am = stage(
         t["events"]
         .select("user_id", F.date_trunc("month", "ts").alias("m"))
-        .distinct()
+        .distinct(),
+        "churn.active_months",
     )
     firsts = am.groupBy("user_id").agg(F.min("m").alias("first_m"))
     months = am.select("m").distinct()

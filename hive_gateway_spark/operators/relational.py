@@ -1567,10 +1567,23 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle) so the driver row stays non-vacuous at fixture scale.
     The plant lives HERE, not in the operator — real corpora run
     tpch_q22() with no synthetic rows."""
-    planted = spark.createDataFrame(
-        _Q22_PLANTED, "c_custkey bigint, c_acctbal double, c_mktsegment string"
-    )
-    return tpch_q22(spark, sf_dir, extra_customers=planted)
+    from hive_gateway_spark.staging import memo_frame
+
+    def build() -> DataFrame:
+        # range(1)+literals, not createDataFrame: the local-collection
+        # path serializes Python rows through the JVM on EVERY call
+        # (~0.5 s of q22's first bench flag); a literal projection is
+        # pure plan — and the assembled frame is session-memoized (the
+        # harness is pure plan over immutable fixtures).
+        k, bal, seg = _Q22_PLANTED[0]
+        planted = spark.range(1).select(
+            F.lit(k).cast("bigint").alias("c_custkey"),
+            F.lit(bal).alias("c_acctbal"),
+            F.lit(seg).alias("c_mktsegment"),
+        )
+        return tpch_q22(spark, sf_dir, extra_customers=planted)
+
+    return memo_frame(spark, ("q_tpch_q22", sf_dir), build)
 
 
 # ---------------------------------------------------------------------------
