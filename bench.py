@@ -210,6 +210,8 @@ HEADLINE_R12 = [
     "q_tpch_q16",
     "q_tpch_q20",
     "q_tpch_q21",
+    "q_quality_classifier",
+    "q_semantic_dedup",
 ]
 
 

@@ -1222,3 +1222,117 @@ def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("imbalance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means the embedding
+# space, find near-dup pairs WITHIN each cluster, and keep exactly one
+# member per duplicate set — the published recipe's pruning policy
+# keeps the member FARTHEST from the cluster centroid (low centroid
+# cosine = the cluster's diverse edge, not its redundant core).
+# ---------------------------------------------------------------------------
+
+#: Within-cluster near-dup threshold. The paper prunes images at
+#: ~0.95; the synthetic fixture's embeddings carry no true near-dups
+#: (max within-label cosine ≈ 0.47), so the registered fixture query
+#: runs at 0.35 to exercise real duplicate sets — production raises it
+#: through the parameter.
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """One keep/drop decision per vector: (vec_id, cell, group_id,
+    n_dupes, is_kept).
+
+    Pipeline (every stage a proven kernel): the session/lakehouse IVF
+    coarse quantizer supplies the k-means cells (_ivf_index — train
+    once, serve from the persisted artifact); each vector takes its
+    PRIMARY cell (rank-1 centroid dot); within-cell thresholded pairs
+    come from the tiled int64-GEMM kernel (gemm_pair_block — pairs
+    materialize only inside the executor); duplicate sets are
+    connected components over those pairs (dedup.connected_components
+    — driver union-find under 1M edges, pointer-jumping BSP above);
+    the survivor is the set's min-centroid-cosine member (tie: lowest
+    vec_id), per the paper's keep-the-edge policy.
+
+    Rows-only by design: the cell assignment is KMeans (engine-
+    private seeds — the same declared boundary as q_sim_topk_ivf);
+    correctness is pinned by planted duplicate-set tests and the
+    within-cell recall property (tests/test_similarity.py).
+
+    Scale shape: centroids broadcast (cells ≪ corpus); ONE cell-keyed
+    shuffle feeds the GEMM kernel (cells bound the quadratic term —
+    the paper's point); the pair graph is dup-sets-sized, not
+    corpus-sized; the final keep window partitions on group_id whose
+    partitions are duplicate-set-sized. Cross-cell near-dups are
+    missed by construction — the recipe's documented recall trade
+    (same as the paper's within-cluster scoping)."""
+    from hive_gateway_spark.operators.dedup import connected_components
+
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    centers, _ = _ivf_index(spark, t, e)
+    cdot = F.expr(
+        "aggregate(zip_with(v, center, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+    wb = W.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
+    assigned = stage(
+        e.join(F.broadcast(centers))
+        .select("vec_id", "v", "n2", "cell", cdot.alias("cdot"))
+        .withColumn("arank", F.row_number().over(wb))
+        .filter(F.col("arank") == 1)
+        # centroid cosine UP TO the per-cell constant |center|: the
+        # keep rule only ORDERS within one cell's duplicate sets, so
+        # dividing by the constant centroid norm cannot change it.
+        .select(
+            "vec_id",
+            "v",
+            "cell",
+            (F.col("cdot") / F.sqrt(F.col("n2"))).alias("csim"),
+        ),
+        "semdedup.assigned",
+    )
+    block, schema = gemm_pair_block(tau, with_sim=False)
+    pairs = (
+        assigned.select("cell", "vec_id", "v")
+        .groupBy("cell")
+        .applyInPandas(block, schema)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("m_vec"), F.col("cluster_id").alias("group_id")
+    )
+    dec = assigned.join(
+        comp, F.col("m_vec") == F.col("vec_id"), "left"
+    ).select(
+        "vec_id",
+        "cell",
+        "csim",
+        F.coalesce(F.col("group_id"), F.col("vec_id")).alias("group_id"),
+    )
+    wk = W.partitionBy("group_id").orderBy(
+        F.col("csim").asc(), F.col("vec_id").asc()
+    )
+    wn = W.partitionBy("group_id")
+    return (
+        dec.withColumn("rk", F.row_number().over(wk))
+        .select(
+            "vec_id",
+            "cell",
+            "group_id",
+            F.count(F.lit(1)).over(wn).alias("n_dupes"),
+            (F.col("rk") == 1).alias("is_kept"),
+        )
+    )
+
+
+@query("q_semantic_dedup")  # rows-only: KMeans cells (engine-private seeds)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered fixture harness for :func:`semantic_dedup` at the
+    fixture threshold — emits every vector's keep/drop decision, so
+    the driver row is never vacuous."""
+    return semantic_dedup(spark, sf_dir)

@@ -1409,3 +1409,109 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(_PMI_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier over hashed unigram features (r12): the
+# fasttext-style scorer every published pretraining pipeline runs
+# (GPT-3 / LLaMA quality filters) — hashed bag-of-words → linear model
+# → threshold. Weights here are a DETERMINISTIC placeholder table (a
+# real deployment loads trained weights as a broadcast map; the plan is
+# identical), chosen so the whole score is exact integer arithmetic
+# until one final division — hash-verifiable, unlike a float dot
+# product whose accumulation order differs across engines.
+# ---------------------------------------------------------------------------
+
+#: Classifier geometry: hashed feature buckets and the integer weight
+#: table w(b) = ((b * KNUTH) mod 1001) - 500 ∈ [-500, 500] — the same
+#: multiplicative-hash spread on both engines.
+QC_B = 256
+_QC_KNUTH = 2654435761
+
+#: Engine-neutral per-word fingerprint (corpus.hv_sql's arithmetic —
+#: xxhash64 seeds differ across engines, so hash-verified bucketing
+#: cannot use it).
+
+
+def _qc_weight_sql(bucket: str) -> str:
+    return f"((({bucket}) * {_QC_KNUTH}) % 1001) - 500"
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, lang,
+               (CAST(list_sum(list_transform(range(1, length(word) + 1),
+                    i -> (ord(substr(word, i, 1)) * (i * 131 + 7))
+                         % {2**31 - 1})) AS BIGINT)
+                % {2**31 - 1}) % {QC_B} AS b
+        FROM w WHERE word <> ''
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               SUM({_qc_weight_sql('b')}) AS num,
+               COUNT(*) AS n_tokens
+        FROM h GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(num AS DOUBLE) / (500.0 * n_tokens) AS quality_score,
+           (num > 0) AS is_quality
+    FROM s
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality score per document — the classifier-filter
+    stage of the published pretraining recipes (Brown 2020 §A
+    'quality filtering', Touvron 2023), as a ZERO-SHUFFLE map job:
+    tokenize → hash each word into one of {QC_B} buckets → sum the
+    bucket weights → normalize by token count → threshold.
+
+    The entire score folds INSIDE each row with JVM higher-order
+    functions (aggregate over filter(split(...))) — no explode, no
+    exchange, whole-stage codegen end to end; at 100 TB this runs at
+    scan speed and composes into the curation funnel as another
+    gate. The weight table is the deterministic placeholder above; a
+    trained model swaps in a broadcast map lookup with the same plan.
+
+    Determinism: the per-word fingerprint is the engine-neutral
+    polynomial (corpus.hv_sql), weights are integers, the per-doc sum
+    is exact BIGINT, and the single final division produces the same
+    double on both engines (the oracle unnests words to rows — same
+    integer sums, different but irrelevant evaluation order)."""
+    from hive_gateway_spark.operators.corpus import hv_sql
+
+    t = load_tables(spark, sf_dir)
+    bucket = f"(({hv_sql('w')}) % {QC_B})"
+    num = F.expr(
+        "aggregate(filter(split(text, ' '), w -> w <> ''), "
+        "CAST(0 AS BIGINT), "
+        f"(acc, w) -> acc + ({_qc_weight_sql(bucket)}))"
+    )
+    n_tok = F.expr("size(filter(split(text, ' '), w -> w <> ''))").cast(
+        "bigint"
+    )
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tokens"),
+            num.alias("__num"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (
+                F.col("__num").cast("double")
+                / (500.0 * F.col("n_tokens"))
+            ).alias("quality_score"),
+            (F.col("__num") > 0).alias("is_quality"),
+        )
+    )

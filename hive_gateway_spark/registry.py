@@ -160,6 +160,13 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_tpch_q16",
     "q_tpch_q20",
     "q_tpch_q21",
+    # the classifier-filter stage of the published pretraining recipes
+    # (hashed-linear quality score, zero-shuffle map job, exact-oracled)
+    "q_quality_classifier",
+    # SemDeDup (Abbas 2023): k-means-scoped near-dup pruning on the
+    # IVF + GEMM + CC kernels (rows-only by design: KMeans cells;
+    # planted duplicate-set + within-cell-recall tests)
+    "q_semantic_dedup",
 )
 
 

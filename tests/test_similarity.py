@@ -660,3 +660,96 @@ def test_maybe_rebuild_refuses_when_corpus_behind_index(spark, tmp_path):
 
     man = _current_manifest(f"{idx}/invfile")
     assert man["n_rows"] // man["ivf_assign"] == 5 * n
+
+
+def test_semantic_dedup_planted_sets_and_recall(spark, tmp_path):
+    """SemDeDup pins: (a) planted near-identical sets collapse to one
+    group with exactly one survivor — the min-centroid-cosine member;
+    (b) one survivor per group globally; (c) the within-cell recall
+    property — ANY same-cell pair over the threshold (recomputed brute
+    force on the same quantized vectors) must share a group."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, n = 16, 12, 600
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    label = rng.integers(0, n_clusters, n)
+    vecs = centers[label] + rng.normal(0, 0.35, (n, dim))
+    # plant 3 duplicate sets of 4: same base vector + 0.1% noise
+    planted_sets = []
+    for s in range(3):
+        base = centers[s] + rng.normal(0, 0.35, dim)
+        ids = list(range(n + 4 * s, n + 4 * s + 4))
+        planted_sets.append(ids)
+        for j in range(4):
+            vecs = np.vstack([vecs, base * (1 + 1e-3 * j)])
+            label = np.append(label, s)
+    ids_all = np.arange(len(vecs))
+    sfd = str(tmp_path / "sf_semdedup")
+    ddir = os.path.join(sfd, "embeddings.parquet")
+    os.makedirs(ddir)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids_all, pa.int64()),
+                "embedding": pa.array(
+                    list(vecs.astype(np.float32)), pa.list_(pa.float32())
+                ),
+                "label": pa.array(label.astype(np.int32), pa.int32()),
+            }
+        ),
+        os.path.join(ddir, "part-00.parquet"),
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(
+            os.path.join("/root/testdata/sf0.001", f"{name}.parquet"),
+            os.path.join(sfd, f"{name}.parquet"),
+        )
+    tau = 0.95
+    rows = sim.semantic_dedup(spark.newSession(), sfd, tau=tau).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert len(rows) == len(ids_all)
+    # (a) planted sets: one group, one survivor, survivor = min csim
+    for ids in planted_sets:
+        groups = {by_id[i]["group_id"] for i in ids}
+        assert len(groups) == 1, ids
+        # the group may legitimately absorb a genuine near-dup of the
+        # planted base (CC closure), so the single survivor can sit
+        # outside the planted ids — but never two survivors within
+        kept = [i for i in ids if by_id[i]["is_kept"]]
+        assert len(kept) <= 1
+        assert all(by_id[i]["n_dupes"] >= 4 for i in ids)
+    # (b) exactly one survivor per group
+    from collections import defaultdict
+
+    per_group = defaultdict(int)
+    for r in rows:
+        per_group[r["group_id"]] += int(r["is_kept"])
+    assert set(per_group.values()) == {1}
+    # (c) within-cell recall on the SAME quantized integers the kernel uses
+    q = np.round(np.round(vecs.astype(np.float64), 6) * 1_000_000).astype(
+        np.int64
+    )
+    n2 = np.einsum("ij,ij->i", q, q).astype(np.float64)
+    cells = defaultdict(list)
+    for i in ids_all:
+        cells[by_id[int(i)]["cell"]].append(int(i))
+    for members in cells.values():
+        X = q[members]
+        G = (X @ X.T).astype(np.float64)
+        m = len(members)
+        for a in range(m):
+            for b in range(a + 1, m):
+                if G[a, b] > 0 and G[a, b] ** 2 >= tau * tau * n2[members[a]] * n2[members[b]]:
+                    assert (
+                        by_id[members[a]]["group_id"]
+                        == by_id[members[b]]["group_id"]
+                    ), (members[a], members[b])
