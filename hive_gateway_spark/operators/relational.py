@@ -1799,18 +1799,21 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT partkey, CAST(val AS DOUBLE) AS part_value
     FROM v
     WHERE CAST(val AS DOUBLE) >
-          (SELECT CAST(SUM(val) AS DOUBLE) * 0.0012 FROM v)
+          (SELECT CAST(SUM(val) AS DOUBLE) * 2.0 / COUNT(*) FROM v)
     """,
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock identification): parts whose supply
-    value through one region's suppliers exceeds a fixed fraction of
-    that region's total — the scalar-subquery-in-HAVING exemplar. The
-    fixture has no partsupp, so value = exact-decimal sum of extended
-    price over the region's lineitems; TPC-H scales the fraction by
-    1/SF — 0.0012 sits below the fixture's max part share at both test
-    scales so the driver row is never vacuous, and production would
-    scale it the same way.
+    value through one region's suppliers exceeds a threshold fraction
+    of that region's total — the scalar-subquery-in-HAVING exemplar.
+    The fixture has no partsupp, so value = exact-decimal sum of
+    extended price over the region's lineitems. TPC-H scales its
+    fraction by 1/SF (a constant fraction empties or floods the result
+    as the corpus grows); here the same scaling is DERIVED from the
+    data — threshold = 2× the mean part value (2/n_parts of the
+    total), which keeps the result non-empty and linearly growing at
+    every tested scale (12 / 52 / 516 / 5160 rows at sf0.001→sf1)
+    with no external SF knob.
 
     Determinism: both sides of the threshold compare are the SAME
     exact-decimal sums cast to double, so the comparison is bit-stable
@@ -1833,7 +1836,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(dec("l_extendedprice")).alias("val"))
     )
-    total = v.agg((F.sum("val").cast("double") * 0.0012).alias("threshold"))
+    total = v.agg(
+        (F.sum("val").cast("double") * 2.0 / F.count(F.lit(1))).alias(
+            "threshold"
+        )
+    )
     return (
         v.join(F.broadcast(total))
         .filter(F.col("val").cast("double") > F.col("threshold"))

@@ -1473,19 +1473,26 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The entire score folds INSIDE each row with JVM higher-order
     functions (aggregate over filter(split(...))) — no explode, no
-    exchange, whole-stage codegen end to end; at 100 TB this runs at
-    scan speed and composes into the curation funnel as another
-    gate. The weight table is the deterministic placeholder above; a
-    trained model swaps in a broadcast map lookup with the same plan.
+    exchange; at 100 TB this runs at scan speed and composes into the
+    curation funnel as another gate (CurationPipeline.gate_quality).
+    The weight table is the deterministic placeholder above; a trained
+    model swaps in a broadcast map lookup with the same plan.
 
     Determinism: the per-word fingerprint is the engine-neutral
     polynomial (corpus.hv_sql), weights are integers, the per-doc sum
     is exact BIGINT, and the single final division produces the same
     double on both engines (the oracle unnests words to rows — same
     integer sums, different but irrelevant evaluation order)."""
+    t = load_tables(spark, sf_dir)
+    return quality_score_frame(t["documents"])
+
+
+def quality_score_frame(docs: DataFrame) -> DataFrame:
+    """The classifier core over any (doc_id, lang, text) frame:
+    (doc_id, lang, n_tokens, quality_score, is_quality) — shared by
+    the registered query and the pipeline facade's gate_quality."""
     from hive_gateway_spark.operators.corpus import hv_sql
 
-    t = load_tables(spark, sf_dir)
     bucket = f"(({hv_sql('w')}) % {QC_B})"
     num = F.expr(
         "aggregate(filter(split(text, ' '), w -> w <> ''), "
@@ -1496,8 +1503,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     return (
-        t["documents"]
-        .select(
+        docs.select(
             "doc_id",
             "lang",
             n_tok.alias("n_tokens"),

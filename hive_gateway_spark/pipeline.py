@@ -142,6 +142,24 @@ class CurationPipeline:
 
         return self._add("gate_gopher", stage)
 
+    def gate_quality(self, min_score: float = 0.0) -> "CurationPipeline":
+        """Keep docs whose hashed-linear classifier score clears
+        ``min_score`` (q_quality_classifier's core — the
+        fasttext-style quality filter of the published pretraining
+        recipes, a zero-shuffle map gate)."""
+
+        def stage(docs: DataFrame) -> DataFrame:
+            from hive_gateway_spark.operators.text import (
+                quality_score_frame,
+            )
+
+            keep = quality_score_frame(docs).filter(
+                F.col("quality_score") > min_score
+            ).select("doc_id")
+            return docs.join(keep, "doc_id")
+
+        return self._add("gate_quality", stage)
+
     def decontaminate(
         self,
         bench_mod: int | None = None,

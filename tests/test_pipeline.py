@@ -121,3 +121,29 @@ def test_v4_chain_equals_curation_v4(spark, sf_dir):
         for r in QUERIES["q_curation_v4"](spark, sf_dir).select(*cols).collect()
     )
     assert facade == v4 and len(facade) > 0
+
+
+def test_gate_quality_matches_classifier(spark, sf_dir):
+    """gate_quality keeps exactly the docs the registered classifier
+    scores above the threshold — the facade adds zero semantics."""
+    from hive_gateway_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    got = {
+        r["doc_id"]
+        for r in CurationPipeline(spark)
+        .from_frame(docs)
+        .gate_quality(0.0)
+        .run()
+        .select("doc_id")
+        .collect()
+    }
+    expected = {
+        r["doc_id"]
+        for r in registry.QUERIES["q_quality_classifier"](
+            spark, sf_dir
+        ).collect()
+        if r["quality_score"] > 0.0
+    }
+    assert got == expected
+    assert 0 < len(got)
