@@ -212,6 +212,7 @@ HEADLINE_R12 = [
     "q_tpch_q21",
     "q_quality_classifier",
     "q_semantic_dedup",
+    "q_dataset_card",
 ]
 
 

@@ -2274,3 +2274,90 @@ def q_curation_v4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.groupBy("decision").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+@query(
+    "q_dataset_card",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               (CAST(list_sum(list_transform(range(1, length(word) + 1),
+                    i -> (ord(substr(word, i, 1)) * (i * 131 + 7))
+                         % {(1 << 31) - 1})) AS BIGINT)
+                % {(1 << 31) - 1}) % 256 AS b
+        FROM w WHERE word <> ''
+    ),
+    q AS (
+        SELECT doc_id, SUM(((b * 2654435761) % 1001) - 500) AS num,
+               COUNT(*) AS n_tokens
+        FROM h GROUP BY doc_id
+    ),
+    dup AS (
+        SELECT text, COUNT(*) AS c FROM documents GROUP BY text
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT d.lang) AS n_langs,
+           CAST(SUM(CASE WHEN q.num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(SUM(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup,
+           ROUND(100.0 * SUM(CASE WHEN q.num > 0 THEN 1 ELSE 0 END)
+                 / COUNT(*), 4) AS pct_quality
+    FROM documents d
+    JOIN q   ON q.doc_id = d.doc_id
+    JOIN dup ON dup.text = d.text
+    GROUP BY d.source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the datasheet rollup a corpus release
+    ships (Gebru et al. 2021 "Datasheets for Datasets"): document and
+    token volume, language spread, the hashed-linear quality share
+    (q_quality_classifier's exact arithmetic folded INLINE into the
+    scan — no join against a second pass over the corpus), and the
+    exact-duplicate share.
+
+    Determinism: token counts and classifier sums are exact integers
+    in-row; the dup flag is an integer group count; the one percentage
+    divides exact integers identically on both engines.
+
+    Scale shape: the classifier folds in-row (zero extra passes); ONE
+    text-keyed shuffle builds the dup counts (at 100 TB: sha2 of the
+    text, q_dedup_exact's note) and joins back on the same key; the
+    per-source rollup is a handful of rows finished map-side. The
+    card covers docs with ≥1 token (the classifier's domain — the
+    fixture has no empty docs)."""
+    from hive_gateway_spark.operators.text import quality_exprs
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    n_tok, num = quality_exprs()
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        n_tok.alias("n_tokens"),
+        num.alias("__num"),
+    ).filter(F.col("n_tokens") > 0)
+    dup = d.groupBy("text").agg(F.count("*").alias("c"))
+    j = scored.join(dup, "text")
+    is_q = F.when(F.col("__num") > 0, 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(is_q).cast("bigint").alias("n_quality"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_dup"),
+        F.round(100.0 * F.sum(is_q) / F.count(F.lit(1)), 4).alias(
+            "pct_quality"
+        ),
+    )

@@ -1487,10 +1487,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score_frame(t["documents"])
 
 
-def quality_score_frame(docs: DataFrame) -> DataFrame:
-    """The classifier core over any (doc_id, lang, text) frame:
-    (doc_id, lang, n_tokens, quality_score, is_quality) — shared by
-    the registered query and the pipeline facade's gate_quality."""
+def quality_exprs():
+    """(n_tokens, weight_sum) as in-row Columns over a `text` column —
+    the classifier's whole arithmetic, importable by any consumer that
+    wants the score without a join (q_dataset_card folds it straight
+    into its rollup scan)."""
     from hive_gateway_spark.operators.corpus import hv_sql
 
     bucket = f"(({hv_sql('w')}) % {QC_B})"
@@ -1502,6 +1503,14 @@ def quality_score_frame(docs: DataFrame) -> DataFrame:
     n_tok = F.expr("size(filter(split(text, ' '), w -> w <> ''))").cast(
         "bigint"
     )
+    return n_tok, num
+
+
+def quality_score_frame(docs: DataFrame) -> DataFrame:
+    """The classifier core over any (doc_id, lang, text) frame:
+    (doc_id, lang, n_tokens, quality_score, is_quality) — shared by
+    the registered query and the pipeline facade's gate_quality."""
+    n_tok, num = quality_exprs()
     return (
         docs.select(
             "doc_id",

@@ -74,16 +74,16 @@ PRIORITY: tuple[str, ...] = (
     #
     # r13 PRE-PLAN (written at r12 close, the r9→…→r12 pattern): once
     # CORRECTNESS_r12 lands rows for the r12 window, rotate OUT the
-    # NINE remaining r7/r8/r9-queue heads (q_pii_exposure,
+    # TEN remaining r7/r8/r9-queue heads (q_pii_exposure,
     # q_curation_shift, q_session_depth, q_tpch_q10,
     # q_late_ship_report, q_null_profile, q_gopher_rules,
-    # q_ccnet_buckets, q_reservoir_per_source — each then
-    # r10+r11+r12-green) and take ALL NINE r12-written
+    # q_ccnet_buckets, q_reservoir_per_source, q_tpch_q5 — each then
+    # r10+r11+r12-green) and take ALL TEN r12-written
     # ROTATION_CANDIDATES FIFO (the TPC-H completion batch +
-    # q_quality_classifier + q_semantic_dedup), keeping the window at
-    # exactly 50 and emptying the queue. Expected r13 row mix: eight
-    # hash-green, q_semantic_dedup rows-only (KMeans cells) with
-    # rows > 0.
+    # q_quality_classifier + q_semantic_dedup + q_dataset_card),
+    # keeping the window at exactly 50 and emptying the queue.
+    # Expected r13 row mix: nine hash-green, q_semantic_dedup
+    # rows-only (KMeans cells) with rows > 0.
     #
     # -- the r7/r8 queue (6 remaining) --
     "q_pii_exposure",
@@ -180,6 +180,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # IVF + GEMM + CC kernels (rows-only by design: KMeans cells;
     # planted duplicate-set + within-cell-recall tests)
     "q_semantic_dedup",
+    # per-source datasheet rollup (Gebru 2021): volume, language
+    # spread, quality share (classifier folded inline), dup share
+    "q_dataset_card",
 )
 
 

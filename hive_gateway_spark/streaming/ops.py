@@ -963,3 +963,19 @@ def stream_chunk_windows(docs: DataFrame) -> DataFrame:
     from hive_gateway_spark.operators.text import chunk_windows
 
     return chunk_windows(docs)
+
+
+def stream_quality_screen(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q_quality_classifier: the hashed-linear
+    quality score at ingest — per arriving document, token count,
+    score, and the keep bit. The whole classifier folds IN-ROW
+    (engine-neutral word fingerprint → integer bucket weight → exact
+    BIGINT aggregate → one division), so the streaming plan is the
+    batch projection per micro-batch: zero state, zero watermarks,
+    any ingest rate. A crawler shard runs this next to the Gopher
+    screen and routes is_quality=false with the score attached.
+    Shared implementation with the batch query
+    (text.quality_score_frame), so the weights cannot drift."""
+    from hive_gateway_spark.operators.text import quality_score_frame
+
+    return quality_score_frame(docs)

@@ -855,3 +855,26 @@ def test_stream_chunk_windows_equal_batch(spark, sf_dir):
         g[["doc_id", "chunk_idx", "chunk", "n_tokens"]],
         w[["doc_id", "chunk_idx", "chunk", "n_tokens"]],
     )
+
+
+def test_stream_quality_screen_equal_batch(spark, sf_dir):
+    """The hashed-linear quality classifier drained over the fixture
+    stream emits exactly the batch scores (shared implementation —
+    text.quality_score_frame — so the twins cannot drift)."""
+    from hive_gateway_spark.operators.text import quality_score_frame
+    from hive_gateway_spark.streaming.ops import (
+        stream_documents,
+        stream_quality_screen,
+    )
+
+    got = drain(
+        stream_quality_screen(stream_documents(spark, sf_dir)), "s_quality"
+    )
+    want = quality_score_frame(
+        load_tables(spark, sf_dir)["documents"]
+    ).toPandas()
+    assert len(got) == len(want) > 0
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "n_tokens", "quality_score", "is_quality"]
+    pd.testing.assert_frame_equal(g[cols], w[cols])
