@@ -213,6 +213,7 @@ HEADLINE_R12 = [
     "q_quality_classifier",
     "q_semantic_dedup",
     "q_dataset_card",
+    "q_sim_topk_pq",
 ]
 
 

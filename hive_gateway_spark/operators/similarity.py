@@ -1336,3 +1336,199 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture threshold — emits every vector's keep/drop decision, so
     the driver row is never vacuous."""
     return semantic_dedup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split each vector into PQ_M subvectors,
+# k-means each subspace to PQ_K centroids, store each vector as PQ_M
+# byte codes (dim·4 bytes → PQ_M bytes/vector — 32× compression at
+# the fixture geometry), and answer queries with ADC (asymmetric
+# distance computation): one m×k lookup table per query, approximate
+# distance = sum of table entries — no decompression, no full-dim
+# arithmetic against the corpus.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8    # subvectors
+PQ_K = 256  # centroids per subspace → 8-bit codes (the faiss default)
+
+#: session → {embeddings semanticHash: (m, k, dsub) codebook ndarray}
+_PQ_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _pq_codebooks(spark: SparkSession, t):
+    """Train the PQ codebooks on a bounded, materialized sample of the
+    L2-NORMALIZED corpus (unit sphere ⇒ ADC L2 ranking ≡ cosine
+    ranking, so recall is measured against the exact cosine top-k):
+    per subspace, a seeded driver-side Lloyd loop over ≤10k sample
+    points — the same train-on-a-sample discipline as the IVF coarse
+    quantizer (faiss trains PQ identically), and at 16 centroids ×
+    8 dims the fit is milliseconds of numpy, not a cluster job.
+    Deterministic: fixed seed, fixed iteration count, ties by lowest
+    centroid index (argmin)."""
+    import numpy as np
+
+    emb = t["embeddings"]
+    per = _PQ_CACHE.setdefault(spark, {})
+    try:
+        key = emb.semanticHash()
+    except Exception:  # pragma: no cover
+        key = id(emb)
+    hit = per.get(key)
+    if hit is not None:
+        return hit
+    n_vecs = emb.count()
+    cap = 10_000
+    src = emb
+    if n_vecs > cap:
+        src = src.sample(fraction=min(1.0, cap / n_vecs), seed=42)
+    X = np.asarray(
+        [r["embedding"] for r in src.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % PQ_M:
+        raise ValueError(f"dim {dim} not divisible by PQ_M {PQ_M}")
+    dsub = dim // PQ_M
+    rng = np.random.default_rng(42)
+    books = np.empty((PQ_M, PQ_K, dsub))
+    for m in range(PQ_M):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        k_eff = min(PQ_K, len(S))
+        C = S[rng.choice(len(S), k_eff, replace=False)]
+        for _ in range(20):  # Lloyd
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(k_eff):
+                members = S[a == c]
+                if len(members):
+                    C[c] = members.mean(0)
+        books[m] = C
+    evict(per)
+    per[key] = books
+    return books
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes array<int>) — each vector's PQ_M codes against
+    the session codebooks. Arrow-batched mapInPandas: normalize,
+    reshape to (n, m, dsub), one argmin per subspace per batch."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    books = _pq_codebooks(spark, t)
+    bc = spark.sparkContext.broadcast(books)
+    dsub = books.shape[2]
+
+    def encode(batches):
+        B = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            S = X.reshape(len(X), PQ_M, dsub)
+            # (n, m, k) distances via ||s||² - 2 s·c + ||c||²
+            codes = np.empty((len(X), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                d = (
+                    -2.0 * S[:, m, :] @ B[m].T
+                    + (B[m] ** 2).sum(1)[None, :]
+                )
+                codes[:, m] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return (
+        t["embeddings"]
+        .select("vec_id", "embedding")
+        .mapInPandas(encode, "vec_id bigint, codes array<int>")
+    )
+
+
+@query("q_sim_topk_pq")  # rows-only: learned codebooks (seeded Lloyd)
+def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the PQ-compressed corpus — the memory-bound scale
+    path: at 100 TB of float32 embeddings the PQ codes are ~3 TB, so
+    the whole corpus scans from page cache while full-precision
+    vectors would be I/O-bound; faiss's IVFPQ composes this with the
+    IVF cells (q_sim_topk_ivf) for the standard billion-vector stack.
+
+    Per query: one (PQ_M × PQ_K) table of subspace dot products
+    against the query, then each code row scores as PQ_M table
+    lookups summed — no full-dim arithmetic against the corpus. The
+    query block is the standard bounded dimension (QUERY_STRIDE /
+    QUERY_ID_CAP); scoring runs in Arrow batches with a per-batch
+    local top-k and the same tiny window merge as q_sim_topk.
+
+    Rows-only by declared design (learned codebooks); recall vs the
+    exact cosine top-k is pinned in tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    books = _pq_codebooks(spark, t)
+    q_rows = (
+        t["embeddings"]
+        .filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("vec_id") < QUERY_ID_CAP)
+        )
+        .select("vec_id", "embedding")
+        .collect()  # bounded: ≤ MAX_QUERIES rows by construction
+    )
+    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    dsub = books.shape[2]
+    # per-query ADC tables: dot(query_sub, centroid) per (m, k) —
+    # approximate cosine = sum_m table[m, code_m] on unit vectors
+    tables = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, dsub), books)
+    bc = spark.sparkContext.broadcast((qids, tables))
+    k = TOP_K
+
+    def score(batches):
+        qids, tables = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            # (q, n): gather each subspace's table column by code
+            sim = np.zeros((len(qids), len(ids)))
+            for m in range(PQ_M):
+                sim += tables[:, m, :][:, codes[:, m]]
+            sim[qids[:, None] == ids[None, :]] = -np.inf  # self-pairs out
+            take = min(k, sim.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, -sim[qi]))[:take]
+                keep = sim[qi][order] > -np.inf
+                out_q.append(np.full(keep.sum(), qids[qi]))
+                out_n.append(ids[order][keep])
+                out_s.append(sim[qi][order][keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_sim": np.concatenate(out_s),
+                }
+            )
+
+    scored = pq_encode(spark, sf_dir).mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, adc_sim double"
+    )
+    wk = W.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("adc_sim", 6).alias("adc_sim"))
+    )

@@ -82,8 +82,10 @@ PRIORITY: tuple[str, ...] = (
     # ROTATION_CANDIDATES FIFO (the TPC-H completion batch +
     # q_quality_classifier + q_semantic_dedup + q_dataset_card),
     # keeping the window at exactly 50 and emptying the queue.
-    # Expected r13 row mix: nine hash-green, q_semantic_dedup
-    # rows-only (KMeans cells) with rows > 0.
+    # (The late-r12 additions q_dataset_card and q_sim_topk_pq extend
+    # the queue to ELEVEN: rotate out q_tpch_q18 as the eleventh head.)
+    # Expected r13 row mix: nine hash-green; q_semantic_dedup and
+    # q_sim_topk_pq rows-only (learned cells/codebooks) with rows > 0.
     #
     # -- the r7/r8 queue (6 remaining) --
     "q_pii_exposure",
@@ -183,6 +185,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # per-source datasheet rollup (Gebru 2021): volume, language
     # spread, quality share (classifier folded inline), dup share
     "q_dataset_card",
+    # product quantization ADC top-k (Jégou 2011) — rows-only by
+    # design (seeded-Lloyd codebooks); recall + coarse-geometry pins
+    "q_sim_topk_pq",
 )
 
 

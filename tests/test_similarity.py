@@ -753,3 +753,96 @@ def test_semantic_dedup_planted_sets_and_recall(spark, tmp_path):
                         by_id[members[a]]["group_id"]
                         == by_id[members[b]]["group_id"]
                     ), (members[a], members[b])
+
+
+def test_pq_adc_topk_recall(spark, sf_dir, tmp_path):
+    """Product-quantization pins: (a) codes are valid (PQ_M per vector,
+    each < PQ_K) and deterministic across sessions (seeded Lloyd);
+    (b) ADC recall ≥ 0.4 vs exact cosine top-k on the fixture (the
+    corpus is weakly clustered — the same hostility the LSH floor
+    documents; exact-identity recall among well-separated neighbors
+    is where ADC does best); (c) on a TIGHTLY clustered corpus exact
+    top-5 identity is a fine-ranking problem where quantization noise
+    drowns the within-cluster sim differences (why faiss re-ranks PQ
+    shortlists with full-precision vectors) — the guarantee PQ does
+    make there is COARSE geometry, so the pin is that ADC neighbors
+    come from the query's own cluster ≥ 90% of the time."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    from hive_gateway_spark import registry
+    from hive_gateway_spark.operators import similarity as sim
+
+    # (a) code validity + cross-session determinism
+    codes1 = {
+        r["vec_id"]: list(r["codes"])
+        for r in sim.pq_encode(spark, sf_dir).collect()
+    }
+    assert all(
+        len(c) == sim.PQ_M and max(c) < sim.PQ_K and min(c) >= 0
+        for c in codes1.values()
+    )
+    codes2 = {
+        r["vec_id"]: list(r["codes"])
+        for r in sim.pq_encode(spark.newSession(), sf_dir).collect()
+    }
+    assert codes1 == codes2
+
+    # (b) fixture recall vs exact
+    def topk(rows):
+        out = defaultdict(set)
+        for r in rows:
+            out[r["query_id"]].add(r["neighbor_id"])
+        return out
+
+    exact = topk(registry.QUERIES["q_sim_topk"](spark, sf_dir).collect())
+    adc = topk(registry.QUERIES["q_sim_topk_pq"](spark, sf_dir).collect())
+    assert set(adc) == set(exact)
+    assert all(len(v) == sim.TOP_K for v in adc.values())
+    recall = sum(len(exact[q] & adc[q]) for q in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert recall >= 0.4, f"fixture ADC recall {recall:.2f}"
+
+    # (c) clustered corpus — PQ's design regime
+    rng = np.random.default_rng(11)
+    dim, n_clusters, n = 64, 20, 3000
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    label = rng.integers(0, n_clusters, n)
+    vecs = centers[label] + rng.normal(0, 0.15, (n, dim))
+    sfd = str(tmp_path / "sf_pq")
+    ddir = os.path.join(sfd, "embeddings.parquet")
+    os.makedirs(ddir)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    list(vecs.astype(np.float32)), pa.list_(pa.float32())
+                ),
+                "label": pa.array(label.astype(np.int32), pa.int32()),
+            }
+        ),
+        os.path.join(ddir, "part-00.parquet"),
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(
+            os.path.join("/root/testdata/sf0.001", f"{name}.parquet"),
+            os.path.join(sfd, f"{name}.parquet"),
+        )
+    s2 = spark.newSession()
+    adc2 = topk(registry.QUERIES["q_sim_topk_pq"](s2, sfd).collect())
+    lab = {int(i): int(l) for i, l in zip(np.arange(n), label)}
+    same = total = 0
+    for q, nn in adc2.items():
+        for v in nn:
+            total += 1
+            same += int(lab[v] == lab[q])
+    assert total > 0
+    assert same / total >= 0.9, f"same-cluster rate {same / total:.2f}"
