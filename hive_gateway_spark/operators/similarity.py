@@ -1397,8 +1397,8 @@ def _pq_codebooks(spark: SparkSession, t):
         S = X[:, m * dsub : (m + 1) * dsub]
         k_eff = min(PQ_K, len(S))
         C = S[rng.choice(len(S), k_eff, replace=False)]
-        for _ in range(20):  # Lloyd
-            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        for _ in range(20):  # Lloyd; assignment via -2s·c + |c|² (BLAS)
+            d = -2.0 * S @ C.T + (C**2).sum(1)[None, :]
             a = d.argmin(1)
             for c in range(k_eff):
                 members = S[a == c]
