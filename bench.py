@@ -214,6 +214,7 @@ HEADLINE_R12 = [
     "q_semantic_dedup",
     "q_dataset_card",
     "q_sim_topk_pq",
+    "q_sim_topk_pq_rerank",
 ]
 
 

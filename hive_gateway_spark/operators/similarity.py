@@ -1452,23 +1452,11 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_topk_pq")  # rows-only: learned codebooks (seeded Lloyd)
-def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC top-k over the PQ-compressed corpus — the memory-bound scale
-    path: at 100 TB of float32 embeddings the PQ codes are ~3 TB, so
-    the whole corpus scans from page cache while full-precision
-    vectors would be I/O-bound; faiss's IVFPQ composes this with the
-    IVF cells (q_sim_topk_ivf) for the standard billion-vector stack.
-
-    Per query: one (PQ_M × PQ_K) table of subspace dot products
-    against the query, then each code row scores as PQ_M table
-    lookups summed — no full-dim arithmetic against the corpus. The
-    query block is the standard bounded dimension (QUERY_STRIDE /
-    QUERY_ID_CAP); scoring runs in Arrow batches with a per-batch
-    local top-k and the same tiny window merge as q_sim_topk.
-
-    Rows-only by declared design (learned codebooks); recall vs the
-    exact cosine top-k is pinned in tests/test_similarity.py."""
+def _pq_adc_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """ADC candidate stream shared by q_sim_topk_pq (k = TOP_K) and
+    the rerank path (k = PQ_RERANK_R): per Arrow batch of codes, each
+    query keeps its local top-k by ADC score; the caller applies the
+    tiny global window merge."""
     import numpy as np
     import pandas as pd
 
@@ -1491,7 +1479,6 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate cosine = sum_m table[m, code_m] on unit vectors
     tables = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, dsub), books)
     bc = spark.sparkContext.broadcast((qids, tables))
-    k = TOP_K
 
     def score(batches):
         qids, tables = bc.value
@@ -1521,9 +1508,30 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = pq_encode(spark, sf_dir).mapInPandas(
+    return pq_encode(spark, sf_dir).mapInPandas(
         score, "query_id bigint, neighbor_id bigint, adc_sim double"
     )
+
+
+@query("q_sim_topk_pq")  # rows-only: learned codebooks (seeded Lloyd)
+def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the PQ-compressed corpus — the memory-bound scale
+    path: at 100 TB of float32 embeddings the PQ codes are ~3 TB, so
+    the whole corpus scans from page cache while full-precision
+    vectors would be I/O-bound; faiss's IVFPQ composes this with the
+    IVF cells (q_sim_topk_ivf) for the standard billion-vector stack.
+
+    Per query: one (PQ_M × PQ_K) table of subspace dot products
+    against the query, then each code row scores as PQ_M table
+    lookups summed — no full-dim arithmetic against the corpus. The
+    query block is the standard bounded dimension (QUERY_STRIDE /
+    QUERY_ID_CAP); scoring runs in Arrow batches with a per-batch
+    local top-k and the same tiny window merge as q_sim_topk.
+
+    Rows-only by declared design (learned codebooks); recall vs the
+    exact cosine top-k is pinned in tests/test_similarity.py, with
+    the fine-ranking caveat q_sim_topk_pq_rerank exists to close."""
+    scored = _pq_adc_scored(spark, sf_dir, TOP_K)
     wk = W.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1531,4 +1539,64 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("adc_sim", 6).alias("adc_sim"))
+    )
+
+
+#: Shortlist depth for the rerank path: ADC keeps its top-R, exact
+#: scoring re-ranks them — faiss's k_factor idiom (R/k = 10 here).
+PQ_RERANK_R = 50
+
+
+@query("q_sim_topk_pq_rerank")  # rows-only: learned codebooks
+def q_sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist + exact re-rank — the production ANN serving
+    pattern (faiss's k_factor refinement): ADC's compressed-domain
+    scan keeps a top-{PQ_RERANK_R} shortlist per query, then ONLY
+    those rows are re-scored with the exact int64 cosine kernel and
+    the true top-k emerges. Closes PQ's documented fine-ranking gap
+    (quantization noise drowning within-cluster sim differences)
+    while still never running full-dim arithmetic against the corpus
+    — the exact pass touches Q·R rows, not N.
+
+    Exact rescoring arithmetic is IDENTICAL to q_sim_topk's (vec_q
+    int64 dot, float64 sqrt division), so where the shortlist
+    contains the true neighbors the output rows match the exact
+    kernel bit for bit. Recall vs q_sim_topk pinned in
+    tests/test_similarity.py at ≥ the plain-ADC floor."""
+    t = load_tables(spark, sf_dir)
+    shortlist = _pq_adc_scored(spark, sf_dir, PQ_RERANK_R)
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        shortlist.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= PQ_RERANK_R)
+        .select("query_id", "neighbor_id")
+    )
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    qv = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    ).filter(
+        (F.col("q_id") % QUERY_STRIDE == 0) & (F.col("q_id") < QUERY_ID_CAP)
+    )
+    nv = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("nv"),
+        F.col("n2").alias("nn2"),
+    )
+    sim = dot_q("qv", "nv") / F.sqrt(F.col("qn2") * F.col("nn2"))
+    rescored = (
+        cand.join(F.broadcast(qv), F.col("q_id") == F.col("query_id"))
+        .join(nv.hint("shuffle_hash"), F.col("n_id") == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    wk = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"))
     )

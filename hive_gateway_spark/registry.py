@@ -82,10 +82,12 @@ PRIORITY: tuple[str, ...] = (
     # ROTATION_CANDIDATES FIFO (the TPC-H completion batch +
     # q_quality_classifier + q_semantic_dedup + q_dataset_card),
     # keeping the window at exactly 50 and emptying the queue.
-    # (The late-r12 additions q_dataset_card and q_sim_topk_pq extend
-    # the queue to ELEVEN: rotate out q_tpch_q18 as the eleventh head.)
-    # Expected r13 row mix: nine hash-green; q_semantic_dedup and
-    # q_sim_topk_pq rows-only (learned cells/codebooks) with rows > 0.
+    # (The late-r12 additions q_dataset_card, q_sim_topk_pq and
+    # q_sim_topk_pq_rerank extend the queue to TWELVE: rotate out
+    # q_tpch_q18 and q_brand_affinity as the 11th/12th heads.)
+    # Expected r13 row mix: nine hash-green; q_semantic_dedup,
+    # q_sim_topk_pq and q_sim_topk_pq_rerank rows-only (learned
+    # cells/codebooks) with rows > 0.
     #
     # -- the r7/r8 queue (6 remaining) --
     "q_pii_exposure",
@@ -188,6 +190,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # product quantization ADC top-k (Jégou 2011) — rows-only by
     # design (seeded-Lloyd codebooks); recall + coarse-geometry pins
     "q_sim_topk_pq",
+    # PQ shortlist + exact int64 re-rank (faiss k_factor idiom) —
+    # restores recall 1.0 on the fixture; rows-only (same codebooks)
+    "q_sim_topk_pq_rerank",
 )
 
 

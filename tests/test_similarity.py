@@ -846,3 +846,32 @@ def test_pq_adc_topk_recall(spark, sf_dir, tmp_path):
             same += int(lab[v] == lab[q])
     assert total > 0
     assert same / total >= 0.9, f"same-cluster rate {same / total:.2f}"
+
+
+def test_pq_rerank_restores_exact_recall(spark, sf_dir):
+    """The shortlist+rerank path (faiss k_factor idiom) must restore
+    near-exact recall over plain ADC — pinned at ≥ 0.9 on the fixture
+    (measured 1.0) — and where it returns a (query, neighbor) pair the
+    exact kernel also returns, the similarity must match bit for bit
+    (identical int64-dot arithmetic)."""
+    from collections import defaultdict
+
+    from hive_gateway_spark import registry
+
+    exact_rows = registry.QUERIES["q_sim_topk"](spark, sf_dir).collect()
+    rr_rows = registry.QUERIES["q_sim_topk_pq_rerank"](spark, sf_dir).collect()
+    E, R = defaultdict(set), defaultdict(set)
+    esim, rsim = {}, {}
+    for r in exact_rows:
+        E[r["query_id"]].add(r["neighbor_id"])
+        esim[(r["query_id"], r["neighbor_id"])] = r["cos_sim"]  # 4 dp
+    for r in rr_rows:
+        R[r["query_id"]].add(r["neighbor_id"])
+        rsim[(r["query_id"], r["neighbor_id"])] = round(r["sim"], 4)
+    assert set(R) == set(E)
+    assert all(len(v) == 5 for v in R.values())
+    recall = sum(len(E[q] & R[q]) for q in E) / sum(len(v) for v in E.values())
+    assert recall >= 0.9, f"rerank recall {recall:.2f}"
+    for pair, s in rsim.items():
+        if pair in esim:
+            assert s == esim[pair], pair
