@@ -424,6 +424,26 @@ def _assign_cells(e, centers) -> DataFrame:
     Shared by the index BUILD and the incremental APPEND (faiss add()):
     maintenance assigns against the existing centroids, it never
     retrains."""
+    return (
+        _cell_ranked(e, centers)
+        .filter(F.col("arank") <= IVF_ASSIGN)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.col("v").alias("vb"),
+            F.col("n2").alias("nb"),
+        )
+    )
+
+
+def _cell_ranked(e, centers) -> DataFrame:
+    """(vec_id, v, n2, cell, cdot, arank) — every vector ranked against
+    every centroid by dot product (broadcast-centroid join + per-vector
+    row_number). The SINGLE implementation of cell assignment:
+    _assign_cells takes arank ≤ IVF_ASSIGN for the inverted file,
+    semantic_dedup takes arank == 1 for its primary cells — one
+    ranking expression, so the two consumers cannot diverge
+    (code-review r12)."""
     cdot_b = F.expr(
         "aggregate(zip_with(v, center, (x, y) -> CAST(x AS DOUBLE) * y), "
         "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
@@ -433,13 +453,6 @@ def _assign_cells(e, centers) -> DataFrame:
         e.join(F.broadcast(centers))
         .select("vec_id", "v", "n2", "cell", cdot_b.alias("cdot"))
         .withColumn("arank", F.row_number().over(wb))
-        .filter(F.col("arank") <= IVF_ASSIGN)
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            "cell",
-            F.col("v").alias("vb"),
-            F.col("n2").alias("nb"),
-        )
     )
 
 
@@ -568,6 +581,26 @@ def maybe_rebuild_ivf(spark: SparkSession, sf_dir: str, path: str) -> dict:
     out: dict = {"max_imbalance": round(imb, 4), "rebuilt": False}
     if imb > IVF_REBUILD_IMBALANCE:
         man = _current_manifest(f"{path}/invfile")
+        # Count and rebuild against FRESH state (code-review r12): on a
+        # long-lived session the cached embeddings frame pins the
+        # FileIndex captured at first load, so a table that grew since
+        # would (a) be under-counted here — a spurious refusal — and
+        # (b) worse, a rebuild through the session's _IVF_CACHE would
+        # republish the OLD inverted file as version N+1, silently
+        # dropping the appended vectors. Drop both caches and refresh
+        # the path before deciding.
+        from hive_gateway_spark import session as _session
+
+        per_t = _session._TABLE_CACHE.get(spark)
+        if per_t is not None:
+            per_t.pop(sf_dir, None)
+        per_i = _IVF_CACHE.get(spark)
+        if per_i:
+            evict(per_i, 0)
+        try:
+            spark.catalog.refreshByPath(f"{sf_dir}/embeddings.parquet")
+        except Exception:  # pragma: no cover
+            pass
         n_table = load_tables(spark, sf_dir)["embeddings"].count()
         n_index = man["n_rows"] // man["ivf_assign"]
         out["corpus_rows"] = n_table
@@ -1275,15 +1308,8 @@ def semantic_dedup(
     t = load_tables(spark, sf_dir)
     e = _quantized(t).withColumn("n2", norm2_q("v"))
     centers, _ = _ivf_index(spark, t, e)
-    cdot = F.expr(
-        "aggregate(zip_with(v, center, (x, y) -> CAST(x AS DOUBLE) * y), "
-        "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
-    )
-    wb = W.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
     assigned = stage(
-        e.join(F.broadcast(centers))
-        .select("vec_id", "v", "n2", "cell", cdot.alias("cdot"))
-        .withColumn("arank", F.row_number().over(wb))
+        _cell_ranked(e, centers)
         .filter(F.col("arank") == 1)
         # centroid cosine UP TO the per-cell constant |center|: the
         # keep rule only ORDERS within one cell's duplicate sets, so
@@ -1375,8 +1401,17 @@ def _pq_codebooks(spark: SparkSession, t):
     except Exception:  # pragma: no cover
         key = id(emb)
     hit = per.get(key)
+    # Confirm the 32-bit hash hit against the stored source plan before
+    # serving (the same collision guard as staging.stage(), ADVICE r11
+    # #3): colliding plans from two different corpora must never share
+    # codebooks.
     if hit is not None:
-        return hit
+        prev_emb, books = hit
+        try:
+            if emb.sameSemantics(prev_emb):
+                return books
+        except Exception:  # pragma: no cover - non-classic session
+            pass
     n_vecs = emb.count()
     cap = 10_000
     src = emb
@@ -1386,16 +1421,20 @@ def _pq_codebooks(spark: SparkSession, t):
         [r["embedding"] for r in src.select("embedding").collect()],
         dtype=np.float64,
     )
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    # zero-norm guard: an all-zero vector would turn into a NaN row and
+    # poison centroids/codes silently — train without it (encode maps
+    # it to deterministic codes via the same guard).
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
     dim = X.shape[1]
     if dim % PQ_M:
         raise ValueError(f"dim {dim} not divisible by PQ_M {PQ_M}")
     dsub = dim // PQ_M
     rng = np.random.default_rng(42)
-    books = np.empty((PQ_M, PQ_K, dsub))
+    k_eff = min(PQ_K, len(X))  # small corpus: fewer centroids, same math
+    books = np.empty((PQ_M, k_eff, dsub))
     for m in range(PQ_M):
         S = X[:, m * dsub : (m + 1) * dsub]
-        k_eff = min(PQ_K, len(S))
         C = S[rng.choice(len(S), k_eff, replace=False)]
         for _ in range(20):  # Lloyd; assignment via -2s·c + |c|² (BLAS)
             d = -2.0 * S @ C.T + (C**2).sum(1)[None, :]
@@ -1406,7 +1445,7 @@ def _pq_codebooks(spark: SparkSession, t):
                     C[c] = members.mean(0)
         books[m] = C
     evict(per)
-    per[key] = books
+    per[key] = (emb, books)
     return books
 
 
@@ -1428,7 +1467,9 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0  # zero vectors: deterministic codes, no NaN
+            X /= nrm
             S = X.reshape(len(X), PQ_M, dsub)
             # (n, m, k) distances via ||s||² - 2 s·c + ||c||²
             codes = np.empty((len(X), PQ_M), dtype=np.int32)
@@ -1445,10 +1486,15 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return (
+    # The codes table IS the compressed-corpus artifact (PQ_M bytes per
+    # vector) — stage it so the session's ADC consumers (plain top-k +
+    # rerank, cold + warm bench runs) encode once, the same build-once
+    # discipline as the IVF inverted file.
+    return stage(
         t["embeddings"]
         .select("vec_id", "embedding")
-        .mapInPandas(encode, "vec_id bigint, codes array<int>")
+        .mapInPandas(encode, "vec_id bigint, codes array<int>"),
+        "pq.codes",
     )
 
 
@@ -1587,11 +1633,15 @@ def q_sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("nn2"),
     )
     sim = dot_q("qv", "nv") / F.sqrt(F.col("qn2") * F.col("nn2"))
-    rescored = (
-        cand.join(F.broadcast(qv), F.col("q_id") == F.col("query_id"))
-        .join(nv.hint("shuffle_hash"), F.col("n_id") == F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
-    )
+    # The probe (shortlist ⋈ query vectors, ≤ MAX_QUERIES·R rows ≈ a few
+    # MB) BROADCASTS; the corpus-sized nv streams map-side with no
+    # exchange — the small side must always be the build side
+    # (code-review r12: the first spelling hinted shuffle_hash on nv,
+    # hashing the whole corpus to answer a 13k-row probe).
+    probe = cand.join(F.broadcast(qv), F.col("q_id") == F.col("query_id"))
+    rescored = nv.join(
+        F.broadcast(probe), F.col("n_id") == F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", sim.alias("sim"))
     wk = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

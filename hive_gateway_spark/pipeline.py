@@ -146,17 +146,20 @@ class CurationPipeline:
         """Keep docs whose hashed-linear classifier score clears
         ``min_score`` (q_quality_classifier's core — the
         fasttext-style quality filter of the published pretraining
-        recipes, a zero-shuffle map gate)."""
+        recipes). A TRUE zero-shuffle map gate: the score folds
+        in-row via quality_exprs and the gate is one filter — no
+        second corpus scan, no join (code-review r12: the first
+        spelling scored into a keep-set and joined back). Documents
+        with zero tokens are outside the classifier's domain and are
+        dropped regardless of ``min_score`` — same contract as
+        q_quality_classifier's output."""
 
         def stage(docs: DataFrame) -> DataFrame:
-            from hive_gateway_spark.operators.text import (
-                quality_score_frame,
-            )
+            from hive_gateway_spark.operators.text import quality_exprs
 
-            keep = quality_score_frame(docs).filter(
-                F.col("quality_score") > min_score
-            ).select("doc_id")
-            return docs.join(keep, "doc_id")
+            n_tok, num = quality_exprs()
+            score = num.cast("double") / (500.0 * n_tok)
+            return docs.filter((n_tok > 0) & (score > min_score))
 
         return self._add("gate_quality", stage)
 

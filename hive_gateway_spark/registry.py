@@ -74,20 +74,18 @@ PRIORITY: tuple[str, ...] = (
     #
     # r13 PRE-PLAN (written at r12 close, the r9→…→r12 pattern): once
     # CORRECTNESS_r12 lands rows for the r12 window, rotate OUT the
-    # TEN remaining r7/r8/r9-queue heads (q_pii_exposure,
+    # TWELVE heads of the remaining r7/r8/r9 queue (q_pii_exposure,
     # q_curation_shift, q_session_depth, q_tpch_q10,
     # q_late_ship_report, q_null_profile, q_gopher_rules,
-    # q_ccnet_buckets, q_reservoir_per_source, q_tpch_q5 — each then
-    # r10+r11+r12-green) and take ALL TEN r12-written
-    # ROTATION_CANDIDATES FIFO (the TPC-H completion batch +
-    # q_quality_classifier + q_semantic_dedup + q_dataset_card),
-    # keeping the window at exactly 50 and emptying the queue.
-    # (The late-r12 additions q_dataset_card, q_sim_topk_pq and
-    # q_sim_topk_pq_rerank extend the queue to TWELVE: rotate out
-    # q_tpch_q18 and q_brand_affinity as the 11th/12th heads.)
-    # Expected r13 row mix: nine hash-green; q_semantic_dedup,
-    # q_sim_topk_pq and q_sim_topk_pq_rerank rows-only (learned
-    # cells/codebooks) with rows > 0.
+    # q_ccnet_buckets, q_reservoir_per_source, q_tpch_q5, q_tpch_q18,
+    # q_brand_affinity — each then r10+r11+r12-green) and take ALL
+    # TWELVE r12-written ROTATION_CANDIDATES FIFO (the 7-query TPC-H
+    # completion batch, q_quality_classifier, q_semantic_dedup,
+    # q_dataset_card, q_sim_topk_pq, q_sim_topk_pq_rerank), keeping
+    # the window at exactly 50 and emptying the queue. Expected r13
+    # row mix: nine hash-green; q_semantic_dedup, q_sim_topk_pq and
+    # q_sim_topk_pq_rerank rows-only (learned cells/codebooks) with
+    # rows > 0.
     #
     # -- the r7/r8 queue (6 remaining) --
     "q_pii_exposure",
