@@ -5,11 +5,13 @@ Mirrors SCALE.md's dedup smoke: a synthetic ~100k-vector / 64-dim corpus
 (50× the sf0.1 embeddings table) with 20 planted Gaussian clusters runs
 through the three ANN paths at local[32]:
 
-  q_sim_topk      — exact GEMM baseline (bounded broadcast query block)
-  q_sim_topk_ivf  — KMeans coarse cells, probes 3, multi-assign 2
-  q_sim_topk_lsh  — 16×6-bit hyperplane buckets
+  q_sim_topk           — exact GEMM baseline (bounded broadcast query block)
+  q_sim_topk_ivf       — KMeans coarse cells, probes 3, multi-assign 2
+  q_sim_topk_lsh       — 16×6-bit hyperplane buckets
+  q_sim_topk_pq        — 8×256 product-quantization codes, ADC scan
+  q_sim_topk_pq_rerank — ADC top-50 shortlist + exact int64 re-rank
 
-and reports wall-clock, result sizes, and IVF/LSH recall vs the exact
+and reports wall-clock, result sizes, and per-path recall vs the exact
 top-k. The corpus lands in a temp sf-dir (other fixture tables are
 symlinked from sf0.001 — load_tables reads eagerly), so the REGISTERED
 operators run unmodified: what is smoked is exactly what ships.
@@ -90,7 +92,13 @@ def main() -> None:
     with tempfile.TemporaryDirectory(prefix="simsmoke_") as tmp:
         sf_dir = synth_corpus(tmp, n)
         results: dict[str, list] = {}
-        for name in ("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_lsh"):
+        for name in (
+            "q_sim_topk",
+            "q_sim_topk_ivf",
+            "q_sim_topk_lsh",
+            "q_sim_topk_pq",
+            "q_sim_topk_pq_rerank",
+        ):
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
@@ -109,7 +117,12 @@ def main() -> None:
             }
         exact = topk_sets(results["q_sim_topk"])
         total = sum(len(v) for v in exact.values())
-        for name in ("q_sim_topk_ivf", "q_sim_topk_lsh"):
+        for name in (
+            "q_sim_topk_ivf",
+            "q_sim_topk_lsh",
+            "q_sim_topk_pq",
+            "q_sim_topk_pq_rerank",
+        ):
             approx = topk_sets(results[name])
             hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
             report[name]["recall"] = round(hits / total, 3)
