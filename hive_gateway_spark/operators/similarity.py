@@ -1576,7 +1576,13 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only by declared design (learned codebooks); recall vs the
     exact cosine top-k is pinned in tests/test_similarity.py, with
-    the fine-ranking caveat q_sim_topk_pq_rerank exists to close."""
+    the fine-ranking caveat q_sim_topk_pq_rerank exists to close.
+    Regime guidance (SCALE.md "PQ regime boundary", measured): PQ is
+    the MEMORY lever — on tight-cluster corpora where true neighbors
+    differ by sub-cell angles, compressed-domain ranking cannot order
+    them at any practical m; route with IVF cells + the exact int64
+    kernel by default and compose PQ inside cells only when RAM
+    forces it."""
     scored = _pq_adc_scored(spark, sf_dir, TOP_K)
     wk = W.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id").asc()
