@@ -979,3 +979,66 @@ def stream_quality_screen(docs: DataFrame) -> DataFrame:
     from hive_gateway_spark.operators.text import quality_score_frame
 
     return quality_score_frame(docs)
+
+
+def stream_embed_dedup_screen(
+    vec_stream: DataFrame, index_path: str, tau: float = 0.9
+) -> DataFrame:
+    """Ingest-time SEMANTIC dedup against the persisted IVF index — the
+    frozen-model pattern (stream_dsir_score's shape) composing three
+    subsystems: the lakehouse ANN artifact (persist_ivf_index), the
+    exact int64 cosine kernel, and the streaming ingest path. Per
+    arriving (vec_id, embedding): assign the vector to its primary
+    index cell ENTIRELY IN-ROW (the centroid table is tiny and rides
+    as a literal array — streams cannot run ranking windows), then a
+    stream-static join against ONLY that cell's inverted-file rows
+    scores exact cosine, and matches at ≥ tau emit
+    (vec_id, match_id, cos_sim). A vector with no emitted row is novel
+    — ingest it; a crawler shard drops or routes the matches.
+
+    Stateless per micro-batch against the FROZEN index (no watermarks,
+    any ingest rate); index maintenance stays the batch jobs
+    (append_ivf_index / maybe_rebuild_ivf). The cell scoping bounds
+    each probe to ~1/cells of the index exactly as the batch serve
+    path does — at 100 TB the static side is the cell-partitioned
+    lakehouse table, loaded once per micro-batch epoch."""
+    from hive_gateway_spark.functions.vectors import dot_q, norm2_q, vec_q
+    from hive_gateway_spark.sources.dataset_export import read_snapshot
+
+    spark = vec_stream.sparkSession
+    centers = read_snapshot(spark, f"{index_path}/centroids").collect()
+    # literal (cells × dim) centroid matrix for the in-row argmax
+    rows = ", ".join(
+        f"struct({int(r['cell'])} AS cell, array({', '.join(f'CAST({x} AS DOUBLE)' for x in r['center'])}) AS c)"
+        for r in sorted(centers, key=lambda r: r["cell"])
+    )
+    # primary cell = argmax centroid dot, ties to the LOWEST cell id —
+    # the exact tie-break _cell_ranked uses (orderBy cdot desc, cell asc)
+    best = (
+        f"aggregate(array({rows}), "
+        "struct(CAST(-1 AS INT) AS cell, CAST(-1.0E308 AS DOUBLE) AS d), "
+        "(acc, s) -> CASE WHEN aggregate(zip_with(v, s.c, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (a2, z) -> a2 + z) > acc.d "
+        "THEN struct(s.cell AS cell, aggregate(zip_with(v, s.c, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (a2, z) -> a2 + z) AS d) ELSE acc END).cell"
+    )
+    q = (
+        vec_stream.select(
+            "vec_id", vec_q("embedding").alias("v")
+        )
+        .withColumn("n2", norm2_q("v"))
+        .withColumn("cell", F.expr(best))
+    )
+    inv = read_snapshot(spark, f"{index_path}/invfile").select(
+        F.col("neighbor_id").alias("match_id"),
+        F.col("cell").alias("i_cell"),
+        "vb",
+        "nb",
+    )
+    sim = dot_q("v", "vb") / F.sqrt(F.col("n2") * F.col("nb"))
+    return (
+        q.join(inv, F.col("i_cell") == F.col("cell"))
+        .filter(F.col("vec_id") != F.col("match_id"))
+        .select("vec_id", "match_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= tau)
+    )

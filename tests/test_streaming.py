@@ -878,3 +878,92 @@ def test_stream_quality_screen_equal_batch(spark, sf_dir):
     w = want.sort_values("doc_id").reset_index(drop=True)
     cols = ["doc_id", "n_tokens", "quality_score", "is_quality"]
     pd.testing.assert_frame_equal(g[cols], w[cols])
+
+
+def test_stream_embed_dedup_screen(spark, tmp_path):
+    """Ingest-time semantic screen against the persisted IVF index:
+    planted near-copies of INDEXED vectors must emit a match row
+    naming their source at cos ≥ τ; novel vectors (fresh random
+    directions) must emit nothing; and the in-row primary-cell
+    assignment must agree with the batch kernel's tie-break (every
+    match pair shares the source's indexed cell by construction)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark.operators import similarity as sim
+    from hive_gateway_spark.streaming.ops import stream_embed_dedup_screen
+
+    rng = np.random.default_rng(23)
+    dim, n_clusters, n = 16, 10, 1200
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    label = rng.integers(0, n_clusters, n)
+    vecs = centers[label] + rng.normal(0, 0.35, (n, dim))
+
+    def write_emb(dirpath, ids, vs, labels):
+        os.makedirs(dirpath)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        list(vs.astype(np.float32)), pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(
+                        np.asarray(labels, dtype=np.int32), pa.int32()
+                    ),
+                }
+            ),
+            os.path.join(dirpath, "part-00.parquet"),
+        )
+
+    # corpus sf-dir (indexed half)
+    sfd = str(tmp_path / "sf_screen")
+    write_emb(os.path.join(sfd, "embeddings.parquet"), np.arange(n), vecs, label)
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(
+            os.path.join("/root/testdata/sf0.001", f"{name}.parquet"),
+            os.path.join(sfd, f"{name}.parquet"),
+        )
+    idx = str(tmp_path / "screen_index")
+    sim.persist_ivf_index(spark.newSession(), sfd, idx)
+
+    # arriving batch: 5 near-copies of indexed vectors + 20 novel
+    # random directions (cosine to any fixture vector ≪ τ in dim 16
+    # ... novel picked orthogonal-ish by fresh random draws scaled up)
+    copies_src = [3, 77, 400, 801, 1150]
+    arrive_ids = list(range(10_000, 10_005)) + list(range(20_000, 20_020))
+    arrive_vecs = np.vstack(
+        [vecs[copies_src] * (1 + 1e-3), rng.normal(0, 1, (20, dim)) * 3]
+    )
+    stream_dir = str(tmp_path / "arrivals")
+    write_emb(
+        os.path.join(stream_dir, "embeddings.parquet"),
+        np.asarray(arrive_ids),
+        arrive_vecs,
+        np.zeros(len(arrive_ids)),
+    )
+    s = spark.newSession()
+    vec_stream = (
+        s.readStream.schema(
+            "vec_id bigint, embedding array<float>, label int"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(stream_dir, "embeddings.parquet"))
+    )
+    got = drain(
+        stream_embed_dedup_screen(vec_stream, idx, tau=0.98), "s_embscreen"
+    )
+    matched = {int(v) for v in got["vec_id"].unique()}
+    # every planted copy matched, and its best match IS its source
+    for aid, src_id in zip(range(10_000, 10_005), copies_src):
+        assert aid in matched, aid
+        g = got[got["vec_id"] == aid].sort_values("cos_sim", ascending=False)
+        assert int(g.iloc[0]["match_id"]) == src_id
+        assert g.iloc[0]["cos_sim"] >= 0.98
+    # novel vectors emit nothing at this τ
+    assert not (matched & set(range(20_000, 20_020)))
