@@ -215,6 +215,7 @@ HEADLINE_R12 = [
     "q_dataset_card",
     "q_sim_topk_pq",
     "q_sim_topk_pq_rerank",
+    "q_curation_v5",
 ]
 
 

@@ -2361,3 +2361,79 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_quality"
         ),
     )
+
+
+_V5_ORACLE = f"""
+    WITH {{ctes}},
+    qcw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM v4corpus
+    ),
+    qch AS (
+        SELECT doc_id,
+               (CAST(list_sum(list_transform(range(1, length(word) + 1),
+                    i -> (ord(substr(word, i, 1)) * (i * 131 + 7))
+                         % {(1 << 31) - 1})) AS BIGINT)
+                % {(1 << 31) - 1}) % 256 AS b
+        FROM qcw WHERE word <> ''
+    ),
+    qcs AS (
+        SELECT doc_id, SUM(((b * 2654435761) % 1001) - 500) AS num
+        FROM qch GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.lang, p.n_tokens, p.logw, p.split, p.shard, p.bin
+    FROM placed p JOIN qcs ON qcs.doc_id = p.doc_id
+    WHERE qcs.num > 0
+"""
+
+
+@query(
+    "q_curation_v5",
+    oracle=_V5_ORACLE.format(ctes=_v4_oracle_ctes()),
+)
+def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v4 published-recipe manifest with the hashed-linear quality
+    classifier as a FINAL gate — the r12 composition: Gopher →
+    decontamination → perplexity cut → normalized dedup → span drop →
+    DSIR → split/pack (all of q_curation_v4, reused from the session's
+    staged v4 state), then only selections the classifier scores
+    positive survive. Running the classifier LAST scores the few
+    hundred selected docs instead of the corpus — the cheap-gate-last
+    ordering a real pipeline uses when the classifier is the
+    expensive model (here it is free either way; the composition
+    point is that the stage slots in WITHOUT touching v4's verified
+    chain or its hash).
+
+    Determinism: v4's manifest is hash-verified; the gate is the
+    exact-integer classifier sum (q_quality_classifier's arithmetic
+    over the same v4corpus-with-planted-rows scope, mirrored in the
+    oracle's qcs CTE).
+
+    Scale shape: v4's audited stages unchanged; the gate adds one
+    in-row integer fold over the SELECTED manifest rows and a
+    manifest-sized semi join — no new corpus pass (the oracle scores
+    all docs only because SQL has no lazy evaluation; values agree
+    wherever both score)."""
+    from hive_gateway_spark.operators.text import quality_exprs
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang", "text")
+    planted = spark.createDataFrame(
+        _V4_PLANTED, "doc_id bigint, lang string, text string"
+    )
+    corpus = docs.unionByName(planted)
+    n_tok, num = quality_exprs()
+    manifest = _v4_state(spark, sf_dir)["manifest"]
+    # score ONLY the selected docs: the manifest id set (DSIR top — a
+    # bounded dimension) broadcasts into the corpus scan, the
+    # classifier folds in-row over the survivors, and the
+    # selection-sized passing set broadcasts back. Never a
+    # corpus-sized build side.
+    sel_ids = manifest.select("doc_id")
+    passing = (
+        corpus.join(F.broadcast(sel_ids), "doc_id", "left_semi")
+        .select("doc_id", num.alias("__num"), n_tok.alias("__nt"))
+        .filter((F.col("__nt") > 0) & (F.col("__num") > 0))
+        .select("doc_id")
+    )
+    return manifest.join(F.broadcast(passing), "doc_id", "left_semi")

@@ -74,16 +74,17 @@ PRIORITY: tuple[str, ...] = (
     #
     # r13 PRE-PLAN (written at r12 close, the r9→…→r12 pattern): once
     # CORRECTNESS_r12 lands rows for the r12 window, rotate OUT the
-    # TWELVE heads of the remaining r7/r8/r9 queue (q_pii_exposure,
+    # THIRTEEN heads of the remaining r7/r8/r9 queue (q_pii_exposure,
     # q_curation_shift, q_session_depth, q_tpch_q10,
     # q_late_ship_report, q_null_profile, q_gopher_rules,
     # q_ccnet_buckets, q_reservoir_per_source, q_tpch_q5, q_tpch_q18,
-    # q_brand_affinity — each then r10+r11+r12-green) and take ALL
-    # TWELVE r12-written ROTATION_CANDIDATES FIFO (the 7-query TPC-H
-    # completion batch, q_quality_classifier, q_semantic_dedup,
-    # q_dataset_card, q_sim_topk_pq, q_sim_topk_pq_rerank), keeping
-    # the window at exactly 50 and emptying the queue. Expected r13
-    # row mix: nine hash-green; q_semantic_dedup, q_sim_topk_pq and
+    # q_brand_affinity, q_rfm_segments — each then r10+r11+r12-green)
+    # and take ALL THIRTEEN r12-written ROTATION_CANDIDATES FIFO (the
+    # 7-query TPC-H completion batch, q_quality_classifier,
+    # q_semantic_dedup, q_dataset_card, q_sim_topk_pq,
+    # q_sim_topk_pq_rerank, q_curation_v5), keeping the window at
+    # exactly 50 and emptying the queue. Expected r13 row mix: ten
+    # hash-green; q_semantic_dedup, q_sim_topk_pq and
     # q_sim_topk_pq_rerank rows-only (learned cells/codebooks) with
     # rows > 0.
     #
@@ -191,6 +192,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # PQ shortlist + exact int64 re-rank (faiss k_factor idiom) —
     # restores recall 1.0 on the fixture; rows-only (same codebooks)
     "q_sim_topk_pq_rerank",
+    # v4 + the quality classifier as a final gate (the r12 composed
+    # recipe; exact-oracled against the shared v4 CTE chain)
+    "q_curation_v5",
 )
 
 
