@@ -216,6 +216,7 @@ HEADLINE_R12 = [
     "q_sim_topk_pq",
     "q_sim_topk_pq_rerank",
     "q_curation_v5",
+    "q_video_phash_dedup",
 ]
 
 

@@ -1408,3 +1408,139 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hash_pairs(
         audio_fingerprint_frame(t["documents"]), "afp", AFP_HAM_T
     )
+
+
+# --------------------------------------------------------- video fingerprint
+
+#: Video fingerprint geometry — the VIDEO leg of perceptual dedup,
+#: completing the image/audio/video triad on the same 64-bit
+#: band/bucket machinery: {VFP_FRAMES} temporally-sampled frames × 4
+#: integer features per frame (luma sum, MOTION = Σ|Y_f − Y_{f−1}|
+#: — the genuinely temporal signal the other two legs lack — plus
+#: row- and column-gradient energies) → 64 bits by median threshold.
+VFP_FRAMES = 16
+VFP_H, VFP_W = 8, 8
+VFP_HAM_T = 10
+
+#: Planted family width, mirroring PHASH_CLUSTER / AFP_CLUSTER.
+VFP_CLUSTER = PHASH_CLUSTER
+
+
+def _synth_clips(ids):
+    """Batched deterministic clips: (B, {VFP_FRAMES}, {VFP_H}, {VFP_W})
+    uint8 with family-seeded TEMPORAL structure — each frame draws its
+    own brightness level and spatial gradient direction from a
+    splitmix64 stream keyed on (family, frame), so both the luma
+    envelope AND the motion signal carry the family's entropy (a
+    static clip would collapse the motion features to zero — the
+    stationary-tone lesson from _synth_clip). The per-variant nudge
+    perturbs one pixel per frame: different BYTES in every frame, same
+    perceptual content."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    fam = (ids // VFP_CLUSTER).astype(np.uint64)[:, None]
+    f = np.arange(VFP_FRAMES, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        a = fam * np.uint64(0x9E3779B97F4A7C15) + (f + np.uint64(1)) * np.uint64(
+            0x9E3779B9
+        )
+        a = (a ^ (a >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        a = (a ^ (a >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = (a ^ (a >> np.uint64(31))).astype(np.int64)
+    level = (h & 0xFF).astype(np.int64)            # per-frame brightness
+    gx = ((h >> 8) & 0x7).astype(np.int64)         # row-gradient step
+    gy = ((h >> 11) & 0x7).astype(np.int64)        # col-gradient step
+    yy = np.arange(VFP_H)[None, None, :, None]
+    xx = np.arange(VFP_W)[None, None, None, :]
+    clip = (
+        level[:, :, None, None]
+        + gx[:, :, None, None] * yy
+        + gy[:, :, None, None] * xx
+    ) % 256
+    v = (ids % VFP_CLUSTER).astype(np.int64)
+    b = np.arange(len(ids))
+    # one-pixel nudge in EVERY frame at a variant-dependent position
+    clip[b, :, v % VFP_H, v % VFP_W] = (
+        clip[b, :, v % VFP_H, v % VFP_W] + 1 + v[:, None]
+    ) % 256
+    return clip.astype(np.uint8)
+
+
+def video_fingerprint_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, vfp) — 64-bit temporal video fingerprint per doc, one
+    Arrow-batched mapInPandas pass (8 B/doc out; frame tensors never
+    leave the executor). Features are exact integers; the only float
+    is the median threshold — deterministic for a fixed clip."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("vfp", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            clip = _synth_clips(ids).astype(np.int64)
+            luma = clip.sum(axis=(2, 3))                       # (B, F)
+            motion = np.zeros_like(luma)
+            motion[:, 1:] = np.abs(np.diff(clip, axis=1)).sum(axis=(2, 3))
+            grad_r = np.abs(np.diff(clip, axis=2)).sum(axis=(2, 3))
+            grad_c = np.abs(np.diff(clip, axis=3)).sum(axis=(2, 3))
+            # per-FEATURE median threshold: luma sums sit orders of
+            # magnitude above gradient energies, so one global median
+            # would encode scale classes, not content (measured:
+            # cross-family collisions at Hamming ≤ 10). Each feature
+            # contributes 16 bits against its own per-clip median.
+            feats = np.stack([luma, motion, grad_r, grad_c], axis=1)
+            flat = feats.astype(np.float64)  # (B, 4, F)
+            med = np.median(flat, axis=2, keepdims=True)
+            bits = (flat > med).reshape(len(ids), 64).astype(np.uint64)
+            weights = (1 << np.arange(64, dtype=np.uint64))[None, :]
+            vfp = (bits * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"doc_id": ids, "vfp": vfp})
+
+    ids = docs.select("doc_id")
+    if not docs.isStreaming:
+        cap = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        npart = max(1, min(cap, ids.count() // 300))
+        ids = ids.repartition(npart)
+    return ids.mapInPandas(run, schema)
+
+
+@query("q_video_phash_dedup")  # rows-only: kernel fingerprint (like image/audio legs)
+def q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs by temporal perceptual fingerprint — the
+    third leg of the multimodal dedup triad (image q_image_phash,
+    audio q_audio_fp_dedup): per video, {VFP_FRAMES} sampled frames
+    contribute luma, inter-frame MOTION, and spatial-gradient
+    energies, median-thresholded into one 64-bit signature; pairs
+    within Hamming ≤ {VFP_HAM_T} emerge through the SAME banded
+    candidate machinery (4×16-bit bands, capped buckets, JVM
+    bit_count verify). Catches re-encoded / pixel-perturbed copies of
+    the same footage that byte hashing misses; cuts and re-orderings
+    change the motion envelope and separate.
+
+    Rows-only by design; semantics pinned like the sibling legs:
+    full recall on planted clip families, zero cross-family pairs,
+    determinism (tests/test_multimodal.py).
+
+    Scale shape: fingerprint = one mapInPandas pass over wherever the
+    clip bytes live (8 B/doc out — at 100 TB of video the decode
+    happens at ingest and only signatures shuffle); candidates band
+    the signature (never all-pairs); the verify is JVM-side."""
+    t = load_tables(spark, sf_dir)
+    return banded_hash_pairs(
+        video_fingerprint_frame(t["documents"]), "vfp", VFP_HAM_T
+    )

@@ -74,19 +74,20 @@ PRIORITY: tuple[str, ...] = (
     #
     # r13 PRE-PLAN (written at r12 close, the r9→…→r12 pattern): once
     # CORRECTNESS_r12 lands rows for the r12 window, rotate OUT the
-    # THIRTEEN heads of the remaining r7/r8/r9 queue (q_pii_exposure,
+    # FOURTEEN heads of the remaining r7/r8/r9 queue (q_pii_exposure,
     # q_curation_shift, q_session_depth, q_tpch_q10,
     # q_late_ship_report, q_null_profile, q_gopher_rules,
     # q_ccnet_buckets, q_reservoir_per_source, q_tpch_q5, q_tpch_q18,
-    # q_brand_affinity, q_rfm_segments — each then r10+r11+r12-green)
-    # and take ALL THIRTEEN r12-written ROTATION_CANDIDATES FIFO (the
-    # 7-query TPC-H completion batch, q_quality_classifier,
-    # q_semantic_dedup, q_dataset_card, q_sim_topk_pq,
-    # q_sim_topk_pq_rerank, q_curation_v5), keeping the window at
-    # exactly 50 and emptying the queue. Expected r13 row mix: ten
-    # hash-green; q_semantic_dedup, q_sim_topk_pq and
-    # q_sim_topk_pq_rerank rows-only (learned cells/codebooks) with
-    # rows > 0.
+    # q_brand_affinity, q_rfm_segments, q_chunk_windows — each then
+    # r10+r11+r12-green) and take ALL FOURTEEN r12-written
+    # ROTATION_CANDIDATES FIFO (the 7-query TPC-H completion batch,
+    # q_quality_classifier, q_semantic_dedup, q_dataset_card,
+    # q_sim_topk_pq, q_sim_topk_pq_rerank, q_curation_v5,
+    # q_video_phash_dedup), keeping the window at exactly 50 and
+    # emptying the queue. Expected r13 row mix: ten hash-green;
+    # q_semantic_dedup, q_sim_topk_pq, q_sim_topk_pq_rerank and
+    # q_video_phash_dedup rows-only (learned cells/codebooks, kernel
+    # fingerprints) with rows > 0.
     #
     # -- the r7/r8 queue (6 remaining) --
     "q_pii_exposure",
@@ -195,6 +196,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # v4 + the quality classifier as a final gate (the r12 composed
     # recipe; exact-oracled against the shared v4 CTE chain)
     "q_curation_v5",
+    # temporal video fingerprint dedup — the third perceptual leg
+    # (rows-only like its image/audio siblings; planted-family pins)
+    "q_video_phash_dedup",
 )
 
 

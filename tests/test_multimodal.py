@@ -873,3 +873,49 @@ def test_audio_fingerprint_planted_families(spark, sf_dir):
     expected = (n_docs // AFP_CLUSTER) * (AFP_CLUSTER * (AFP_CLUSTER - 1) // 2)
     assert len(out) == expected
     assert _synth_clip(0).tobytes() != _synth_clip(1).tobytes()
+
+
+def test_video_fingerprint_planted_families(spark, sf_dir):
+    """The video leg of perceptual dedup: every planted clip family is
+    fully recovered (C(k,2) pairs each), NO cross-family pair survives
+    the Hamming threshold, and the variants really are different bytes
+    in every frame (else this is exact dedup)."""
+    from hive_gateway_spark import registry
+    from hive_gateway_spark.operators.multimodal import (
+        VFP_CLUSTER,
+        VFP_HAM_T,
+        _synth_clips,
+    )
+    from hive_gateway_spark.session import load_tables
+
+    out = registry.QUERIES["q_video_phash_dedup"](spark, sf_dir).collect()
+    fam = lambda d: d // VFP_CLUSTER  # noqa: E731
+    assert all(fam(r["doc_a"]) == fam(r["doc_b"]) for r in out)
+    assert all(0 <= r["hamming"] <= VFP_HAM_T for r in out)
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    n_fams = n_docs // VFP_CLUSTER
+    expected = n_fams * (VFP_CLUSTER * (VFP_CLUSTER - 1) // 2)
+    assert len(out) == expected  # full recall, no misses
+    a, b = _synth_clips([0]), _synth_clips([1])
+    assert a.tobytes() != b.tobytes()
+    # every frame differs in bytes between variants of one family
+    import numpy as np
+
+    assert bool(np.all((a != b).any(axis=(2, 3))))
+
+
+def test_video_fingerprint_deterministic(spark, sf_dir):
+    from hive_gateway_spark.operators.multimodal import (
+        video_fingerprint_frame,
+    )
+    from hive_gateway_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    one = {r["doc_id"]: r["vfp"] for r in video_fingerprint_frame(docs).collect()}
+    two = {
+        r["doc_id"]: r["vfp"]
+        for r in video_fingerprint_frame(
+            load_tables(spark.newSession(), sf_dir)["documents"]
+        ).collect()
+    }
+    assert one == two and len(one) > 0
