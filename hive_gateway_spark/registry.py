@@ -72,15 +72,15 @@ PRIORITY: tuple[str, ...] = (
     # emptying the queue: after r12 every query registered through r11
     # holds a driver row.
     #
-    # r13 PRE-PLAN (written at r12 close, the r9→…→r12 pattern): once
-    # CORRECTNESS_r12 lands rows for the r12 window, rotate OUT the
-    # FOURTEEN heads of the remaining r7/r8/r9 queue (q_pii_exposure,
-    # q_curation_shift, q_session_depth, q_tpch_q10,
-    # q_late_ship_report, q_null_profile, q_gopher_rules,
+    # -- r13 rotation (executing the r12-close pre-plan, verbatim):
+    # CORRECTNESS_r12 landed green rows for all fourteen rotate-out
+    # heads (q_pii_exposure, q_curation_shift, q_session_depth,
+    # q_tpch_q10, q_late_ship_report, q_null_profile, q_gopher_rules,
     # q_ccnet_buckets, q_reservoir_per_source, q_tpch_q5, q_tpch_q18,
-    # q_brand_affinity, q_rfm_segments, q_chunk_windows — each then
-    # r10+r11+r12-green) and take ALL FOURTEEN r12-written
-    # ROTATION_CANDIDATES FIFO (the 7-query TPC-H completion batch,
+    # q_brand_affinity, q_rfm_segments, q_chunk_windows — each
+    # r10+r11+r12-green), so they rotate OUT to the local parity gate
+    # and ALL FOURTEEN r12-written ROTATION_CANDIDATES take their
+    # slots FIFO below (the 7-query TPC-H completion batch,
     # q_quality_classifier, q_semantic_dedup, q_dataset_card,
     # q_sim_topk_pq, q_sim_topk_pq_rerank, q_curation_v5,
     # q_video_phash_dedup), keeping the window at exactly 50 and
@@ -89,26 +89,22 @@ PRIORITY: tuple[str, ...] = (
     # q_video_phash_dedup rows-only (learned cells/codebooks, kernel
     # fingerprints) with rows > 0.
     #
-    # -- the r7/r8 queue (6 remaining) --
-    "q_pii_exposure",
-    "q_curation_shift",
-    "q_session_depth",
-    "q_tpch_q10",
-    "q_late_ship_report",
-    "q_null_profile",
-    # -- the r9 queue (19) --
-    "q_gopher_rules",
-    # q_ccnet_buckets + q_rfm_segments enter the window in the SAME
-    # round their NTILE plans are de-weaked (VERDICT r9 task #2) — the
-    # established de-weak-then-verify pattern (r7: q_lm_perplexity;
-    # r9: q_substring_trim).
-    "q_ccnet_buckets",
-    "q_reservoir_per_source",
-    "q_tpch_q5",
-    "q_tpch_q18",
-    "q_brand_affinity",
-    "q_rfm_segments",
-    "q_chunk_windows",
+    # -- the r12-written queue, in FIFO order (14) --
+    "q_tpch_q4",
+    "q_tpch_q9",
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_quality_classifier",
+    "q_semantic_dedup",  # rows-only by design (KMeans cells; planted tests)
+    "q_dataset_card",
+    "q_sim_topk_pq",  # rows-only by design (seeded-Lloyd codebooks)
+    "q_sim_topk_pq_rerank",  # rows-only by design (same codebooks)
+    "q_curation_v5",
+    "q_video_phash_dedup",  # rows-only by design (perceptual kernel)
+    # -- the r9 queue (1 remaining) --
     "q_first_touch",
     "q_compress_ratio",  # rows-only by design (zlib coding length)
     "q_tpch_q6",
@@ -162,43 +158,12 @@ PRIORITY: tuple[str, ...] = (
 #: r12 rows (tests/test_registry.py's debt ledger enforces
 #: row-or-slot-or-queue for every registered query).
 ROTATION_CANDIDATES: tuple[str, ...] = (
-    # r12 additions, FIFO: the TPC-H completion batch (Q3 and Q14
-    # already exist as q_tpch_q3 / q_promo_revenue, both
-    # driver-green) — late-order EXISTS probe (Q4), product-type
-    # profit (Q9), min-cost supplier over the lineitem-derived
-    # part-supplier catalog (Q2), important part concentration via
-    # scalar-subquery HAVING (Q11), supplier-diversity NOT-IN rollup
-    # (Q16), half-of-shipments nested-subquery filter (Q20),
-    # sole-late-supplier double-correlated EXISTS/NOT-EXISTS (Q21).
-    "q_tpch_q4",
-    "q_tpch_q9",
-    "q_tpch_q2",
-    "q_tpch_q11",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    # the classifier-filter stage of the published pretraining recipes
-    # (hashed-linear quality score, zero-shuffle map job, exact-oracled)
-    "q_quality_classifier",
-    # SemDeDup (Abbas 2023): k-means-scoped near-dup pruning on the
-    # IVF + GEMM + CC kernels (rows-only by design: KMeans cells;
-    # planted duplicate-set + within-cell-recall tests)
-    "q_semantic_dedup",
-    # per-source datasheet rollup (Gebru 2021): volume, language
-    # spread, quality share (classifier folded inline), dup share
-    "q_dataset_card",
-    # product quantization ADC top-k (Jégou 2011) — rows-only by
-    # design (seeded-Lloyd codebooks); recall + coarse-geometry pins
-    "q_sim_topk_pq",
-    # PQ shortlist + exact int64 re-rank (faiss k_factor idiom) —
-    # restores recall 1.0 on the fixture; rows-only (same codebooks)
-    "q_sim_topk_pq_rerank",
-    # v4 + the quality classifier as a final gate (the r12 composed
-    # recipe; exact-oracled against the shared v4 CTE chain)
-    "q_curation_v5",
-    # temporal video fingerprint dedup — the third perceptual leg
-    # (rows-only like its image/audio siblings; planted-family pins)
-    "q_video_phash_dedup",
+    # The r13 rotation drained the 14-entry r12 queue into the window
+    # (VERDICT r12 task #1): at r13-open the queue is EMPTY and every
+    # query registered through r12 holds a driver row. Queries WRITTEN
+    # during r13 enter here (FIFO) and take r14 slots; the standing
+    # rotate-out pool is the r9/r10/r11-queue tail (q_first_touch …)
+    # plus the r13 occupants once they earn their r13 rows.
 )
 
 
