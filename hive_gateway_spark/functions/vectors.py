@@ -52,6 +52,18 @@ def norm2_q(a: str) -> Column:
     return dot_q(a, a)
 
 
+def cos_div(dot: Column, norm2_prod: Column) -> Column:
+    """dot / sqrt(norm2_prod), zero-norm-safe under ANSI division.
+
+    Quantized squared norms are exact integers, so a nonzero product is
+    ≥ 1 and greatest(·, 1.0) is bit-identity there — oracle hashes are
+    unaffected. A zero-norm vector (failed-encoder row: every component
+    quantizes to 0, hence dot = 0 too) scores 0 everywhere instead of
+    raising DIVIDE_BY_ZERO (Spark 4 ANSI) — the same contract as the
+    numpy paths' nrm[nrm==0]=1 guard (ADVICE r12 #1)."""
+    return dot / F.sqrt(F.greatest(norm2_prod, F.lit(1.0)))
+
+
 def cosine_cond(dot: Column, norm2_a: Column, norm2_b: Column, tau: float) -> Column:
     """cos(a,b) >= tau without sqrt/division: dot > 0 AND dot² >= τ²·|a|²·|b|².
 

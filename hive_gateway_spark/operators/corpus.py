@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hive_gateway_spark.operators.text import QC_B, _qc_weight_sql
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
 from hive_gateway_spark.staging import evict, release, stage
@@ -2288,11 +2289,11 @@ def q_curation_v4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                (CAST(list_sum(list_transform(range(1, length(word) + 1),
                     i -> (ord(substr(word, i, 1)) * (i * 131 + 7))
                          % {(1 << 31) - 1})) AS BIGINT)
-                % {(1 << 31) - 1}) % 256 AS b
+                % {(1 << 31) - 1}) % {QC_B} AS b
         FROM w WHERE word <> ''
     ),
     q AS (
-        SELECT doc_id, SUM(((b * 2654435761) % 1001) - 500) AS num,
+        SELECT doc_id, SUM({_qc_weight_sql('b')}) AS num,
                COUNT(*) AS n_tokens
         FROM h GROUP BY doc_id
     ),
@@ -2374,11 +2375,11 @@ _V5_ORACLE = f"""
                (CAST(list_sum(list_transform(range(1, length(word) + 1),
                     i -> (ord(substr(word, i, 1)) * (i * 131 + 7))
                          % {(1 << 31) - 1})) AS BIGINT)
-                % {(1 << 31) - 1}) % 256 AS b
+                % {(1 << 31) - 1}) % {QC_B} AS b
         FROM qcw WHERE word <> ''
     ),
     qcs AS (
-        SELECT doc_id, SUM(((b * 2654435761) % 1001) - 500) AS num
+        SELECT doc_id, SUM({_qc_weight_sql('b')}) AS num
         FROM qch GROUP BY doc_id
     )
     SELECT p.doc_id, p.lang, p.n_tokens, p.logw, p.split, p.shard, p.bin

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from hive_gateway_spark.functions.vectors import (
     DUCK_FLAT_CTE,
     SCALE,
+    cos_div,
     dot_q,
     gemm_pair_block,
     norm2_q,
@@ -587,20 +588,26 @@ def maybe_rebuild_ivf(spark: SparkSession, sf_dir: str, path: str) -> dict:
         # would (a) be under-counted here — a spurious refusal — and
         # (b) worse, a rebuild through the session's _IVF_CACHE would
         # republish the OLD inverted file as version N+1, silently
-        # dropping the appended vectors. Drop both caches and refresh
-        # the path before deciding.
+        # dropping the appended vectors. Drop both caches — SCOPED to
+        # this corpus (ADVICE r12 #2): the IVF cache is keyed on the
+        # embeddings frame's semanticHash, so compute the stale frame's
+        # key BEFORE invalidating the table cache and pop only that
+        # entry; unrelated index paths / sf_dirs keep their checkpoints
+        # and any caller's lazy plans over them stay recomputable.
         from hive_gateway_spark import session as _session
 
-        per_t = _session._TABLE_CACHE.get(spark)
-        if per_t is not None:
-            per_t.pop(sf_dir, None)
         per_i = _IVF_CACHE.get(spark)
         if per_i:
-            evict(per_i, 0)
-        try:
-            spark.catalog.refreshByPath(f"{sf_dir}/embeddings.parquet")
-        except Exception:  # pragma: no cover
-            pass
+            try:
+                stale_key = load_tables(spark, sf_dir)[
+                    "embeddings"
+                ].semanticHash()
+            except Exception:  # pragma: no cover - non-classic session
+                stale_key = None
+            entry = per_i.pop(stale_key, None)
+            if entry is not None:
+                release(entry)
+        _session.invalidate(spark, sf_dir)
         n_table = load_tables(spark, sf_dir)["embeddings"].count()
         n_index = man["n_rows"] // man["ivf_assign"]
         out["corpus_rows"] = n_table
@@ -1318,7 +1325,7 @@ def semantic_dedup(
             "vec_id",
             "v",
             "cell",
-            (F.col("cdot") / F.sqrt(F.col("n2"))).alias("csim"),
+            cos_div(F.col("cdot"), F.col("n2")).alias("csim"),
         ),
         "semdedup.assigned",
     )
@@ -1519,7 +1526,10 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     )
     qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    nrm = np.linalg.norm(Q, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0  # zero-norm guard, same as _pq_codebooks/pq_encode:
+    # a zero embedding must score 0 everywhere, not NaN the whole query out
+    Q /= nrm
     dsub = books.shape[2]
     # per-query ADC tables: dot(query_sub, centroid) per (m, k) —
     # approximate cosine = sum_m table[m, code_m] on unit vectors
@@ -1638,7 +1648,7 @@ def q_sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("nv"),
         F.col("n2").alias("nn2"),
     )
-    sim = dot_q("qv", "nv") / F.sqrt(F.col("qn2") * F.col("nn2"))
+    sim = cos_div(dot_q("qv", "nv"), F.col("qn2") * F.col("nn2"))
     # The probe (shortlist ⋈ query vectors, ≤ MAX_QUERIES·R rows ≈ a few
     # MB) BROADCASTS; the corpus-sized nv streams map-side with no
     # exchange — the small side must always be the build side

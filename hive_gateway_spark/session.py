@@ -160,3 +160,23 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
             df.createOrReplaceTempView(name)
         _VIEW_OWNER[spark] = sf_dir
     return out
+
+
+def invalidate(spark: SparkSession, sf_dir: str) -> None:
+    """Drop the session's cached frames (and temp views) for ``sf_dir``
+    so the next load_tables() re-lists the files — the public way to
+    observe a table that grew after first load (a cached frame pins the
+    FileIndex captured at load time). Scoped: other sf_dirs' cache
+    entries are untouched, so lazy plans over THEIR frames stay valid
+    (ADVICE r12 #2 — the old private-state clear evicted everything).
+    """
+    per_session = _TABLE_CACHE.get(spark)
+    if per_session is not None:
+        per_session.pop(sf_dir, None)
+    if _VIEW_OWNER.get(spark) == sf_dir:
+        del _VIEW_OWNER[spark]
+    for name in TABLES:
+        try:
+            spark.catalog.refreshByPath(f"{sf_dir}/{name}.parquet")
+        except Exception:  # pragma: no cover - path never read yet
+            pass

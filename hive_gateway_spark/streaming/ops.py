@@ -988,21 +988,34 @@ def stream_embed_dedup_screen(
     frozen-model pattern (stream_dsir_score's shape) composing three
     subsystems: the lakehouse ANN artifact (persist_ivf_index), the
     exact int64 cosine kernel, and the streaming ingest path. Per
-    arriving (vec_id, embedding): assign the vector to its primary
-    index cell ENTIRELY IN-ROW (the centroid table is tiny and rides
-    as a literal array — streams cannot run ranking windows), then a
-    stream-static join against ONLY that cell's inverted-file rows
-    scores exact cosine, and matches at ≥ tau emit
-    (vec_id, match_id, cos_sim). A vector with no emitted row is novel
-    — ingest it; a crawler shard drops or routes the matches.
+    arriving (vec_id, embedding): rank the index cells by centroid dot
+    ENTIRELY IN-ROW (the centroid table is tiny and rides as a literal
+    array — streams cannot run ranking windows) and explode the top
+    IVF_PROBES of them, then a stream-static join against ONLY those
+    cells' inverted-file rows scores exact cosine, and matches at
+    ≥ tau emit (vec_id, match_id, cos_sim). A vector with no emitted
+    row is novel — ingest it; a crawler shard drops or routes the
+    matches. Probing matches the batch serve path's IVF_PROBES scope
+    (ADVICE r12 #4 — primary-cell-only missed near-cell-boundary
+    duplicates the batch path catches); one divergence remains: a
+    match assigned to ≥2 probed cells emits up to min(assign, probes)
+    IDENTICAL rows (the batch path dropDuplicates — a stateless
+    append-mode stream cannot), so consumers needing distinct pairs
+    dedup in their sink; screen semantics (any row ⇒ duplicate) are
+    unaffected.
 
     Stateless per micro-batch against the FROZEN index (no watermarks,
     any ingest rate); index maintenance stays the batch jobs
     (append_ivf_index / maybe_rebuild_ivf). The cell scoping bounds
-    each probe to ~1/cells of the index exactly as the batch serve
-    path does — at 100 TB the static side is the cell-partitioned
+    each probe to ~probes/cells of the index exactly as the batch
+    serve path does — at 100 TB the static side is the cell-partitioned
     lakehouse table, loaded once per micro-batch epoch."""
-    from hive_gateway_spark.functions.vectors import dot_q, norm2_q, vec_q
+    from hive_gateway_spark.functions.vectors import (
+        cos_div,
+        dot_q,
+        norm2_q,
+        vec_q,
+    )
     from hive_gateway_spark.sources.dataset_export import read_snapshot
 
     spark = vec_stream.sparkSession
@@ -1012,22 +1025,27 @@ def stream_embed_dedup_screen(
         f"struct({int(r['cell'])} AS cell, array({', '.join(f'CAST({x} AS DOUBLE)' for x in r['center'])}) AS c)"
         for r in sorted(centers, key=lambda r: r["cell"])
     )
-    # primary cell = argmax centroid dot, ties to the LOWEST cell id —
-    # the exact tie-break _cell_ranked uses (orderBy cdot desc, cell asc)
-    best = (
-        f"aggregate(array({rows}), "
-        "struct(CAST(-1 AS INT) AS cell, CAST(-1.0E308 AS DOUBLE) AS d), "
-        "(acc, s) -> CASE WHEN aggregate(zip_with(v, s.c, (x, y) -> CAST(x AS DOUBLE) * y), "
-        "CAST(0 AS DOUBLE), (a2, z) -> a2 + z) > acc.d "
-        "THEN struct(s.cell AS cell, aggregate(zip_with(v, s.c, (x, y) -> CAST(x AS DOUBLE) * y), "
-        "CAST(0 AS DOUBLE), (a2, z) -> a2 + z) AS d) ELSE acc END).cell"
+    # probe cells = top-IVF_PROBES centroid dots, ties to the LOWEST
+    # cell id — the exact ordering the batch serve path's window uses
+    # (orderBy cdot desc, cell asc); array_sort comparator + slice is
+    # the stream-safe spelling of that rank
+    from hive_gateway_spark.operators.similarity import IVF_PROBES
+
+    probe = (
+        f"transform(slice(array_sort(transform(array({rows}), "
+        "s -> struct(s.cell AS cell, "
+        "aggregate(zip_with(v, s.c, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (a2, z) -> a2 + z) AS d)), "
+        "(l, r) -> CASE WHEN l.d > r.d THEN -1 WHEN l.d < r.d THEN 1 "
+        "WHEN l.cell < r.cell THEN -1 WHEN l.cell > r.cell THEN 1 "
+        f"ELSE 0 END), 1, {IVF_PROBES}), s -> s.cell)"
     )
     q = (
         vec_stream.select(
             "vec_id", vec_q("embedding").alias("v")
         )
         .withColumn("n2", norm2_q("v"))
-        .withColumn("cell", F.expr(best))
+        .withColumn("cell", F.explode(F.expr(probe)))
     )
     inv = read_snapshot(spark, f"{index_path}/invfile").select(
         F.col("neighbor_id").alias("match_id"),
@@ -1035,7 +1053,7 @@ def stream_embed_dedup_screen(
         "vb",
         "nb",
     )
-    sim = dot_q("v", "vb") / F.sqrt(F.col("n2") * F.col("nb"))
+    sim = cos_div(dot_q("v", "vb"), F.col("n2") * F.col("nb"))
     return (
         q.join(inv, F.col("i_cell") == F.col("cell"))
         .filter(F.col("vec_id") != F.col("match_id"))

@@ -503,7 +503,20 @@ def test_maybe_rebuild_ivf_fires_and_improves(spark, tmp_path):
         )
 
     maint = spark.newSession()
+    # Scoped invalidation pin (ADVICE r12 #2): the rebuild must drop
+    # only THIS corpus's _IVF_CACHE entry — an unrelated index's cache
+    # entry (different key) in the same session survives, so lazy
+    # plans over it stay recomputable.
+    from hive_gateway_spark.session import load_tables as _lt
+
+    stale_key = _lt(maint, sfd)["embeddings"].semanticHash()
+    per_i = sim._IVF_CACHE.setdefault(maint, {})
+    sentinel = ("unrelated-index-sentinel",)
+    per_i["other-corpus"] = sentinel
+    per_i[stale_key] = ("stale-entry",)
     fired = sim.maybe_rebuild_ivf(maint, sfd, idx)
+    assert per_i.get("other-corpus") is sentinel
+    assert per_i.get(stale_key) != ("stale-entry",)
     assert fired["rebuilt"] is True
     assert fired["max_imbalance"] > sim.IVF_REBUILD_IMBALANCE
     # the rebuild retrained on the CURRENT (grown) corpus...
@@ -875,3 +888,54 @@ def test_pq_rerank_restores_exact_recall(spark, sf_dir):
     for pair, s in rsim.items():
         if pair in esim:
             assert s == esim[pair], pair
+
+
+def test_pq_zero_norm_query_survives(spark, tmp_path):
+    """A zero embedding at a query-stride id must not NaN out of the
+    ADC path (ADVICE r12 #1): the guard pins its sims to 0 everywhere,
+    so the query still emits TOP_K rows with finite scores instead of
+    silently vanishing from q_sim_topk_pq while q_sim_topk emits it."""
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark import registry
+    from hive_gateway_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n, dim = 600, 16
+    vecs = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    vecs[0] = 0.0  # vec_id 0 is a query id (0 % QUERY_STRIDE == 0)
+    sfd = str(tmp_path / "sf_zero")
+    ddir = os.path.join(sfd, "embeddings.parquet")
+    os.makedirs(ddir)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                "label": pa.array(
+                    np.zeros(n, dtype=np.int32), pa.int32()
+                ),
+            }
+        ),
+        os.path.join(ddir, "part-00.parquet"),
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(
+            os.path.join("/root/testdata/sf0.001", f"{name}.parquet"),
+            os.path.join(sfd, f"{name}.parquet"),
+        )
+    s = spark.newSession()
+    rows = registry.QUERIES["q_sim_topk_pq"](s, sfd).collect()
+    zero_rows = [r for r in rows if r["query_id"] == 0]
+    assert len(zero_rows) == sim.TOP_K
+    assert all(math.isfinite(r["adc_sim"]) for r in zero_rows)
+    # and the rerank path keeps it too (same guard upstream)
+    rr = registry.QUERIES["q_sim_topk_pq_rerank"](s, sfd).collect()
+    assert any(r["query_id"] == 0 for r in rr)
