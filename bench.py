@@ -219,6 +219,12 @@ HEADLINE_R12 = [
     "q_video_phash_dedup",
 ]
 
+HEADLINE_R13 = [
+    "q_sim_topk_ivfpq",
+    "q_curation_v5_funnel",
+    "q_sim_range_search",
+]
+
 
 #: Regression gate (VERDICT r6 task #6): warm ratio vs the previous
 #: round's recorded bench above which the run FAILS (rc != 0), so a perf
@@ -398,6 +404,30 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     registry.load_all()
     spark = get_spark("hive-gateway-spark-bench")
+
+    # Serve-posture ANN setup (VERDICT r12 task #3): publish the IVF
+    # index ONCE outside the timed region and point the session at it,
+    # so every IVF consumer's cold number measures SERVING (load the
+    # lakehouse artifact + probe) instead of silently re-paying the
+    # O(N·cells·dim) training — at 100 TB the build is a scheduled
+    # cluster job, never part of query latency. Warm numbers are
+    # unchanged (session cache hits either way).
+    import tempfile
+
+    from hive_gateway_spark.operators.similarity import persist_ivf_index
+
+    ann_idx = os.path.join(tempfile.mkdtemp(prefix="bench_ann_"), "index")
+    persist_ivf_index(spark, sf_dir, ann_idx)
+    spark.conf.set("hive_gateway.ann.index_path", ann_idx)
+    # the publish leaves the trained index in the session cache — drop
+    # it so the first IVF consumer pays the real serve path (load the
+    # partitioned artifact), not a RAM hit the driver would never see
+    from hive_gateway_spark.operators.similarity import _IVF_CACHE
+    from hive_gateway_spark.staging import evict as _evict
+
+    _per_ivf = _IVF_CACHE.get(spark)
+    if _per_ivf:
+        _evict(_per_ivf, 0)
 
     import gc
 

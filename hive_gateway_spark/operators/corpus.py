@@ -2415,6 +2415,21 @@ def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest-sized semi join — no new corpus pass (the oracle scores
     all docs only because SQL has no lazy evaluation; values agree
     wherever both score)."""
+    manifest = _v4_state(spark, sf_dir)["manifest"]
+    passing = _v5_passing(spark, sf_dir, manifest.select("doc_id"))
+    return manifest.join(F.broadcast(passing), "doc_id", "left_semi")
+
+
+def _v5_passing(
+    spark: SparkSession, sf_dir: str, sel_ids: DataFrame
+) -> DataFrame:
+    """doc_ids among ``sel_ids`` the quality classifier scores positive
+    — q_curation_v5's gate, shared with the v5 funnel so the two
+    registered consumers cannot drift. Scores ONLY the given ids: the
+    id set (DSIR top — a bounded dimension) broadcasts into the corpus
+    scan, the classifier folds in-row over the survivors, and the
+    selection-sized passing set is what returns. Never a corpus-sized
+    build side."""
     from hive_gateway_spark.operators.text import quality_exprs
 
     t = load_tables(spark, sf_dir)
@@ -2424,17 +2439,87 @@ def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(planted)
     n_tok, num = quality_exprs()
-    manifest = _v4_state(spark, sf_dir)["manifest"]
-    # score ONLY the selected docs: the manifest id set (DSIR top — a
-    # bounded dimension) broadcasts into the corpus scan, the
-    # classifier folds in-row over the survivors, and the
-    # selection-sized passing set broadcasts back. Never a
-    # corpus-sized build side.
-    sel_ids = manifest.select("doc_id")
-    passing = (
+    return (
         corpus.join(F.broadcast(sel_ids), "doc_id", "left_semi")
         .select("doc_id", num.alias("__num"), n_tok.alias("__nt"))
         .filter((F.col("__nt") > 0) & (F.col("__num") > 0))
         .select("doc_id")
     )
-    return manifest.join(F.broadcast(passing), "doc_id", "left_semi")
+
+
+_V5_FUNNEL_ORACLE = f"""
+    WITH {{ctes}},
+    qcw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM v4corpus
+    ),
+    qch AS (
+        SELECT doc_id,
+               (CAST(list_sum(list_transform(range(1, length(word) + 1),
+                    i -> (ord(substr(word, i, 1)) * (i * 131 + 7))
+                         % {(1 << 31) - 1})) AS BIGINT)
+                % {(1 << 31) - 1}) % {QC_B} AS b
+        FROM qcw WHERE word <> ''
+    ),
+    qcs AS (
+        SELECT doc_id, SUM({_qc_weight_sql('b')}) AS num
+        FROM qch GROUP BY doc_id
+    )
+    SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT v.doc_id,
+               CASE WHEN gok.doc_id IS NULL THEN 'gopher_fail'
+                    WHEN v.doc_id % {_V4_BENCH_MOD} = 0 THEN 'benchmark'
+                    WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                    WHEN tl.doc_id IS NOT NULL THEN 'ppl_tail'
+                    WHEN nw.doc_id IS NULL THEN 'norm_dup'
+                    WHEN sd.doc_id IS NOT NULL THEN 'span_dup'
+                    WHEN sl.doc_id IS NULL THEN 'not_selected'
+                    WHEN COALESCE(q.num, 0) <= 0 THEN 'quality_fail'
+                    ELSE 'selected' END AS decision
+        FROM v4corpus v
+        LEFT JOIN gok ON gok.doc_id = v.doc_id
+        LEFT JOIN contam ct ON ct.doc_id = v.doc_id
+        LEFT JOIN tailt tl ON tl.doc_id = v.doc_id
+        LEFT JOIN (SELECT doc_id FROM nwin) nw ON nw.doc_id = v.doc_id
+        LEFT JOIN sdrop sd ON sd.doc_id = v.doc_id
+        LEFT JOIN (SELECT doc_id FROM sel) sl ON sl.doc_id = v.doc_id
+        LEFT JOIN qcs q ON q.doc_id = v.doc_id
+    )
+    GROUP BY decision
+"""
+
+
+@query(
+    "q_curation_v5_funnel",
+    oracle=_V5_FUNNEL_ORACLE.format(ctes=_v4_oracle_ctes()),
+)
+def q_curation_v5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v5 pipeline's survivorship funnel (VERDICT r12 task #5):
+    q_curation_v4_funnel's per-doc first-drop attribution with the
+    classifier gate's exit attributed too — a v4-selected doc the
+    quality classifier scores non-positive lands in 'quality_fail';
+    everything upstream keeps its v4 attribution verbatim (the gate
+    runs LAST, so it can only split the 'selected' bucket). Composed
+    from the same staged v4 decision frame and the same shared
+    _v5_passing gate q_curation_v5 filters with, so manifest and
+    funnel cannot disagree (equality pinned in tests/test_corpus.py).
+
+    Scale shape: the v4 funnel's aggregate plus one broadcast of the
+    selection-sized passing set — no new corpus pass."""
+    dec = _v4_state(spark, sf_dir)["decisions"]
+    sel_ids = dec.filter(F.col("decision") == "selected").select("doc_id")
+    passing = _v5_passing(spark, sf_dir, sel_ids)
+    dec5 = dec.join(
+        F.broadcast(passing.withColumn("qp", F.lit(True))), "doc_id", "left"
+    ).select(
+        F.when(
+            (F.col("decision") == "selected") & F.col("qp").isNull(),
+            "quality_fail",
+        )
+        .otherwise(F.col("decision"))
+        .alias("decision")
+    )
+    return dec5.groupBy("decision").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

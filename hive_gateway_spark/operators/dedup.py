@@ -12,6 +12,7 @@ both are here with deterministic seeds.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
@@ -2074,13 +2075,22 @@ def dedup_normalized(
     (ADVICE r11 #1).
 
     Determinism: the normalization is the exact q_text_normalize
-    expression (same regexes both engines); grouping and the canonical
-    election are integer-exact.
+    expression (same regexes both engines); the dedup KEY is
+    sha2-256 OF the normalized form — both engines group on the
+    digest, so the contract is engine-identical by construction (and
+    sha256 equality IS identity for any real corpus: 2⁻¹²⁸).
 
-    Scale shape: one shuffle on the normalized-text key (at 100 TB:
-    sha2 of the normalized form — q_dedup_exact's note, same plan),
-    HAVING shrinks to dup groups only, and the member join keys on the
-    same normalized hash the aggregate just shuffled on."""
+    Scale shape (de-weaked r13 — the r12 sf1 point was the
+    portfolio's one super-linear query at 10.42×): ONE normalization
+    pass (the regex over full text is the dominant CPU cost — the old
+    agg+member-join plan paid it twice, once per join side), then the
+    shuffle carries only (digest, doc_id, lang) ≈ 80 B/row regardless
+    of document size — never the normalized text — into a single
+    window that elects the canonical and counts copies in one
+    exchange. Measured sf1 warm: 9.0 s → 2.2 s, 10×-data ratio
+    10.4× → 7.0×. A hot digest (billions of byte-identical docs)
+    bounds one partition at its group size — the same reducer hot key
+    the agg had, with 100× less data behind it."""
     t = load_tables(spark, sf_dir)
     docs_aug = t["documents"].select("doc_id", "lang", "text", "n_chars")
     if extra_docs is not None:
@@ -2092,18 +2102,19 @@ def dedup_normalized(
             " ",
         )
     )
-    n = docs_aug.select("doc_id", "lang", "n_chars", norm.alias("norm"))
-    g = (
-        n.groupBy("norm")
-        .agg(F.min("doc_id").alias("canonical"), F.count("*").alias("n_copies"))
+    n = docs_aug.select("doc_id", "lang", F.sha2(norm, 256).alias("k"))
+    w = Window.partitionBy("k")
+    return (
+        n.withColumn("canonical", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count("*").over(w))
         .filter(F.col("n_copies") > 1)
-    )
-    return n.join(g, "norm").select(
-        "doc_id",
-        "canonical",
-        "n_copies",
-        "lang",
-        (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
+        .select(
+            "doc_id",
+            "canonical",
+            "n_copies",
+            "lang",
+            (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
+        )
     )
 
 
@@ -2117,18 +2128,18 @@ def dedup_normalized(
              AS v(doc_id, lang, text, n_chars)
     ),
     n AS (
-        SELECT doc_id, lang, n_chars,
-               trim(regexp_replace(regexp_replace(upper(text),
-                    '[^A-Z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        SELECT doc_id, lang,
+               sha256(trim(regexp_replace(regexp_replace(upper(text),
+                    '[^A-Z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS k
         FROM docs_aug
     ),
     g AS (
-        SELECT norm, MIN(doc_id) AS canonical, COUNT(*) AS n_copies
-        FROM n GROUP BY norm HAVING COUNT(*) > 1
+        SELECT k, MIN(doc_id) AS canonical, COUNT(*) AS n_copies
+        FROM n GROUP BY k HAVING COUNT(*) > 1
     )
     SELECT n.doc_id, g.canonical, g.n_copies, n.lang,
            (n.doc_id = g.canonical) AS is_canonical
-    FROM n JOIN g USING (norm)
+    FROM n JOIN g USING (k)
     """,
 )
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:

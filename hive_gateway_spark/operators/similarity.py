@@ -66,13 +66,40 @@ TOP_K = 5
 _REPARTITION_MIN_ROWS = 10_000
 
 
+#: session → {embeddings semanticHash: (emb, quantized frame)} — the
+#: int64 staging is consumed by every exact/ANN query in the family;
+#: above the repartition threshold it is also CHECKPOINTED so a warm
+#: session pays the 64-wide quantization transform once, not per query
+#: (the r13 1M profile charged ~15 s of every "warm" exact/rerank call
+#: to re-projecting the same corpus). Below the threshold the plan is
+#: returned un-materialized, keeping fixture-scale plan assertions and
+#: pushdown shapes exactly as before.
+_QUANT_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def _quantized(t) -> DataFrame:
     e = t["embeddings"]
+    spark = e.sparkSession
+    per = _QUANT_CACHE.setdefault(spark, {})
+    try:
+        key = e.semanticHash()
+    except Exception:  # pragma: no cover - non-classic session
+        key = id(e)
+    hit = per.get(key)
+    if hit is not None:
+        prev_e, out = hit
+        try:
+            if e.sameSemantics(prev_e):
+                return out
+        except Exception:  # pragma: no cover
+            pass
     out = e.select("vec_id", "label", vec_q("embedding").alias("v"))
     # parquet row count is metadata — one cheap job per (session, dir)
     if e.count() > _REPARTITION_MIN_ROWS:
-        width = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        out = out.repartition(width, "vec_id")
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        out = out.repartition(width, "vec_id").localCheckpoint()
+        evict(per)
+        per[key] = (e, out)
     return out
 
 
@@ -1456,14 +1483,40 @@ def _pq_codebooks(spark: SparkSession, t):
     return books
 
 
+#: session → {embeddings semanticHash: (emb, checkpointed codes frame)}.
+#: EXPLICIT input-keyed cache, NOT a stage() slot: a mapInPandas plan
+#: embeds a fresh broadcast/closure per call, so its semanticHash
+#: differs every time and a plan-hash slot ALWAYS misses — measured at
+#: the 1M smoke as a full 27 s re-encode inside every "warm" ADC query
+#: (r13; the same reason _ivf_index and _PQ_CACHE key on the INPUT).
+_PQ_CODES_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, codes array<int>) — each vector's PQ_M codes against
     the session codebooks. Arrow-batched mapInPandas: normalize,
-    reshape to (n, m, dsub), one argmin per subspace per batch."""
+    reshape to (n, m, dsub), one argmin per subspace per batch.
+    Encoded ONCE per (session, corpus): the checkpointed codes table
+    is the compressed-corpus artifact (PQ_M bytes per vector), served
+    to every ADC consumer from the input-keyed session cache."""
     import numpy as np
     import pandas as pd
 
     t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    per = _PQ_CODES_CACHE.setdefault(spark, {})
+    try:
+        key = emb.semanticHash()
+    except Exception:  # pragma: no cover - non-classic session
+        key = id(emb)
+    hit = per.get(key)
+    if hit is not None:
+        prev_emb, codes = hit
+        try:
+            if emb.sameSemantics(prev_emb):
+                return codes
+        except Exception:  # pragma: no cover
+            pass
     books = _pq_codebooks(spark, t)
     bc = spark.sparkContext.broadcast(books)
     dsub = books.shape[2]
@@ -1493,16 +1546,14 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    # The codes table IS the compressed-corpus artifact (PQ_M bytes per
-    # vector) — stage it so the session's ADC consumers (plain top-k +
-    # rerank, cold + warm bench runs) encode once, the same build-once
-    # discipline as the IVF inverted file.
-    return stage(
-        t["embeddings"]
-        .select("vec_id", "embedding")
-        .mapInPandas(encode, "vec_id bigint, codes array<int>"),
-        "pq.codes",
+    out = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(encode, "vec_id bigint, codes array<int>")
+        .localCheckpoint()
     )
+    evict(per)
+    per[key] = (emb, out)
+    return out
 
 
 def _pq_adc_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
@@ -1532,8 +1583,13 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     Q /= nrm
     dsub = books.shape[2]
     # per-query ADC tables: dot(query_sub, centroid) per (m, k) —
-    # approximate cosine = sum_m table[m, code_m] on unit vectors
-    tables = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, dsub), books)
+    # approximate cosine = sum_m table[m, code_m] on unit vectors.
+    # float32: table entries are O(1) and ADC sums 8 of them — a
+    # ranking heuristic, not the served similarity — and halving the
+    # gather traffic matters (see _adc_accumulate).
+    tables = np.einsum(
+        "qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, dsub), books
+    ).astype(np.float32)
     bc = spark.sparkContext.broadcast((qids, tables))
 
     def score(batches):
@@ -1543,29 +1599,66 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
                 continue
             ids = pdf["vec_id"].to_numpy(np.int64)
             codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
-            # (q, n): gather each subspace's table column by code
-            sim = np.zeros((len(qids), len(ids)))
-            for m in range(PQ_M):
-                sim += tables[:, m, :][:, codes[:, m]]
+            sim = _adc_accumulate(tables, codes)
             sim[qids[:, None] == ids[None, :]] = -np.inf  # self-pairs out
-            take = min(k, sim.shape[1])
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(qids)):
-                order = np.lexsort((ids, -sim[qi]))[:take]
-                keep = sim[qi][order] > -np.inf
-                out_q.append(np.full(keep.sum(), qids[qi]))
-                out_n.append(ids[order][keep])
-                out_s.append(sim[qi][order][keep])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "adc_sim": np.concatenate(out_s),
-                }
-            )
+            yield _adc_local_topk(qids, ids, sim, k)
 
     return pq_encode(spark, sf_dir).mapInPandas(
         score, "query_id bigint, neighbor_id bigint, adc_sim double"
+    )
+
+
+def _adc_accumulate(tables, codes):
+    """sim (nq, rows) = Σ_m tables[:, m, codes[:, m]] — the ADC inner
+    loop, swept in ROW CHUNKS so each per-m gather output is a few MB
+    (cache-resident) instead of an (nq × rows) float64 re-traversed
+    PQ_M times from DRAM (the r13 1M profile charged ~10 GB of memory
+    traffic per batch to the unchunked form)."""
+    import numpy as np
+
+    nq, rows = tables.shape[0], codes.shape[0]
+    sim = np.empty((nq, rows), dtype=np.float32)
+    step = max(1, (4 << 20) // max(nq * 4, 1))  # ~4 MB per gather slab
+    for lo in range(0, rows, step):
+        hi = min(lo + step, rows)
+        acc = tables[:, 0, :][:, codes[lo:hi, 0]]
+        for m in range(1, PQ_M):
+            acc += tables[:, m, :][:, codes[lo:hi, m]]
+        sim[:, lo:hi] = acc
+    return sim
+
+
+def _adc_local_topk(qids, ids, sim, k):
+    """Per-batch local top-k over the ADC scores, vectorized: ONE
+    argpartition across all queries selects the candidate columns,
+    then a tiny in-candidate lexsort (sim desc, id asc) orders them.
+    Boundary ties (exactly equal ADC sums at the k-th place) may admit
+    either member — acceptable for a shortlist the exact kernel
+    re-ranks (and the plain ADC query's row count stays k per query
+    regardless)."""
+    import numpy as np
+    import pandas as pd
+
+    nq, rows = sim.shape
+    take = min(k, rows)
+    if take < rows:
+        part = np.argpartition(-sim, take - 1, axis=1)[:, :take]
+    else:
+        part = np.broadcast_to(np.arange(rows), (nq, rows)).copy()
+    psim = np.take_along_axis(sim, part, axis=1)
+    pids = ids[part]
+    # order each query's candidates: sim desc, neighbor_id asc
+    order = np.lexsort((pids, -psim), axis=1)
+    psim = np.take_along_axis(psim, order, axis=1)
+    pids = np.take_along_axis(pids, order, axis=1)
+    keep = psim > -np.inf
+    qcol = np.repeat(qids, take).reshape(nq, take)
+    return pd.DataFrame(
+        {
+            "query_id": qcol[keep],
+            "neighbor_id": pids[keep],
+            "adc_sim": psim[keep].astype(np.float64),
+        }
     )
 
 
@@ -1665,4 +1758,299 @@ def q_sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescored.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+#: session → {embeddings semanticHash: (emb, checkpointed cell-codes)}.
+#: Input-keyed for the same reason as _PQ_CODES_CACHE: the upstream
+#: codes frame is a fresh LogicalRDD per cache rebuild, so a stage()
+#: slot can never hit across calls.
+_IVFPQ_CC_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _ivfpq_cell_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFPQ artifact: PQ codes RESIDENT IN the inverted lists —
+    (cell, neighbor_id, codes), one row per (vector, assigned cell),
+    exactly how faiss IVFPQ lays out storage (codes live inside the
+    inverted file, so a probe reads nothing but its cells' code
+    blocks). Built once per (session, corpus) from the two existing
+    artifacts (inverted file × code table) and checkpointed; at
+    100 TB this is a lakehouse table hive-partitioned by cell like
+    the inverted file itself, and the join below is the one-off
+    index-build job."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    per = _IVFPQ_CC_CACHE.setdefault(spark, {})
+    try:
+        key = emb.semanticHash()
+    except Exception:  # pragma: no cover - non-classic session
+        key = id(emb)
+    hit = per.get(key)
+    if hit is not None:
+        prev_emb, cc = hit
+        try:
+            if emb.sameSemantics(prev_emb):
+                return cc
+        except Exception:  # pragma: no cover
+            pass
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    _, inv_file = _ivf_index(spark, t, e)
+    codes = pq_encode(spark, sf_dir)
+    out = (
+        inv_file.select("neighbor_id", "cell")
+        .join(codes, F.col("vec_id") == F.col("neighbor_id"))
+        .select("cell", "neighbor_id", "codes")
+        .localCheckpoint()
+    )
+    evict(per)
+    per[key] = (emb, out)
+    return out
+
+
+#: IVFPQ shortlist depth (faiss k_factor): deeper than the full-scan
+#: rerank's 50 because ADC misranking is the ONLY recall loss left
+#: once cells bound the candidates — measured on the weakly-clustered
+#: sf0.1 fixture: R=50 → 0.77, R=100 → 0.82, R=200 → 0.86 = the IVF
+#: cell ceiling at identical probe geometry (recall can't exceed what
+#: the probed cells contain). Cost stays trivial: the exact pass
+#: touches Q·R rows (≤ 51k at MAX_QUERIES), never the corpus.
+IVFPQ_RERANK_R = 200
+
+
+@query("q_sim_topk_ivfpq")  # rows-only: learned cells + codebooks
+def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ top-k — the faiss IVFADC serving shape (Jégou 2011
+    §IV) and the missing rung between "PQ is the RAM lever"
+    (q_sim_topk_pq scans ALL codes) and "IVF prunes the scan"
+    (q_sim_topk_ivf reads full-precision vectors): ADC-score ONLY the
+    probed cells' code blocks, keep a per-query shortlist, then exact
+    int64 re-rank restores fine ranking. Per query the work is
+    probes/cells of the corpus in 8-byte codes + R full-precision
+    rows — at a billion vectors that is the only shape whose scan fits
+    both RAM and latency budgets.
+
+    Plan: cell probing reuses q_sim_topk_ivf's exact arithmetic and
+    tie-break (quantized query · centroid, desc, cell asc — bounded
+    collect); the probed cells' code blocks stream through ONE
+    mapInPandas with per-cell query ADC tables broadcast (table
+    lookups + sums, no full-dim math); multi-assignment duplicates
+    drop exactly as the IVF path does; the ≤ Q·R shortlist broadcasts
+    against the corpus for the exact re-rank (map-side, no exchange on
+    the big side — the q_sim_topk_pq_rerank tail). On the persisted
+    lakehouse index the cell filter is hive partition pruning: a probe
+    opens ≈ probes/cells of the code files and nothing else.
+
+    Rows-only by declared design (learned KMeans cells + seeded-Lloyd
+    codebooks); recall vs the exact top-k and bit-identity of
+    overlapping sims are pinned in tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    centers, _ = _ivf_index(spark, t, e)
+    books = _pq_codebooks(spark, t)
+
+    # -- probe assignment: identical arithmetic/tie-break to q_sim_topk_ivf
+    queries = e.filter(
+        (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < QUERY_ID_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq"))
+    cdot = F.expr(
+        "aggregate(zip_with(vq, center, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
+    probed = (
+        queries.join(F.broadcast(centers))
+        .select("query_id", "cell", cdot.alias("cdot"))
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= IVF_PROBES)
+        .select("query_id", "cell")
+        .collect()  # bounded: ≤ MAX_QUERIES · IVF_PROBES rows
+    )
+
+    # -- per-query ADC tables from the raw float embeddings (the same
+    # normalize → subspace-dot construction as _pq_adc_scored, same
+    # zero-norm guard), sliced into per-cell blocks for the broadcast
+    q_rows = (
+        t["embeddings"]
+        .filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("vec_id") < QUERY_ID_CAP)
+        )
+        .select("vec_id", "embedding")
+        .collect()  # bounded: ≤ MAX_QUERIES rows
+    )
+    qids_all = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    nrm = np.linalg.norm(Q, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Q /= nrm
+    dsub = books.shape[2]
+    tables = np.einsum(
+        "qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, dsub), books
+    ).astype(np.float32)
+    row_of = {int(q): i for i, q in enumerate(qids_all)}
+    by_cell: dict[int, list] = {}
+    for r in probed:
+        by_cell.setdefault(int(r["cell"]), []).append(row_of[int(r["query_id"])])
+    cell_q = {
+        c: (qids_all[ix], tables[ix]) for c, ix in by_cell.items()
+    }
+    bc = spark.sparkContext.broadcast(cell_q)
+    r_short = IVFPQ_RERANK_R
+
+    def score_cells(batches):
+        cq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for c, grp in pdf.groupby("cell"):
+                block = cq.get(int(c))
+                if block is None:
+                    continue
+                qids, tabs = block
+                ids = grp["neighbor_id"].to_numpy(np.int64)
+                codes = np.asarray(grp["codes"].tolist(), dtype=np.int64)
+                sim = _adc_accumulate(tabs, codes)
+                sim[qids[:, None] == ids[None, :]] = -np.inf
+                yield _adc_local_topk(qids, ids, sim, r_short)
+
+    probed_cells = sorted(by_cell)
+    cand = (
+        _ivfpq_cell_codes(spark, sf_dir)
+        .where(F.col("cell").isin(probed_cells))
+        .mapInPandas(
+            score_cells, "query_id bigint, neighbor_id bigint, adc_sim double"
+        )
+        # multi-assignment: the same (query, neighbor) can meet in up
+        # to min(assign, probes) cells with identical ADC sim
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= r_short)
+        .select("query_id", "neighbor_id")
+    )
+    # -- exact re-rank: the q_sim_topk_pq_rerank tail verbatim (probe
+    # broadcasts, corpus streams map-side, int64 kernel, ANSI-safe div)
+    qv = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    ).filter(
+        (F.col("q_id") % QUERY_STRIDE == 0) & (F.col("q_id") < QUERY_ID_CAP)
+    )
+    nv = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("nv"),
+        F.col("n2").alias("nn2"),
+    )
+    sim = cos_div(dot_q("qv", "nv"), F.col("qn2") * F.col("nn2"))
+    probe = shortlist.join(F.broadcast(qv), F.col("q_id") == F.col("query_id"))
+    rescored = nv.join(
+        F.broadcast(probe), F.col("n_id") == F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", sim.alias("sim"))
+    wk = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+@query(
+    "q_sim_range_search",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    q AS (SELECT * FROM v
+          WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}),
+    dots AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM(q.val * b.val) AS DOUBLE) AS dot
+        FROM q JOIN v b ON q.pos = b.pos AND q.vec_id <> b.vec_id
+        GROUP BY q.vec_id, b.vec_id
+    )
+    SELECT d.query_id, d.neighbor_id,
+           ROUND(d.dot / sqrt(nq.norm2 * nb.norm2), 4) AS cos_sim
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.neighbor_id
+    WHERE d.dot > 0
+      AND d.dot * d.dot >= {PAIR_TAU * PAIR_TAU} * nq.norm2 * nb.norm2
+    """,
+)
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the faiss ``range_search`` analog and
+    the third query mode of the similarity family next to top-k
+    (q_sim_topk) and all-pairs (q_sim_cosine_pairs): for each query in
+    the bounded block, EVERY corpus vector with cosine ≥ τ, however
+    many or few that is. The mode a dedup screen or a recall-oriented
+    retrieval layer wants when "the k best" is the wrong contract
+    (near-dup sets have no fixed size).
+
+    Plan shape: the bounded query block broadcasts; the corpus streams
+    through one mapInPandas int64-GEMM batch kernel; the threshold
+    decision is the sqrt/division-free integer form (dot > 0 AND
+    dot² ≥ τ²·|q|²·|b|² — float64 over exact < 2⁵³ integers, identical
+    in the oracle), and only qualifying pairs leave the executor —
+    per batch the emitted rows are the hits, never Q·batch. No
+    shuffle, no window: range search has no rank to merge. At 100 TB
+    the same kernel runs per probed IVF cell (compose with _ivf_index
+    exactly as q_sim_topk_ivf does for top-k).
+
+    Determinism: exact integer dots; sim = dot/sqrt(nq·nb) in IEEE
+    float64 from exact integers — bit-identical to the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    q_rows = (
+        e.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("vec_id") < QUERY_ID_CAP)
+        )
+        .select("vec_id", "v", "n2")
+        .collect()  # bounded: ≤ MAX_QUERIES rows by construction
+    )
+    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["v"] for r in q_rows], dtype=np.int64)
+    qn = np.asarray([r["n2"] for r in q_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, Q, qn))
+    tau2 = PAIR_TAU * PAIR_TAU
+
+    def score(batches):
+        qids, Q, qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            X = np.asarray(pdf["v"].tolist(), dtype=np.int64)
+            n2 = pdf["n2"].to_numpy(np.float64)
+            dot = (Q @ X.T).astype(np.float64)
+            hit = (
+                (dot > 0)
+                & (dot * dot >= tau2 * qn[:, None] * n2[None, :])
+                & (qids[:, None] != ids[None, :])
+            )
+            qi, ni = np.nonzero(hit)
+            if len(qi) == 0:
+                continue
+            sims = dot[qi, ni] / np.sqrt(qn[qi] * n2[ni])
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi],
+                    "neighbor_id": ids[ni],
+                    "cos_sim": np.round(sims, 4),
+                }
+            )
+
+    return e.select("vec_id", "v", "n2").mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, cos_sim double"
     )

@@ -164,6 +164,21 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # during r13 enter here (FIFO) and take r14 slots; the standing
     # rotate-out pool is the r9/r10/r11-queue tail (q_first_touch …)
     # plus the r13 occupants once they earn their r13 rows.
+    #
+    # r13 additions, FIFO:
+    # IVF × PQ composition (faiss IVFADC, Jégou 2011 §IV): ADC over
+    # ONLY the probed cells' code blocks + exact re-rank — rows-only
+    # by design (learned cells + codebooks); recall/bit-identity pins
+    # in tests/test_similarity.py (VERDICT r12 task #2)
+    "q_sim_topk_ivfpq",
+    # v5 survivorship funnel: v4's first-drop attribution with the
+    # classifier-gate exit ('quality_fail') split out of 'selected';
+    # exact-oracled over the shared v4 CTE chain + qcs classifier CTE
+    "q_curation_v5_funnel",
+    # radius (range) search — the faiss range_search analog, third
+    # similarity query mode; exact DuckDB oracle (int64-GEMM kernel,
+    # sqrt-free threshold, bounded query broadcast)
+    "q_sim_range_search",
 )
 
 

@@ -160,6 +160,7 @@ def run(sf1_dir: str) -> None:
     names = list(bench.HEADLINE)
     for attr in sorted(a for a in dir(bench) if a.startswith("HEADLINE_R")):
         names += getattr(bench, attr)
+    names = list(dict.fromkeys(names))  # a name in two blocks runs once
     only = os.environ.get("SF1_ONLY", "")
     if only:  # delta runs: measure just the named queries
         pick = set(only.split(","))
@@ -195,10 +196,33 @@ def run(sf1_dir: str) -> None:
     spark.stop()
 
 
+def merge(base_path: str, delta_path: str) -> None:
+    """Fold an SF1_ONLY delta artifact into a full one and RECOMPUTE
+    every summary field from the merged queries dict (VERDICT r12
+    "What's missing" #2: the r12 hand-merge left n_queries/median
+    describing the pre-merge subset). Prints the merged artifact."""
+    with open(base_path) as f:
+        doc = json.load(f)
+    with open(delta_path) as f:
+        delta = json.load(f)
+    doc["queries"].update(delta["queries"])
+    doc["n_queries"] = len(doc["queries"])
+    doc["median_ratio"] = round(
+        float(np.median([r["ratio"] for r in doc["queries"].values()])), 2
+    )
+    doc["flagged_superlinear"] = {
+        n: r["ratio"] for n, r in doc["queries"].items() if r.get("flag")
+    }
+    print(json.dumps(doc))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
-    out = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_OUT
-    if mode == "gen":
-        gen(out)
+    if mode == "merge":
+        merge(sys.argv[2], sys.argv[3])
     else:
-        run(out)
+        out = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_OUT
+        if mode == "gen":
+            gen(out)
+        else:
+            run(out)

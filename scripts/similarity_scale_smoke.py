@@ -10,6 +10,8 @@ through the three ANN paths at local[32]:
   q_sim_topk_lsh       — 16×6-bit hyperplane buckets
   q_sim_topk_pq        — 8×256 product-quantization codes, ADC scan
   q_sim_topk_pq_rerank — ADC top-50 shortlist + exact int64 re-rank
+  q_sim_topk_ivfpq     — faiss IVFADC: ADC over probed cells' codes only,
+                         top-200 shortlist + exact int64 re-rank
 
 and reports wall-clock, result sizes, and per-path recall vs the exact
 top-k. The corpus lands in a temp sf-dir (other fixture tables are
@@ -98,6 +100,7 @@ def main() -> None:
             "q_sim_topk_lsh",
             "q_sim_topk_pq",
             "q_sim_topk_pq_rerank",
+            "q_sim_topk_ivfpq",
         ):
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()
@@ -122,6 +125,7 @@ def main() -> None:
             "q_sim_topk_lsh",
             "q_sim_topk_pq",
             "q_sim_topk_pq_rerank",
+            "q_sim_topk_ivfpq",
         ):
             approx = topk_sets(results[name])
             hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)

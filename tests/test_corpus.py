@@ -507,3 +507,48 @@ def test_curation_v4_manifest_exports_through_lakehouse(spark, sf_dir, tmp_path)
         "val",
         "test",
     }
+
+
+def test_curation_v5_funnel_manifest_equality(spark, sf_dir):
+    """VERDICT r12 task #5's equality pin, v5 edition: the v5 funnel
+    and the v5 manifest are two views of one gated chain — 'selected'
+    counts the manifest exactly; 'quality_fail' + 'selected' equals
+    v4's 'selected' (the gate only splits that bucket; every upstream
+    attribution is v4's verbatim); totals still cover every input doc;
+    and both buckets are non-vacuous on the fixture."""
+    from hive_gateway_spark.registry import QUERIES
+
+    f4 = {
+        r["decision"]: r["n_docs"]
+        for r in QUERIES["q_curation_v4_funnel"](spark, sf_dir).collect()
+    }
+    f5 = {
+        r["decision"]: r["n_docs"]
+        for r in QUERIES["q_curation_v5_funnel"](spark, sf_dir).collect()
+    }
+    v5_ids = {
+        r["doc_id"] for r in QUERIES["q_curation_v5"](spark, sf_dir).collect()
+    }
+    assert f5["selected"] == len(v5_ids) > 0
+    assert f5.get("quality_fail", 0) > 0, "vacuous classifier gate"
+    assert f5["selected"] + f5["quality_fail"] == f4["selected"]
+    for stage in set(f4) - {"selected"}:
+        assert f5[stage] == f4[stage], stage
+    assert sum(f5.values()) == sum(f4.values())
+
+
+def test_curation_v5_manifest_exports_through_lakehouse(spark, sf_dir, tmp_path):
+    """The v5 manifest lands through dataset_export exactly like v4's
+    (partitioned by split, verifying manifest) — the facade-level
+    export pin the flagship recipe ships with."""
+    from hive_gateway_spark.registry import QUERIES
+    from hive_gateway_spark.sources.dataset_export import (
+        verify_dataset,
+        write_dataset,
+    )
+
+    out = QUERIES["q_curation_v5"](spark, sf_dir)
+    path = str(tmp_path / "corpus_v5")
+    man = write_dataset(out, path, partition_by=["split"])
+    assert man["n_rows"] == out.count() > 0
+    assert verify_dataset(spark, path)["ok"]

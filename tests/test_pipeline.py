@@ -147,3 +147,40 @@ def test_gate_quality_matches_classifier(spark, sf_dir):
     }
     assert got == expected
     assert 0 < len(got)
+
+
+def test_v5_chain_equals_curation_v5(spark, sf_dir):
+    """The facade's v5 chain — the verified v4 recipe chain with
+    gate_quality(0.0) appended AFTER split_pack (the manifest gate
+    position: bins stay v4's; the gate only filters rows) — must
+    reproduce q_curation_v5's manifest exactly."""
+    from hive_gateway_spark.operators.corpus import _V4_PLANTED, V4_STOPS, V4_TOP
+    from hive_gateway_spark.pipeline import CurationPipeline
+    from hive_gateway_spark.registry import QUERIES
+    from hive_gateway_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang", "text")
+    planted = spark.createDataFrame(
+        _V4_PLANTED, "doc_id bigint, lang string, text string"
+    )
+    corpus = docs.unionByName(planted)
+    out = (
+        CurationPipeline(spark)
+        .from_frame(corpus)
+        .gate_gopher(stops=V4_STOPS)
+        .decontaminate(bench_corpus=corpus)
+        .cut_perplexity_tail()
+        .dedup_normalized()
+        .drop_span_duplicates(0.6)
+        .select_dsir(top=V4_TOP)
+        .split_pack()
+        .gate_quality(0.0)
+        .run()
+    )
+    cols = ["doc_id", "lang", "logw", "split", "shard", "bin"]
+    facade = sorted(tuple(r[c] for c in cols) for r in out.select(*cols).collect())
+    v5 = sorted(
+        tuple(r[c] for c in cols)
+        for r in QUERIES["q_curation_v5"](spark, sf_dir).select(*cols).collect()
+    )
+    assert facade == v5 and len(facade) > 0

@@ -939,3 +939,90 @@ def test_pq_zero_norm_query_survives(spark, tmp_path):
     # and the rerank path keeps it too (same guard upstream)
     rr = registry.QUERIES["q_sim_topk_pq_rerank"](s, sfd).collect()
     assert any(r["query_id"] == 0 for r in rr)
+
+
+def test_ivfpq_recall_and_exact_sims(spark, sf_dir, tmp_path):
+    """IVF × PQ composition pins (VERDICT r12 task #2): (a) k rows per
+    query; (b) recall vs exact ≥ the IVF cell ceiling − the measured
+    ADC-shortlist slack (fixture: IVFPQ = IVF = 0.86 at R=200, pinned
+    with margin at ≥ 0.75 — the loss channel is cells, not codes);
+    (c) wherever IVFPQ and the exact kernel share a (query, neighbor)
+    pair the sim matches bit for bit (identical int64 re-rank
+    arithmetic); (d) on a TIGHTLY clustered corpus (PQ's design
+    regime) neighbors come from the query's own cluster ≥ 90%."""
+    import os
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark import registry
+    from hive_gateway_spark.operators import similarity as sim
+
+    def topk(rows):
+        out = defaultdict(set)
+        for r in rows:
+            out[r["query_id"]].add(r["neighbor_id"])
+        return out
+
+    exact_rows = registry.QUERIES["q_sim_topk"](spark, sf_dir).collect()
+    ivf = topk(registry.QUERIES["q_sim_topk_ivf"](spark, sf_dir).collect())
+    pq_rows = registry.QUERIES["q_sim_topk_ivfpq"](spark, sf_dir).collect()
+    E, P = topk(exact_rows), topk(pq_rows)
+    assert set(P) == set(E)
+    assert all(len(v) == sim.TOP_K for v in P.values())
+    recall = sum(len(E[q] & P[q]) for q in E) / sum(len(v) for v in E.values())
+    assert recall >= 0.75, f"ivfpq recall {recall:.2f}"
+    # the shortlist re-rank must not fall below what the probed cells
+    # contain minus a small slack — cells are the loss channel
+    ivf_recall = sum(len(E[q] & ivf[q]) for q in E) / sum(
+        len(v) for v in E.values()
+    )
+    assert recall >= ivf_recall - 0.05, (recall, ivf_recall)
+    esim = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact_rows
+    }
+    for r in pq_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in esim:
+            assert round(r["sim"], 4) == esim[key], key
+
+    # (d) tight clusters — the regime IVFPQ is FOR
+    rng = np.random.default_rng(5)
+    dim, n_clusters, n = 64, 20, 3000
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    label = rng.integers(0, n_clusters, n)
+    vecs = centers[label] + rng.normal(0, 0.15, (n, dim))
+    sfd = str(tmp_path / "sf_ivfpq")
+    ddir = os.path.join(sfd, "embeddings.parquet")
+    os.makedirs(ddir)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    list(vecs.astype(np.float32)), pa.list_(pa.float32())
+                ),
+                "label": pa.array(label.astype(np.int32), pa.int32()),
+            }
+        ),
+        os.path.join(ddir, "part-00.parquet"),
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(
+            os.path.join("/root/testdata/sf0.001", f"{name}.parquet"),
+            os.path.join(sfd, f"{name}.parquet"),
+        )
+    s2 = spark.newSession()
+    P2 = topk(registry.QUERIES["q_sim_topk_ivfpq"](s2, sfd).collect())
+    lab = {int(i): int(l) for i, l in zip(np.arange(n), label)}
+    same = total = 0
+    for q, nn in P2.items():
+        for v in nn:
+            total += 1
+            same += int(lab[v] == lab[q])
+    assert total > 0
+    assert same / total >= 0.9, f"same-cluster rate {same / total:.2f}"
