@@ -431,3 +431,47 @@ def _register() -> None:
 
 
 _register()
+
+
+from hive_gateway_spark.registry import query  # noqa: E402
+from hive_gateway_spark.session import load_tables  # noqa: E402
+
+#: GK-sketch accuracy for the approx quantile path: guaranteed rank
+#: error ≤ n/ACCURACY per group (Spark's approx_percentile contract).
+SKETCH_ACCURACY = 10_000
+
+
+@query("q_quantile_sketch")  # rows-only: sketch output is engine-specific
+def q_quantile_sketch(spark, sf_dir: str) -> DataFrame:
+    """Approximate per-language p50/p90/p99 of document length via
+    Spark's Greenwald-Khanna sketch (approx_percentile) — the
+    MERGEABLE single-pass quantile path that is the 100 TB default
+    when ±ε rank error is acceptable, documented side-by-side with
+    its exact sibling q_exact_quantiles (same statistic, same
+    grouping) so a user can see precisely what the ε buys: the exact
+    kernel needs one corpus shuffle over range-bucket cells; the
+    sketch finishes in a map-side-combined aggregate whose state is
+    O(1/ε · log(εn)) per group REGARDLESS of n — on a 1000-executor
+    cluster the partials merge associatively, no re-shuffle of rows.
+
+    Rows-only by declared design: the returned values are sketch
+    outputs (actual data samples, but WHICH sample at a rank boundary
+    is implementation-defined, so no cross-engine oracle exists). The
+    operator's real contract — rank error ≤ n/SKETCH_ACCURACY per
+    reported value, against ranks counted exactly — is property-pinned
+    in tests/test_properties.py."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("lang", "n_chars")
+    agg = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.percentile_approx(
+            "n_chars", [0.5, 0.9, 0.99], SKETCH_ACCURACY
+        ).alias("qs"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.col("qs")[0].cast("bigint").alias("p50"),
+        F.col("qs")[1].cast("bigint").alias("p90"),
+        F.col("qs")[2].cast("bigint").alias("p99"),
+    )

@@ -1796,10 +1796,18 @@ def _ivfpq_cell_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _quantized(t).withColumn("n2", norm2_q("v"))
     _, inv_file = _ivf_index(spark, t, e)
     codes = pq_encode(spark, sf_dir)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     out = (
         inv_file.select("neighbor_id", "cell")
         .join(codes, F.col("vec_id") == F.col("neighbor_id"))
         .select("cell", "neighbor_id", "codes")
+        # even layout INDEPENDENT of the join strategy: under a large
+        # autoBroadcastJoinThreshold the build becomes a BHJ and the
+        # checkpoint inherits the inverted file's (few, skewed)
+        # partitions — measured 5× on the warm 1M ADC scan (r13). One
+        # extra exchange in the one-off build buys every probe a full
+        # fan-out of the Arrow kernel.
+        .repartition(width, "neighbor_id")
         .localCheckpoint()
     )
     evict(per)

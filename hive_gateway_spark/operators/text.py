@@ -1530,3 +1530,124 @@ def quality_score_frame(docs: DataFrame) -> DataFrame:
             (F.col("__num") > 0).alias("is_quality"),
         )
     )
+
+
+#: BM25 (Robertson/Spärck Jones; the Okapi defaults used by Lucene).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "merge", "window", "spark")
+BM25_TOPN = 20
+_BM25_Q_SQL = ", ".join(f"'{w}'" for w in BM25_QUERY)
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tok AS (
+      SELECT doc_id, word FROM toks WHERE word <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n,
+             AVG(CAST(dl AS DOUBLE)) AS avgdl
+      FROM dl
+    ), qtf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tok
+      WHERE word IN ({_BM25_Q_SQL}) GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE word IN ({_BM25_Q_SQL}) GROUP BY word
+    ), terms AS (
+      SELECT qtf.doc_id,
+             CAST(ROUND(
+               ln((CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                  / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(qtf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+               / (CAST(qtf.tf AS DOUBLE)
+                  + {BM25_K1} * (1.0 - {BM25_B}
+                     + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl)),
+             6) AS DECIMAL(18, 6)) AS term
+      FROM qtf
+      JOIN dl ON dl.doc_id = qtf.doc_id
+      JOIN df ON df.word = qtf.word
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id, SUM(term) AS bm25x FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(CAST(bm25x AS DOUBLE), 4) AS bm25,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT doc_id, bm25x,
+             ROW_NUMBER() OVER (ORDER BY bm25x DESC, doc_id ASC) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {BM25_TOPN}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for a fixed multi-term query —
+    the Okapi ranking function (Robertson & Spärck Jones; Lucene's
+    default similarity) over the documents table: the lexical-search
+    capability next to q_tf_idf's per-doc term weights.
+
+    Determinism: the module's standing rule for transcendental sums —
+    every per-(doc, term) BM25 contribution is ROUND(·, 6) then summed
+    as exact DECIMAL(18,6) (float addition is not associative; ln()
+    itself is precedented across the oracle suite), so ranking and
+    hash compare on exact values.
+
+    Scale shape: the corpus-sized aggregates are doc length (one
+    map-side-combined groupBy) and the QUERY-TERM postings only —
+    ``word IN (query)`` prunes the token stream BEFORE any shuffle, so
+    the tf/df exchanges carry ~query-terms/vocabulary of the tokens
+    (the inverted-index access pattern, expressed relationally). The
+    1-row stats frame and the ≤|query| df table broadcast; the final
+    top-N is one global window over docs that matched ≥1 term."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg(F.col("dl").cast("double")).alias("avgdl")
+    ).crossJoin(docs.agg(F.count("*").alias("n")))
+    qtok = tok.filter(F.col("word").isin(*BM25_QUERY))
+    qtf = qtok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = qtok.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    norm = (F.col("tf").cast("double") * (BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    from pyspark.sql import Window as W
+
+    terms = (
+        qtf.join(dl, "doc_id")
+        .join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * norm, 6).cast("decimal(18,6)").alias("term"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(F.sum("term").alias("bm25x"))
+    w = W.orderBy(F.col("bm25x").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOPN)
+        .select(
+            "doc_id",
+            F.round(F.col("bm25x").cast("double"), 4).alias("bm25"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -179,6 +179,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # similarity query mode; exact DuckDB oracle (int64-GEMM kernel,
     # sqrt-free threshold, bounded query broadcast)
     "q_sim_range_search",
+    # Okapi BM25 top-N retrieval for a fixed multi-term query — the
+    # lexical-search capability; per-term ROUND-6 decimal sums make
+    # the transcendental scoring hash-exact (exact DuckDB oracle)
+    "q_text_bm25",
 )
 
 

@@ -270,3 +270,42 @@ def test_exact_ntile_without_subsplit_still_exact(spark):
     a = actual.toPandas().sort_values("tb").reset_index(drop=True)
     e = expected.toPandas().sort_values("tb").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, e, check_dtype=False)
+
+
+def test_quantile_sketch_rank_error_bound(spark, sf_dir):
+    """q_quantile_sketch's contract: each reported value's EXACT rank
+    (counted with plain filters) is within the GK guarantee
+    n/SKETCH_ACCURACY (+1 for the discrete-rank boundary) of the
+    requested quantile's target rank, per language group — and the
+    value is an actual group member (GK returns samples, never
+    interpolations)."""
+    import math
+
+    from hive_gateway_spark import registry
+    from hive_gateway_spark.operators.ranking import SKETCH_ACCURACY
+    from hive_gateway_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"].select("lang", "n_chars")
+    rows = registry.QUERIES["q_quantile_sketch"](spark, sf_dir).collect()
+    assert rows
+    pdf = d.toPandas()
+    for r in rows:
+        grp = pdf[pdf["lang"] == r["lang"]]["n_chars"]
+        n = len(grp)
+        assert r["n_docs"] == n > 0
+        eps = n / SKETCH_ACCURACY + 1
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            v = r[col]
+            assert (grp == v).any(), (r["lang"], col, v)
+            rank_lo = int((grp < v).sum())  # ranks occupied below v
+            rank_hi = int((grp <= v).sum())
+            target = max(1, math.ceil(p * n))
+            # v's rank interval [rank_lo+1, rank_hi] must come within
+            # eps of the target rank
+            assert rank_lo + 1 - eps <= target <= rank_hi + eps, (
+                r["lang"],
+                col,
+                v,
+                (rank_lo + 1, rank_hi),
+                target,
+            )
