@@ -223,6 +223,8 @@ HEADLINE_R13 = [
     "q_sim_topk_ivfpq",
     "q_curation_v5_funnel",
     "q_sim_range_search",
+    "q_text_bm25",
+    "q_quantile_sketch",
 ]
 
 

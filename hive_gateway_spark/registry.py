@@ -183,6 +183,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # lexical-search capability; per-term ROUND-6 decimal sums make
     # the transcendental scoring hash-exact (exact DuckDB oracle)
     "q_text_bm25",
+    # GK-sketch quantiles beside the exact-rank kernel — rows-only by
+    # design (sketch boundary samples are implementation-defined);
+    # rank-error ≤ n/SKETCH_ACCURACY pinned in tests/test_properties.py
+    "q_quantile_sketch",
 )
 
 
