@@ -225,6 +225,7 @@ HEADLINE_R13 = [
     "q_sim_range_search",
     "q_text_bm25",
     "q_quantile_sketch",
+    "q_curation_v5_trace",
 ]
 
 

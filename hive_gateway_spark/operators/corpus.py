@@ -2490,6 +2490,55 @@ _V5_FUNNEL_ORACLE = f"""
 """
 
 
+def _v5_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, decision) with the classifier gate's exit split
+    out of 'selected' — the per-doc frame both v5 audit queries
+    (trace + funnel) aggregate from; composed from the staged v4
+    decision frame and the shared _v5_passing gate."""
+    dec = _v4_state(spark, sf_dir)["decisions"]
+    sel_ids = dec.filter(F.col("decision") == "selected").select("doc_id")
+    passing = _v5_passing(spark, sf_dir, sel_ids)
+    return dec.join(
+        F.broadcast(passing.withColumn("qp", F.lit(True))), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("decision") == "selected") & F.col("qp").isNull(),
+            "quality_fail",
+        )
+        .otherwise(F.col("decision"))
+        .alias("decision"),
+    )
+
+
+_V5_TRACE_ORACLE = _V5_FUNNEL_ORACLE.replace(
+    """    SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT v.doc_id,""",
+    """    SELECT doc_id, lang, decision
+    FROM (
+        SELECT v.doc_id, v.lang,""",
+).replace("""    )
+    GROUP BY decision
+""", """    )
+""")
+
+
+@query(
+    "q_curation_v5_trace",
+    oracle=_V5_TRACE_ORACLE.format(ctes=_v4_oracle_ctes()),
+)
+def q_curation_v5_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document v5 decision trace (VERDICT r12 task #5's per-doc
+    attribution): every input doc with the FIRST stage that eliminated
+    it — v4's attribution verbatim, plus 'quality_fail' for v4-selected
+    docs the classifier gate rejects. The funnel is exactly this
+    frame's GROUP BY (same oracle text modulo the aggregate — string
+    surgery, so the two cannot drift)."""
+    return _v5_decisions(spark, sf_dir)
+
+
 @query(
     "q_curation_v5_funnel",
     oracle=_V5_FUNNEL_ORACLE.format(ctes=_v4_oracle_ctes()),
@@ -2507,19 +2556,8 @@ def q_curation_v5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the v4 funnel's aggregate plus one broadcast of the
     selection-sized passing set — no new corpus pass."""
-    dec = _v4_state(spark, sf_dir)["decisions"]
-    sel_ids = dec.filter(F.col("decision") == "selected").select("doc_id")
-    passing = _v5_passing(spark, sf_dir, sel_ids)
-    dec5 = dec.join(
-        F.broadcast(passing.withColumn("qp", F.lit(True))), "doc_id", "left"
-    ).select(
-        F.when(
-            (F.col("decision") == "selected") & F.col("qp").isNull(),
-            "quality_fail",
-        )
-        .otherwise(F.col("decision"))
-        .alias("decision")
-    )
-    return dec5.groupBy("decision").agg(
-        F.count("*").cast("bigint").alias("n_docs")
+    return (
+        _v5_decisions(spark, sf_dir)
+        .groupBy("decision")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
     )

@@ -187,6 +187,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # design (sketch boundary samples are implementation-defined);
     # rank-error ≤ n/SKETCH_ACCURACY pinned in tests/test_properties.py
     "q_quantile_sketch",
+    # per-doc v5 decision trace — the funnel's pre-aggregation frame
+    # (exact oracle = the funnel oracle minus its GROUP BY)
+    "q_curation_v5_trace",
 )
 
 
