@@ -1060,3 +1060,110 @@ def stream_embed_dedup_screen(
         .select("vec_id", "match_id", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= tau)
     )
+
+
+def embed_screen_batch(spark, index_path: str, tau: float = 0.9):
+    """The GEMM spelling of the semantic ingest screen — a
+    foreachBatch-shaped scorer for HIGH arrival rates (the guidance
+    stream_embed_dedup_screen's SCALE.md row records): returns
+    ``score(batch_df) -> DataFrame`` that screens ONE micro-batch of
+    (vec_id, embedding) arrivals against the persisted IVF index with
+    the batch serve path's vectorized int64-GEMM kernel instead of the
+    per-row higher-order dot (measured 14× on a 1M index — HOF array
+    folds are interpreted per element; the GEMM is BLAS).
+
+    Usage::
+
+        score = embed_screen_batch(spark, idx, tau=0.9)
+        (vec_stream.writeStream
+            .foreachBatch(lambda df, _id: sink(score(df)))
+            .start())
+
+    Contract: each micro-batch's arrival block is BOUNDED (an ingest
+    screen admits thousands of vectors per trigger, not a corpus) —
+    it is collected and broadcast exactly like the batch path's query
+    block. Arrivals are quantized THROUGH the engine expression
+    (vec_q), so emitted sims are bit-identical to the expression
+    screen's; probe-cell assignment uses the same float64 centroid
+    dots and (dot desc, cell asc) tie-break — numpy's summation order
+    can differ from codegen's only on exact dot ties. The same
+    (vec_id, match_id) pair can emit up to min(assign, probes)
+    identical rows, as in the expression screen."""
+    import numpy as np
+    import pandas as pd
+
+    from hive_gateway_spark.functions.vectors import vec_q
+    from hive_gateway_spark.operators.similarity import IVF_PROBES
+    from hive_gateway_spark.sources.dataset_export import read_snapshot
+
+    c_rows = sorted(
+        read_snapshot(spark, f"{index_path}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    cell_ids = np.asarray([int(r["cell"]) for r in c_rows], dtype=np.int64)
+    C = np.asarray([r["center"] for r in c_rows], dtype=np.float64)
+    inv = read_snapshot(spark, f"{index_path}/invfile").select(
+        "neighbor_id", "cell", "vb", "nb"
+    )
+
+    def score(batch_df):
+        q_rows = (
+            batch_df.select("vec_id", vec_q("embedding").alias("v"))
+            .collect()  # bounded: one ingest micro-batch
+        )
+        if not q_rows:
+            return spark.createDataFrame(
+                [], "vec_id bigint, match_id bigint, cos_sim double"
+            )
+        qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+        Q = np.asarray([r["v"] for r in q_rows], dtype=np.int64)
+        qn = (Q.astype(np.float64) ** 2).sum(1)
+        # probe cells: float64 centroid dots, (dot desc, cell asc)
+        d = Q.astype(np.float64) @ C.T
+        order = np.lexsort((np.broadcast_to(cell_ids, d.shape), -d), axis=1)
+        probes = cell_ids[order[:, :IVF_PROBES]]
+        by_cell: dict[int, list] = {}
+        for qi in range(len(qids)):
+            for c in probes[qi]:
+                by_cell.setdefault(int(c), []).append(qi)
+        cell_q = {
+            c: (qids[ix], Q[ix], qn[ix]) for c, ix in by_cell.items()
+        }
+        bc = spark.sparkContext.broadcast(cell_q)
+        t = float(tau)
+
+        def gemm_threshold(batches):
+            cq = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for c, grp in pdf.groupby("cell"):
+                    block = cq.get(int(c))
+                    if block is None:
+                        continue
+                    ids_q, Qb, qnb = block
+                    ids = grp["neighbor_id"].to_numpy(np.int64)
+                    X = np.asarray(grp["vb"].tolist(), dtype=np.int64)
+                    nb = grp["nb"].to_numpy(np.float64)
+                    dot = (Qb @ X.T).astype(np.float64)
+                    den = np.sqrt(qnb[:, None] * nb[None, :])
+                    den[den == 0] = 1.0  # zero-norm rows score 0
+                    sim = dot / den
+                    hit = (sim >= t) & (ids_q[:, None] != ids[None, :])
+                    qi, ni = np.nonzero(hit)
+                    if len(qi) == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": ids_q[qi],
+                            "match_id": ids[ni],
+                            "cos_sim": sim[qi, ni],
+                        }
+                    )
+
+        probed_cells = sorted(by_cell)
+        return inv.where(F.col("cell").isin(probed_cells)).mapInPandas(
+            gemm_threshold, "vec_id bigint, match_id bigint, cos_sim double"
+        )
+
+    return score

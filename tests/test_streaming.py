@@ -967,3 +967,98 @@ def test_stream_embed_dedup_screen(spark, tmp_path):
         assert g.iloc[0]["cos_sim"] >= 0.98
     # novel vectors emit nothing at this τ
     assert not (matched & set(range(20_000, 20_020)))
+
+
+def test_embed_screen_batch_matches_expression(spark, tmp_path):
+    """The foreachBatch GEMM screen must emit the SAME (vec_id,
+    match_id) pairs with BIT-IDENTICAL sims as the expression screen
+    (same quantization, same int64 dots, same probe scope) — the
+    high-rate spelling adds speed, never semantics. Duplicate
+    multi-assignment rows are deduped on both sides before compare."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark.operators import similarity as sim
+    from hive_gateway_spark.streaming.ops import (
+        embed_screen_batch,
+        stream_embed_dedup_screen,
+    )
+
+    rng = np.random.default_rng(29)
+    dim, n_clusters, n = 16, 10, 1000
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    label = rng.integers(0, n_clusters, n)
+    vecs = centers[label] + rng.normal(0, 0.35, (n, dim))
+
+    def write_emb(dirpath, ids, vs, labels):
+        os.makedirs(dirpath)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        list(vs.astype(np.float32)), pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(
+                        np.asarray(labels, dtype=np.int32), pa.int32()
+                    ),
+                }
+            ),
+            os.path.join(dirpath, "part-00.parquet"),
+        )
+
+    sfd = str(tmp_path / "sf_gemmscreen")
+    write_emb(os.path.join(sfd, "embeddings.parquet"), np.arange(n), vecs, label)
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(
+            os.path.join("/root/testdata/sf0.001", f"{name}.parquet"),
+            os.path.join(sfd, f"{name}.parquet"),
+        )
+    idx = str(tmp_path / "gemmscreen_index")
+    sim.persist_ivf_index(spark.newSession(), sfd, idx)
+
+    copies_src = [5, 123, 777]
+    arrive_ids = list(range(50_000, 50_003)) + list(range(60_000, 60_010))
+    arrive_vecs = np.vstack(
+        [vecs[copies_src] * (1 + 1e-3), rng.normal(0, 1, (10, dim)) * 3]
+    )
+    stream_dir = str(tmp_path / "gemm_arrivals")
+    write_emb(
+        os.path.join(stream_dir, "embeddings.parquet"),
+        np.asarray(arrive_ids),
+        arrive_vecs,
+        np.zeros(len(arrive_ids)),
+    )
+    s = spark.newSession()
+    vec_stream = (
+        s.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(stream_dir, "embeddings.parquet"))
+    )
+    expr_rows = drain(
+        stream_embed_dedup_screen(vec_stream, idx, tau=0.95), "s_gemmscreen"
+    )
+    expr = {
+        (int(r.vec_id), int(r.match_id)): float(r.cos_sim)
+        for r in expr_rows.itertuples()
+    }
+
+    s2 = spark.newSession()
+    batch_df = s2.read.parquet(os.path.join(stream_dir, "embeddings.parquet"))
+    score = embed_screen_batch(s2, idx, tau=0.95)
+    gemm = {
+        (int(r["vec_id"]), int(r["match_id"])): float(r["cos_sim"])
+        for r in score(batch_df).collect()
+    }
+    assert set(gemm) == set(expr) and len(gemm) > 0
+    for k, v in gemm.items():
+        assert v == expr[k], k
+    # planted copies matched, novels silent — the screen contract
+    matched = {v for v, _ in gemm}
+    assert set(range(50_000, 50_003)) <= matched
+    assert not (matched & set(range(60_000, 60_010)))
