@@ -89,6 +89,18 @@ PRIORITY: tuple[str, ...] = (
     # q_video_phash_dedup rows-only (learned cells/codebooks, kernel
     # fingerprints) with rows > 0.
     #
+    # r14 PRE-PLAN (written at r13 close, the r9→…→r13 pattern): once
+    # CORRECTNESS_r13 lands rows for the r13 window, rotate OUT the
+    # SIX heads of the remaining r9-queue tail (q_first_touch,
+    # q_compress_ratio, q_tpch_q6, q_tpch_q13, q_graph_kcore,
+    # q_vocab_coverage — each then r10+r11+r12+r13-green) and take ALL
+    # SIX r13-written ROTATION_CANDIDATES FIFO (q_sim_topk_ivfpq,
+    # q_curation_v5_funnel, q_sim_range_search, q_text_bm25,
+    # q_quantile_sketch, q_curation_v5_trace), keeping the window at
+    # exactly 50 and emptying the queue. Expected r14 row mix: four
+    # hash-green; q_sim_topk_ivfpq and q_quantile_sketch rows-only
+    # (learned cells/codebooks, GK sketch samples) with rows > 0.
+    #
     # -- the r12-written queue, in FIFO order (14) --
     "q_tpch_q4",
     "q_tpch_q9",
