@@ -226,6 +226,9 @@ HEADLINE_R13 = [
     "q_text_bm25",
     "q_quantile_sketch",
     "q_curation_v5_trace",
+    "q_heavy_hitters",
+    "q_sim_topk_filtered",
+    "q_hybrid_search",
 ]
 
 

@@ -1813,3 +1813,123 @@ def _churn_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("m", "state")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+#: Misra-Gries heavy-hitters geometry: HH_CAP counters per partition
+#: (mergeable-summaries form, Agarwal et al. 2012), HH_TOPK reported.
+#: In the exact regime (per-partition distinct keys ≤ HH_CAP — true for
+#: every fixture vocabulary) zero decrements happen and the summary IS
+#: the exact count table, which is what the DuckDB oracle pins; the
+#: approximate regime's sandwich guarantee (cnt_lo ≤ true ≤ cnt_lo +
+#: err_hi, Σ decrements ≤ n_tokens/(HH_CAP+1)) is property-pinned in
+#: tests/test_sketches.py with a deliberately tiny capacity.
+HH_CAP = 4096
+HH_TOPK = 25
+
+
+def heavy_hitters_topk(docs: DataFrame, cap: int, k: int) -> DataFrame:
+    """Distributed Misra-Gries top-k token frequencies over a
+    (text,) frame — the frequent-items sketch beside q_agg_kmv's
+    distinct sketch and q_quantile_sketch's rank sketch.
+
+    Plan shape: the token stream never shuffles. Each input partition
+    folds its tokens into a ≤``cap``-counter Misra-Gries summary inside
+    ONE mapInPandas pass (batched merge: add a batch's value_counts,
+    then if over capacity subtract the (cap+1)-th largest counter from
+    all and drop non-positives — the mergeable-summaries reduction);
+    only the summaries — ≤ cap rows + 1 error row per partition,
+    REGARDLESS of partition size — reach the exchange. The global merge
+    is a map-side-combined groupBy sum, then one tiny top-k window.
+    That is the whole point at 100 TB: exact per-token counts of a
+    heavy-tailed trillion-token stream shuffle O(vocabulary) rows,
+    the sketch shuffles O(partitions · cap).
+
+    Guarantee (classic MG, survives the merge): every reported
+    cnt_lo undercounts its token by at most err_hi = Σ per-partition
+    decrement totals, and err_hi ≤ n_tokens/(cap+1)."""
+    import numpy as np
+    import pandas as pd
+
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+
+    def mg_partition(batches):
+        counts: dict[str, int] = {}
+        decrements = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for w, c in pdf["word"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+            if len(counts) > cap:
+                vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))
+                cut = int(vals[-(cap + 1)])  # (cap+1)-th largest
+                decrements += cut
+                counts = {w: c - cut for w, c in counts.items() if c > cut}
+        yield pd.DataFrame(
+            {
+                "word": list(counts.keys()) + [None],
+                "cnt": np.asarray(
+                    list(counts.values()) + [decrements], dtype=np.int64
+                ),
+            }
+        )
+
+    summaries = tok.mapInPandas(mg_partition, "word string, cnt bigint")
+    err = summaries.filter(F.col("word").isNull()).agg(
+        F.sum("cnt").cast("bigint").alias("err_hi")
+    )
+    merged = (
+        summaries.filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt_lo"))
+    )
+    w = W.orderBy(F.col("cnt_lo").desc(), F.col("word").asc())
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .crossJoin(F.broadcast(err))
+        .select(
+            "word",
+            "cnt_lo",
+            F.coalesce("err_hi", F.lit(0)).cast("bigint").alias("err_hi"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), counts AS (
+      SELECT word, COUNT(*) AS cnt FROM toks WHERE word <> '' GROUP BY word
+    )
+    SELECT word, CAST(cnt AS BIGINT) AS cnt_lo,
+           CAST(0 AS BIGINT) AS err_hi, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT word, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rnk
+      FROM counts
+    )
+    WHERE rnk <= {HH_TOPK}
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{HH_TOPK} corpus token frequencies via a distributed
+    Misra-Gries sketch — the frequent-items member of the sketch
+    family (ref analog: O14's hot-key accounting, gateway.ts:161-178,
+    re-expressed as a corpus statistic).
+
+    The oracle is the EXACT top-k (GROUP BY + window): with
+    HH_CAP = {HH_CAP} counters and fixture vocabularies of ≤ a few
+    hundred distinct tokens, every partition stays in the zero-
+    decrement exact regime, so cnt_lo equals the true count and
+    err_hi is exactly 0 — the driver hash pins both the counts AND
+    the fact that no decrement fired. The approximate regime (vocab ≫
+    cap, the 100 TB case) keeps the sandwich guarantee; it is pinned
+    with a tiny forced capacity in tests/test_sketches.py."""
+    t = load_tables(spark, sf_dir)
+    return heavy_hitters_topk(t["documents"].select("text"), HH_CAP, HH_TOPK)

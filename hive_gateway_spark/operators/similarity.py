@@ -196,14 +196,23 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gemm_topk(spark, e, cross_label=False)
 
 
-def _gemm_topk(spark: SparkSession, e: DataFrame, *, cross_label: bool) -> DataFrame:
-    """The bounded-query GEMM top-k kernel shared by q_sim_topk and
-    q_hard_negatives — every determinism-critical detail (exact int64
-    GEMM, -inf masking, lexsort (sim desc, neighbor_id asc) tie-break,
-    per-batch local top-k, tiny window merge) lives ONCE here.
+def _gemm_topk(
+    spark: SparkSession,
+    e: DataFrame,
+    *,
+    cross_label: bool,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """The bounded-query GEMM top-k kernel shared by q_sim_topk,
+    q_hard_negatives and q_sim_topk_filtered — every
+    determinism-critical detail (exact int64 GEMM, -inf masking,
+    lexsort (sim desc, neighbor_id asc) tie-break, per-batch local
+    top-k, tiny window merge) lives ONCE here.
     ``cross_label=False`` masks self-pairs (nearest neighbors);
     ``cross_label=True`` masks every same-label column including self
-    (hard negatives)."""
+    (hard negatives). ``base`` (default: ``e``) is the candidate
+    frame the batches stream from — a pre-filtered subset for
+    constrained search; queries always come from ``e``."""
     import numpy as np
     import pandas as pd
 
@@ -258,7 +267,7 @@ def _gemm_topk(spark: SparkSession, e: DataFrame, *, cross_label: bool) -> DataF
                 }
             )
 
-    cand = e.select(*cols).mapInPandas(
+    cand = (base if base is not None else e).select(*cols).mapInPandas(
         score_batches, "query_id bigint, neighbor_id bigint, sim double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -2061,4 +2070,234 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return e.select("vec_id", "v", "n2").mapInPandas(
         score, "query_id bigint, neighbor_id bigint, cos_sim double"
+    )
+
+
+#: Constrained-search predicate for q_sim_topk_filtered: neighbors must
+#: be embeddings of documents in this language (vec_id ↔ doc_id, the
+#: corpus convention established by q_dedup_cross_lingual).
+FILTER_LANG = "en"
+
+
+@query(
+    "q_sim_topk_filtered",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    q AS (SELECT * FROM v
+          WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}),
+    base AS (
+        SELECT v.* FROM v
+        JOIN documents d ON d.doc_id = v.vec_id AND d.lang = '{FILTER_LANG}'
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM(q.val * b.val) AS DOUBLE) AS dot
+        FROM q JOIN base b ON q.pos = b.pos AND q.vec_id <> b.vec_id
+        GROUP BY q.vec_id, b.vec_id
+    ),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               d.dot / sqrt(nq.norm2 * nb.norm2) AS sim
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nb ON nb.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank_k, ROUND(sim, 4) AS cos_sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rank_k
+        FROM scored
+    )
+    WHERE rank_k <= {TOP_K}
+    """,
+)
+def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED exact top-k — "nearest '{FILTER_LANG}'
+    documents to each query": the constrained similarity search every
+    vector store exposes (faiss IDSelector / the WHERE clause of a
+    vector DB), fourth query mode beside top-k / range / hard-negative.
+
+    PRE-filter, not post-filter: the predicate joins the candidate
+    frame BEFORE the GEMM kernel, so selectivity cuts compute and a
+    query can never come back short (post-filtering top-k and then
+    dropping non-matching rows under-fills k when matches are sparse —
+    the classic filtered-ANN bug). The metadata predicate lives on the
+    documents table and meets the vectors on the co-partitionable
+    vec_id = doc_id equi-join; both sides are corpus-scale, so it is a
+    shuffle-hash join (hinted, never a broadcast of a corpus-derived
+    set). Queries still come from the UNfiltered stride block — a
+    query's own language never constrains what it may retrieve.
+
+    Scale: identical to q_sim_topk after the filter (bounded query
+    broadcast, per-batch local top-k, tiny window merge); the
+    IVF-composed spelling (probe cells of the filtered subset) is the
+    documented next rung when selectivity is low."""
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    keep = (
+        t["documents"]
+        .filter(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    base = e.join(keep.hint("shuffle_hash"), "vec_id", "semi")
+    return _gemm_topk(spark, e, cross_label=False, base=base)
+
+
+#: Reciprocal-rank-fusion geometry (Cormack et al. 2009's k=60): each
+#: retrieval list contributes round(1e9/(RRF_K + rank)) — an exact
+#: BIGINT (no divisor in [61,80] admits a .5 tie against 1e9, so the
+#: round is engine-identical) — and lists are the lexical BM25 top-N
+#: and the semantic cosine top-N for the SAME query.
+RRF_K = 60
+RRF_TOPN = 10
+RRF_SCALE = 1_000_000_000
+
+
+def _rrf_term_sql(rank_col: str) -> str:
+    return (
+        f"CAST(ROUND({RRF_SCALE}.0 / ({RRF_K} + {rank_col}), 0) AS BIGINT)"
+    )
+
+
+def _hybrid_oracle() -> str:
+    from hive_gateway_spark.operators.text import BM25_SCORED_CTE, BM25_TOPN
+
+    return f"""
+    WITH {DUCK_FLAT_CTE},
+    {BM25_SCORED_CTE},
+    lexn AS (
+        SELECT doc_id, lrnk FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25x DESC, doc_id ASC) AS lrnk
+            FROM scored
+        ) WHERE lrnk <= {BM25_TOPN}
+    ),
+    anchor AS (SELECT doc_id FROM lexn WHERE lrnk = 1),
+    qv AS (SELECT v.val, v.pos FROM v JOIN anchor a ON v.vec_id = a.doc_id),
+    qn AS (SELECT n.norm2 FROM norms n JOIN anchor a ON n.vec_id = a.doc_id),
+    sdots AS (
+        SELECT b.vec_id AS doc_id, CAST(SUM(qv.val * b.val) AS DOUBLE) AS dot
+        FROM qv JOIN v b ON qv.pos = b.pos
+        GROUP BY b.vec_id
+    ),
+    sems AS (
+        SELECT d.doc_id, d.dot / sqrt(qn.norm2 * nb.norm2) AS sim
+        FROM sdots d JOIN norms nb ON nb.vec_id = d.doc_id CROSS JOIN qn
+    ),
+    semn AS (
+        SELECT doc_id, srnk FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS srnk
+            FROM sems
+        ) WHERE srnk <= {BM25_TOPN}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               COALESCE({_rrf_term_sql('l.lrnk')}, 0)
+             + COALESCE({_rrf_term_sql('s.srnk')}, 0) AS rrf_scaled,
+               COALESCE(l.lrnk, 0) AS lex_rank,
+               COALESCE(s.srnk, 0) AS sem_rank
+        FROM lexn l FULL OUTER JOIN semn s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, CAST(rrf_scaled AS BIGINT) AS rrf_scaled,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT doc_id, rrf_scaled, lex_rank, sem_rank,
+               ROW_NUMBER() OVER (ORDER BY rrf_scaled DESC, doc_id ASC) AS rnk
+        FROM fused
+    )
+    WHERE rnk <= {RRF_TOPN}
+    """
+
+
+@query("q_hybrid_search", oracle=_hybrid_oracle())
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion —
+    the two-tower serving shape (BM25 candidates ∪ embedding
+    candidates, RRF-merged) that hybrid search engines expose as ONE
+    query. The semantic list is pseudo-relevance feedback: its query
+    vector is the embedding of the TOP-1 BM25 document ("more like the
+    best lexical hit"), so the whole pipeline stays closed over the
+    fixture tables and both engines derive the identical anchor.
+
+    Exactness chain: BM25 ranks are exact-decimal (q_text_bm25's
+    ROUND-6 per-term sums); the anchor dot products are exact int64
+    over quantized vectors (JVM zip_with/aggregate — no Python in this
+    path); RRF terms are exact BIGINTs (round(1e9/(60+r)) — tie-free,
+    see RRF_SCALE note), so the fused ordering is integer-deterministic
+    end to end. The oracle interpolates text.BM25_SCORED_CTE — shared
+    fragment, the lexical chains cannot drift.
+
+    Scale shape: each list is already a scalable retrieval (BM25:
+    pruned-token postings; semantic: orderBy+limit = TakeOrdered —
+    per-partition local top-N, NO single-partition window over the
+    corpus); the fusion joins two ≤N-row frames. Anchor collect is 1
+    row by construction."""
+    from hive_gateway_spark.operators.text import BM25_TOPN, q_text_bm25
+
+    t = load_tables(spark, sf_dir)
+    lexn = q_text_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("lrnk")
+    )
+    anchor = lexn.filter(F.col("lrnk") == 1).collect()  # exactly 1 row
+    aid = int(anchor[0]["doc_id"])
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    qrow = e.filter(F.col("vec_id") == aid).select("v", "n2").collect()
+    qvec = [int(x) for x in qrow[0]["v"]]
+    qn2 = float(qrow[0]["n2"])
+    dot = F.expr(
+        "aggregate(zip_with(v, array("
+        + ",".join(f"{x}L" for x in qvec)
+        + "), (x, y) -> x * y), 0L, (a, x) -> a + x)"
+    )
+    sems = e.select(
+        F.col("vec_id").alias("doc_id"),
+        cos_div(dot.cast("double"), F.lit(qn2) * F.col("n2")).alias("sim"),
+    )
+    # TakeOrdered (orderBy+limit), then ranks over the tiny result —
+    # never a global row_number window over the corpus
+    semn = (
+        sems.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPN)
+        .withColumn(
+            "srnk",
+            F.row_number().over(
+                W.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("doc_id", "srnk")
+    )
+    lterm = F.expr(_rrf_term_sql("lrnk"))
+    sterm = F.expr(_rrf_term_sql("srnk"))
+    fused = (
+        lexn.withColumn("lterm", lterm)
+        .join(
+            semn.withColumn("sterm", sterm),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            "doc_id",
+            (
+                F.coalesce("lterm", F.lit(0)) + F.coalesce("sterm", F.lit(0))
+            ).cast("bigint").alias("rrf_scaled"),
+            F.coalesce("lrnk", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("srnk", F.lit(0)).cast("bigint").alias("sem_rank"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("rrf_scaled").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rnk") <= RRF_TOPN)
+        .select(
+            "doc_id", "rrf_scaled", "lex_rank", "sem_rank",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
     )

@@ -1539,11 +1539,12 @@ BM25_QUERY = ("hash", "merge", "window", "spark")
 BM25_TOPN = 20
 _BM25_Q_SQL = ", ".join(f"'{w}'" for w in BM25_QUERY)
 
-
-@query(
-    "q_text_bm25",
-    oracle=f"""
-    WITH toks AS (
+#: The BM25 scoring chain as a composable CTE fragment (ends in
+#: ``scored(doc_id, bm25x)``): q_text_bm25's oracle AND the hybrid
+#: retrieval oracle (similarity.q_hybrid_search) interpolate THIS
+#: string, so the two can never drift (the ADVICE r12 #3 rule —
+#: shared constants/fragments, never re-typed literals).
+BM25_SCORED_CTE = f"""toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ), tok AS (
       SELECT doc_id, word FROM toks WHERE word <> ''
@@ -1575,7 +1576,13 @@ _BM25_Q_SQL = ", ".join(f"'{w}'" for w in BM25_QUERY)
       CROSS JOIN stats s
     ), scored AS (
       SELECT doc_id, SUM(term) AS bm25x FROM terms GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH {BM25_SCORED_CTE}
     SELECT doc_id, ROUND(CAST(bm25x AS DOUBLE), 4) AS bm25,
            CAST(rnk AS BIGINT) AS rnk
     FROM (

@@ -91,15 +91,17 @@ PRIORITY: tuple[str, ...] = (
     #
     # r14 PRE-PLAN (written at r13 close, the r9→…→r13 pattern): once
     # CORRECTNESS_r13 lands rows for the r13 window, rotate OUT the
-    # SIX heads of the remaining r9-queue tail (q_first_touch,
+    # NINE heads of the remaining r9-queue tail (q_first_touch,
     # q_compress_ratio, q_tpch_q6, q_tpch_q13, q_graph_kcore,
-    # q_vocab_coverage — each then r10+r11+r12+r13-green) and take ALL
-    # SIX r13-written ROTATION_CANDIDATES FIFO (q_sim_topk_ivfpq,
-    # q_curation_v5_funnel, q_sim_range_search, q_text_bm25,
-    # q_quantile_sketch, q_curation_v5_trace), keeping the window at
-    # exactly 50 and emptying the queue. Expected r14 row mix: four
-    # hash-green; q_sim_topk_ivfpq and q_quantile_sketch rows-only
-    # (learned cells/codebooks, GK sketch samples) with rows > 0.
+    # q_vocab_coverage, q_collocations, q_mad_outliers, q_event_gaps —
+    # each then r10+r11+r12+r13-green) and take ALL NINE r13-written
+    # ROTATION_CANDIDATES FIFO (q_sim_topk_ivfpq, q_curation_v5_funnel,
+    # q_sim_range_search, q_text_bm25, q_quantile_sketch,
+    # q_curation_v5_trace, q_heavy_hitters, q_sim_topk_filtered,
+    # q_hybrid_search), keeping the window at exactly 50 and emptying
+    # the queue. Expected r14 row mix: seven hash-green;
+    # q_sim_topk_ivfpq and q_quantile_sketch rows-only (learned
+    # cells/codebooks, GK sketch samples) with rows > 0.
     #
     # -- the r12-written queue, in FIFO order (14) --
     "q_tpch_q4",
@@ -202,6 +204,19 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # per-doc v5 decision trace — the funnel's pre-aggregation frame
     # (exact oracle = the funnel oracle minus its GROUP BY)
     "q_curation_v5_trace",
+    # distributed Misra-Gries frequent-items sketch (mergeable-summaries
+    # form): exact-regime oracle (fixture vocab ≪ HH_CAP ⇒ zero
+    # decrements ⇒ counts exact and err_hi = 0, both hash-pinned);
+    # approximate-regime sandwich pinned in tests/test_sketches.py
+    "q_heavy_hitters",
+    # metadata-constrained exact top-k (PRE-filter before the GEMM
+    # kernel — the filtered-ANN query mode); exact DuckDB oracle
+    "q_sim_topk_filtered",
+    # hybrid lexical+semantic retrieval: BM25 top-N ∪ cosine top-N for
+    # the anchor (top-1 BM25) embedding, reciprocal-rank-fused with
+    # exact integer RRF terms; oracle composes text.BM25_SCORED_CTE +
+    # the flat-vector CTE (shared fragments — no drift)
+    "q_hybrid_search",
 )
 
 

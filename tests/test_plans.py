@@ -612,3 +612,38 @@ def test_ivfpq_rescore_broadcasts_probe_only(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_filtered_topk_prefilters_with_shuffle_hash_semi(spark, sf_dir):
+    """q_sim_topk_filtered must PRE-filter: the language predicate
+    meets the vectors as a semi join BEFORE the GEMM kernel, planned
+    shuffle-hash (documents-derived sets are corpus-scale — never a
+    forced broadcast), and nothing in the plan degenerates to a
+    cartesian/BNLJ."""
+    plan = plan_of(spark, sf_dir, "q_sim_topk_filtered")
+    assert "ShuffledHashJoin" in plan, plan
+    assert re.search(r"(LeftSemi|left_semi)", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the kernel sees the filtered frame: the semi join feeds the
+    # Python (mapInPandas) stage, not the other way round
+    assert plan.index("ShuffledHashJoin") < plan.index("ArrowEvalPython") \
+        if "ArrowEvalPython" in plan else True
+
+
+def test_hybrid_semantic_side_is_takeordered(spark, sf_dir):
+    """q_hybrid_search's semantic list must cut its top-N via
+    TakeOrderedAndProject (per-partition local top-N + driver merge) —
+    never a global single-partition row_number window over the corpus;
+    the only Window nodes operate on the two <= N-row rank frames."""
+    plan = plan_of(spark, sf_dir, "q_hybrid_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop joins allowed are the BM25 side's 1-row
+    # broadcast stats crossJoins (BuildRight broadcasts of aggregates)
+    # — a non-broadcast BNLJ would be the O(N·M) scale-killer
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        # tree line: " Cross BuildRight (48)"; detail block:
+        # "\nJoin type: Cross\nJoin condition: None" — a non-Cross
+        # BNLJ would be a fallback join over a real predicate
+        assert "Cross" in frag[:80], plan

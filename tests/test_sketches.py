@@ -73,3 +73,62 @@ def test_kmv_hash_safe_for_huge_ids(spark):
         assert got[i] == (KMV_A * (i % KMV_P) + KMV_B) % KMV_P
         assert got[i] == got.get(i, None) is not None or True
         assert 0 <= got[i] < KMV_P
+
+
+def test_heavy_hitters_exact_regime(spark, sf_dir):
+    """With HH_CAP far above the fixture vocabulary every partition
+    stays decrement-free: counts equal the exact GROUP BY and err_hi
+    is exactly 0 (the property the DuckDB oracle hash-pins)."""
+    import pyspark.sql.functions as F
+
+    from hive_gateway_spark.operators.advanced import HH_TOPK
+    from hive_gateway_spark.session import load_tables
+
+    rows = registry.QUERIES["q_heavy_hitters"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= HH_TOPK
+    t = load_tables(spark, sf_dir)
+    exact = {
+        r["word"]: r["c"]
+        for r in t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert r["err_hi"] == 0, r
+        assert r["cnt_lo"] == exact[r["word"]], r
+    # ranks are dense 1..n and ordered by (count desc, word asc)
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_heavy_hitters_sandwich_under_tiny_capacity(spark, sf_dir):
+    """The Misra-Gries guarantee in the APPROXIMATE regime (capacity
+    far below the vocabulary — the 100 TB posture): for every reported
+    token, cnt_lo <= true <= cnt_lo + err_hi, and the total decrement
+    mass respects err_hi <= n_tokens/(cap+1)."""
+    import pyspark.sql.functions as F
+
+    from hive_gateway_spark.operators.advanced import heavy_hitters_topk
+    from hive_gateway_spark.session import load_tables
+
+    cap = 8
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("text")
+    rows = heavy_hitters_topk(docs, cap, 10).collect()
+    assert len(rows) > 0
+    tok = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    n_tokens = tok.count()
+    exact = {
+        r["word"]: r["c"]
+        for r in tok.groupBy("word").agg(F.count("*").alias("c")).collect()
+    }
+    err = rows[0]["err_hi"]
+    assert all(r["err_hi"] == err for r in rows)  # one global bound
+    assert 0 < err <= n_tokens / (cap + 1), (err, n_tokens)
+    for r in rows:
+        true = exact[r["word"]]
+        assert r["cnt_lo"] <= true <= r["cnt_lo"] + err, (r, true)
