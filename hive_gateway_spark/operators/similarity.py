@@ -2173,7 +2173,11 @@ def _hybrid_oracle() -> str:
             FROM scored
         ) WHERE lrnk <= {BM25_TOPN}
     ),
-    anchor AS (SELECT doc_id FROM lexn WHERE lrnk = 1),
+    anchor AS (
+        SELECT l.doc_id FROM lexn l
+        JOIN norms n ON n.vec_id = l.doc_id
+        ORDER BY l.lrnk ASC LIMIT 1
+    ),
     qv AS (SELECT v.val, v.pos FROM v JOIN anchor a ON v.vec_id = a.doc_id),
     qn AS (SELECT n.norm2 FROM norms n JOIN anchor a ON n.vec_id = a.doc_id),
     sdots AS (
@@ -2242,34 +2246,50 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexn = q_text_bm25(spark, sf_dir).select(
         "doc_id", F.col("rnk").alias("lrnk")
     )
-    anchor = lexn.filter(F.col("lrnk") == 1).collect()  # exactly 1 row
-    aid = int(anchor[0]["doc_id"])
+    # the anchor is the highest-ranked lexical hit WITH an embedding
+    # (embeddings cover a corpus subset at sf ≥ 0.1 — anchoring on the
+    # raw top-1 would silence the semantic list exactly where hybrid
+    # matters); ≤ 1 row collected by construction
     e = _quantized(t).withColumn("n2", norm2_q("v"))
-    qrow = e.filter(F.col("vec_id") == aid).select("v", "n2").collect()
-    qvec = [int(x) for x in qrow[0]["v"]]
-    qn2 = float(qrow[0]["n2"])
-    dot = F.expr(
-        "aggregate(zip_with(v, array("
-        + ",".join(f"{x}L" for x in qvec)
-        + "), (x, y) -> x * y), 0L, (a, x) -> a + x)"
+    qrow = (
+        lexn.join(e, lexn["doc_id"] == e["vec_id"])
+        .orderBy(F.col("lrnk").asc())
+        .limit(1)
+        .select("v", "n2")
+        .collect()
     )
-    sems = e.select(
-        F.col("vec_id").alias("doc_id"),
-        cos_div(dot.cast("double"), F.lit(qn2) * F.col("n2")).alias("sim"),
-    )
-    # TakeOrdered (orderBy+limit), then ranks over the tiny result —
-    # never a global row_number window over the corpus
-    semn = (
-        sems.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
-        .limit(BM25_TOPN)
-        .withColumn(
-            "srnk",
-            F.row_number().over(
-                W.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
-            ),
+    if qrow:
+        qvec = [int(x) for x in qrow[0]["v"]]
+        qn2 = float(qrow[0]["n2"])
+        dot = F.expr(
+            "aggregate(zip_with(v, array("
+            + ",".join(f"{x}L" for x in qvec)
+            + "), (x, y) -> x * y), 0L, (a, x) -> a + x)"
         )
-        .select("doc_id", "srnk")
-    )
+        sems = e.select(
+            F.col("vec_id").alias("doc_id"),
+            cos_div(dot.cast("double"), F.lit(qn2) * F.col("n2")).alias("sim"),
+        )
+        # TakeOrdered (orderBy+limit), then ranks over the tiny result —
+        # never a global row_number window over the corpus
+        semn = (
+            sems.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+            .limit(BM25_TOPN)
+            .withColumn(
+                "srnk",
+                F.row_number().over(
+                    W.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+                ),
+            )
+            .select("doc_id", "srnk")
+        )
+    else:
+        # NO top-N lexical hit has an embedding row: the semantic
+        # list is empty and fusion
+        # degrades to pure lexical ranking — EXACTLY what the oracle
+        # computes (its qv/sdots/semn CTEs are empty), so the two
+        # engines agree at every scale, not just where coverage is 1:1
+        semn = spark.createDataFrame([], "doc_id bigint, srnk int")
     lterm = F.expr(_rrf_term_sql("lrnk"))
     sterm = F.expr(_rrf_term_sql("srnk"))
     fused = (
