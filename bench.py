@@ -229,6 +229,7 @@ HEADLINE_R13 = [
     "q_heavy_hitters",
     "q_sim_topk_filtered",
     "q_hybrid_search",
+    "q_heavy_hitters_by_lang",
 ]
 
 

@@ -1827,56 +1827,70 @@ HH_CAP = 4096
 HH_TOPK = 25
 
 
+def mg_summaries(keyed: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries over ``key_cols`` (string
+    columns) — the mergeable-summaries kernel shared by the global and
+    per-group heavy-hitter queries and the streaming trend twin. ONE
+    mapInPandas pass per partition (batched merge: add a batch's group
+    sizes, then if over capacity subtract the (cap+1)-th largest
+    counter from all and drop non-positives); the emitted summary is
+    ≤ cap key rows + 1 error row (all key columns NULL, cnt = the
+    partition's decrement total) REGARDLESS of partition size."""
+    import numpy as np
+    import pandas as pd
+
+    def mg_partition(batches):
+        counts: dict[tuple, int] = {}
+        decrements = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sizes = pdf.groupby(key_cols, sort=False).size()
+            for key, c in sizes.items():
+                key = key if isinstance(key, tuple) else (key,)
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > cap:
+                vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))
+                cut = int(vals[-(cap + 1)])  # (cap+1)-th largest
+                decrements += cut
+                counts = {k: c - cut for k, c in counts.items() if c > cut}
+        keys = list(counts.keys()) + [(None,) * len(key_cols)]
+        out = {
+            col: [k[i] for k in keys] for i, col in enumerate(key_cols)
+        }
+        out["cnt"] = np.asarray(
+            list(counts.values()) + [decrements], dtype=np.int64
+        )
+        yield pd.DataFrame(out)
+
+    schema = ", ".join(f"{c} string" for c in key_cols) + ", cnt bigint"
+    return keyed.select(*key_cols).mapInPandas(mg_partition, schema)
+
+
+def tokens_of(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(word [, extra…]) token stream of a documents frame."""
+    return docs.select(
+        *extra_cols, F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+
+
 def heavy_hitters_topk(docs: DataFrame, cap: int, k: int) -> DataFrame:
     """Distributed Misra-Gries top-k token frequencies over a
     (text,) frame — the frequent-items sketch beside q_agg_kmv's
     distinct sketch and q_quantile_sketch's rank sketch.
 
     Plan shape: the token stream never shuffles. Each input partition
-    folds its tokens into a ≤``cap``-counter Misra-Gries summary inside
-    ONE mapInPandas pass (batched merge: add a batch's value_counts,
-    then if over capacity subtract the (cap+1)-th largest counter from
-    all and drop non-positives — the mergeable-summaries reduction);
-    only the summaries — ≤ cap rows + 1 error row per partition,
-    REGARDLESS of partition size — reach the exchange. The global merge
-    is a map-side-combined groupBy sum, then one tiny top-k window.
-    That is the whole point at 100 TB: exact per-token counts of a
+    folds into a ≤``cap``-counter summary (mg_summaries kernel); only
+    the summaries reach the exchange. The global merge is a
+    map-side-combined groupBy sum, then one tiny top-k window. That is
+    the whole point at 100 TB: exact per-token counts of a
     heavy-tailed trillion-token stream shuffle O(vocabulary) rows,
     the sketch shuffles O(partitions · cap).
 
     Guarantee (classic MG, survives the merge): every reported
     cnt_lo undercounts its token by at most err_hi = Σ per-partition
     decrement totals, and err_hi ≤ n_tokens/(cap+1)."""
-    import numpy as np
-    import pandas as pd
-
-    tok = docs.select(
-        F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-
-    def mg_partition(batches):
-        counts: dict[str, int] = {}
-        decrements = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            for w, c in pdf["word"].value_counts().items():
-                counts[w] = counts.get(w, 0) + int(c)
-            if len(counts) > cap:
-                vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))
-                cut = int(vals[-(cap + 1)])  # (cap+1)-th largest
-                decrements += cut
-                counts = {w: c - cut for w, c in counts.items() if c > cut}
-        yield pd.DataFrame(
-            {
-                "word": list(counts.keys()) + [None],
-                "cnt": np.asarray(
-                    list(counts.values()) + [decrements], dtype=np.int64
-                ),
-            }
-        )
-
-    summaries = tok.mapInPandas(mg_partition, "word string, cnt bigint")
+    summaries = mg_summaries(tokens_of(docs), ["word"], cap)
     err = summaries.filter(F.col("word").isNull()).agg(
         F.sum("cnt").cast("bigint").alias("err_hi")
     )
@@ -1933,3 +1947,71 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a tiny forced capacity in tests/test_sketches.py."""
     t = load_tables(spark, sf_dir)
     return heavy_hitters_topk(t["documents"].select("text"), HH_CAP, HH_TOPK)
+
+
+#: Per-group heavy hitters: top tokens PER LANGUAGE (the hot-keys-per-
+#: tenant shape: top URLs per domain, top paths per shard). Same
+#: exact-regime/approximate-regime split as the global query.
+HH_GROUP_TOPK = 5
+
+
+@query(
+    "q_heavy_hitters_by_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), counts AS (
+      SELECT lang, word, COUNT(*) AS cnt FROM toks WHERE word <> ''
+      GROUP BY lang, word
+    )
+    SELECT lang, word, CAST(cnt AS BIGINT) AS cnt_lo,
+           CAST(0 AS BIGINT) AS err_hi, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT lang, word, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, word ASC) AS rnk
+      FROM counts
+    )
+    WHERE rnk <= {HH_GROUP_TOPK}
+    """,
+)
+def q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{HH_GROUP_TOPK} tokens PER LANGUAGE via the same distributed
+    Misra-Gries kernel, keyed on the (lang, word) COMPOSITE — the
+    per-group frequent-items shape (hot keys per tenant/domain/shard).
+
+    The crucial plan property carries over unchanged: the token stream
+    still never shuffles — grouping lives INSIDE the sketch key, so
+    each partition emits one ≤ HH_CAP-counter summary across ALL its
+    groups (not cap-per-group state), the exchange carries
+    O(partitions · cap) rows, and the per-group top-k window runs over
+    the merged summary (≤ partitions · cap rows — bounded, never
+    corpus-scale). The MG sandwich holds per composite key with the
+    same Σ-decrements bound. Exact-regime oracle as q_heavy_hitters
+    (fixture: |lang × vocab| ≪ HH_CAP ⇒ counts exact, err_hi = 0,
+    both hash-pinned)."""
+    t = load_tables(spark, sf_dir)
+    summaries = mg_summaries(
+        tokens_of(t["documents"], "lang"), ["lang", "word"], HH_CAP
+    )
+    err = summaries.filter(F.col("word").isNull()).agg(
+        F.sum("cnt").cast("bigint").alias("err_hi")
+    )
+    merged = (
+        summaries.filter(F.col("word").isNotNull())
+        .groupBy("lang", "word")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt_lo"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("cnt_lo").desc(), F.col("word").asc())
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HH_GROUP_TOPK)
+        .crossJoin(F.broadcast(err))
+        .select(
+            "lang",
+            "word",
+            "cnt_lo",
+            F.coalesce("err_hi", F.lit(0)).cast("bigint").alias("err_hi"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -91,17 +91,18 @@ PRIORITY: tuple[str, ...] = (
     #
     # r14 PRE-PLAN (written at r13 close, the r9→…→r13 pattern): once
     # CORRECTNESS_r13 lands rows for the r13 window, rotate OUT the
-    # NINE heads of the remaining r9-queue tail (q_first_touch,
+    # TEN heads of the remaining r9-queue tail (q_first_touch,
     # q_compress_ratio, q_tpch_q6, q_tpch_q13, q_graph_kcore,
-    # q_vocab_coverage, q_collocations, q_mad_outliers, q_event_gaps —
-    # each then r10+r11+r12+r13-green) and take ALL NINE r13-written
-    # ROTATION_CANDIDATES FIFO (q_sim_topk_ivfpq, q_curation_v5_funnel,
-    # q_sim_range_search, q_text_bm25, q_quantile_sketch,
-    # q_curation_v5_trace, q_heavy_hitters, q_sim_topk_filtered,
-    # q_hybrid_search), keeping the window at exactly 50 and emptying
-    # the queue. Expected r14 row mix: seven hash-green;
-    # q_sim_topk_ivfpq and q_quantile_sketch rows-only (learned
-    # cells/codebooks, GK sketch samples) with rows > 0.
+    # q_vocab_coverage, q_collocations, q_mad_outliers, q_event_gaps,
+    # q_churn_matrix — each then r10+r11+r12+r13-green) and take ALL
+    # TEN r13-written ROTATION_CANDIDATES FIFO (q_sim_topk_ivfpq,
+    # q_curation_v5_funnel, q_sim_range_search, q_text_bm25,
+    # q_quantile_sketch, q_curation_v5_trace, q_heavy_hitters,
+    # q_sim_topk_filtered, q_hybrid_search, q_heavy_hitters_by_lang),
+    # keeping the window at exactly 50 and emptying the queue.
+    # Expected r14 row mix: eight hash-green; q_sim_topk_ivfpq and
+    # q_quantile_sketch rows-only (learned cells/codebooks, GK sketch
+    # samples) with rows > 0.
     #
     # -- the r12-written queue, in FIFO order (14) --
     "q_tpch_q4",
@@ -217,6 +218,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # exact integer RRF terms; oracle composes text.BM25_SCORED_CTE +
     # the flat-vector CTE (shared fragments — no drift)
     "q_hybrid_search",
+    # per-group (per-language) heavy hitters: grouping lives INSIDE the
+    # MG sketch key, so the token stream still never shuffles; same
+    # exact-regime oracle + sandwich property as the global query
+    "q_heavy_hitters_by_lang",
 )
 
 

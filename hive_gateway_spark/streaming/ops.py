@@ -1167,3 +1167,33 @@ def embed_screen_batch(spark, index_path: str, tau: float = 0.9):
         )
 
     return score
+
+
+def stream_token_trend(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q_heavy_hitters: RUNNING token frequencies at
+    ingest via the same distributed Misra-Gries kernel (advanced.
+    mg_summaries — shared implementation, the sketch geometry cannot
+    drift). Per micro-batch, each partition folds its tokens into a
+    ≤ HH_CAP-counter summary; the streaming groupBy then maintains the
+    running per-token sum as ordinary aggregation state. The row with
+    word NULL accumulates the total decrement mass — the live err_hi
+    bound, so a monitor reads "token t has appeared ≥ cnt_lo and
+    ≤ cnt_lo + err(NULL row) times so far" at any point in the stream.
+
+    Scale shape: state is O(observed vocabulary) and each micro-batch
+    shuffles O(partitions · HH_CAP) summary rows, NOT the token stream
+    — the same property that makes the batch sketch viable at 100 TB
+    makes this the drift/trend screen a crawler shard runs
+    continuously (pair with q_corpus_drift's batch report). The top-k
+    cut is the CONSUMER's (sort the tiny state table in the sink);
+    streaming aggregates cannot rank in-plan."""
+    from hive_gateway_spark.operators.advanced import (
+        HH_CAP,
+        mg_summaries,
+        tokens_of,
+    )
+
+    summaries = mg_summaries(tokens_of(docs), ["word"], HH_CAP)
+    return summaries.groupBy("word").agg(
+        F.sum("cnt").cast("bigint").alias("cnt_lo")
+    )

@@ -647,3 +647,25 @@ def test_hybrid_semantic_side_is_takeordered(spark, sf_dir):
         # "\nJoin type: Cross\nJoin condition: None" — a non-Cross
         # BNLJ would be a fallback join over a real predicate
         assert "Cross" in frag[:80], plan
+
+
+def test_heavy_hitters_tokens_never_shuffle(spark, sf_dir):
+    """Both heavy-hitter spellings must fold tokens into per-partition
+    MG summaries BEFORE any exchange: the first Exchange in the plan
+    sits above the MapInPandas kernel (the exchange carries
+    O(partitions·cap) summary rows, never the token stream), and the
+    global/grouped top-k is the only Window."""
+    for name in ("q_heavy_hitters", "q_heavy_hitters_by_lang"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "MapInPandas" in plan, plan
+        assert "Exchange" in plan, plan  # the summary merge
+        # the formatted tree prints parents first, so everything
+        # between the kernel node and its parquet leaf is the
+        # BELOW-kernel segment — no exchange may appear there
+        below = plan[plan.index("MapInPandas") : plan.index("Scan parquet")]
+        assert "Exchange" not in below, (name, plan)
+        # the only join is the 1-row err-bound broadcast cross join
+        for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+            assert "Cross" in frag[:80], plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

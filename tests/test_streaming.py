@@ -1062,3 +1062,38 @@ def test_embed_screen_batch_matches_expression(spark, tmp_path):
     matched = {v for v, _ in gemm}
     assert set(range(50_000, 50_003)) <= matched
     assert not (matched & set(range(60_000, 60_010)))
+
+
+def test_stream_token_trend_equal_batch(spark, sf_dir):
+    """The streaming Misra-Gries trend drained over the fixture stream
+    carries exactly the batch sketch's counts (shared kernel —
+    advanced.mg_summaries): in the exact regime the running state IS
+    the exact token histogram, the NULL-word error row is 0, and the
+    consumer-side top-k cut reproduces q_heavy_hitters verbatim."""
+    from hive_gateway_spark.operators.advanced import HH_TOPK
+    from hive_gateway_spark.streaming.ops import (
+        stream_documents,
+        stream_token_trend,
+    )
+
+    got = drain(
+        stream_token_trend(stream_documents(spark, sf_dir)),
+        "s_token_trend",
+        mode="complete",
+    )
+    err = got[got["word"].isnull()]
+    assert len(err) == 1 and int(err["cnt_lo"].iloc[0]) == 0
+    top = (
+        got[got["word"].notnull()]
+        .sort_values(["cnt_lo", "word"], ascending=[False, True])
+        .head(HH_TOPK)
+        .reset_index(drop=True)
+    )
+    want = (
+        registry.QUERIES["q_heavy_hitters"](spark, sf_dir)
+        .toPandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    assert list(top["word"]) == list(want["word"])
+    assert list(top["cnt_lo"]) == list(want["cnt_lo"])
