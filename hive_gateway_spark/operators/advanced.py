@@ -2015,3 +2015,100 @@ def q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    grp AS (
+      SELECT user_id, ts, event_type,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS UNBOUNDED PRECEDING
+             ) AS run_id
+      FROM ordered
+    ),
+    runs AS (
+      SELECT user_id, run_id, event_type AS state,
+             MIN(ts) AS valid_from,
+             COUNT(*) AS n_events
+      FROM grp
+      GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY run_id ASC
+           ) AS valid_to,
+           (LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY run_id ASC
+           ) IS NULL) AS is_current,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM runs
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (gaps-and-islands): collapse each
+    user's event stream into runs of consecutive equal states and emit
+    half-open validity intervals [valid_from, valid_to) with the
+    `is_current` flag — the slowly-changing-dimension table every
+    warehouse maintains for "what was this user's state at time T?"
+    point-in-time joins (and the missing sibling of q_join_asof, which
+    CONSUMES such intervals).
+
+    The island detection is the classic two-window idiom: a
+    change-flag (lag ≠ current, frame-free), a running sum of flags to
+    number the runs, then one aggregate per run and a lead() to close
+    each interval at the next run's start. Ordering is total — (ts,
+    event_id) — so run numbering is engine-identical even under equal
+    timestamps, and consecutive runs that share a min-ts still order
+    deterministically by run_id in the closing window.
+
+    Scale shape: every window and the aggregate partition by user_id —
+    the table's highest-cardinality key, no skew — so the whole build
+    is ONE shuffle on user_id reused by all three steps (Spark plans
+    the two windows + groupBy over a single exchange, AQE-coalesced);
+    nothing is corpus-global. At 100 TB this is the textbook
+    linear-scan SCD2 derivation: no self-join, no per-row range probe.
+    """
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("event_type").over(w)
+    ordered = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    grp = ordered.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"),
+    )
+    runs = grp.groupBy("user_id", "run_id", F.col("event_type").alias("state")).agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = W.partitionBy("user_id").orderBy(F.col("run_id").asc())
+    nxt = F.lead("valid_from").over(w2)
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

@@ -58,13 +58,32 @@ def _h_sql(expr: str) -> str:
     return f"(({_A} * (({expr}) % {_P}) + {_B}) % {_P})"
 
 
+def _split_case_sql(idexpr: str) -> str:
+    """The train/val/test CASE as DuckDB SQL — ONE definition shared by
+    the q_split_assign and q_split_leakage oracles (the ADVICE r12 #3
+    rule: shared fragments, never re-typed literals)."""
+    return (
+        f"CASE WHEN {_h_sql(idexpr)} % 1000 < {_TRAIN_LT} THEN 'train' "
+        f"WHEN {_h_sql(idexpr)} % 1000 < {_VAL_LT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def _split_col(col):
+    """Spark twin of _split_case_sql over a bigint id column."""
+    bucket = _h(col) % 1000
+    return (
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "val")
+        .otherwise("test")
+    )
+
+
 @query(
     "q_split_assign",
     oracle=f"""
     WITH assigned AS (
-      SELECT CASE WHEN {_h_sql('doc_id')} % 1000 < {_TRAIN_LT} THEN 'train'
-                  WHEN {_h_sql('doc_id')} % 1000 < {_VAL_LT} THEN 'val'
-                  ELSE 'test' END AS split,
+      SELECT {_split_case_sql('doc_id')} AS split,
              lang, n_chars
       FROM documents
     )
@@ -86,14 +105,8 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split, lang). No window, no join — linear at any scale.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    bucket = _h(F.col("doc_id")) % 1000
-    split = (
-        F.when(bucket < _TRAIN_LT, "train")
-        .when(bucket < _VAL_LT, "val")
-        .otherwise("test")
-    )
     return (
-        docs.select(split.alias("split"), "lang", "n_chars")
+        docs.select(_split_col(F.col("doc_id")).alias("split"), "lang", "n_chars")
         .groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -417,5 +430,86 @@ def q_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RESERVOIR_K)
         .select(
             "source", "doc_id", "lang", "n_chars", F.col("rk").cast("bigint").alias("rk")
+        )
+    )
+
+
+def _leakage_oracle() -> str:
+    """Deferred so the dedup module's pair CTE is imported lazily (the
+    fragment is shared verbatim with every _jaccard_pairs oracle — the
+    near-dup definition cannot drift between the dedup family and this
+    audit)."""
+    from hive_gateway_spark.operators.dedup import _duck_pairs_sql
+
+    return f"""
+    WITH {_duck_pairs_sql()},
+    lab AS (
+      SELECT {_split_case_sql('doc_a')} AS sa,
+             {_split_case_sql('doc_b')} AS sb,
+             shared, union_sz
+      FROM fullpairs
+    )
+    SELECT LEAST(sa, sb) AS split_lo,
+           GREATEST(sa, sb) AS split_hi,
+           (LEAST(sa, sb) <> GREATEST(sa, sb)) AS leaky,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(shared) AS BIGINT) AS sum_shared,
+           CAST(SUM(union_sz) AS BIGINT) AS sum_union
+    FROM lab
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("q_split_leakage", oracle=_leakage_oracle())
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs that CROSS the
+    train/val/test boundary — the decontamination check a training
+    pipeline must run before shipping an eval set (a test doc whose
+    near-dup sits in train is a leaked answer; Lee 2021 §5 measures
+    exactly this failure on C4).
+
+    Composes the two existing primitives without re-deriving either:
+    the pair set is _jaccard_pairs (exact shingle-Jaccard τ = 0.5,
+    hot-shingle DF cap modeled in the oracle), and the split is the
+    deterministic content-hash CASE shared with q_split_assign — so a
+    pair's verdict here is consistent with both the dedup family and
+    the split report by construction. Output is the full split×split
+    matrix (split_lo ≤ split_hi, canonicalized with LEAST/GREATEST so
+    (train,test) and (test,train) pairs land in one cell): the
+    off-diagonal `leaky` rows are the contamination, and the diagonal
+    rows (intra-split duplicate load) ride along for free — also
+    keeping the result non-vacuous on any corpus that has near-dups at
+    all.
+
+    Scale shape: ZERO new shuffles beyond the cached pair set — the
+    split label is a pure int64 hash projection of the ids already on
+    each pair row (no join back to documents), and the final aggregate
+    is ≤ 6 groups, map-side combined.
+    """
+    from hive_gateway_spark.operators.dedup import _jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    sa = _split_col(F.col("doc_a"))
+    sb = _split_col(F.col("doc_b"))
+    lab = _jaccard_pairs(t).select(
+        F.least(sa, sb).alias("split_lo"),
+        F.greatest(sa, sb).alias("split_hi"),
+        "shared",
+        "union_sz",
+    )
+    return (
+        lab.groupBy("split_lo", "split_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("shared").cast("bigint").alias("sum_shared"),
+            F.sum("union_sz").cast("bigint").alias("sum_union"),
+        )
+        .select(
+            "split_lo",
+            "split_hi",
+            (F.col("split_lo") != F.col("split_hi")).alias("leaky"),
+            "n_pairs",
+            "sum_shared",
+            "sum_union",
         )
     )

@@ -2321,3 +2321,88 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@query(
+    "q_embed_coherence",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    possum AS (
+        SELECT label, pos, SUM(val) AS s
+        FROM v GROUP BY label, pos
+    ),
+    gram AS (
+        SELECT label, SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS g
+        FROM possum GROUP BY label
+    ),
+    pern AS (
+        SELECT label, COUNT(*) AS n, SUM(CAST(norm2 AS HUGEINT)) AS sn
+        FROM norms GROUP BY label
+    )
+    SELECT p.label, p.n,
+           ROUND(CAST(p.sn AS DOUBLE) / CAST(p.n AS DOUBLE)
+                 / {SCALE}.0 / {SCALE}.0, 6) AS avg_norm2,
+           ROUND(CAST(g.g - p.sn AS DOUBLE) / CAST(p.n * (p.n - 1) AS DOUBLE)
+                 / {SCALE}.0 / {SCALE}.0, 6) AS avg_pair_dot
+    FROM pern p JOIN gram g ON g.label = p.label
+    WHERE p.n > 1
+    """,
+)
+def q_embed_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding coherence: the MEAN PAIRWISE DOT PRODUCT of a
+    label's vectors — the cluster-tightness diagnostic a curation
+    pipeline runs on its embedding clusters (is this topic/label a
+    coherent group or a grab bag?) — computed WITHOUT forming pairs.
+
+    The Gram-sum identity does the work:
+
+        Σ_{{i≠j}} <v_i, v_j>  =  ||Σ_i v_i||² − Σ_i ||v_i||²
+
+    so the naive O(n²·d) pairwise sweep collapses to one O(n·d) pass:
+    per-(label, pos) component sums (map-side-combined shuffle of
+    ≤ labels·dim rows), square-and-sum per label, minus the per-row
+    norms the quantized staging already computes. At 100 TB this is
+    the difference between "impossible" and "one aggregate": the same
+    identity is how a production pipeline scores millions of clusters
+    nightly.
+
+    Determinism: component sums are exact int64 (|s| ≤ n·3·10⁷ — safe
+    to ~10¹¹ rows/label); squares are summed as DECIMAL/HUGEINT so the
+    subtraction is exact integer arithmetic in BOTH engines, and the
+    single double division at the end has an identical expression
+    shape. avg_norm2 (mean squared L2, the magnitude baseline) rides
+    along so avg_pair_dot is interpretable without a second query.
+    """
+    t = load_tables(spark, sf_dir)
+    q = _quantized(t)
+    flat = q.select("label", F.posexplode("v").alias("pos", "val"))
+    possum = flat.groupBy("label", "pos").agg(F.sum("val").alias("s"))
+    sdec = F.col("s").cast("decimal(18,0)")
+    gram = possum.groupBy("label").agg(F.sum(sdec * sdec).alias("g"))
+    pern = (
+        q.select("label", norm2_q("v").alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("n2").cast("decimal(18,0)")).alias("sn"),
+        )
+    )
+    return (
+        pern.join(gram, "label")
+        .filter(F.col("n") > 1)
+        .select(
+            "label",
+            "n",
+            F.round(
+                F.col("sn").cast("double") / F.col("n").cast("double")
+                / SCALE / float(SCALE),
+                6,
+            ).alias("avg_norm2"),
+            F.round(
+                (F.col("g") - F.col("sn")).cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+                / SCALE / float(SCALE),
+                6,
+            ).alias("avg_pair_dot"),
+        )
+    )

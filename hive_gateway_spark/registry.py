@@ -222,6 +222,21 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # MG sketch key, so the token stream still never shuffles; same
     # exact-regime oracle + sandwich property as the global query
     "q_heavy_hitters_by_lang",
+    # per-label mean pairwise dot WITHOUT forming pairs (Gram-sum
+    # identity: Σ_{i≠j}<vi,vj> = ||Σv||² − Σ||vi||²) — O(n·d) exact
+    # decimal arithmetic; brute-force identity pin in
+    # tests/test_similarity.py, exact DuckDB oracle
+    "q_embed_coherence",
+    # split-leakage decontamination audit: near-dup pairs crossing the
+    # train/val/test boundary — composes _jaccard_pairs with the shared
+    # split CASE (both fragments interpolated, no re-typed literals);
+    # exact DuckDB oracle, matrix-total pin in tests/test_sampling.py
+    "q_split_leakage",
+    # SCD Type-2 history build (gaps-and-islands run collapse → validity
+    # intervals + is_current) — ONE user_id shuffle reused by both
+    # windows and the aggregate; exact DuckDB oracle, interval-chain
+    # invariants pinned in tests/test_breadth.py
+    "q_scd2_history",
 )
 
 

@@ -774,3 +774,34 @@ def test_kcore_separates_clique_from_chain(spark):
     assert all(rows[i]["core_degree"] == 3 for i in range(4))
     assert all(rows[i]["core_degree"] == 2 for i in (20, 21, 22))
     assert all(r["converged"] for r in rows.values())
+
+
+def test_scd2_intervals_chain_and_cover(spark, sf_dir):
+    """SCD2 invariants beyond engine parity: per user, intervals chain
+    (each valid_to equals the next valid_from), exactly one open
+    (is_current) interval exists, consecutive runs never share a state
+    (else they'd be one run), and run event counts total the user's
+    events."""
+    from hive_gateway_spark.session import load_tables
+
+    rows = registry.QUERIES["q_scd2_history"](spark, sf_dir).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in load_tables(spark, sf_dir)["events"]
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(by_user) == set(ev_counts)
+    for uid, runs in by_user.items():
+        runs.sort(key=lambda r: (r["valid_from"], r["valid_to"] is None))
+        assert sum(r["n_events"] for r in runs) == ev_counts[uid]
+        assert sum(r["is_current"] for r in runs) == 1
+        assert runs[-1]["is_current"] and runs[-1]["valid_to"] is None
+        for a, b in zip(runs, runs[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+            assert a["state"] != b["state"], uid

@@ -164,3 +164,20 @@ def test_temperature_weights_hand_checked(spark, sf_dir):
     ).collect()
     assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-12
     assert all(r["epochs"] > 0 for r in rows)
+
+
+def test_split_leakage_matrix_totals(spark, sf_dir):
+    """The split×split matrix must partition the pair set exactly: its
+    n_pairs total equals the _jaccard_pairs row count, and every leaky
+    flag is (split_lo != split_hi)."""
+    from hive_gateway_spark.operators.dedup import _jaccard_pairs
+    from hive_gateway_spark.session import load_tables
+
+    rows = registry.QUERIES["q_split_leakage"](spark, sf_dir).collect()
+    assert rows
+    n_pairs_total = sum(r["n_pairs"] for r in rows)
+    assert n_pairs_total == _jaccard_pairs(load_tables(spark, sf_dir)).count()
+    for r in rows:
+        assert r["leaky"] == (r["split_lo"] != r["split_hi"])
+        assert r["split_lo"] <= r["split_hi"]
+        assert 2 * r["sum_shared"] >= r["sum_union"]  # every pair passed tau

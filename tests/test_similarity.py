@@ -1026,3 +1026,37 @@ def test_ivfpq_recall_and_exact_sims(spark, sf_dir, tmp_path):
             same += int(lab[v] == lab[q])
     assert total > 0
     assert same / total >= 0.9, f"same-cluster rate {same / total:.2f}"
+
+
+def test_embed_coherence_matches_bruteforce_pairwise(spark, sf_dir):
+    """The Gram-sum identity must equal the naive O(n²) pairwise mean.
+
+    Brute-force the quantized dot products per label driver-side on the
+    tiny fixture and compare against q_embed_coherence's avg_pair_dot to
+    1e-6 — pinning the algebra, not just engine parity."""
+    import numpy as np
+
+    from hive_gateway_spark.functions.vectors import SCALE
+    from hive_gateway_spark.operators.similarity import _quantized
+    from hive_gateway_spark.session import load_tables
+
+    got = {
+        r["label"]: r
+        for r in registry.QUERIES["q_embed_coherence"](spark, sf_dir).collect()
+    }
+    by_label: dict[int, list] = {}
+    for r in _quantized(load_tables(spark, sf_dir)).collect():
+        by_label.setdefault(r["label"], []).append(r["v"])
+    for label, vecs in by_label.items():
+        if len(vecs) < 2:
+            assert label not in got
+            continue
+        X = np.asarray(vecs, dtype=np.int64)
+        G = X @ X.T
+        n = len(vecs)
+        pair = (G.sum() - np.trace(G)) / (n * (n - 1)) / SCALE / SCALE
+        norm = np.trace(G) / n / SCALE / SCALE
+        row = got[label]
+        assert row["n"] == n
+        assert abs(row["avg_pair_dot"] - pair) < 1e-6, label
+        assert abs(row["avg_norm2"] - norm) < 1e-6, label
