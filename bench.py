@@ -230,6 +230,13 @@ HEADLINE_R13 = [
     "q_sim_topk_filtered",
     "q_hybrid_search",
     "q_heavy_hitters_by_lang",
+    # continuation-session additions (same round)
+    "q_embed_coherence",
+    "q_split_leakage",
+    "q_scd2_history",
+    "q_phrase_search",
+    "q_retrieval_mmr",
+    "q_ann_recall",
 ]
 
 

@@ -1021,11 +1021,13 @@ def _planes_values() -> str:
     return ", ".join(rows)
 
 
-@query(
-    "q_ann_buckets",
-    oracle=f"""
-    WITH {DUCK_FLAT_CTE},
-    planes(plane, pos, sgn) AS (VALUES {_planes_values()}),
+def _lsh_buckets_cte() -> str:
+    """The LSH candidate chain (planes → proj → buckets → qb →
+    ``lshcand(query_id, neighbor_id, n_shared_tables)``) as a
+    composable fragment — interpolated by BOTH the q_ann_buckets and
+    q_ann_recall oracles so the candidate definition cannot drift
+    between the machinery pin and the recall eval."""
+    return f"""planes(plane, pos, sgn) AS (VALUES {_planes_values()}),
     proj AS (
         SELECT v.vec_id, p.plane, SUM(v.val * p.sgn) AS dot
         FROM v JOIN planes p USING (pos)
@@ -1038,15 +1040,25 @@ def _planes_values() -> str:
                         ELSE 0 END) AS bucket
         FROM proj GROUP BY vec_id, plane // {LSH_BITS}
     ),
-    q AS (
+    qb AS (
         SELECT * FROM buckets
         WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}
-    )
-    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-           COUNT(*) AS n_shared_tables
-    FROM q JOIN buckets b
-      ON q.tbl = b.tbl AND q.bucket = b.bucket AND q.vec_id <> b.vec_id
-    GROUP BY 1, 2
+    ),
+    lshcand AS (
+        SELECT qb.vec_id AS query_id, b.vec_id AS neighbor_id,
+               COUNT(*) AS n_shared_tables
+        FROM qb JOIN buckets b
+          ON qb.tbl = b.tbl AND qb.bucket = b.bucket AND qb.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "q_ann_buckets",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    {_lsh_buckets_cte()}
+    SELECT query_id, neighbor_id, n_shared_tables FROM lshcand
     """,
 )
 def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2404,5 +2416,354 @@ def q_embed_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / SCALE / float(SCALE),
                 6,
             ).alias("avg_pair_dot"),
+        )
+    )
+
+
+#: MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+#: geometry: re-rank the exact top-MMR_SHORTLIST into MMR_K diverse
+#: results with integer weights 7/3 (λ = 0.7 scaled ×10 — the score is
+#: 7·rel − 3·max_pairwise_sim, so both engines multiply doubles by
+#: small exact integers instead of a decimal literal).
+MMR_SHORTLIST = 20
+MMR_K = 5
+MMR_W_REL = 7
+MMR_W_DIV = 3
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as SQL: selection step t is a CTE that joins
+    the not-yet-selected shortlist against the pairwise-sim table
+    restricted to steps 1..t−1's picks, takes MAX(sim) as the
+    diversity penalty, and QUALIFY-picks the arg-max of
+    {MMR_W_REL}·rel − {MMR_W_DIV}·maxsim (neighbor_id tie-break).
+    Greedy selection is inherently sequential — but K is a constant, so
+    K−1 unrolled CTEs express it exactly in one SQL statement."""
+    sel_ctes = []
+    for t in range(2, MMR_K + 1):
+        union = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM sel{i}" for i in range(1, t)
+        )
+        sel_ctes.append(f"""
+    done{t} AS ({union}),
+    cand{t} AS (
+        SELECT s.query_id, s.neighbor_id, s.sim AS rel, MAX(p.sim) AS maxsim
+        FROM short s
+        JOIN psim p ON p.query_id = s.query_id AND p.a = s.neighbor_id
+        JOIN done{t} u ON u.query_id = p.query_id AND u.neighbor_id = p.b
+        WHERE NOT EXISTS (SELECT 1 FROM done{t} d
+                          WHERE d.query_id = s.query_id
+                            AND d.neighbor_id = s.neighbor_id)
+        GROUP BY s.query_id, s.neighbor_id, s.sim
+    ),
+    sel{t} AS (
+        SELECT query_id, neighbor_id, rel,
+               CAST({t} AS BIGINT) AS mmr_rank,
+               {MMR_W_REL} * rel - {MMR_W_DIV} * maxsim AS score
+        FROM cand{t}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY {MMR_W_REL} * rel - {MMR_W_DIV} * maxsim DESC,
+                     neighbor_id ASC) = 1
+    )""")
+    final_union = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH {DUCK_FLAT_CTE},
+    q AS (SELECT * FROM v
+          WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}),
+    dots AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM(q.val * b.val) AS DOUBLE) AS dot
+        FROM q JOIN v b ON q.pos = b.pos AND q.vec_id <> b.vec_id
+        GROUP BY q.vec_id, b.vec_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, sim
+        FROM (
+            SELECT d.query_id, d.neighbor_id,
+                   d.dot / sqrt(nq.norm2 * nb.norm2) AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                      ORDER BY d.dot / sqrt(nq.norm2 * nb.norm2) DESC,
+                                               d.neighbor_id ASC) AS rk
+            FROM dots d
+            JOIN norms nq ON nq.vec_id = d.query_id
+            JOIN norms nb ON nb.vec_id = d.neighbor_id
+        )
+        WHERE rk <= {MMR_SHORTLIST}
+    ),
+    pdots AS (
+        SELECT s1.query_id, s1.neighbor_id AS a, s2.neighbor_id AS b,
+               CAST(SUM(va.val * vb.val) AS DOUBLE) AS dot
+        FROM short s1
+        JOIN short s2 ON s1.query_id = s2.query_id
+                     AND s1.neighbor_id <> s2.neighbor_id
+        JOIN v va ON va.vec_id = s1.neighbor_id
+        JOIN v vb ON vb.vec_id = s2.neighbor_id AND vb.pos = va.pos
+        GROUP BY 1, 2, 3
+    ),
+    psim AS (
+        SELECT p.query_id, p.a, p.b,
+               p.dot / sqrt(na.norm2 * nb.norm2) AS sim
+        FROM pdots p
+        JOIN norms na ON na.vec_id = p.a
+        JOIN norms nb ON nb.vec_id = p.b
+    ),
+    sel1 AS (
+        SELECT query_id, neighbor_id, sim AS rel,
+               CAST(1 AS BIGINT) AS mmr_rank,
+               {MMR_W_REL} * sim AS score
+        FROM short
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) = 1
+    ),{','.join(sel_ctes)}
+    SELECT query_id, neighbor_id, mmr_rank,
+           ROUND(rel, 4) AS rel,
+           ROUND(score, 4) AS mmr_score
+    FROM ({final_union})
+    """
+
+
+@query("q_retrieval_mmr", oracle=_mmr_oracle())
+def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: MMR re-rank of the exact top-{shortlist}
+    into {k} results per query (Carbonell & Goldstein 1998) — the
+    redundancy-killer between a similarity index and whatever consumes
+    its results (RAG context windows, dedup-aware eval sets): pure
+    top-k returns five copies of the same near-duplicate; MMR charges
+    each candidate {w_div}/10 of its similarity to the already-picked
+    set against {w_rel}/10 of its query relevance.
+
+    Exactness story (this is the repo's first ITERATIVE query with an
+    exact oracle): greedy selection over K = {k} steps is unrolled into
+    K−1 SQL CTEs (see _mmr_oracle); every similarity is the standard
+    exact-int64-dot / sqrt(norm-product) double, the score uses
+    INTEGER weights ({w_rel}·rel − {w_div}·maxsim — no decimal literal
+    enters the float pipeline), and ties break on neighbor_id — so the
+    Spark kernel and the oracle pick identical sets, not just similar
+    ones.
+
+    Scale shape: stage 1 is the bounded-query GEMM shortlist (the
+    q_sim_topk access pattern — per-batch local top-M, tiny window
+    merge of M·Q·batches rows). Stage 2 joins the M·Q shortlist rows
+    (≤ {shortlist}·MAX_QUERIES — bounded by construction, NOT corpus-
+    proportional) back to their vectors and runs greedy MMR per query
+    inside ONE applyInPandas group of M rows: an M×M int64 GEMM plus K
+    argmax sweeps — microseconds per query, embarrassingly parallel
+    across queries, zero corpus-sized state.
+    """
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t).withColumn("n2", norm2_q("v"))
+    q_rows = (
+        e.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("vec_id") < QUERY_ID_CAP)
+        )
+        .select("vec_id", "v", "n2")
+        .collect()  # bounded: ≤ MAX_QUERIES rows by construction
+    )
+    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["v"] for r in q_rows], dtype=np.int64)
+    qn = np.asarray([r["n2"] for r in q_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, Q, qn))
+    m = MMR_SHORTLIST
+
+    def shortlist_batches(batches):
+        qids, Q, qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:  # degenerate Arrow batch
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            X = np.asarray(pdf["v"].tolist(), dtype=np.int64)
+            n2 = pdf["n2"].to_numpy(np.float64)
+            sim = (Q @ X.T).astype(np.float64) / np.sqrt(qn[:, None] * n2[None, :])
+            sim[qids[:, None] == ids[None, :]] = -np.inf  # self-pairs out
+            take = min(m, sim.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, -sim[qi]))[:take]
+                keep = sim[qi][order] > -np.inf
+                out_q.append(np.full(keep.sum(), qids[qi]))
+                out_n.append(ids[order][keep])
+                out_s.append(sim[qi][order][keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = e.select("vec_id", "v", "n2").mapInPandas(
+        shortlist_batches, "query_id bigint, neighbor_id bigint, sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= m)
+        .select("query_id", "neighbor_id", "sim")
+    )
+    withv = short.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "v", "n2"), "neighbor_id"
+    )
+
+    def mmr_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["neighbor_id"].to_numpy(np.int64))
+        ids = pdf["neighbor_id"].to_numpy(np.int64)[order]
+        rel = pdf["sim"].to_numpy(np.float64)[order]
+        X = np.asarray(pdf["v"].tolist(), dtype=np.int64)[order]
+        n2 = pdf["n2"].to_numpy(np.float64)[order]
+        qid = int(pdf["query_id"].iloc[0])
+        S = (X @ X.T).astype(np.float64) / np.sqrt(n2[:, None] * n2[None, :])
+        n = len(ids)
+        picked: list[int] = []
+        ranks, scores = [], []
+        for step in range(min(MMR_K, n)):
+            if not picked:
+                score = MMR_W_REL * rel
+            else:
+                maxsim = S[:, picked].max(axis=1)
+                score = MMR_W_REL * rel - MMR_W_DIV * maxsim
+            score = score.copy()
+            score[picked] = -np.inf
+            # arg-max with neighbor_id tie-break: ids ascend already,
+            # argmax takes the first max — exactly the oracle's order
+            best = int(np.argmax(score))
+            picked.append(best)
+            ranks.append(step + 1)
+            scores.append(score[best])
+        sel = np.asarray(picked, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(sel), qid, dtype=np.int64),
+                "neighbor_id": ids[sel],
+                "mmr_rank": np.asarray(ranks, dtype=np.int64),
+                "rel": rel[sel],
+                "score": np.asarray(scores, dtype=np.float64),
+            }
+        )
+
+    out = withv.groupBy("query_id").applyInPandas(
+        mmr_group,
+        "query_id bigint, neighbor_id bigint, mmr_rank bigint, rel double, score double",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "mmr_rank",
+        F.round("rel", 4).alias("rel"),
+        F.round("score", 4).alias("mmr_score"),
+    )
+
+
+q_retrieval_mmr.__doc__ = q_retrieval_mmr.__doc__.format(
+    shortlist=MMR_SHORTLIST, k=MMR_K, w_rel=MMR_W_REL, w_div=MMR_W_DIV
+)
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    {_lsh_buckets_cte()},
+    q AS (SELECT * FROM v
+          WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}),
+    dots AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM(q.val * b.val) AS DOUBLE) AS dot
+        FROM q JOIN v b ON q.pos = b.pos AND q.vec_id <> b.vec_id
+        GROUP BY q.vec_id, b.vec_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT d.query_id, d.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.query_id
+                       ORDER BY d.dot / sqrt(nq.norm2 * nb.norm2) DESC,
+                                d.neighbor_id ASC) AS rk
+            FROM dots d
+            JOIN norms nq ON nq.vec_id = d.query_id
+            JOIN norms nb ON nb.vec_id = d.neighbor_id
+        )
+        WHERE rk <= {TOP_K}
+    ),
+    ncand AS (
+        SELECT query_id, COUNT(*) AS n_candidates
+        FROM lshcand GROUP BY query_id
+    ),
+    hits AS (
+        SELECT t.query_id,
+               COUNT(*) AS n_exact,
+               SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_hits
+        FROM topk t
+        LEFT JOIN lshcand c
+          ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+    )
+    SELECT h.query_id,
+           CAST(h.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(h.n_hits AS BIGINT) AS n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / CAST(h.n_exact AS DOUBLE), 4)
+             AS recall_at_k
+    FROM hits h
+    LEFT JOIN ncand nc ON nc.query_id = h.query_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ANN quality evaluation: recall@k of the LSH candidate
+    generation against the exact top-k, per query — the index-health
+    number an ANN deployment monitors continuously (recall decays as
+    the corpus drifts from the geometry the index was tuned for), here
+    as ONE query instead of an offline eval script.
+
+    Every ingredient is already hash-verified, so the eval itself is
+    exact-oracled end-to-end — unusual for ANN tooling, where recall
+    numbers normally depend on an unverifiable ground-truth dump: the
+    candidate set is q_ann_buckets' chain (shared _lsh_buckets_cte
+    fragment — the definitions cannot drift) and the truth set is
+    q_sim_topk's exact GEMM ranking. n_candidates rides along because
+    recall alone is gameable (probing everything is recall 1.0);
+    recall-vs-candidates IS the quality/cost trade.
+
+    Scale shape: composes the two operators' plans unchanged (bounded
+    query block, stateless sign-pack bucketing, equi-join candidates)
+    plus two tiny joins over ≤ MAX_QUERIES·k rows. The left joins keep
+    a bucket-starved query visible (0 candidates, recall 0) instead of
+    dropping it — the failure mode the monitor exists to catch.
+    """
+    exact = (
+        q_sim_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    cands = q_ann_buckets(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(
+        cands.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+    )
+    ncand = cands.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    return (
+        per_q.join(ncand, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double"), 4
+            ).alias("recall_at_k"),
         )
     )

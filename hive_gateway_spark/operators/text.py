@@ -1658,3 +1658,82 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+#: Fixed test phrase for positional search — three common corpus words,
+#: non-vacuous at every fixture scale (9/3/10 hits at sf0.001/0.01/0.1).
+PHRASE_QUERY = ("big", "order", "scan")
+_PHRASE_WORDS_SQL = ", ".join(f"'{w}'" for w in PHRASE_QUERY)
+
+
+def _phrase_oracle() -> str:
+    terms = [
+        f"""t{i} AS (
+      SELECT doc_id{', lang' if i == 0 else ''}, p - {i} AS anchor
+      FROM ptok WHERE word = '{w}'
+    )"""
+        for i, w in enumerate(PHRASE_QUERY)
+    ]
+    joins = " ".join(
+        f"JOIN t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.anchor = t0.anchor"
+        for i in range(1, len(PHRASE_QUERY))
+    )
+    return f"""
+    WITH ptok AS (
+      SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS p
+      FROM documents
+    ),
+    {', '.join(terms)}
+    SELECT t0.doc_id, t0.lang,
+           COUNT(*) AS n_matches,
+           CAST(MIN(t0.anchor) AS BIGINT) AS first_pos
+    FROM t0 {joins}
+    GROUP BY t0.doc_id, t0.lang
+    """
+
+
+@query("q_phrase_search", oracle=_phrase_oracle())
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search by positional posting-list intersection —
+    the inverted-index query mode BM25 (bag-of-words) cannot express:
+    every document containing the words of PHRASE_QUERY consecutively,
+    with match count and first position.
+
+    The intersection is the standard anchor trick: term i at position
+    p contributes anchor = p − i, so a phrase occurrence is one
+    (doc_id, anchor) key present in ALL terms' posting lists — the
+    n-way positional join becomes pure equi-joins on a 16-byte
+    composite key, no range predicates, no window.
+
+    Scale shape: exactly the BM25 access pattern — `word IN (phrase)`
+    prunes the exploded token stream BEFORE any exchange, so the
+    shuffled posting lists carry ~|phrase terms|/vocabulary of the
+    corpus tokens; the joins are equi on (doc_id, anchor) (AQE picks
+    broadcast when one term is rare — the selective-term-first order a
+    hand-built intersection would choose); the final per-doc aggregate
+    is map-side combined. At 100 TB with a real inverted index this
+    reads three posting lists, never the corpus.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    ).filter(F.col("word").isin(*PHRASE_QUERY))
+    frames = []
+    for i, w in enumerate(PHRASE_QUERY):
+        cols = ["doc_id"] + (["lang"] if i == 0 else [])
+        frames.append(
+            tok.filter(F.col("word") == w).select(
+                *cols, (F.col("pos0") + 1 - i).alias("anchor")
+            )
+        )
+    m = frames[0]
+    for f_i in frames[1:]:
+        m = m.join(f_i, ["doc_id", "anchor"])
+    return m.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_matches"),
+        F.min("anchor").cast("bigint").alias("first_pos"),
+    )

@@ -237,6 +237,22 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # windows and the aggregate; exact DuckDB oracle, interval-chain
     # invariants pinned in tests/test_breadth.py
     "q_scd2_history",
+    # exact-phrase search via positional posting-list intersection
+    # (anchor = p − i turns the n-way positional join into pure
+    # equi-joins; phrase terms pruned before any exchange); exact
+    # DuckDB oracle + tokenizer-independent substring cross-check
+    "q_phrase_search",
+    # MMR diversified retrieval — the repo's first ITERATIVE query with
+    # an exact oracle: greedy selection unrolled into K−1 SQL CTEs,
+    # integer score weights (7·rel − 3·maxsim), bounded M·Q shortlist
+    # re-ranked per query in one applyInPandas group; top-1 anchor +
+    # monotone-score pins in tests/test_similarity.py
+    "q_retrieval_mmr",
+    # in-engine ANN recall@k eval: LSH candidates (shared
+    # _lsh_buckets_cte fragment) vs exact top-k, per query with
+    # n_candidates for the quality/cost trade; exact DuckDB oracle,
+    # driver-side recompute pin in tests/test_similarity.py
+    "q_ann_recall",
 )
 
 

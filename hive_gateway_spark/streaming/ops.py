@@ -1197,3 +1197,69 @@ def stream_token_trend(docs: DataFrame) -> DataFrame:
     return summaries.groupBy("word").agg(
         F.sum("cnt").cast("bigint").alias("cnt_lo")
     )
+
+
+def stream_scd2_changes(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_scd2_history: maintain each user's CURRENT
+    state run in keyed state and emit a CDC row the moment a run
+    CLOSES — the incremental writer that keeps an SCD2 dimension table
+    current without rebuilding history (the batch operator is the
+    backfill; this is the tail). Emitted rows are exactly the batch
+    query's CLOSED intervals (is_current = false) — equivalence-tested
+    over an availableNow drain; the one still-open run per user lives
+    in the state store, not the output (append mode cannot retract).
+
+    State per user: (current state, run start µs, run event count) —
+    three scalars, O(users) total, no timeout (a dimension's current
+    row never expires; production would use a TTL tied to entity
+    retention). Per micro-batch the key's rows are concatenated and
+    sorted (ts, event_id) — the same total order as the batch windows,
+    so run boundaries are bit-identical.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, state string, valid_from timestamp, "
+        "valid_to timestamp, n_events bigint"
+    )
+    state_schema = "cur string, since_us bigint, n bigint"
+
+    def track(key, pdf_iter, state: GroupState):
+        cur, since_us, n = state.get if state.exists else (None, 0, 0)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        closed_state, closed_from, closed_to, closed_n = [], [], [], []
+        for et, us in zip(pdf["event_type"].values, ts_us.values):
+            if cur is None:
+                cur, since_us, n = et, int(us), 1
+            elif et == cur:
+                n += 1
+            else:
+                closed_state.append(cur)
+                closed_from.append(since_us)
+                closed_to.append(int(us))
+                closed_n.append(n)
+                cur, since_us, n = et, int(us), 1
+        state.update((cur, since_us, n))
+        if closed_state:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "state": closed_state,
+                    "valid_from": pd.to_datetime(closed_from, unit="us"),
+                    "valid_to": pd.to_datetime(closed_to, unit="us"),
+                    "n_events": closed_n,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -552,3 +552,31 @@ def test_curation_v5_manifest_exports_through_lakehouse(spark, sf_dir, tmp_path)
     man = write_dataset(out, path, partition_by=["split"])
     assert man["n_rows"] == out.count() > 0
     assert verify_dataset(spark, path)["ok"]
+
+
+def test_phrase_search_matches_substring_count(spark, sf_dir):
+    """Tokenizer-independent cross-check: fixture text is single-space
+    separated, so phrase hits equal whole-word substring occurrences of
+    ' '.join(PHRASE_QUERY) counted directly on the raw strings."""
+    from hive_gateway_spark.operators.text import PHRASE_QUERY
+    from hive_gateway_spark.session import load_tables
+
+    got = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_phrase_search"](spark, sf_dir).collect()
+    }
+    phrase = " ".join(PHRASE_QUERY)
+    expected: dict[int, int] = {}
+    for r in load_tables(spark, sf_dir)["documents"].select("doc_id", "text").collect():
+        words = r["text"].split(" ")
+        n = sum(
+            1
+            for i in range(len(words) - len(PHRASE_QUERY) + 1)
+            if words[i : i + len(PHRASE_QUERY)] == list(PHRASE_QUERY)
+        )
+        if n:
+            expected[r["doc_id"]] = n
+    assert {d: r["n_matches"] for d, r in got.items()} == expected
+    for r in got.values():
+        assert r["first_pos"] >= 1
+    assert phrase == " ".join(PHRASE_QUERY)

@@ -1060,3 +1060,49 @@ def test_embed_coherence_matches_bruteforce_pairwise(spark, sf_dir):
         assert row["n"] == n
         assert abs(row["avg_pair_dot"] - pair) < 1e-6, label
         assert abs(row["avg_norm2"] - norm) < 1e-6, label
+
+
+def test_mmr_anchors_on_top1_and_ranks_contiguous(spark, sf_dir):
+    """MMR invariants: rank-1 equals the exact top-1 neighbor (the
+    first greedy pick has no diversity penalty), ranks are contiguous
+    1..k per query, picks are distinct, and the rank-1 score is exactly
+    MMR_W_REL·rel."""
+    from hive_gateway_spark.operators.similarity import MMR_K, MMR_W_REL
+
+    mmr: dict[int, list] = {}
+    for r in registry.QUERIES["q_retrieval_mmr"](spark, sf_dir).collect():
+        mmr.setdefault(r["query_id"], []).append(r)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in registry.QUERIES["q_sim_topk"](spark, sf_dir).collect()
+        if r["rank_k"] == 1
+    }
+    assert set(mmr) == set(top1)
+    for qid, rows in mmr.items():
+        rows.sort(key=lambda r: r["mmr_rank"])
+        assert [r["mmr_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) == MMR_K  # fixture corpora exceed the shortlist
+        assert len({r["neighbor_id"] for r in rows}) == len(rows)
+        assert rows[0]["neighbor_id"] == top1[qid]
+        assert abs(rows[0]["mmr_score"] - round(MMR_W_REL * rows[0]["rel"], 4)) < 5e-4
+        # greedy scores never improve as the picked set grows
+        for a, b in zip(rows[1:], rows[2:]):
+            assert a["mmr_score"] >= b["mmr_score"] - 1e-9
+
+
+def test_ann_recall_matches_driver_side_recompute(spark, sf_dir):
+    """q_ann_recall's numbers must equal |exact ∩ candidates| / k
+    recomputed from the two source queries driver-side."""
+    exact = _topk(registry.QUERIES["q_sim_topk"](spark, sf_dir).collect())
+    cand: dict[int, set] = {}
+    for r in registry.QUERIES["q_ann_buckets"](spark, sf_dir).collect():
+        cand.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {r["query_id"]: r for r in registry.QUERIES["q_ann_recall"](spark, sf_dir).collect()}
+    assert set(got) == set(exact)
+    for qid, nn in exact.items():
+        row = got[qid]
+        hits = len(nn & cand.get(qid, set()))
+        assert row["n_exact"] == len(nn)
+        assert row["n_hits"] == hits
+        assert row["n_candidates"] == len(cand.get(qid, set()))
+        assert abs(row["recall_at_k"] - round(hits / len(nn), 4)) < 1e-9

@@ -1097,3 +1097,19 @@ def test_stream_token_trend_equal_batch(spark, sf_dir):
     )
     assert list(top["word"]) == list(want["word"])
     assert list(top["cnt_lo"]) == list(want["cnt_lo"])
+
+
+def test_stream_scd2_changes_equal_batch_closed_intervals(spark, sf_dir):
+    """Draining the SCD2 change stream must reproduce exactly the batch
+    history's CLOSED intervals (the open run per user stays in state)."""
+    from hive_gateway_spark.streaming.ops import stream_events, stream_scd2_changes
+
+    got = drain(stream_scd2_changes(stream_events(spark, sf_dir)), "s_scd2")
+    batch = (
+        registry.QUERIES["q_scd2_history"](spark, sf_dir)
+        .filter(~F.col("is_current"))
+        .select("user_id", "state", "valid_from", "valid_to", "n_events")
+        .toPandas()
+    )
+    assert len(batch) > 0
+    assert_same(got, batch)
