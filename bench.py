@@ -237,6 +237,8 @@ HEADLINE_R13 = [
     "q_phrase_search",
     "q_retrieval_mmr",
     "q_ann_recall",
+    "q_l_diversity",
+    "q_zorder_layout",
 ]
 
 

@@ -949,6 +949,63 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIVERSE = 3
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+    SELECT event_type,
+           epoch_us(ts) // 86400000000 AS day,
+           CAST(FLOOR(value / 10) * 10 AS DOUBLE) AS value_band,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_sensitive,
+           COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) >= {L_DIVERSE}
+             AS l_diverse
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stricter sibling (Machanavajjhala
+    2007): an equivalence class can satisfy k-anonymity and still leak
+    when every member shares the SAME sensitive value (the homogeneity
+    attack — "all 5 users in this class bought X"). Over the IDENTICAL
+    quasi-identifier classes as q_k_anonymity (event_type, day, value
+    band — the two audits must agree on what a class IS), counts the
+    distinct sensitive values (the JSON payload key, schema-on-read as
+    in q_json_extract) and flags classes with fewer than {{l}} distinct
+    values.
+
+    Scale shape: identical to q_k_anonymity — ONE aggregate whose
+    distinct-count plans as partial expand + merge, shuffled once on
+    the class key; the JSON extraction is a JVM expression in the scan
+    projection, never a UDF.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    sensitive = F.get_json_object("props", "$.k").cast("bigint")
+    n_sens = F.countDistinct("sens")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            (F.floor(F.col("value") / F.lit(10)) * F.lit(10))
+            .cast("double")
+            .alias("value_band"),
+            sensitive.alias("sens"),
+        )
+        .groupBy("event_type", "day", "value_band")
+        .agg(
+            F.count("*").alias("n_rows"),
+            n_sens.alias("n_sensitive"),
+            (n_sens >= F.lit(L_DIVERSE)).alias("l_diverse"),
+        )
+    )
+
+
+q_l_diversity.__doc__ = q_l_diversity.__doc__.format(l=L_DIVERSE)
+
+
 @query(
     "q_interval_overlap",
     oracle="""
@@ -2112,3 +2169,118 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+#: Z-order geometry: each dimension scaled to 2^10 cells, bits
+#: interleaved into a 20-bit Morton key, audited at 64 buckets
+#: (top 6 bits).
+ZORDER_BITS = 10
+ZORDER_CELLS = 1 << ZORDER_BITS
+ZORDER_BUCKET_SHIFT = 2 * ZORDER_BITS - 6
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    """Morton bit-interleave as expression text — IDENTICAL in Spark
+    SQL and DuckDB (`>>`, `<<`, `&`, `|` share semantics on BIGINT in
+    both), so ONE generator serves the engine and the oracle and the
+    interleave cannot drift."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+def _z_scaled(expr: str, mn: str, mx: str, divop: str) -> str:
+    """Scale an int expression to [0, ZORDER_CELLS) by its min/max —
+    exact int64 arithmetic; ``divop`` is `div` (Spark) / `//` (DuckDB),
+    the one spelling difference between the engines."""
+    return f"((({expr}) - ({mn})) * {ZORDER_CELLS}) {divop} (({mx}) - ({mn}) + 1)"
+
+
+_Z_DAY_DUCK = "epoch_us(l_shipdate) // 86400000000"
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(l_partkey) AS minp, MAX(l_partkey) AS maxp,
+               MIN({_Z_DAY_DUCK}) AS mind, MAX({_Z_DAY_DUCK}) AS maxd
+        FROM lineitem
+    ),
+    c AS (
+        SELECT {_z_scaled('l_partkey', 'minp', 'maxp', '//')} AS xc,
+               {_z_scaled(_Z_DAY_DUCK, 'mind', 'maxd', '//')} AS yc
+        FROM lineitem, b
+    )
+    SELECT ({_z_interleave_sql('xc', 'yc')}) >> {ZORDER_BUCKET_SHIFT}
+             AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(xc) AS x_min, MAX(xc) AS x_max,
+           MIN(yc) AS y_min, MAX(yc) AS y_max
+    FROM c
+    GROUP BY 1
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit over lineitem's two hottest
+    filter dimensions (part key × ship day) — the layout-optimization
+    primitive behind Delta/Iceberg's OPTIMIZE ZORDER: interleaving the
+    bits of both dims gives a 1-D sort key whose contiguous ranges stay
+    rectangular-ish in BOTH dims, so parquet min/max stats can skip
+    files for predicates on EITHER column (a plain sort skips on one).
+
+    This query computes the Morton key (exact int64: both dims
+    min/max-scaled to {cells} cells by integer arithmetic, bits
+    interleaved by a generator emitting the SAME expression text to
+    Spark and DuckDB) and reports, per top-6-bit z-bucket, the row
+    count and each dimension's cell range — the skipping audit: a
+    well-clustered bucket covers ≈ 1/8 of each dim (3 of its 6 bucket
+    bits per dim), where a 1-D sort's buckets cover ALL of the second
+    dim. Writing the layout is one `repartitionByRange(zkey)` +
+    sortWithinPartitions away; the audit is the part that needs to be
+    a query.
+
+    Scale shape: ONE pre-aggregate for the 4 bounds (map-side
+    combined, 1-row broadcast back), one projection (pure bit ops in
+    whole-stage codegen), one partial-agg shuffle of ≤ 64 groups. No
+    window, no join wider than the broadcast row. At 100 TB the bounds
+    come from table stats for free and everything else is a linear
+    scan.
+    """
+    t = load_tables(spark, sf_dir)
+    day = "unix_micros(l_shipdate) div 86400000000"
+    li = t["lineitem"].select(
+        "l_partkey", F.expr(day).alias("d")
+    )
+    b = li.agg(
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("d").alias("mind"),
+        F.max("d").alias("maxd"),
+    )
+    c = li.crossJoin(F.broadcast(b)).select(
+        F.expr(_z_scaled("l_partkey", "minp", "maxp", "div")).alias("xc"),
+        F.expr(_z_scaled("d", "mind", "maxd", "div")).alias("yc"),
+    )
+    return (
+        c.select(
+            F.expr(
+                f"({_z_interleave_sql('xc', 'yc')}) >> {ZORDER_BUCKET_SHIFT}"
+            ).alias("zbucket"),
+            "xc",
+            "yc",
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("xc").alias("x_min"),
+            F.max("xc").alias("x_max"),
+            F.min("yc").alias("y_min"),
+            F.max("yc").alias("y_max"),
+        )
+    )
+
+
+q_zorder_layout.__doc__ = q_zorder_layout.__doc__.format(cells=ZORDER_CELLS)

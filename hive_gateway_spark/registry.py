@@ -89,20 +89,27 @@ PRIORITY: tuple[str, ...] = (
     # q_video_phash_dedup rows-only (learned cells/codebooks, kernel
     # fingerprints) with rows > 0.
     #
-    # r14 PRE-PLAN (written at r13 close, the r9→…→r13 pattern): once
-    # CORRECTNESS_r13 lands rows for the r13 window, rotate OUT the
-    # TEN heads of the remaining r9-queue tail (q_first_touch,
-    # q_compress_ratio, q_tpch_q6, q_tpch_q13, q_graph_kcore,
-    # q_vocab_coverage, q_collocations, q_mad_outliers, q_event_gaps,
-    # q_churn_matrix — each then r10+r11+r12+r13-green) and take ALL
-    # TEN r13-written ROTATION_CANDIDATES FIFO (q_sim_topk_ivfpq,
-    # q_curation_v5_funnel, q_sim_range_search, q_text_bm25,
-    # q_quantile_sketch, q_curation_v5_trace, q_heavy_hitters,
-    # q_sim_topk_filtered, q_hybrid_search, q_heavy_hitters_by_lang),
-    # keeping the window at exactly 50 and emptying the queue.
-    # Expected r14 row mix: eight hash-green; q_sim_topk_ivfpq and
-    # q_quantile_sketch rows-only (learned cells/codebooks, GK sketch
-    # samples) with rows > 0.
+    # r14 PRE-PLAN (written at r13 close, extended by the r13
+    # continuation session, the r9→…→r13 pattern): once
+    # CORRECTNESS_r13 lands rows for the r13 window, rotate OUT
+    # EIGHTEEN many-times-green occupants — the TEN heads of the
+    # remaining r9-queue tail (q_first_touch, q_compress_ratio,
+    # q_tpch_q6, q_tpch_q13, q_graph_kcore, q_vocab_coverage,
+    # q_collocations, q_mad_outliers, q_event_gaps, q_churn_matrix —
+    # each then r10+r11+r12+r13-green) plus the EIGHT r10/r11-written
+    # heads behind them (q_dedup_normalized, q_curation_v4,
+    # q_curation_v4_funnel, q_ntile_assign, q_tpch_q1, q_tpch_q12,
+    # q_tpch_q19, q_rank_distribution — each green in every windowed
+    # round through r13; q_ann_index_stats stays in-window as the
+    # standing rows-only monitor) — and take ALL EIGHTEEN
+    # ROTATION_CANDIDATES FIFO (the ten r13-close entries
+    # q_sim_topk_ivfpq … q_heavy_hitters_by_lang, then the eight
+    # continuation-session entries q_embed_coherence, q_split_leakage,
+    # q_scd2_history, q_phrase_search, q_retrieval_mmr, q_ann_recall,
+    # q_l_diversity, q_zorder_layout), keeping the window at exactly
+    # 50 and emptying the queue. Expected r14 row mix: sixteen
+    # hash-green; q_sim_topk_ivfpq and q_quantile_sketch rows-only
+    # (learned cells/codebooks, GK sketch samples) with rows > 0.
     #
     # -- the r12-written queue, in FIFO order (14) --
     "q_tpch_q4",
@@ -253,6 +260,15 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # n_candidates for the quality/cost trade; exact DuckDB oracle,
     # driver-side recompute pin in tests/test_similarity.py
     "q_ann_recall",
+    # l-diversity privacy audit (homogeneity attack) over the SAME
+    # quasi-identifier classes as q_k_anonymity; sensitive value =
+    # the JSON payload key; exact DuckDB oracle
+    "q_l_diversity",
+    # Z-order clustering audit: exact-int Morton key from ONE
+    # interleave generator emitting identical expression text to both
+    # engines; per-bucket dim ranges pin the ≤2^(bits−3) skipping
+    # guarantee in tests/test_breadth.py; exact DuckDB oracle
+    "q_zorder_layout",
 )
 
 

@@ -805,3 +805,23 @@ def test_scd2_intervals_chain_and_cover(spark, sf_dir):
         for a, b in zip(runs, runs[1:]):
             assert a["valid_to"] == b["valid_from"], uid
             assert a["state"] != b["state"], uid
+
+
+def test_zorder_buckets_bound_both_dims(spark, sf_dir):
+    """The Z-order guarantee: a top-6-bit z-bucket fixes 3 high bits of
+    EACH dimension, so every bucket's cell range spans ≤ 2^(10−3) = 128
+    cells in BOTH dims — the property that lets parquet min/max stats
+    skip on either column. A 1-D sort would bound one dim and leave the
+    other spanning all 1024 cells."""
+    rows = registry.QUERIES["q_zorder_layout"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_rows"] for r in rows)
+    from hive_gateway_spark.session import load_tables
+
+    assert total == load_tables(spark, sf_dir)["lineitem"].count()
+    for r in rows:
+        assert 0 <= r["zbucket"] < 64
+        assert r["x_max"] - r["x_min"] <= 127, r
+        assert r["y_max"] - r["y_min"] <= 127, r
+        assert 0 <= r["x_min"] and r["x_max"] < 1024
+        assert 0 <= r["y_min"] and r["y_max"] < 1024

@@ -669,3 +669,42 @@ def test_heavy_hitters_tokens_never_shuffle(spark, sf_dir):
             assert "Cross" in frag[:80], plan
         assert "SortMergeJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_single_user_exchange(spark, sf_dir):
+    """The whole SCD2 build (two windows + the run aggregate) must ride
+    ONE hash exchange on user_id — the docstring's scale claim."""
+    plan = plan_of(spark, sf_dir, "q_scd2_history")
+    assert len(re.findall(r"\+- Exchange ", plan)) == 1, plan
+    assert re.search(r"hashpartitioning\(user_id#", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_search_prunes_terms_before_joins(spark, sf_dir):
+    """Phrase terms must be filtered out of the exploded token stream
+    BEFORE any join/exchange (the inverted-index access pattern), and
+    the positional intersection must be hash equi-joins — never a
+    nested-loop over positions."""
+    plan = plan_of(spark, sf_dir, "q_phrase_search")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # every posting-list side carries the IN (phrase words) filter
+    assert plan.count("IN (big,order,scan)") >= 3, plan
+
+
+def test_embed_coherence_no_pairs_no_cartesian(spark, sf_dir):
+    """The Gram-sum identity must never form pairs: no join of the
+    embeddings against themselves — only aggregates (+ the tiny
+    label-level join of the two 10-row summaries)."""
+    plan = plan_of(spark, sf_dir, "q_embed_coherence")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the per-(label,pos) and per-label aggregates are partial→final
+    assert "partial" in plan.lower(), plan
+
+
+def test_ann_recall_joins_are_hash_equi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_ann_recall")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
