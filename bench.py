@@ -239,6 +239,7 @@ HEADLINE_R13 = [
     "q_ann_recall",
     "q_l_diversity",
     "q_zorder_layout",
+    "q_retrieval_ndcg",
 ]
 
 

@@ -2767,3 +2767,152 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+#: Integer DCG weights: W[r] = round(1e9 / log2(r+1)) for ranks 1..5,
+#: computed ONCE here (the only transcendental evaluation) and injected
+#: into both engines as literals — DCG sums are then exact int64, the
+#: BM25 decimal-sum trick taken one step further (no in-engine ln/log
+#: at all). IDCG@5 = ΣW (the ideal ranking puts a relevant doc at
+#: every rank; the exact top-k always has k members on these corpora).
+NDCG_W = (1_000_000_000, 630_929_754, 500_000_000, 430_676_558, 386_852_807)
+NDCG_IDCG = sum(NDCG_W)
+
+
+def _ndcg_w_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(NDCG_W)
+    )
+    return f"CASE {rank_col} {whens} ELSE 0 END"
+
+
+@query(
+    "q_retrieval_ndcg",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    {_lsh_buckets_cte()},
+    q AS (SELECT * FROM v
+          WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}),
+    dots AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM(q.val * b.val) AS DOUBLE) AS dot
+        FROM q JOIN v b ON q.pos = b.pos AND q.vec_id <> b.vec_id
+        GROUP BY q.vec_id, b.vec_id
+    ),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               d.dot / sqrt(nq.norm2 * nb.norm2) AS sim
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nb ON nb.vec_id = d.neighbor_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC)
+                       AS rk
+              FROM scored)
+        WHERE rk <= {TOP_K}
+    ),
+    lsh_ranked AS (
+        SELECT query_id, neighbor_id, rk
+        FROM (SELECT s.query_id, s.neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                        ORDER BY s.sim DESC,
+                                                 s.neighbor_id ASC) AS rk
+              FROM scored s
+              JOIN lshcand c ON c.query_id = s.query_id
+                            AND c.neighbor_id = s.neighbor_id)
+        WHERE rk <= {TOP_K}
+    ),
+    gains AS (
+        SELECT l.query_id,
+               CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+               {_ndcg_w_case('l.rk')} AS w
+        FROM lsh_ranked l
+        LEFT JOIN topk t ON t.query_id = l.query_id
+                        AND t.neighbor_id = l.neighbor_id
+    )
+    SELECT qq.vec_id AS query_id,
+           CAST(COALESCE(g.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(g.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+           ROUND(CAST(COALESCE(g.dcg_scaled, 0) AS DOUBLE)
+                 / {NDCG_IDCG}.0, 4) AS ndcg
+    FROM (SELECT DISTINCT vec_id FROM q) qq
+    LEFT JOIN (
+        SELECT query_id, SUM(rel) AS n_hits, SUM(rel * w) AS dcg_scaled
+        FROM gains GROUP BY query_id
+    ) g ON g.query_id = qq.vec_id
+    """,
+)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k of the LSH retrieval path against the exact top-k —
+    q_ann_recall's rank-weighted sibling: recall treats a hit at rank 1
+    and rank 5 the same; nDCG charges each hit by its position, which
+    is what a RAG pipeline actually experiences (context windows are
+    filled top-down). Binary gains (candidate ∈ exact top-k), LSH
+    candidates ranked by their true exact-int64 cosine.
+
+    Determinism: the log2 discount is precomputed as INTEGER weights
+    (NDCG_W — the only transcendental runs once, in Python, at import),
+    so DCG is an exact int64 sum in both engines and the single
+    division by the constant IDCG happens after all arithmetic —
+    stricter than the BM25 decimal-sum pattern (no in-engine ln at
+    all). Queries whose buckets yield no candidates emit n_hits = 0,
+    ndcg = 0 rather than vanishing (the left join from the query
+    block) — the monitor must SEE a starved query.
+
+    Scale shape: everything is the q_ann_recall plan (bounded query
+    block, stateless bucketing, equi-joins) plus one ≤ MAX_QUERIES·k
+    window — no new corpus-sized state.
+    """
+    e = _quantized(load_tables(spark, sf_dir)).withColumn("n2", norm2_q("v"))
+    qids = e.filter(
+        (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < QUERY_ID_CAP)
+    ).select(F.col("vec_id").alias("query_id"))
+    exact = q_sim_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("rel")
+    )
+    cand = q_ann_buckets(spark, sf_dir).select("query_id", "neighbor_id")
+    qv = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn"),
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("n2").alias("nn"),
+    )
+    sim = cos_div(dot_q("qv", "nv"), F.col("qn") * F.col("nn"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rk")
+    )
+    gains = ranked.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+        F.expr(_ndcg_w_case("rk")).alias("w"),
+    )
+    agg = gains.groupBy("query_id").agg(
+        F.sum("rel").alias("n_hits"),
+        F.sum(F.col("rel") * F.col("w")).alias("dcg_scaled"),
+    )
+    return qids.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.coalesce("dcg_scaled", F.lit(0)).cast("bigint").alias("dcg_scaled"),
+        F.round(
+            F.coalesce("dcg_scaled", F.lit(0)).cast("double") / float(NDCG_IDCG), 4
+        ).alias("ndcg"),
+    )

@@ -1576,3 +1576,69 @@ def test_commit_protocol_runs_against_object_store_double(spark, tmp_path):
         assert de.verify_dataset(spark, path)["ok"]
     finally:
         de.set_commit_log(old)
+
+
+def test_zorder_layout_enables_two_dim_partition_pruning(spark, sf_dir, tmp_path):
+    """The q_zorder_layout audit maps to REAL skipping: write lineitem
+    partitioned by its Morton z-bucket, filter on BOTH underlying dims
+    (a part-key range AND a ship-day range), and the z-property turns
+    the two-dim predicate into a small set of z-buckets — the read
+    touches only those partitions and returns exactly the unpruned
+    answer. A 1-D layout would prune on one dim and scan the other."""
+    from pyspark.sql import functions as F
+
+    from hive_gateway_spark.operators.advanced import (
+        ZORDER_BUCKET_SHIFT,
+        _z_interleave_sql,
+        _z_scaled,
+    )
+    from hive_gateway_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    day = "unix_micros(l_shipdate) div 86400000000"
+    li = t["lineitem"].select("l_partkey", "l_quantity", F.expr(day).alias("d"))
+    b = li.agg(
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("d").alias("mind"),
+        F.max("d").alias("maxd"),
+    ).collect()[0]
+    x = _z_scaled("l_partkey", str(b["minp"]), str(b["maxp"]), "div")
+    y = _z_scaled("d", str(b["mind"]), str(b["maxd"]), "div")
+    path = str(tmp_path / "lineitem_z")
+    cells = (
+        li.select(
+            "l_partkey", "l_quantity", "d",
+            F.expr(x).alias("xc"), F.expr(y).alias("yc"),
+        )
+        .withColumn(
+            "zbucket",
+            F.expr(f"({_z_interleave_sql('xc', 'yc')}) >> {ZORDER_BUCKET_SHIFT}"),
+        )
+    )
+    cells.write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    back = spark.read.parquet(path)
+    # a quadrant predicate: both dims in their top half ⇒ x and y high
+    # bits set ⇒ only z-buckets with BOTH leading bits per dim survive
+    pred = (F.col("xc") >= 512) & (F.col("yc") >= 512)
+    one = back.filter(pred)
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    # planner-visible pruning requires the predicate on the partition
+    # column itself; derive the z-bucket set implied by the quadrant
+    # and assert it is small, filter on it, and check counts line up
+    want_buckets = {
+        r["zbucket"] for r in cells.filter(pred).select("zbucket").distinct().collect()
+    }
+    assert len(want_buckets) <= 16, want_buckets  # quadrant = 1/4 of 64
+    pruned = back.filter(F.col("zbucket").isin(*want_buckets) & pred)
+    pplan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", pplan)
+    assert m and "zbucket" in m.group(1), pplan
+    want = li.filter((F.expr(x) >= 512) & (F.expr(y) >= 512)).count()
+    assert pruned.count() == want == one.count()

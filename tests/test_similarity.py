@@ -1106,3 +1106,27 @@ def test_ann_recall_matches_driver_side_recompute(spark, sf_dir):
         assert row["n_hits"] == hits
         assert row["n_candidates"] == len(cand.get(qid, set()))
         assert abs(row["recall_at_k"] - round(hits / len(nn), 4)) < 1e-9
+
+
+def test_ndcg_bounds_and_consistency_with_recall(spark, sf_dir):
+    """nDCG invariants: per query, n_hits is at most the unranked
+    candidate-hit count q_ann_recall reports (ranking can only drop
+    hits past k, never add), dcg_scaled lies between the sum of the
+    n_hits LOWEST and HIGHEST integer weights, and ndcg is exactly the
+    rounded dcg/IDCG ratio."""
+    from hive_gateway_spark.operators.similarity import NDCG_IDCG, NDCG_W
+
+    recall = {
+        r["query_id"]: r
+        for r in registry.QUERIES["q_ann_recall"](spark, sf_dir).collect()
+    }
+    rows = registry.QUERIES["q_retrieval_ndcg"](spark, sf_dir).collect()
+    assert {r["query_id"] for r in rows} == set(recall)
+    for r in rows:
+        assert 0 <= r["n_hits"] <= len(NDCG_W)
+        assert r["n_hits"] <= recall[r["query_id"]]["n_hits"]
+        lo = sum(sorted(NDCG_W)[: r["n_hits"]])
+        hi = sum(sorted(NDCG_W, reverse=True)[: r["n_hits"]])
+        assert lo <= r["dcg_scaled"] <= hi, r
+        assert abs(r["ndcg"] - round(r["dcg_scaled"] / NDCG_IDCG, 4)) < 1e-9
+        assert 0.0 <= r["ndcg"] <= 1.0
