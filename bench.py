@@ -240,6 +240,8 @@ HEADLINE_R13 = [
     "q_l_diversity",
     "q_zorder_layout",
     "q_retrieval_ndcg",
+    "q_embed_outliers",
+    "q_scd2_incremental",
 ]
 
 

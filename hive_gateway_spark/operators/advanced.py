@@ -2074,9 +2074,11 @@ def q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_scd2_history",
-    oracle="""
+#: The SCD2 full-rebuild oracle — shared VERBATIM by q_scd2_history
+#: and q_scd2_incremental: the incremental merge's contract is
+#: "indistinguishable from a full rebuild", so the two MUST compare
+#: against one SQL text (the no-drift rule).
+_SCD2_ORACLE = """
     WITH ordered AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN LAG(event_type) OVER w IS NULL
@@ -2109,8 +2111,10 @@ def q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) IS NULL) AS is_current,
            CAST(n_events AS BIGINT) AS n_events
     FROM runs
-    """,
-)
+    """
+
+
+@query("q_scd2_history", oracle=_SCD2_ORACLE)
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history build (gaps-and-islands): collapse each
     user's event stream into runs of consecutive equal states and emit
@@ -2136,9 +2140,16 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-scan SCD2 derivation: no self-join, no per-row range probe.
     """
     t = load_tables(spark, sf_dir)
+    return _scd2_build(t["events"])
+
+
+def _scd2_build(events: DataFrame) -> DataFrame:
+    """The gaps-and-islands SCD2 derivation over an events frame —
+    shared by q_scd2_history (full corpus) and q_scd2_incremental
+    (the pre-split backfill)."""
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev = F.lag("event_type").over(w)
-    ordered = t["events"].select(
+    ordered = events.select(
         "user_id",
         "ts",
         "event_id",
@@ -2284,3 +2295,96 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_zorder_layout.__doc__ = q_zorder_layout.__doc__.format(cells=ZORDER_CELLS)
+
+
+#: Fixed CDC boundary for the incremental SCD2 build: the fixture's
+#: event stream spans January 2024 at every scale factor, so both the
+#: backfill and the arriving batch are non-empty everywhere.
+SCD2_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+@query("q_scd2_incremental", oracle=_SCD2_ORACLE)
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 merge — apply a new event batch (ts ≥
+    {split}) to an EXISTING history without rebuilding it: the nightly
+    CDC MERGE every dimension table runs, here contract-pinned to be
+    bit-indistinguishable from a full rebuild (the oracle is VERBATIM
+    q_scd2_history's — the strongest possible statement about an
+    incremental operator).
+
+    Merge semantics, all bounded by the AFFECTED user set (users with
+    a row in the new batch):
+    - untouched users: their history rows pass through by anti-join —
+      at 100 TB this is the whole point (a day's batch touches a tiny
+      fraction of users; the unaffected history is never rewritten);
+    - affected users' CLOSED intervals pass through (append-only —
+      closed history is immutable under new events);
+    - each affected user's OPEN run seeds a per-user walk over their
+      new events (one applyInPandas group: seed first, then events in
+      (ts, event_id) order — the stream_scd2_changes kernel's logic),
+      extending the run if the state holds, closing and reopening as
+      it changes, emitting a fresh open row at the end.
+
+    Scale shape: hist(affected) is two joins against a batch-sized key
+    set (semi + anti on user_id); the walk shuffles only the new batch
+    plus one seed row per affected user. Nothing corpus-sized moves.
+    """
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "event_id", "event_type")
+    split = F.lit(SCD2_SPLIT_TS).cast("timestamp")
+    old, new = ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split)
+    hist = _scd2_build(old)
+    affected = new.select("user_id").distinct()
+    untouched = hist.join(affected, "user_id", "left_anti")
+    hist_aff = hist.join(affected, "user_id", "left_semi")
+    closed_aff = hist_aff.filter(~F.col("is_current"))
+    seeds = hist_aff.filter(F.col("is_current")).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(-1).cast("bigint").alias("event_id"),  # seed sorts first
+        F.col("state").alias("event_type"),
+        F.col("n_events").alias("seed_n"),
+    )
+    batch = new.withColumn("seed_n", F.lit(None).cast("bigint"))
+    combined = seeds.unionByName(batch)
+
+    out_schema = (
+        "user_id bigint, state string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean, n_events bigint"
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        uid = int(pdf["user_id"].iloc[0])
+        cur, since, n = None, None, 0
+        rows = []
+        for ts, et, seed_n in zip(
+            pdf["ts"].values, pdf["event_type"].values, pdf["seed_n"].values
+        ):
+            if cur is None:
+                cur, since = et, ts
+                n = int(seed_n) if not pd.isna(seed_n) else 1
+            elif et == cur:
+                n += 1
+            else:
+                rows.append((cur, since, ts, False, n))
+                cur, since, n = et, ts, 1
+        rows.append((cur, since, None, True, n))
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "state": [r[0] for r in rows],
+                "valid_from": [r[1] for r in rows],
+                "valid_to": [r[2] for r in rows],
+                "is_current": [r[3] for r in rows],
+                "n_events": [r[4] for r in rows],
+            }
+        )
+
+    walked = combined.groupBy("user_id").applyInPandas(walk, out_schema)
+    return untouched.unionByName(closed_aff).unionByName(walked)
+
+
+q_scd2_incremental.__doc__ = q_scd2_incremental.__doc__.format(split=SCD2_SPLIT_TS)

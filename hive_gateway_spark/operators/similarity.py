@@ -2916,3 +2916,95 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dcg_scaled", F.lit(0)).cast("double") / float(NDCG_IDCG), 4
         ).alias("ndcg"),
     )
+
+
+#: Per-label centroid-distance outliers: the top-N farthest members.
+EMBED_OUTLIER_TOPN = 3
+
+
+@query(
+    "q_embed_outliers",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    possum AS (
+        SELECT label, pos, SUM(val) AS s, COUNT(*) AS n
+        FROM v GROUP BY label, pos
+    ),
+    dev AS (
+        SELECT v.vec_id, v.label,
+               SUM(CAST(v.n_scaled AS HUGEINT) * CAST(v.n_scaled AS HUGEINT))
+                 AS ssq,
+               ANY_VALUE(v.n) AS n
+        FROM (
+            SELECT v.vec_id, v.label, p.n,
+                   p.n * v.val - p.s AS n_scaled
+            FROM v JOIN possum p ON p.label = v.label AND p.pos = v.pos
+        ) v
+        GROUP BY v.vec_id, v.label
+    )
+    SELECT label, vec_id,
+           CAST(rnk AS BIGINT) AS rnk,
+           ROUND(sqrt(CAST(ssq AS DOUBLE)) / CAST(n AS DOUBLE)
+                 / {SCALE}.0, 6) AS centroid_dist
+    FROM (
+        SELECT label, vec_id, ssq, n,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY ssq DESC, vec_id ASC) AS rnk
+        FROM dev
+    )
+    WHERE rnk <= {EMBED_OUTLIER_TOPN}
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the {topn} members FARTHEST from
+    their label's centroid — the per-row anomaly detector beside
+    q_embed_coherence's aggregate (a mislabeled or corrupt vector shows
+    up here long before it moves the label's mean pairwise dot).
+
+    The n-scaled-centroid trick keeps everything integer: the centroid
+    µ = S/n is rational, so instead of comparing ‖v − µ‖ in floats the
+    ranking compares ‖n·v − S‖² — exact DECIMAL/HUGEINT on the
+    quantized int64 components (identical ordering: the per-label n is
+    constant, so scaling by n² is monotone). The single sqrt/division
+    happens once per emitted row, on exact integers, with the same
+    expression shape in both engines.
+
+    Scale shape: the per-(label, pos) sum table is ≤ labels·dim rows —
+    BROADCAST back to the exploded corpus (no corpus-sized shuffle for
+    the join); one partial-agg shuffle on vec_id re-assembles each
+    row's deviation; the per-label top-{topn} window runs over
+    label-partitioned data (WindowGroupLimit prunes to {topn} per
+    partition before the exchange). No pair joins, no corpus window.
+    """
+    t = load_tables(spark, sf_dir)
+    q = _quantized(t)
+    flat = q.select("vec_id", "label", F.posexplode("v").alias("pos", "val"))
+    possum = flat.groupBy("label", "pos").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n")
+    )
+    nsc = (F.col("n") * F.col("val") - F.col("s")).cast("decimal(19,0)")
+    dev = (
+        flat.join(F.broadcast(possum), ["label", "pos"])
+        .select("vec_id", "label", "n", (nsc * nsc).alias("sq"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("sq").alias("ssq"), F.any_value("n").alias("n"))
+    )
+    w = W.partitionBy("label").orderBy(F.col("ssq").desc(), F.col("vec_id").asc())
+    return (
+        dev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= EMBED_OUTLIER_TOPN)
+        .select(
+            "label",
+            "vec_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.round(
+                F.sqrt(F.col("ssq").cast("double"))
+                / F.col("n").cast("double")
+                / SCALE,
+                6,
+            ).alias("centroid_dist"),
+        )
+    )
+
+
+q_embed_outliers.__doc__ = q_embed_outliers.__doc__.format(topn=EMBED_OUTLIER_TOPN)

@@ -92,24 +92,28 @@ PRIORITY: tuple[str, ...] = (
     # r14 PRE-PLAN (written at r13 close, extended by the r13
     # continuation session, the r9→…→r13 pattern): once
     # CORRECTNESS_r13 lands rows for the r13 window, rotate OUT
-    # NINETEEN many-times-green occupants — the TEN heads of the
+    # TWENTY-ONE many-times-green occupants — the TEN heads of the
     # remaining r9-queue tail (q_first_touch, q_compress_ratio,
     # q_tpch_q6, q_tpch_q13, q_graph_kcore, q_vocab_coverage,
     # q_collocations, q_mad_outliers, q_event_gaps, q_churn_matrix —
-    # each then r10+r11+r12+r13-green) plus the NINE r10/r11-written
+    # each then r10+r11+r12+r13-green) plus the TEN r10/r11-written
     # heads behind them (q_dedup_normalized, q_curation_v4,
     # q_curation_v4_funnel, q_ntile_assign, q_tpch_q1, q_tpch_q12,
-    # q_tpch_q19, q_rank_distribution, q_pack_efficiency — each green in every windowed
+    # q_tpch_q19, q_rank_distribution, q_pack_efficiency,
+    # q_exact_quantiles — each green in every windowed
     # round through r13; q_ann_index_stats stays in-window as the
-    # standing rows-only monitor) — and take ALL NINETEEN
+    # standing rows-only monitor) — and take ALL TWENTY-ONE
     # ROTATION_CANDIDATES FIFO (the ten r13-close entries
-    # q_sim_topk_ivfpq … q_heavy_hitters_by_lang, then the nine
+    # q_sim_topk_ivfpq … q_heavy_hitters_by_lang, then the ten
     # continuation-session entries q_embed_coherence, q_split_leakage,
     # q_scd2_history, q_phrase_search, q_retrieval_mmr, q_ann_recall,
-    # q_l_diversity, q_zorder_layout, q_retrieval_ndcg), keeping the
-    # window at exactly 50 and emptying the queue. Expected r14 row
-    # mix: seventeen hash-green; q_sim_topk_ivfpq and q_quantile_sketch rows-only
-    # (learned cells/codebooks, GK sketch samples) with rows > 0.
+    # q_l_diversity, q_zorder_layout, q_retrieval_ndcg,
+    # q_embed_outliers, q_scd2_incremental), keeping the window at
+    # exactly 50 and emptying the queue — the rotate-out pool grows by
+    # q_hard_negatives (r11-written, green r12+r13) to keep 50 exact.
+    # Expected r14 row mix: nineteen hash-green;
+    # q_sim_topk_ivfpq and q_quantile_sketch rows-only (learned
+    # cells/codebooks, GK sketch samples) with rows > 0.
     #
     # -- the r12-written queue, in FIFO order (14) --
     "q_tpch_q4",
@@ -274,6 +278,16 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # so DCG is an exact int64 sum in both engines (no in-engine
     # transcendental); exact DuckDB oracle + bound pins
     "q_retrieval_ndcg",
+    # per-label centroid-distance outliers via the n-scaled-centroid
+    # trick (rank on exact-integer ‖n·v − S‖² — the rational centroid
+    # never becomes a float); broadcast possum join, numpy recompute
+    # pin; exact DuckDB oracle
+    "q_embed_outliers",
+    # incremental SCD2 CDC merge: untouched users anti-join through,
+    # affected users' open runs seed a per-user walk over the new
+    # batch; oracle is VERBATIM q_scd2_history's (incremental ==
+    # full rebuild, driver-hash-pinned)
+    "q_scd2_incremental",
 )
 
 

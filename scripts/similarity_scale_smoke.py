@@ -118,6 +118,27 @@ def main() -> None:
                 "warm_sec": round(warm, 2),
                 "rows": len(rows),
             }
+        # retrieval-eval family: timing + output size only (their
+        # outputs are per-query scalars, not top-k sets)
+        for name in ("q_retrieval_mmr", "q_ann_recall", "q_retrieval_ndcg"):
+            fn = registry.QUERIES[name]
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            warm = time.perf_counter() - t1
+            report[name] = {
+                "wall_sec": round(dt, 2),
+                "warm_sec": round(warm, 2),
+                "rows": len(rows),
+            }
+            if name == "q_ann_recall":
+                rs = [r["recall_at_k"] for r in rows]
+                report[name]["mean_recall"] = round(sum(rs) / len(rs), 3)
+            if name == "q_retrieval_ndcg":
+                ns = [r["ndcg"] for r in rows]
+                report[name]["mean_ndcg"] = round(sum(ns) / len(ns), 3)
         exact = topk_sets(results["q_sim_topk"])
         total = sum(len(v) for v in exact.values())
         for name in (

@@ -825,3 +825,37 @@ def test_zorder_buckets_bound_both_dims(spark, sf_dir):
         assert r["y_max"] - r["y_min"] <= 127, r
         assert 0 <= r["x_min"] and r["x_max"] < 1024
         assert 0 <= r["y_min"] and r["y_max"] < 1024
+
+
+def test_scd2_incremental_equals_full_rebuild(spark, sf_dir):
+    """The CDC merge contract, asserted directly engine-side (the
+    driver asserts it via the shared oracle): incremental apply of the
+    post-split batch onto the pre-split history is row-identical to
+    one build over everything — and the split genuinely exercises the
+    merge (both halves non-empty, some users span the boundary)."""
+    from hive_gateway_spark.operators.advanced import SCD2_SPLIT_TS
+    from hive_gateway_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    split = F.lit(SCD2_SPLIT_TS).cast("timestamp")
+    n_old = ev.filter(F.col("ts") < split).count()
+    n_new = ev.filter(F.col("ts") >= split).count()
+    assert n_old > 0 and n_new > 0
+    spanning = (
+        ev.filter(F.col("ts") < split)
+        .select("user_id")
+        .join(ev.filter(F.col("ts") >= split).select("user_id"), "user_id", "left_semi")
+        .distinct()
+        .count()
+    )
+    assert spanning > 0  # open runs actually get extended/closed
+    cols = ["user_id", "state", "valid_from", "valid_to", "is_current", "n_events"]
+    full = sorted(
+        map(tuple, registry.QUERIES["q_scd2_history"](spark, sf_dir).select(*cols).collect()),
+        key=lambda r: (r[0], str(r[2])),
+    )
+    inc = sorted(
+        map(tuple, registry.QUERIES["q_scd2_incremental"](spark, sf_dir).select(*cols).collect()),
+        key=lambda r: (r[0], str(r[2])),
+    )
+    assert full == inc

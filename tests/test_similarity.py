@@ -1130,3 +1130,38 @@ def test_ndcg_bounds_and_consistency_with_recall(spark, sf_dir):
         assert lo <= r["dcg_scaled"] <= hi, r
         assert abs(r["ndcg"] - round(r["dcg_scaled"] / NDCG_IDCG, 4)) < 1e-9
         assert 0.0 <= r["ndcg"] <= 1.0
+
+
+def test_embed_outliers_match_numpy_centroid_distances(spark, sf_dir):
+    """The n-scaled integer ranking must pick exactly the vectors numpy
+    ranks farthest from the float centroid (scaling by the per-label
+    constant n is monotone), with matching rounded distances."""
+    import numpy as np
+
+    from hive_gateway_spark.functions.vectors import SCALE
+    from hive_gateway_spark.operators.similarity import (
+        EMBED_OUTLIER_TOPN,
+        _quantized,
+    )
+    from hive_gateway_spark.session import load_tables
+
+    got: dict[int, list] = {}
+    for r in registry.QUERIES["q_embed_outliers"](spark, sf_dir).collect():
+        got.setdefault(r["label"], []).append(r)
+    by_label: dict[int, list] = {}
+    for r in _quantized(load_tables(spark, sf_dir)).collect():
+        by_label.setdefault(r["label"], []).append((r["vec_id"], r["v"]))
+    for label, rows in got.items():
+        ids = np.asarray([i for i, _ in by_label[label]], dtype=np.int64)
+        X = np.asarray([v for _, v in by_label[label]], dtype=np.int64)
+        n = len(ids)
+        S = X.sum(axis=0)
+        ssq = ((n * X - S).astype(object) ** 2).sum(axis=1)  # exact ints
+        order = sorted(range(n), key=lambda i: (-ssq[i], ids[i]))
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["vec_id"] for r in rows] == [
+            int(ids[i]) for i in order[:EMBED_OUTLIER_TOPN]
+        ]
+        for r, i in zip(rows, order):
+            dist = float(np.sqrt(float(ssq[i])) / n / SCALE)
+            assert abs(r["centroid_dist"] - round(dist, 6)) < 1e-6
