@@ -2329,8 +2329,6 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (semi + anti on user_id); the walk shuffles only the new batch
     plus one seed row per affected user. Nothing corpus-sized moves.
     """
-    import pandas as pd
-
     t = load_tables(spark, sf_dir)
     ev = t["events"].select("user_id", "ts", "event_id", "event_type")
     split = F.lit(SCD2_SPLIT_TS).cast("timestamp")
@@ -2340,19 +2338,41 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched = hist.join(affected, "user_id", "left_anti")
     hist_aff = hist.join(affected, "user_id", "left_semi")
     closed_aff = hist_aff.filter(~F.col("is_current"))
-    seeds = hist_aff.filter(F.col("is_current")).select(
+    seeds = hist_aff.filter(F.col("is_current"))
+    walked = scd2_walked(seeds, new)
+    return untouched.unionByName(closed_aff).unionByName(walked)
+
+
+#: Walked-output schema — the SCD2 table schema, shared by the batch
+#: query and the streaming dimension maintainer.
+SCD2_SCHEMA = (
+    "user_id bigint, state string, valid_from timestamp, "
+    "valid_to timestamp, is_current boolean, n_events bigint"
+)
+
+
+def scd2_walked(seeds: DataFrame, batch: DataFrame) -> DataFrame:
+    """Seeded per-user interval walk — the merge core shared by
+    q_scd2_incremental and streaming.scd2_dimension_sink. ``seeds`` are
+    OPEN history rows (user_id, state, valid_from, n_events[, ...]);
+    ``batch`` is the new events frame. Returns the affected users'
+    recomputed interval rows (their closed history is immutable and is
+    NOT re-emitted). Contract: batch events are at-or-after every
+    seed's valid_from (event-time-ordered ingestion — the same
+    assumption the stream twin documents)."""
+    import pandas as pd
+
+    seed_rows = seeds.select(
         "user_id",
         F.col("valid_from").alias("ts"),
         F.lit(-1).cast("bigint").alias("event_id"),  # seed sorts first
         F.col("state").alias("event_type"),
-        F.col("n_events").alias("seed_n"),
+        F.col("n_events").cast("bigint").alias("seed_n"),
     )
-    batch = new.withColumn("seed_n", F.lit(None).cast("bigint"))
-    combined = seeds.unionByName(batch)
-
-    out_schema = (
-        "user_id bigint, state string, valid_from timestamp, "
-        "valid_to timestamp, is_current boolean, n_events bigint"
+    combined = seed_rows.unionByName(
+        batch.select("user_id", "ts", "event_id", "event_type").withColumn(
+            "seed_n", F.lit(None).cast("bigint")
+        )
     )
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2383,8 +2403,7 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    walked = combined.groupBy("user_id").applyInPandas(walk, out_schema)
-    return untouched.unionByName(closed_aff).unionByName(walked)
+    return combined.groupBy("user_id").applyInPandas(walk, SCD2_SCHEMA)
 
 
 q_scd2_incremental.__doc__ = q_scd2_incremental.__doc__.format(split=SCD2_SPLIT_TS)

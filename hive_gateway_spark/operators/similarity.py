@@ -2745,12 +2745,23 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     cands = q_ann_buckets(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = exact.join(
-        cands.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
-    )
-    per_q = hits.groupBy("query_id").agg(
-        F.count("*").alias("n_exact"),
-        F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+    # hit counting joins the CORPUS-sized candidate stream against the
+    # ≤ Q·k exact rows — broadcast the tiny side and count map-side
+    # (the first spelling's left-outer forced a sort-merge that
+    # shuffled all ~16M candidate rows at the 1M smoke); the per-query
+    # n_exact frame then carries queries with zero candidate hits
+    hit_counts = cands.join(
+        F.broadcast(exact), ["query_id", "neighbor_id"]
+    ).groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hit_counts, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
     )
     ncand = cands.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
     return (
@@ -2875,21 +2886,68 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.lit(1).alias("rel")
     )
     cand = q_ann_buckets(spark, sf_dir).select("query_id", "neighbor_id")
-    qv = e.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("n2").alias("qn"),
+    # Candidate scoring is a GEMM-style kernel, NOT the HOF dot
+    # expression: at the 1M smoke the LSH buckets yield ~16M candidate
+    # rows, and interpreted per-element array folds took 225 s where
+    # the per-row int64 einsum (queries broadcast, one gather per
+    # batch) is seconds — the same HOF→BLAS move every hot path in
+    # this module has made. Sims stay bit-identical (exact int64 dots,
+    # identical float expression shape, cos_div's max(·,1.0) guard).
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        e.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("vec_id") < QUERY_ID_CAP)
+        )
+        .select("vec_id", "v", "n2")
+        .collect()  # bounded: ≤ MAX_QUERIES rows by construction
     )
+    order = np.argsort(np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64))
+    s_qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)[order]
+    s_Q = np.asarray([r["v"] for r in q_rows], dtype=np.int64)[order]
+    s_qn = np.asarray([r["n2"] for r in q_rows], dtype=np.float64)[order]
+    bcq = spark.sparkContext.broadcast((s_qids, s_Q, s_qn))
+
+    def sim_batches(batches):
+        qids_s, Q_s, qn_s = bcq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qid = pdf["query_id"].to_numpy(np.int64)
+            X = np.asarray(pdf["nv"].tolist(), dtype=np.int64)
+            nn = pdf["n2"].to_numpy(np.float64)
+            idx = np.searchsorted(qids_s, qid)
+            dot = np.einsum("ij,ij->i", Q_s[idx], X).astype(np.float64)
+            sim = dot / np.sqrt(np.maximum(qn_s[idx] * nn, 1.0))
+            out = pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "sim": sim,
+                }
+            )
+            # per-batch local top-k (the _gemm_topk move): the global
+            # window's input shrinks from the full candidate stream
+            # (~16M rows at the 1M smoke) to k·Q·n_batches — the
+            # global top-k is a subset of the per-batch top-ks, so the
+            # final ranking is unchanged
+            out = out.sort_values(
+                ["query_id", "sim", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            yield out.groupby("query_id", sort=False).head(TOP_K)
+
     nv = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
-        F.col("n2").alias("nn"),
+        "n2",
     )
-    sim = cos_div(dot_q("qv", "nv"), F.col("qn") * F.col("nn"))
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(nv, "neighbor_id")
-        .select("query_id", "neighbor_id", sim.alias("sim"))
+        cand.join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", "nv", "n2")
+        .mapInPandas(sim_batches, "query_id bigint, neighbor_id bigint, sim double")
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

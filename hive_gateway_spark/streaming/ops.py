@@ -1263,3 +1263,66 @@ def stream_scd2_changes(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def scd2_dimension_sink(spark: SparkSession, table_path: str):
+    """Continuously-maintained SCD2 dimension TABLE — the lakehouse
+    completion of the SCD2 family: stream_scd2_changes emits the CDC
+    rows, this foreachBatch sink keeps the queryable dimension itself
+    current by MERGE-ing each micro-batch through the versioned
+    dataset-export layer (copy-on-write upsert, snapshot isolation,
+    time travel — the exact Delta/Iceberg `MERGE INTO dim` job).
+
+    Returns ``apply(batch_df, batch_id)`` for ``writeStream
+    .foreachBatch``. Per batch, bounded by the AFFECTED user set:
+    the current snapshot's OPEN rows for arriving users seed the
+    shared interval walk (operators.advanced.scd2_walked — the same
+    kernel q_scd2_incremental is driver-hash-verified with), and only
+    the recomputed rows upsert, keyed by the stable interval identity
+    (user_id, valid_from): a closed run KEEPS its key (valid_from
+    never changes), so closing-in-place is an update, new runs insert,
+    and untouched users' files are never rewritten beyond the COW
+    union. Contract: batches arrive event-time-ordered per user (the
+    stream twin's documented assumption).
+
+    After draining an event stream, ``read_snapshot(table_path)``
+    equals q_scd2_history over the same events — equivalence-tested
+    batch-by-batch in tests/test_streaming.py.
+    """
+    import os
+
+    from hive_gateway_spark.operators.advanced import scd2_walked
+    from hive_gateway_spark.sources.dataset_export import (
+        merge_dataset,
+        read_snapshot,
+        write_dataset,
+    )
+
+    def apply(batch_df: DataFrame, _batch_id) -> None:
+        batch = batch_df.select("user_id", "ts", "event_id", "event_type")
+        fresh = not os.path.exists(os.path.join(table_path, "_MANIFEST.json"))
+        if fresh:
+            seeds = batch.sparkSession.createDataFrame(
+                [],
+                "user_id bigint, state string, valid_from timestamp, n_events bigint",
+            )
+        else:
+            hist = read_snapshot(spark, table_path)
+            affected = batch.select("user_id").distinct()
+            seeds = hist.filter(F.col("is_current")).join(
+                affected, "user_id", "left_semi"
+            )
+        changed = scd2_walked(seeds, batch).withColumn(
+            "iv_key",
+            F.concat_ws("|", F.col("user_id"), F.expr("unix_micros(valid_from)")),
+        )
+        # localCheckpoint breaks the lineage back to the snapshot being
+        # replaced — a lazy read-then-overwrite of the same path is the
+        # classic self-overwrite trap
+        changed = changed.localCheckpoint()
+        if fresh:
+            write_dataset(changed, table_path)
+        else:
+            merge_dataset(changed, table_path, "iv_key")
+
+    return apply

@@ -1113,3 +1113,32 @@ def test_stream_scd2_changes_equal_batch_closed_intervals(spark, sf_dir):
     )
     assert len(batch) > 0
     assert_same(got, batch)
+
+
+def test_scd2_dimension_sink_maintains_batch_equivalent_table(spark, sf_dir, tmp_path):
+    """Feed the events fixture through scd2_dimension_sink in THREE
+    chronological micro-batches (the foreachBatch contract, driven
+    directly); the maintained lakehouse table must equal the one-shot
+    batch SCD2 history — and the table must have versioned (one
+    snapshot per batch, time travel intact)."""
+    from hive_gateway_spark.session import load_tables
+    from hive_gateway_spark.sources.dataset_export import read_snapshot
+    from hive_gateway_spark.streaming.ops import scd2_dimension_sink
+
+    ev = load_tables(spark, sf_dir)["events"]
+    cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    b1 = ev.filter(F.col("ts") < cuts[0])
+    b2 = ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]))
+    b3 = ev.filter(F.col("ts") >= cuts[1])
+    assert b1.count() and b2.count() and b3.count()
+    path = str(tmp_path / "dim_user_state")
+    apply = scd2_dimension_sink(spark, path)
+    for i, b in enumerate((b1, b2, b3)):
+        apply(b, i)
+    cols = ["user_id", "state", "valid_from", "valid_to", "is_current", "n_events"]
+    got = read_snapshot(spark, path).select(*cols).toPandas()
+    want = registry.QUERIES["q_scd2_history"](spark, sf_dir).select(*cols).toPandas()
+    assert_same(got, want)
+    # three commits → version 3 is current, version 1 readable (COW)
+    v1 = read_snapshot(spark, path, version=1)
+    assert 0 < v1.count() < len(got)
