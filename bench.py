@@ -242,6 +242,7 @@ HEADLINE_R13 = [
     "q_retrieval_ndcg",
     "q_embed_outliers",
     "q_scd2_incremental",
+    "q_wow_growth",
 ]
 
 

@@ -2143,10 +2143,15 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scd2_build(t["events"])
 
 
-def _scd2_build(events: DataFrame) -> DataFrame:
+def _scd2_build(events: DataFrame, weight=None) -> DataFrame:
     """The gaps-and-islands SCD2 derivation over an events frame —
-    shared by q_scd2_history (full corpus) and q_scd2_incremental
-    (the pre-split backfill)."""
+    shared by q_scd2_history (full corpus), q_scd2_incremental (the
+    pre-split backfill) and scd2_walked (the seeded merge).
+
+    ``weight`` (a Column) is each row's contribution to its run's
+    n_events — default 1 per event; the seeded walk passes
+    coalesce(seed_n, 1) so a seed pseudo-row carries its open run's
+    accumulated count into whichever run it begins."""
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev = F.lag("event_type").over(w)
     ordered = events.select(
@@ -2154,6 +2159,7 @@ def _scd2_build(events: DataFrame) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
+        *([weight.alias("__wt")] if weight is not None else []),
         F.when(prev.isNull() | (prev != F.col("event_type")), 1)
         .otherwise(0)
         .alias("is_new"),
@@ -2162,13 +2168,15 @@ def _scd2_build(events: DataFrame) -> DataFrame:
         "user_id",
         "ts",
         "event_type",
+        *(["__wt"] if weight is not None else []),
         F.sum("is_new")
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("run_id"),
     )
+    n_expr = F.sum("__wt") if weight is not None else F.count("*")
     runs = grp.groupBy("user_id", "run_id", F.col("event_type").alias("state")).agg(
         F.min("ts").alias("valid_from"),
-        F.count("*").alias("n_events"),
+        n_expr.alias("n_events"),
     )
     w2 = W.partitionBy("user_id").orderBy(F.col("run_id").asc())
     nxt = F.lead("valid_from").over(w2)
@@ -2359,9 +2367,16 @@ def scd2_walked(seeds: DataFrame, batch: DataFrame) -> DataFrame:
     recomputed interval rows (their closed history is immutable and is
     NOT re-emitted). Contract: batch events are at-or-after every
     seed's valid_from (event-time-ordered ingestion — the same
-    assumption the stream twin documents)."""
-    import pandas as pd
+    assumption the stream twin documents).
 
+    Implementation: the seed is a pseudo-event sorted FIRST in its
+    user's order (event_id −1, ts = its run's valid_from) carrying the
+    open run's accumulated count, and the whole walk is _scd2_build
+    with weight = coalesce(seed_n, 1) — pure window ops. The first
+    spelling was an applyInPandas loop: at sf0.1's ~10k affected users
+    the per-GROUP pandas overhead (one DataFrame + sort per tiny
+    group) cost ~10 s where these windows run in well under one — the
+    per-group-Python trap, distinct from the per-ROW one."""
     seed_rows = seeds.select(
         "user_id",
         F.col("valid_from").alias("ts"),
@@ -2374,36 +2389,77 @@ def scd2_walked(seeds: DataFrame, batch: DataFrame) -> DataFrame:
             "seed_n", F.lit(None).cast("bigint")
         )
     )
-
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        uid = int(pdf["user_id"].iloc[0])
-        cur, since, n = None, None, 0
-        rows = []
-        for ts, et, seed_n in zip(
-            pdf["ts"].values, pdf["event_type"].values, pdf["seed_n"].values
-        ):
-            if cur is None:
-                cur, since = et, ts
-                n = int(seed_n) if not pd.isna(seed_n) else 1
-            elif et == cur:
-                n += 1
-            else:
-                rows.append((cur, since, ts, False, n))
-                cur, since, n = et, ts, 1
-        rows.append((cur, since, None, True, n))
-        return pd.DataFrame(
-            {
-                "user_id": uid,
-                "state": [r[0] for r in rows],
-                "valid_from": [r[1] for r in rows],
-                "valid_to": [r[2] for r in rows],
-                "is_current": [r[3] for r in rows],
-                "n_events": [r[4] for r in rows],
-            }
-        )
-
-    return combined.groupBy("user_id").applyInPandas(walk, SCD2_SCHEMA)
+    return _scd2_build(combined, weight=F.coalesce("seed_n", F.lit(1)))
 
 
 q_scd2_incremental.__doc__ = q_scd2_incremental.__doc__.format(split=SCD2_SPLIT_TS)
+
+
+@query(
+    "q_wow_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               epoch_us(ts) // 604800000000 AS week,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type, week, n_events, value_cents,
+           LAG(n_events) OVER w AS prev_events,
+           CASE WHEN LAG(n_events) OVER w IS NULL THEN NULL
+                ELSE ROUND(CAST(n_events AS DOUBLE)
+                           / CAST(LAG(n_events) OVER w AS DOUBLE), 4)
+           END AS wow_ratio
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week ASC)
+    """,
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the period-over-period
+    report every BI layer ships: weekly volume and exact-cents value,
+    each week's ratio to the previous week (NULL for the first — no
+    fabricated baseline).
+
+    Determinism: weeks are integer epoch-µs division (house rule);
+    value sums in exact cents (ROUND(·,2)·100 as BIGINT — the fixture
+    values are 2 dp, so this is lossless); the one double division is
+    a ratio of exact counts.
+
+    Scale shape: a partial-agg shuffle down to (type, week) — ~5·52
+    rows/year — then a window over that TINY frame; the corpus is
+    touched exactly once. The window partitions by event_type (5
+    partitions), which is only safe BECAUSE its input is the weekly
+    aggregate, never the raw events.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    weekly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 604800000000").alias("week"),
+            F.round("value", 2).alias("v2"),
+        )
+        .groupBy("event_type", "week")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (F.col("v2").cast("decimal(18,2)") * 100).cast("bigint")
+            ).cast("bigint").alias("value_cents"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("week").asc())
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "n_events",
+        "value_cents",
+        prev.alias("prev_events"),
+        F.when(
+            prev.isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            F.round(F.col("n_events").cast("double") / prev.cast("double"), 4)
+        ).alias("wow_ratio"),
+    )

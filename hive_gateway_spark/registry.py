@@ -92,7 +92,7 @@ PRIORITY: tuple[str, ...] = (
     # r14 PRE-PLAN (written at r13 close, extended by the r13
     # continuation session, the r9→…→r13 pattern): once
     # CORRECTNESS_r13 lands rows for the r13 window, rotate OUT
-    # TWENTY-ONE many-times-green occupants — the TEN heads of the
+    # TWENTY-TWO many-times-green occupants — the TEN heads of the
     # remaining r9-queue tail (q_first_touch, q_compress_ratio,
     # q_tpch_q6, q_tpch_q13, q_graph_kcore, q_vocab_coverage,
     # q_collocations, q_mad_outliers, q_event_gaps, q_churn_matrix —
@@ -102,16 +102,17 @@ PRIORITY: tuple[str, ...] = (
     # q_tpch_q19, q_rank_distribution, q_pack_efficiency,
     # q_exact_quantiles — each green in every windowed
     # round through r13; q_ann_index_stats stays in-window as the
-    # standing rows-only monitor) — and take ALL TWENTY-ONE
+    # standing rows-only monitor) — and take ALL TWENTY-TWO
     # ROTATION_CANDIDATES FIFO (the ten r13-close entries
     # q_sim_topk_ivfpq … q_heavy_hitters_by_lang, then the ten
     # continuation-session entries q_embed_coherence, q_split_leakage,
     # q_scd2_history, q_phrase_search, q_retrieval_mmr, q_ann_recall,
     # q_l_diversity, q_zorder_layout, q_retrieval_ndcg,
-    # q_embed_outliers, q_scd2_incremental), keeping the window at
-    # exactly 50 and emptying the queue — the rotate-out pool grows by
-    # q_hard_negatives (r11-written, green r12+r13) to keep 50 exact.
-    # Expected r14 row mix: nineteen hash-green;
+    # q_embed_outliers, q_scd2_incremental, q_wow_growth), keeping the
+    # window at exactly 50 and emptying the queue — the rotate-out
+    # pool grows by q_hard_negatives and q_tpch_q7 (both r11-written,
+    # green r12+r13) to keep 50 exact. Expected r14 row mix: twenty
+    # hash-green;
     # q_sim_topk_ivfpq and q_quantile_sketch rows-only (learned
     # cells/codebooks, GK sketch samples) with rows > 0.
     #
@@ -288,6 +289,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # batch; oracle is VERBATIM q_scd2_history's (incremental ==
     # full rebuild, driver-hash-pinned)
     "q_scd2_incremental",
+    # week-over-week growth per event type: weekly partial agg (exact
+    # cents via DECIMAL) then a window over the TINY weekly frame;
+    # exact DuckDB oracle
+    "q_wow_growth",
 )
 
 

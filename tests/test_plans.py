@@ -708,3 +708,36 @@ def test_ann_recall_joins_are_hash_equi(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_ann_recall")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embed_outliers_broadcasts_sum_table(spark, sf_dir):
+    """The per-(label, pos) sum table (≤ labels·dim rows) must reach
+    the exploded corpus as a broadcast — a shuffle join here would
+    move the corpus to answer a 640-row lookup."""
+    plan = plan_of(spark, sf_dir, "q_embed_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_l_diversity_is_one_expand_aggregate(spark, sf_dir):
+    """Same shape as q_k_anonymity: a single distinct-count aggregate
+    (partial expand + merge), no join, no window."""
+    plan = plan_of(spark, sf_dir, "q_l_diversity")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_zorder_bounds_broadcast_and_bitops_codegen(spark, sf_dir):
+    """The 4-bound pre-aggregate must come back as a 1-row broadcast
+    (never a shuffle join against the fact scan), and the Morton
+    projection must stay inside whole-stage codegen."""
+    df = registry.QUERIES["q_zorder_layout"](spark, sf_dir)
+    df.collect()  # execute so AQE finalizes and codegen ids appear
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the 1-row bounds frame rides a broadcast (BNLJ-cross on a 1-row
+    # build side is the planner's spelling of "attach constants")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "codegen id" in plan, plan[:800]
