@@ -243,6 +243,7 @@ HEADLINE_R13 = [
     "q_embed_outliers",
     "q_scd2_incremental",
     "q_wow_growth",
+    "q_volume_trend",
 ]
 
 

@@ -2341,7 +2341,13 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"].select("user_id", "ts", "event_id", "event_type")
     split = F.lit(SCD2_SPLIT_TS).cast("timestamp")
     old, new = ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split)
-    hist = _scd2_build(old)
+    return scd2_apply(_scd2_build(old), new)
+
+
+def scd2_apply(hist: DataFrame, new: DataFrame) -> DataFrame:
+    """Apply a new event batch to an existing SCD2 history frame — the
+    assembly shared by q_scd2_incremental and the property test that
+    randomizes the split point (tests/test_properties.py)."""
     affected = new.select("user_id").distinct()
     untouched = hist.join(affected, "user_id", "left_anti")
     hist_aff = hist.join(affected, "user_id", "left_semi")
@@ -2462,4 +2468,91 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(
             F.round(F.col("n_events").cast("double") / prev.cast("double"), 4)
         ).alias("wow_ratio"),
+    )
+
+
+@query(
+    "q_volume_trend",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               epoch_us(ts) // 604800000000 AS week,
+               COUNT(*) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(week) AS sx, SUM(y) AS sy,
+               SUM(week * y) AS sxy, SUM(week * week) AS sxx
+        FROM weekly
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_weeks,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 4)
+           END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 'flat'
+                WHEN n * sxy - sx * sy > 0 THEN 'up'
+                WHEN n * sxy - sx * sy < 0 THEN 'down'
+                ELSE 'flat' END AS direction
+    FROM sums
+    """,
+)
+def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear trend of weekly event volume per type — ordinary least
+    squares reduced to its closed form over EXACT integer sums:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    with x = epoch-week and y = weekly count, both int64, so numerator
+    and denominator are exact in both engines (they ride along as
+    columns — the driver hash pins the integer algebra, not just the
+    rounded quotient) and the DIRECTION verdict ('up'/'down'/'flat')
+    is a pure integer sign test that can never flap on float noise —
+    the property an alerting rule cares about.
+
+    Scale shape: two stacked partial aggregates (corpus → (type, week)
+    → type), both map-side combined; the regression itself costs five
+    int64 sums. At 100 TB this is the cheapest possible trend monitor:
+    one linear pass, ~types·weeks intermediate rows. Magnitude note:
+    epoch-weeks ≈ 2.8k and weekly counts < 2³² keep n·Σxy far inside
+    int64 for any realistic (type, week) fan-out.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    weekly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 604800000000").alias("week"),
+        )
+        .groupBy("event_type", "week")
+        .agg(F.count("*").alias("y"))
+    )
+    sums = weekly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("week").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("week") * F.col("y")).alias("sxy"),
+        F.sum(F.col("week") * F.col("week")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_weeks"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 4))
+        .alias("slope"),
+        F.when(den == 0, "flat")
+        .when(num > 0, "up")
+        .when(num < 0, "down")
+        .otherwise("flat")
+        .alias("direction"),
     )

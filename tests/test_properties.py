@@ -309,3 +309,38 @@ def test_quantile_sketch_rank_error_bound(spark, sf_dir):
                 (rank_lo + 1, rank_hi),
                 target,
             )
+
+
+_STATES = ("view", "click", "purchase")
+
+
+@given(events_strategy, st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=12, deadline=None)
+def test_scd2_incremental_equals_full_for_any_split(spark_global, rows, frac):
+    """For ANY split point, applying the post-split batch to the
+    pre-split SCD2 history equals one build over everything — the CDC
+    merge invariant under random event streams (duplicate timestamps,
+    users only-before / only-after / spanning the split, empty halves)."""
+    from hive_gateway_spark.operators.advanced import (
+        _scd2_build,
+        scd2_apply,
+    )
+
+    spark = spark_global
+    df = _df(spark, rows).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("int") % len(_STATES)).alias("si"),
+    )
+    states = F.array(*[F.lit(s) for s in _STATES])
+    ev = df.select(
+        "user_id", "ts", "event_id", states[F.col("si")].alias("event_type")
+    )
+    ts_all = sorted(r["ts"] for r in ev.select("ts").collect())
+    cut = ts_all[min(int(frac * len(ts_all)), len(ts_all) - 1)]
+    split = F.lit(cut)
+    old, new = ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split)
+    full = sorted(map(tuple, _scd2_build(ev).collect()))
+    inc = sorted(map(tuple, scd2_apply(_scd2_build(old), new).collect()))
+    assert full == inc
