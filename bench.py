@@ -244,6 +244,7 @@ HEADLINE_R13 = [
     "q_scd2_incremental",
     "q_wow_growth",
     "q_volume_trend",
+    "q_benford_values",
 ]
 
 

@@ -2556,3 +2556,81 @@ def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("flat")
         .alias("direction"),
     )
+
+
+#: Benford first-digit probabilities as parts-per-million integers —
+#: log10(1 + 1/d) evaluated ONCE here (they sum to exactly 1,000,000),
+#: injected into both engines as literals: no in-engine transcendental.
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def _benford_case(digit_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {d + 1} THEN {p}" for d, p in enumerate(BENFORD_PPM)
+    )
+    return f"CASE {digit_col} {whens} ELSE 0 END"
+
+
+@query(
+    "q_benford_values",
+    oracle=f"""
+    WITH digits AS (
+        SELECT SUBSTR(CAST(CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS VARCHAR), 1, 1) AS d1
+        FROM events
+        WHERE value > 0
+    ),
+    counts AS (
+        SELECT CAST(d1 AS BIGINT) AS digit, COUNT(*) AS n_observed
+        FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_observed) AS n FROM counts)
+    SELECT c.digit, c.n_observed,
+           CAST({_benford_case('c.digit')} AS BIGINT) AS benford_ppm,
+           CAST(ROUND(CAST(c.n_observed AS DOUBLE) * 1000000.0
+                      / CAST(t.n AS DOUBLE), 0) AS BIGINT) AS observed_ppm,
+           ABS(CAST(ROUND(CAST(c.n_observed AS DOUBLE) * 1000000.0
+                          / CAST(t.n AS DOUBLE), 0) AS BIGINT)
+               - {_benford_case('c.digit')}) AS deviation_ppm
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def q_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over the event values — the
+    fraud/fabrication screen auditors run on any organic numeric
+    column: natural multiplicative data follows P(d) = log10(1+1/d);
+    fabricated or clamped data does not, and the per-digit deviation
+    localizes WHERE the distribution breaks (the fixture's uniform
+    values fail Benford loudly — the audit reports, it does not
+    assert).
+
+    Determinism: the leading digit comes from the exact-cents integer
+    (the q_wow_growth DECIMAL route — no float formatting), Benford's
+    probabilities are precomputed parts-per-million INTEGER literals
+    (summing to exactly 10⁶; no in-engine log), and the one division
+    per digit is ROUND(·, 0) of exact counts.
+
+    Scale shape: one partial-agg shuffle to 9 rows, a 1-row total
+    broadcast back. Linear scan, nothing else.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    cents = (
+        F.round("value", 2).cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    digits = ev.filter(F.col("value") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n_observed"))
+    tot = counts.agg(F.sum("n_observed").alias("n"))
+    obs_ppm = F.round(
+        F.col("n_observed").cast("double") * 1000000.0 / F.col("n").cast("double"),
+        0,
+    ).cast("bigint")
+    bppm = F.expr(_benford_case("digit")).cast("bigint")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_observed",
+        bppm.alias("benford_ppm"),
+        obs_ppm.alias("observed_ppm"),
+        F.abs(obs_ppm - bppm).alias("deviation_ppm"),
+    )

@@ -92,7 +92,7 @@ PRIORITY: tuple[str, ...] = (
     # r14 PRE-PLAN (written at r13 close, extended by the r13
     # continuation session, the r9→…→r13 pattern): once
     # CORRECTNESS_r13 lands rows for the r13 window, rotate OUT
-    # TWENTY-THREE many-times-green occupants — the TEN heads of the
+    # TWENTY-FOUR many-times-green occupants — the TEN heads of the
     # remaining r9-queue tail (q_first_touch, q_compress_ratio,
     # q_tpch_q6, q_tpch_q13, q_graph_kcore, q_vocab_coverage,
     # q_collocations, q_mad_outliers, q_event_gaps, q_churn_matrix —
@@ -102,17 +102,18 @@ PRIORITY: tuple[str, ...] = (
     # q_tpch_q19, q_rank_distribution, q_pack_efficiency,
     # q_exact_quantiles — each green in every windowed
     # round through r13; q_ann_index_stats stays in-window as the
-    # standing rows-only monitor) — and take ALL TWENTY-THREE
+    # standing rows-only monitor) — and take ALL TWENTY-FOUR
     # ROTATION_CANDIDATES FIFO (the ten r13-close entries
     # q_sim_topk_ivfpq … q_heavy_hitters_by_lang, then the ten
     # continuation-session entries q_embed_coherence, q_split_leakage,
     # q_scd2_history, q_phrase_search, q_retrieval_mmr, q_ann_recall,
     # q_l_diversity, q_zorder_layout, q_retrieval_ndcg,
     # q_embed_outliers, q_scd2_incremental, q_wow_growth,
-    # q_volume_trend), keeping the window at exactly 50 and emptying
-    # the queue — the rotate-out pool grows by q_hard_negatives,
-    # q_tpch_q7 and q_tpch_q8 (all r11-written, green r12+r13) to keep
-    # 50 exact. Expected r14 row mix: twenty-one hash-green;
+    # q_volume_trend, q_benford_values), keeping the window at exactly
+    # 50 and emptying the queue — the rotate-out pool grows by
+    # q_hard_negatives, q_tpch_q7, q_tpch_q8 and q_tpch_q15 (all
+    # r11-written, green r12+r13) to keep 50 exact. Expected r14 row
+    # mix: twenty-two hash-green;
     # q_sim_topk_ivfpq and q_quantile_sketch rows-only (learned
     # cells/codebooks, GK sketch samples) with rows > 0.
     #
@@ -298,6 +299,11 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # the hash pins the integer algebra; direction is a pure sign
     # test); exact DuckDB oracle
     "q_volume_trend",
+    # Benford first-digit audit: leading digit from the exact-cents
+    # integer, Benford probabilities as precomputed ppm INTEGER
+    # literals (sum exactly 10^6, no in-engine log); exact DuckDB
+    # oracle
+    "q_benford_values",
 )
 
 
