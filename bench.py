@@ -245,6 +245,8 @@ HEADLINE_R13 = [
     "q_wow_growth",
     "q_volume_trend",
     "q_benford_values",
+    "q_join_asof_tolerance",
+    "q_attribution_linear",
 ]
 
 

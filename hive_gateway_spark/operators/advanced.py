@@ -2634,3 +2634,146 @@ def q_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs_ppm.alias("observed_ppm"),
         F.abs(obs_ppm - bppm).alias("deviation_ppm"),
     )
+
+
+#: As-of tolerance: a signup older than this no longer explains the
+#: event (merge_asof(tolerance=...) / ASOF staleness bound) — 3 days.
+ASOF_TOLERANCE_US = 3 * 86_400_000_000
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id, e.user_id,
+           CASE WHEN m.last_us IS NULL THEN NULL
+                ELSE epoch_us(e.ts) - m.last_us END AS us_since_signup,
+           (m.last_us IS NOT NULL) AS fresh
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT MAX(epoch_us(s.ts)) AS last_us
+        FROM events s
+        WHERE s.user_id = e.user_id
+          AND s.event_type = 'signup'
+          AND s.ts <= e.ts
+          AND epoch_us(s.ts) >= epoch_us(e.ts) - {ASOF_TOLERANCE_US}
+    ) m ON m.last_us IS NOT NULL
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof's
+    ``tolerance`` / kdb's windowed wj): the most recent signup
+    at-or-before each event counts only if it happened within
+    {tol_days} days — older context is noise, and an unbounded as-of
+    would silently attribute to it. Events with no fresh signup emit
+    NULL + fresh = false rather than vanishing (the audit needs to see
+    the unattributed mass).
+
+    Plan: the same single carry-forward pass as q_join_asof — one
+    user_id shuffle, no join — with the tolerance applied as a
+    projection on the carried timestamp. The oracle deliberately takes
+    a DIFFERENT shape (a correlated LATERAL max — O(n·m) but exact),
+    so the hash compares two independent derivations, not the same
+    window twice.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", us), ignorenulls=True
+    ).over(w)
+    fresh = last_signup.isNotNull() & (
+        us - last_signup <= ASOF_TOLERANCE_US
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, us - last_signup).alias("us_since_signup"),
+        fresh.alias("fresh"),
+    )
+
+
+q_join_asof_tolerance.__doc__ = q_join_asof_tolerance.__doc__.format(
+    tol_days=ASOF_TOLERANCE_US // 86_400_000_000
+)
+
+
+@query(
+    "q_attribution_linear",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, event_id, event_type,
+               (event_type = 'purchase') AS is_conv,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS seg0
+        FROM events
+    ),
+    touches AS (SELECT * FROM seg WHERE NOT is_conv),
+    convs AS (SELECT DISTINCT user_id, seg0 FROM seg WHERE is_conv),
+    sizes AS (
+        SELECT user_id, seg0, COUNT(*) AS nt
+        FROM touches GROUP BY user_id, seg0
+    )
+    SELECT t.event_type AS channel,
+           COUNT(*) AS n_touches,
+           CAST(SUM(CAST(ROUND(1000000.0 / CAST(z.nt AS DOUBLE), 0) AS BIGINT))
+                AS BIGINT) AS credit_ppm
+    FROM touches t
+    JOIN convs c ON c.user_id = t.user_id AND c.seg0 = t.seg0
+    JOIN sizes z ON z.user_id = t.user_id AND z.seg0 = t.seg0
+    GROUP BY t.event_type
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution — the marketing-analytics staple
+    beside q_first_touch's single-touch model: every touch between a
+    user's consecutive purchases shares the conversion's credit
+    equally (round(10⁶/n) ppm per touch — integer credits, so sums are
+    exact and channel totals are engine-identical); touch runs that
+    never convert (after the user's last purchase) earn nothing.
+
+    Segmentation is one window: seg = number of purchases STRICTLY
+    before the event (unbounded-preceding-to-1 frame), so touches
+    group with the purchase that CLOSES their segment and consecutive
+    purchases form empty segments that simply credit nobody.
+
+    Scale shape: one user_id window shuffle, a (user, seg) partial agg
+    for segment sizes, two equi-joins on the composite (user, seg) key
+    — high-cardinality, no skew — and a final ≤ |channels| aggregate.
+    No self-join on raw events, no per-conversion explosion.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_conv = F.col("event_type") == "purchase"
+    seg = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        is_conv.alias("is_conv"),
+        F.coalesce(
+            F.sum(F.when(is_conv, 1).otherwise(0)).over(w_prev), F.lit(0)
+        ).alias("seg0"),
+    )
+    touches = seg.filter(~F.col("is_conv"))
+    convs = seg.filter(F.col("is_conv")).select("user_id", "seg0").distinct()
+    sizes = touches.groupBy("user_id", "seg0").agg(F.count("*").alias("nt"))
+    credit = F.round(1000000.0 / F.col("nt").cast("double"), 0).cast("bigint")
+    return (
+        touches.join(convs, ["user_id", "seg0"])
+        .join(sizes, ["user_id", "seg0"])
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum(credit).cast("bigint").alias("credit_ppm"),
+        )
+    )

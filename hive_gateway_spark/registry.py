@@ -92,7 +92,7 @@ PRIORITY: tuple[str, ...] = (
     # r14 PRE-PLAN (written at r13 close, extended by the r13
     # continuation session, the r9→…→r13 pattern): once
     # CORRECTNESS_r13 lands rows for the r13 window, rotate OUT
-    # TWENTY-FOUR many-times-green occupants — the TEN heads of the
+    # TWENTY-SIX many-times-green occupants — the TEN heads of the
     # remaining r9-queue tail (q_first_touch, q_compress_ratio,
     # q_tpch_q6, q_tpch_q13, q_graph_kcore, q_vocab_coverage,
     # q_collocations, q_mad_outliers, q_event_gaps, q_churn_matrix —
@@ -102,18 +102,20 @@ PRIORITY: tuple[str, ...] = (
     # q_tpch_q19, q_rank_distribution, q_pack_efficiency,
     # q_exact_quantiles — each green in every windowed
     # round through r13; q_ann_index_stats stays in-window as the
-    # standing rows-only monitor) — and take ALL TWENTY-FOUR
+    # standing rows-only monitor) — and take ALL TWENTY-SIX
     # ROTATION_CANDIDATES FIFO (the ten r13-close entries
     # q_sim_topk_ivfpq … q_heavy_hitters_by_lang, then the ten
     # continuation-session entries q_embed_coherence, q_split_leakage,
     # q_scd2_history, q_phrase_search, q_retrieval_mmr, q_ann_recall,
     # q_l_diversity, q_zorder_layout, q_retrieval_ndcg,
     # q_embed_outliers, q_scd2_incremental, q_wow_growth,
-    # q_volume_trend, q_benford_values), keeping the window at exactly
-    # 50 and emptying the queue — the rotate-out pool grows by
-    # q_hard_negatives, q_tpch_q7, q_tpch_q8 and q_tpch_q15 (all
-    # r11-written, green r12+r13) to keep 50 exact. Expected r14 row
-    # mix: twenty-two hash-green;
+    # q_volume_trend, q_benford_values, q_join_asof_tolerance,
+    # q_attribution_linear), keeping the window at exactly 50 and
+    # emptying the queue — the rotate-out pool grows by
+    # q_hard_negatives, q_tpch_q7, q_tpch_q8, q_tpch_q15,
+    # q_rank_distribution... (the r11-written heads in window order,
+    # all green r12+r13) to keep 50 exact. Expected r14 row mix:
+    # twenty-four hash-green;
     # q_sim_topk_ivfpq and q_quantile_sketch rows-only (learned
     # cells/codebooks, GK sketch samples) with rows > 0.
     #
@@ -304,6 +306,14 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # literals (sum exactly 10^6, no in-engine log); exact DuckDB
     # oracle
     "q_benford_values",
+    # as-of join with a staleness bound (merge_asof tolerance): same
+    # single carry-forward pass, tolerance as a projection; the oracle
+    # is an INDEPENDENT correlated-LATERAL derivation
+    "q_join_asof_tolerance",
+    # multi-touch linear attribution: purchase-segment window, integer
+    # ppm credits (round(1e6/n) per touch — exact sums), credit
+    # conservation pinned in tests/test_breadth.py
+    "q_attribution_linear",
 )
 
 

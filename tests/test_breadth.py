@@ -859,3 +859,44 @@ def test_scd2_incremental_equals_full_rebuild(spark, sf_dir):
         key=lambda r: (r[0], str(r[2])),
     )
     assert full == inc
+
+
+def test_attribution_credit_conservation(spark, sf_dir):
+    """Linear attribution must conserve credit: every converted segment
+    hands out Σ round(1e6/n) ppm ≈ 1e6, so total channel credit equals
+    1e6 × (number of conversions with ≥1 preceding touch) within the
+    rounding slack (≤ half a ppm per credited touch)."""
+    from pyspark.sql import Window as PW
+
+    from hive_gateway_spark.session import load_tables
+
+    rows = registry.QUERIES["q_attribution_linear"](spark, sf_dir).collect()
+    assert rows
+    total_credit = sum(r["credit_ppm"] for r in rows)
+    n_touches = sum(r["n_touches"] for r in rows)
+    ev = load_tables(spark, sf_dir)["events"]
+    w_prev = (
+        PW.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(PW.unboundedPreceding, -1)
+    )
+    is_conv = F.col("event_type") == "purchase"
+    seg = ev.select(
+        "user_id",
+        is_conv.alias("is_conv"),
+        F.coalesce(
+            F.sum(F.when(is_conv, 1).otherwise(0)).over(w_prev), F.lit(0)
+        ).alias("seg0"),
+    )
+    touch_segs = (
+        seg.filter(~F.col("is_conv")).select("user_id", "seg0").distinct()
+    )
+    converted_with_touches = (
+        seg.filter(F.col("is_conv"))
+        .select("user_id", "seg0")
+        .distinct()
+        .join(touch_segs, ["user_id", "seg0"], "left_semi")
+        .count()
+    )
+    assert converted_with_touches > 0
+    assert abs(total_credit - 1_000_000 * converted_with_touches) <= n_touches
