@@ -247,6 +247,7 @@ HEADLINE_R13 = [
     "q_benford_values",
     "q_join_asof_tolerance",
     "q_attribution_linear",
+    "q_cohort_revenue",
 ]
 
 

@@ -608,26 +608,32 @@ def funnel_report(events: DataFrame) -> DataFrame:
 COHORT_WEEKS = 4
 
 
-@query(
-    "q_cohort_retention",
-    oracle=f"""
-    WITH first_signup AS (
+#: Shared cohort-definition fragment — interpolated by BOTH the
+#: retention and revenue oracles (the no-drift rule: one text decides
+#: what a cohort IS).
+_COHORT_CTE = """first_signup AS (
         SELECT user_id,
                MIN(epoch_us(ts)) // (86400000000 * 7) AS cohort_wk
         FROM events WHERE event_type = 'signup' GROUP BY user_id
     ),
+    cohort_sizes AS (
+        SELECT cohort_wk, COUNT(*) AS n_cohort
+        FROM first_signup GROUP BY cohort_wk
+    )"""
+
+
+@query(
+    "q_cohort_retention",
+    oracle=f"""
+    WITH {_COHORT_CTE},
     activity AS (
         SELECT DISTINCT e.user_id,
                epoch_us(e.ts) // (86400000000 * 7) AS wk
         FROM events e JOIN first_signup USING (user_id)
     ),
-    cohorts AS (
-        SELECT cohort_wk, COUNT(*) AS n_cohort
-        FROM first_signup GROUP BY cohort_wk
-    ),
     grid AS (
         SELECT c.cohort_wk, c.n_cohort, CAST(k AS BIGINT) AS week_offset
-        FROM cohorts c, UNNEST(range({COHORT_WEEKS})) AS t(k)
+        FROM cohort_sizes c, UNNEST(range({COHORT_WEEKS})) AS t(k)
     ),
     cells AS (
         SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
@@ -2777,3 +2783,121 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(credit).cast("bigint").alias("credit_ppm"),
         )
     )
+
+
+@query(
+    "q_cohort_revenue",
+    oracle=f"""
+    WITH {_COHORT_CTE},
+    rev AS (
+        SELECT f.cohort_wk,
+               epoch_us(e.ts) // (86400000000 * 7) - f.cohort_wk
+                 AS week_offset,
+               SUM(CAST(CAST(ROUND(e.value, 2) AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS cents
+        FROM events e
+        JOIN first_signup f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) // (86400000000 * 7) - f.cohort_wk
+              BETWEEN 0 AND {COHORT_WEEKS} - 1
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT c.cohort_wk, c.n_cohort, CAST(k AS BIGINT) AS week_offset
+        FROM cohort_sizes c, UNNEST(range({COHORT_WEEKS})) AS t(k)
+    ),
+    dense AS (
+        SELECT g.cohort_wk, g.week_offset, g.n_cohort,
+               CAST(COALESCE(r.cents, 0) AS BIGINT) AS revenue_cents
+        FROM grid g LEFT JOIN rev r
+          ON r.cohort_wk = g.cohort_wk AND r.week_offset = g.week_offset
+    )
+    SELECT cohort_wk AS cohort_week, week_offset,
+           CAST(n_cohort AS BIGINT) AS n_cohort,
+           revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+               PARTITION BY cohort_wk ORDER BY week_offset ASC
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS ltv_cents,
+           ROUND(CAST(SUM(revenue_cents) OVER (
+               PARTITION BY cohort_wk ORDER BY week_offset ASC
+               ROWS UNBOUNDED PRECEDING
+           ) AS DOUBLE) / CAST(n_cohort AS DOUBLE) / 100.0, 4)
+             AS ltv_per_user
+    FROM dense
+    """,
+)
+def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve — q_cohort_retention's revenue twin over the
+    SAME cohort definition (shared _COHORT_CTE fragment: one text
+    decides what a cohort is): per (signup-week cohort, week offset),
+    exact-cents purchase revenue, the running cumulative (the
+    lifetime-value curve finance actually plots), and LTV per cohort
+    member. Dense grid — a week with no purchases is an honest zero
+    row, not a gap.
+
+    Determinism: revenue in exact cents (the DECIMAL route), the
+    cumulative sum an integer window over the tiny cohorts×{weeks}
+    grid, and one rounded division per cell.
+
+    Scale shape: identical to retention — per-user first-signup agg,
+    a user-keyed join filtered to purchases, a (cohort, offset)
+    aggregate; the LTV window runs over cohorts×{weeks} rows, never
+    raw events.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    week_us = 86_400_000_000 * 7
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("us"))
+        .select("user_id", F.expr(f"us div {week_us}").alias("cohort_wk"))
+    )
+    cents = (F.round("value", 2).cast("decimal(18,2)") * 100).cast("bigint")
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .select(
+            "cohort_wk",
+            (F.expr(f"unix_micros(ts) div {week_us}") - F.col("cohort_wk")).alias(
+                "week_offset"
+            ),
+            cents.alias("cents"),
+        )
+        .filter(F.col("week_offset").between(0, COHORT_WEEKS - 1))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    cohorts = first_signup.groupBy("cohort_wk").agg(F.count("*").alias("n_cohort"))
+    grid = cohorts.select(
+        "cohort_wk",
+        "n_cohort",
+        F.explode(F.expr(f"sequence(0, {COHORT_WEEKS} - 1)")).alias("wo"),
+    ).select(
+        "cohort_wk", "n_cohort", F.col("wo").cast("bigint").alias("week_offset")
+    )
+    dense = grid.join(rev, ["cohort_wk", "week_offset"], "left").select(
+        "cohort_wk",
+        "week_offset",
+        "n_cohort",
+        F.coalesce("cents", F.lit(0)).cast("bigint").alias("revenue_cents"),
+    )
+    w = (
+        W.partitionBy("cohort_wk")
+        .orderBy(F.col("week_offset").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ltv = F.sum("revenue_cents").over(w)
+    return dense.select(
+        F.col("cohort_wk").alias("cohort_week"),
+        "week_offset",
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        "revenue_cents",
+        ltv.cast("bigint").alias("ltv_cents"),
+        F.round(
+            ltv.cast("double") / F.col("n_cohort").cast("double") / 100.0, 4
+        ).alias("ltv_per_user"),
+    )
+
+
+q_cohort_revenue.__doc__ = q_cohort_revenue.__doc__.format(weeks=COHORT_WEEKS)

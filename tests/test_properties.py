@@ -344,3 +344,43 @@ def test_scd2_incremental_equals_full_for_any_split(spark_global, rows, frac):
     full = sorted(map(tuple, _scd2_build(ev).collect()))
     inc = sorted(map(tuple, scd2_apply(_scd2_build(old), new).collect()))
     assert full == inc
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_zorder_interleave_matches_python_reference(pairs):
+    """The shared SQL interleave generator (one text for both engines)
+    must equal a pure-python Morton encode on random cell coordinates —
+    evaluated via DuckDB (no JVM needed), pinning the generator itself
+    rather than fixture data."""
+    import duckdb
+
+    from hive_gateway_spark.operators.advanced import (
+        ZORDER_BITS,
+        _z_interleave_sql,
+    )
+
+    def ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    con = duckdb.connect()
+    values = ", ".join(f"({x}, {y})" for x, y in pairs)
+    rows = con.execute(
+        f"SELECT x, y, {_z_interleave_sql('x', 'y')} AS z "
+        f"FROM (VALUES {values}) t(x, y)"
+    ).fetchall()
+    for x, y, z in rows:
+        assert z == ref(x, y), (x, y, z)
