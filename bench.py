@@ -248,6 +248,7 @@ HEADLINE_R13 = [
     "q_join_asof_tolerance",
     "q_attribution_linear",
     "q_cohort_revenue",
+    "q_conversion_lag",
 ]
 
 

@@ -2901,3 +2901,76 @@ def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_cohort_revenue.__doc__ = q_cohort_revenue.__doc__.format(weeks=COHORT_WEEKS)
+
+
+@query(
+    "q_conversion_lag",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(ts) END) AS signup_us,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS purchase_us
+        FROM events
+        GROUP BY user_id
+    ),
+    lags AS (
+        SELECT (purchase_us - signup_us) // 86400000000 AS lag_days
+        FROM firsts
+        WHERE signup_us IS NOT NULL
+          AND purchase_us IS NOT NULL
+          AND purchase_us >= signup_us
+    )
+    SELECT lag_days,
+           COUNT(*) AS n_users,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY lag_days ASC
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM lags
+    GROUP BY lag_days
+    """,
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: days from a user's FIRST signup to
+    their FIRST at-or-after purchase, histogrammed by whole days with
+    the cumulative count — the curve a growth team reads percentiles
+    off ("80% of converters convert within N days"). Users who signed
+    up but never purchased (or purchased only before signing up) are
+    excluded from the histogram by definition — they have no lag.
+
+    Determinism: both firsts come from ONE conditional-MIN aggregate
+    (exact epoch-µs), the lag is integer division, and the cumulative
+    is an integer window over the ≤ max-lag-days rows.
+
+    Scale shape: one per-user partial aggregate (two conditional MINs
+    in the same pass — not two scans), then a ≤ days-sized histogram
+    aggregate and a tiny single-partition window over it (bounded by
+    the observation span in days, not the corpus).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("signup_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("purchase_us"),
+    )
+    lags = (
+        firsts.filter(
+            F.col("signup_us").isNotNull()
+            & F.col("purchase_us").isNotNull()
+            & (F.col("purchase_us") >= F.col("signup_us"))
+        )
+        .select(
+            F.expr("(purchase_us - signup_us) div 86400000000").alias("lag_days")
+        )
+    )
+    hist = lags.groupBy("lag_days").agg(F.count("*").alias("n_users"))
+    w = (
+        W.orderBy(F.col("lag_days").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return hist.select(
+        "lag_days",
+        "n_users",
+        F.sum("n_users").over(w).cast("bigint").alias("cum_users"),
+    )

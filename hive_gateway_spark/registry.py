@@ -92,7 +92,7 @@ PRIORITY: tuple[str, ...] = (
     # r14 PRE-PLAN (written at r13 close, extended by the r13
     # continuation session, the r9→…→r13 pattern): once
     # CORRECTNESS_r13 lands rows for the r13 window, rotate OUT
-    # TWENTY-SEVEN many-times-green occupants — the TEN heads of the
+    # TWENTY-EIGHT many-times-green occupants — the TEN heads of the
     # remaining r9-queue tail (q_first_touch, q_compress_ratio,
     # q_tpch_q6, q_tpch_q13, q_graph_kcore, q_vocab_coverage,
     # q_collocations, q_mad_outliers, q_event_gaps, q_churn_matrix —
@@ -102,7 +102,7 @@ PRIORITY: tuple[str, ...] = (
     # q_tpch_q19, q_rank_distribution, q_pack_efficiency,
     # q_exact_quantiles — each green in every windowed
     # round through r13; q_ann_index_stats stays in-window as the
-    # standing rows-only monitor) — and take ALL TWENTY-SEVEN
+    # standing rows-only monitor) — and take ALL TWENTY-EIGHT
     # ROTATION_CANDIDATES FIFO (the ten r13-close entries
     # q_sim_topk_ivfpq … q_heavy_hitters_by_lang, then the ten
     # continuation-session entries q_embed_coherence, q_split_leakage,
@@ -110,13 +110,13 @@ PRIORITY: tuple[str, ...] = (
     # q_l_diversity, q_zorder_layout, q_retrieval_ndcg,
     # q_embed_outliers, q_scd2_incremental, q_wow_growth,
     # q_volume_trend, q_benford_values, q_join_asof_tolerance,
-    # q_attribution_linear, q_cohort_revenue), keeping the window at
-    # exactly 50 and
+    # q_attribution_linear, q_cohort_revenue, q_conversion_lag),
+    # keeping the window at exactly 50 and
     # emptying the queue — the rotate-out pool grows by
     # q_hard_negatives, q_tpch_q7, q_tpch_q8, q_tpch_q15,
     # q_rank_distribution... (the r11-written heads in window order,
     # all green r12+r13) to keep 50 exact. Expected r14 row mix:
-    # twenty-five hash-green;
+    # twenty-six hash-green;
     # q_sim_topk_ivfpq and q_quantile_sketch rows-only (learned
     # cells/codebooks, GK sketch samples) with rows > 0.
     #
@@ -319,6 +319,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # cohort CTE fragment (exact cents, integer cumulative window on
     # the cohorts×weeks grid); exact DuckDB oracle
     "q_cohort_revenue",
+    # time-to-convert histogram: first signup → first purchase lag in
+    # whole days + cumulative curve (one conditional-MIN pass, tiny
+    # day-bounded window); exact DuckDB oracle
+    "q_conversion_lag",
 )
 
 
