@@ -251,6 +251,11 @@ HEADLINE_R13 = [
     "q_conversion_lag",
 ]
 
+#: Round-14 additions: the hash-checkable ADC candidate pipeline.
+HEADLINE_R14 = [
+    "q_pq_candidates",
+]
+
 
 #: Regression gate (VERDICT r6 task #6): warm ratio vs the previous
 #: round's recorded bench above which the run FAILS (rc != 0), so a perf
@@ -618,6 +623,30 @@ def main() -> None:
             baseline = {**record, "queries_cold": carried}
         _write_local(baseline)
     print(json.dumps(record))
+    # The driver records only the LAST ~2000 chars of stdout and
+    # json-parses the final line (BENCH_r12/r13 landed "parsed": null
+    # because the full record above is ~15 KB and was truncated
+    # mid-line — VERDICT r13 "What's wrong" #1). Emit a compact
+    # contract line LAST: headline-block per-query warm medians only
+    # (~600 chars), with the complete record in BENCH_LOCAL_r{N}.json.
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "queries": {q: timings[q] for q in HEADLINE if q in timings},
+        "sf": sf,
+        "value_all": record["value_all"],
+        "n_queries": len(timings),
+        "regression_median_ratio": record["regression_median_ratio"],
+        "cold_median_ratio": record["cold_median_ratio"],
+        "regression_gate": record["regression_gate"],
+        "full_record": "BENCH_LOCAL (see repo)",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # stay inside the driver's tail window
+        compact["queries"] = {}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
     if regressions:
         sys.exit(1)

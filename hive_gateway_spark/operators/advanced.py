@@ -2149,7 +2149,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scd2_build(t["events"])
 
 
-def _scd2_build(events: DataFrame, weight=None) -> DataFrame:
+def _scd2_build(events: DataFrame, weight=None, seq=None) -> DataFrame:
     """The gaps-and-islands SCD2 derivation over an events frame —
     shared by q_scd2_history (full corpus), q_scd2_incremental (the
     pre-split backfill) and scd2_walked (the seeded merge).
@@ -2157,7 +2157,18 @@ def _scd2_build(events: DataFrame, weight=None) -> DataFrame:
     ``weight`` (a Column) is each row's contribution to its run's
     n_events — default 1 per event; the seeded walk passes
     coalesce(seed_n, 1) so a seed pseudo-row carries its open run's
-    accumulated count into whichever run it begins."""
+    accumulated count into whichever run it begins.
+
+    ``seq`` (a Column) is an optional per-user BASE ordinal carried on
+    seed rows (null elsewhere); when given the output gains
+    ``run_seq`` = base (default 1) + run_id − 1 — a per-user run
+    ordinal that is strictly increasing, stable across seeded
+    recomputes (the seed run keeps its stored ordinal; new runs
+    extend), and therefore a sound MERGE identity even when
+    equal-timestamp state flips give two runs the same valid_from
+    (ADVICE r13 #1: (user_id, valid_from) is NOT unique under ts
+    ties, and neither is (user_id, valid_from, state) — events
+    A,B,A at one ts yield two distinct (t, A) runs)."""
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev = F.lag("event_type").over(w)
     ordered = events.select(
@@ -2166,6 +2177,7 @@ def _scd2_build(events: DataFrame, weight=None) -> DataFrame:
         "event_id",
         "event_type",
         *([weight.alias("__wt")] if weight is not None else []),
+        *([seq.alias("__seq")] if seq is not None else []),
         F.when(prev.isNull() | (prev != F.col("event_type")), 1)
         .otherwise(0)
         .alias("is_new"),
@@ -2175,6 +2187,7 @@ def _scd2_build(events: DataFrame, weight=None) -> DataFrame:
         "ts",
         "event_type",
         *(["__wt"] if weight is not None else []),
+        *(["__seq"] if seq is not None else []),
         F.sum("is_new")
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("run_id"),
@@ -2183,6 +2196,9 @@ def _scd2_build(events: DataFrame, weight=None) -> DataFrame:
     runs = grp.groupBy("user_id", "run_id", F.col("event_type").alias("state")).agg(
         F.min("ts").alias("valid_from"),
         n_expr.alias("n_events"),
+        # only the seed pseudo-row carries a base ordinal, and it lives
+        # in the user's FIRST run (the seed sorts first by event_id −1)
+        *([F.max("__seq").alias("__seq")] if seq is not None else []),
     )
     w2 = W.partitionBy("user_id").orderBy(F.col("run_id").asc())
     nxt = F.lead("valid_from").over(w2)
@@ -2193,6 +2209,22 @@ def _scd2_build(events: DataFrame, weight=None) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
         F.col("n_events").cast("bigint").alias("n_events"),
+        *(
+            [
+                (
+                    F.coalesce(
+                        F.max("__seq").over(W.partitionBy("user_id")),
+                        F.lit(1),
+                    )
+                    + F.col("run_id")
+                    - 1
+                )
+                .cast("bigint")
+                .alias("run_seq")
+            ]
+            if seq is not None
+            else []
+        ),
     )
 
 
@@ -2371,7 +2403,7 @@ SCD2_SCHEMA = (
 )
 
 
-def scd2_walked(seeds: DataFrame, batch: DataFrame) -> DataFrame:
+def scd2_walked(seeds: DataFrame, batch: DataFrame, seq: bool = False) -> DataFrame:
     """Seeded per-user interval walk — the merge core shared by
     q_scd2_incremental and streaming.scd2_dimension_sink. ``seeds`` are
     OPEN history rows (user_id, state, valid_from, n_events[, ...]);
@@ -2380,6 +2412,11 @@ def scd2_walked(seeds: DataFrame, batch: DataFrame) -> DataFrame:
     NOT re-emitted). Contract: batch events are at-or-after every
     seed's valid_from (event-time-ordered ingestion — the same
     assumption the stream twin documents).
+
+    ``seq=True`` (the dimension sink's mode) additionally threads the
+    stable per-user run ordinal: seeds must then carry ``run_seq`` and
+    the output gains it — the open run keeps its stored ordinal, new
+    runs extend it (see _scd2_build's seq contract; ADVICE r13 #1).
 
     Implementation: the seed is a pseudo-event sorted FIRST in its
     user's order (event_id −1, ts = its run's valid_from) carrying the
@@ -2395,13 +2432,25 @@ def scd2_walked(seeds: DataFrame, batch: DataFrame) -> DataFrame:
         F.lit(-1).cast("bigint").alias("event_id"),  # seed sorts first
         F.col("state").alias("event_type"),
         F.col("n_events").cast("bigint").alias("seed_n"),
+        *(
+            [F.col("run_seq").cast("bigint").alias("__baseseq")]
+            if seq
+            else []
+        ),
     )
     combined = seed_rows.unionByName(
-        batch.select("user_id", "ts", "event_id", "event_type").withColumn(
-            "seed_n", F.lit(None).cast("bigint")
+        batch.select("user_id", "ts", "event_id", "event_type").withColumns(
+            {
+                "seed_n": F.lit(None).cast("bigint"),
+                **({"__baseseq": F.lit(None).cast("bigint")} if seq else {}),
+            }
         )
     )
-    return _scd2_build(combined, weight=F.coalesce("seed_n", F.lit(1)))
+    return _scd2_build(
+        combined,
+        weight=F.coalesce("seed_n", F.lit(1)),
+        seq=F.col("__baseseq") if seq else None,
+    )
 
 
 q_scd2_incremental.__doc__ = q_scd2_incremental.__doc__.format(split=SCD2_SPLIT_TS)
@@ -2660,7 +2709,13 @@ ASOF_TOLERANCE_US = 3 * 86_400_000_000
         FROM events s
         WHERE s.user_id = e.user_id
           AND s.event_type = 'signup'
-          AND s.ts <= e.ts
+          -- (ts, event_id) lexicographic bound: the engine's window
+          -- frame ends AT the current row, so a signup sharing the
+          -- event's ts is visible only when its event_id is <= the
+          -- event's (ADVICE r13 #2 — the bare s.ts <= e.ts admitted
+          -- same-ts signups with LARGER event_ids the engine's frame
+          -- cannot see)
+          AND (s.ts < e.ts OR (s.ts = e.ts AND s.event_id <= e.event_id))
           AND epoch_us(s.ts) >= epoch_us(e.ts) - {ASOF_TOLERANCE_US}
     ) m ON m.last_us IS NOT NULL
     """,
@@ -2933,11 +2988,16 @@ q_cohort_revenue.__doc__ = q_cohort_revenue.__doc__.format(weeks=COHORT_WEEKS)
 )
 def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: days from a user's FIRST signup to
-    their FIRST at-or-after purchase, histogrammed by whole days with
-    the cumulative count — the curve a growth team reads percentiles
-    off ("80% of converters convert within N days"). Users who signed
-    up but never purchased (or purchased only before signing up) are
-    excluded from the histogram by definition — they have no lag.
+    their first purchase OVERALL, kept only when that purchase is
+    at-or-after the signup, histogrammed by whole days with the
+    cumulative count — the curve a growth team reads percentiles off
+    ("80% of converters convert within N days"). Users who signed up
+    but never purchased are excluded by definition; a user whose first
+    purchase PRECEDES their first signup is likewise dropped — even if
+    a later purchase follows the signup — a deliberate one-pass
+    semantics (both firsts from ONE conditional-MIN aggregate; the
+    "first at-or-after purchase" variant would need a second
+    signup-aware pass) that engine and oracle share (ADVICE r13 #3).
 
     Determinism: both firsts come from ONE conditional-MIN aggregate
     (exact epoch-µs), the lag is integer division, and the cumulative

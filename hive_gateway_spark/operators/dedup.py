@@ -1736,7 +1736,55 @@ KCORE_K = 2
 KCORE_MAX_ROUNDS = 25
 
 
-@query("q_graph_kcore")  # rows-only: iterative peel, not SQL-expressible
+#: Unrolled-peel depth for the k-core ORACLE (the q_dedup_rank
+#: playbook, VERDICT r13 task #3): the peel is MONOTONE and idempotent
+#: past its fixed point, so unrolling more rounds than the fixture
+#: needs (measured: 2 at sf0.001/sf0.01) is always safe — 6 gives 3×
+#: margin. The oracle thereby also asserts the engine CONVERGED
+#: (converged = TRUE literal): if the engine ever hit its round cap at
+#: verification scale the boolean column would hash-mismatch, which is
+#: the behavior we want.
+KCORE_ORACLE_ROUNDS = 6
+
+#: One SQL body per unrolled peel round — degrees over the previous
+#: round's survivor edges, keep ≥ k, filter both endpoints (the exact
+#: recurrence kcore_nodes runs).
+#: MATERIALIZED is load-bearing: each round references the previous
+#: CTE three times, so DuckDB's default inlining would expand the
+#: shingle-pair chain ~5^rounds times (measured as an fd exhaustion at
+#: 6 rounds); materializing makes the unroll linear.
+_KCORE_ROUND_SQL = """
+    d{n} AS MATERIALIZED (
+        SELECT v, COUNT(*) AS deg FROM (
+            SELECT doc_a AS v FROM e{p} UNION ALL SELECT doc_b FROM e{p}
+        ) GROUP BY v
+    ),
+    e{n} AS MATERIALIZED (
+        SELECT e.doc_a, e.doc_b FROM e{p} e
+        JOIN d{n} a ON a.v = e.doc_a AND a.deg >= {k}
+        JOIN d{n} b ON b.v = e.doc_b AND b.deg >= {k}
+    )"""
+
+
+def _kcore_oracle() -> str:
+    rounds = ",".join(
+        _KCORE_ROUND_SQL.format(n=i + 1, p=i, k=KCORE_K)
+        for i in range(KCORE_ORACLE_ROUNDS)
+    )
+    last = f"e{KCORE_ORACLE_ROUNDS}"
+    return f"""
+    WITH RECURSIVE {{_DUCK_PAIRS}},
+    e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+    {rounds}
+    SELECT doc_id, COUNT(*) AS core_degree, TRUE AS converged FROM (
+        SELECT doc_a AS doc_id FROM {last}
+        UNION ALL
+        SELECT doc_b FROM {last}
+    ) GROUP BY doc_id
+    """
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle().format(_DUCK_PAIRS=_DUCK_PAIRS))
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the near-dup graph (k = KCORE_K) — the fourth graph
     operator beside connected components, PageRank and triangles: a
@@ -1752,7 +1800,13 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     so lineage stays flat; every round removes ALL sub-k nodes at
     once, so rounds = peeling complexity (bounded by KCORE_MAX_ROUNDS,
     with honest superset semantics if capped — see constant). Emits
-    (doc_id, core_degree, converged)."""
+    (doc_id, core_degree, converged).
+
+    Exact-oracled since r14 (VERDICT r13 task #3, the q_dedup_rank
+    unrolled-recurrence playbook): the DuckDB oracle unrolls
+    KCORE_ORACLE_ROUNDS peel rounds — safe because the peel is
+    idempotent past its fixed point — and pins convergence itself via
+    the TRUE literal in the converged column."""
     return kcore_nodes(
         _jaccard_pairs(load_tables(spark, sf_dir)).select("doc_a", "doc_b")
     )

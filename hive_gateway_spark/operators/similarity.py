@@ -1782,6 +1782,212 @@ def q_sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q_pq_candidates — the ADC candidate machinery made hash-checkable
+# (VERDICT r13 task #4, the q_ann_buckets playbook applied to PQ): the
+# LEARNED codebooks stay rows-only (seeded Lloyd on the corpus), but
+# the entire ADC pipeline — subspace split, nearest-centroid encoding,
+# per-query lookup tables, table-sum scoring, shortlist ranking — runs
+# here against a SEEDED INTEGER codebook embedded verbatim in the
+# DuckDB oracle as a VALUES table, with every step exact int64
+# arithmetic (quantized vectors × integer centroids), so the shortlist
+# is deterministic and driver-hash-verified in both engines.
+# ---------------------------------------------------------------------------
+
+#: Oracle-codebook geometry: PQ_M subspaces × 16 centroids keeps the
+#: VALUES table at 8·16·8 = 1024 rows (q_ann_buckets embeds 8192).
+PQO_K = 16
+
+
+def _pq_oracle_books(dim: int = 64):
+    """(m, c) → integer centroid vector of length dim // PQ_M, seeded
+    LCG (the _lsh_planes house pattern). Component magnitudes match
+    the 6-dp-quantized embeddings (|val| ≤ 10⁶), so the per-subspace
+    distance −2·s·c + |c|² and the ADC sums stay ≪ 2⁵³ — exact in
+    int64 and in DuckDB's HUGEINT alike."""
+    dsub = dim // PQ_M
+    s = 0x9E3779B97F4A7C15
+    out = []
+    for m in range(PQ_M):
+        for c in range(PQO_K):
+            vals = []
+            for _ in range(dsub):
+                s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+                vals.append(int((s >> 16) % 1_999_999) - 999_999)
+            out.append((m, c, vals))
+    return out
+
+
+def _pq_oracle_values() -> str:
+    """DuckDB VALUES literal (m, c, 1-based pos, val) of the seeded
+    codebook — the generated model embedded in the oracle, the house
+    pattern from _planes_values/_MH_COEF."""
+    rows = []
+    for m, c, vals in _pq_oracle_books():
+        rows.extend(f"({m},{c},{p + 1},{v})" for p, v in enumerate(vals))
+    return ", ".join(rows)
+
+
+@query(
+    "q_pq_candidates",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    cb(m, c, pos, val) AS (VALUES {_pq_oracle_values()}),
+    cnorm AS (
+        SELECT m, c, SUM(CAST(val AS BIGINT) * val) AS c2
+        FROM cb GROUP BY m, c
+    ),
+    sub AS (
+        SELECT vec_id, (pos - 1) // {64 // PQ_M} AS m,
+               ((pos - 1) % {64 // PQ_M}) + 1 AS spos, val
+        FROM v
+    ),
+    dist AS (
+        SELECT s.vec_id, s.m, cb.c,
+               -2 * SUM(s.val * cb.val) AS cross2
+        FROM sub s JOIN cb ON s.m = cb.m AND s.spos = cb.pos
+        GROUP BY s.vec_id, s.m, cb.c
+    ),
+    codes AS (
+        SELECT vec_id, m, c AS code
+        FROM (
+            SELECT d.vec_id, d.m, d.c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id, d.m
+                       ORDER BY d.cross2 + n.c2 ASC, d.c ASC
+                   ) AS rn
+            FROM dist d JOIN cnorm n ON d.m = n.m AND d.c = n.c
+        ) WHERE rn = 1
+    ),
+    qtab AS (
+        SELECT s.vec_id AS query_id, cb.m, cb.c,
+               SUM(s.val * cb.val) AS qdot
+        FROM sub s JOIN cb ON s.m = cb.m AND s.spos = cb.pos
+        WHERE s.vec_id % {QUERY_STRIDE} = 0 AND s.vec_id < {QUERY_ID_CAP}
+        GROUP BY s.vec_id, cb.m, cb.c
+    ),
+    adc AS (
+        SELECT q.query_id, k.vec_id AS neighbor_id,
+               CAST(SUM(q.qdot) AS BIGINT) AS adc_score
+        FROM codes k JOIN qtab q ON q.m = k.m AND q.c = k.code
+        WHERE k.vec_id <> q.query_id
+        GROUP BY q.query_id, k.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_score
+    FROM (
+        SELECT query_id, neighbor_id, adc_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_score DESC, neighbor_id ASC
+               ) AS rk
+        FROM adc
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def q_pq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified ADC candidate generation — q_sim_topk_pq's
+    machinery made SQL-checkable, the move that gave LSH its
+    driver-green sibling (q_ann_buckets): subspace split → nearest-
+    centroid encoding (argmin of the exact int64 −2·s·c + |c|², ties
+    to the lowest centroid index) → per-query (PQ_M × PQO_K) integer
+    lookup tables → ADC score as PQ_M table lookups summed → top-k
+    shortlist ordered (score desc, neighbor_id asc). The seeded-LCG
+    codebook is embedded VERBATIM in the DuckDB oracle as a 1024-row
+    VALUES table; every step is exact integer arithmetic, so the
+    shortlist membership AND scores hash-match. The learned-codebook
+    queries (q_sim_topk_pq / _ivfpq) stay rows-only; THIS query pins
+    the candidate pipeline they share.
+
+    Scale shape (100 TB): identical to q_sim_topk_pq — encoding is one
+    stateless Arrow pass (numpy int64 GEMM per subspace), the corpus
+    is scanned as PQ_M-byte codes with per-batch local top-k, and the
+    only exchange is the tiny K·Q window merge. The query block is the
+    bounded ≤ {MAX_QUERIES} contract."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t)
+    dsub = 64 // PQ_M
+    C = np.asarray(
+        [vals for _m, _c, vals in _pq_oracle_books()], dtype=np.int64
+    ).reshape(PQ_M, PQO_K, dsub)
+    c2 = np.einsum("mkd,mkd->mk", C, C)  # (m, k) |c|², exact int64
+
+    q_rows = (
+        e.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("vec_id") < QUERY_ID_CAP)
+        )
+        .select("vec_id", "v")
+        .collect()  # bounded: ≤ MAX_QUERIES rows by construction
+    )
+    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["v"] for r in q_rows], dtype=np.int64)
+    # per-query integer ADC tables: T[q, m, c] = q_sub · centroid
+    tables = (
+        np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, dsub), C)
+        if len(Q)
+        else np.zeros((0, PQ_M, PQO_K), dtype=np.int64)
+    )
+    bc = spark.sparkContext.broadcast((qids, tables))
+
+    def score(batches):
+        qids, tables = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            X = np.asarray(pdf["v"].tolist(), dtype=np.int64).reshape(
+                len(pdf), PQ_M, dsub
+            )
+            # encode: argmin_c (−2·s·c + |c|²) per subspace, exact int64;
+            # np.argmin ties to the lowest index = the oracle's (d, c) order
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                d = -2 * (X[:, m, :] @ C[m].T) + c2[m][None, :]
+                codes[:, m] = d.argmin(1)
+            # ADC: integer table sums — same gather loop as _adc_accumulate
+            acc = tables[:, 0, :][:, codes[:, 0]]
+            for m in range(1, PQ_M):
+                acc = acc + tables[:, m, :][:, codes[:, m]]
+            # exact integer scores (≪ 2⁵³) — unlike the float ADC path,
+            # boundary ties are REAL here, so the local top-k must break
+            # them exactly as the oracle does (score desc, id asc):
+            # a full per-query lexsort, not _adc_local_topk's
+            # tie-oblivious argpartition. Bounded: nq ≤ MAX_QUERIES
+            # lexsorts over one Arrow batch each.
+            self_mask = qids[:, None] == ids[None, :]
+            take = min(TOP_K, acc.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                row = acc[qi]
+                o = np.lexsort((ids, -row))
+                o = o[~self_mask[qi][o]][:take]
+                out_q.append(np.full(len(o), qids[qi], dtype=np.int64))
+                out_n.append(ids[o])
+                out_s.append(row[o])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_score": np.concatenate(out_s),
+                }
+            )
+
+    scored = e.select("vec_id", "v").mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, adc_score bigint"
+    )
+    wk = W.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_score")
+    )
+
+
 #: session → {embeddings semanticHash: (emb, checkpointed cell-codes)}.
 #: Input-keyed for the same reason as _PQ_CODES_CACHE: the upstream
 #: codes frame is a fresh LogicalRDD per cache rebuild, so a stage()
@@ -2378,25 +2584,28 @@ def q_embed_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity is how a production pipeline scores millions of clusters
     nightly.
 
-    Determinism: component sums are exact int64 (|s| ≤ n·3·10⁷ — safe
-    to ~10¹¹ rows/label); squares are summed as DECIMAL/HUGEINT so the
-    subtraction is exact integer arithmetic in BOTH engines, and the
-    single double division at the end has an identical expression
-    shape. avg_norm2 (mean squared L2, the magnitude baseline) rides
+    Determinism: component sums are exact int64 (|s| ≤ n·3·10⁷);
+    squares are summed as DECIMAL/HUGEINT so the subtraction is exact
+    integer arithmetic in BOTH engines, and the single double division
+    at the end has an identical expression shape. Capacity (ADVICE r13
+    #4): s is carried as DECIMAL(20,0) — the earlier (18,0) silently
+    NULLed a label past |s| = 10¹⁸ — and the binding limit is now the
+    Σ-of-squares against DECIMAL(38)/HUGEINT: 64·s² < 10³⁸ ⇒ safe to
+    ~4·10¹⁰ rows/label, not the ~10¹¹ previously claimed. avg_norm2 (mean squared L2, the magnitude baseline) rides
     along so avg_pair_dot is interpretable without a second query.
     """
     t = load_tables(spark, sf_dir)
     q = _quantized(t)
     flat = q.select("label", F.posexplode("v").alias("pos", "val"))
     possum = flat.groupBy("label", "pos").agg(F.sum("val").alias("s"))
-    sdec = F.col("s").cast("decimal(18,0)")
+    sdec = F.col("s").cast("decimal(20,0)")
     gram = possum.groupBy("label").agg(F.sum(sdec * sdec).alias("g"))
     pern = (
         q.select("label", norm2_q("v").alias("n2"))
         .groupBy("label")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("n2").cast("decimal(18,0)")).alias("sn"),
+            F.sum(F.col("n2").cast("decimal(20,0)")).alias("sn"),
         )
     )
     return (

@@ -31,96 +31,56 @@ ORACLES: dict[str, str] = {}
 #: pytest parity gate (tests/test_parity.py runs ALL of them); rounds
 #: rotate the tail through the window so each gains a driver row.
 PRIORITY: tuple[str, ...] = (
-    # -- r10 rotation (executing the r9-close pre-plan, VERDICT r9 task
-    # #1, verbatim): the TWENTY-SIX nine-times-green §2.2 contract
-    # queries named in the pre-plan (q_scan_project, q_filter_predicate,
-    # q_expr_string, q_expr_case, q_expr_coalesce, q_expr_regex,
-    # q_json_extract, q_join_left, q_join_semi, q_join_anti,
-    # q_set_union, q_set_intersect, q_set_except, q_sort_limit_topk,
-    # q_agg_distinct, q_agg_having, q_agg_rollup, q_agg_cube,
-    # q_window_rank, q_window_analytic, q_text_tokenize, q_text_stats,
-    # q_latency_stats, q_window_rate_limit, q_dedup_exact,
-    # q_join_broadcast) rotate OUT to the local parity gate, as do the
-    # 15 r9 occupants (q_dedup_incremental … q_dedup_cross_lingual —
-    # all 15 earned their r9 rows: 13 hash-green, 2 rows-only by
-    # design). The 41 freed slots take ALL 41 ROTATION_CANDIDATES in
-    # FIFO order, emptying the queue: after r10 every registered query
-    # holds a driver row.
+    # -- r14 rotation (executing the r13-close pre-plan, VERDICT r13
+    # task #1, with the two judge-directed amendments below):
+    # CORRECTNESS_r13 landed rows for all fourteen r13-window entrants
+    # (ten hash-green; q_semantic_dedup / q_sim_topk_pq /
+    # q_sim_topk_pq_rerank / q_video_phash_dedup rows-only as
+    # declared), so TWENTY-EIGHT many-times-green occupants rotate OUT
+    # to the local parity gate:
+    #   * the TEN r9-queue tail heads (q_first_touch, q_compress_ratio,
+    #     q_tpch_q6, q_tpch_q13, q_vocab_coverage, q_collocations,
+    #     q_mad_outliers, q_event_gaps, q_churn_matrix,
+    #     q_dedup_normalized — each r10+r11+r12+r13-green),
+    #   * the NINE r10/r11-written heads (q_curation_v4,
+    #     q_curation_v4_funnel, q_ntile_assign, q_tpch_q1, q_tpch_q12,
+    #     q_tpch_q19, q_rank_distribution, q_pack_efficiency,
+    #     q_exact_quantiles),
+    #   * the SIX remaining r11-written (q_tpch_q7, q_tpch_q8,
+    #     q_tpch_q15, q_tpch_q17, q_tpch_q22, q_hard_negatives),
+    #   * and — VERDICT r13 task #6 (rows-only occupants waste hash
+    #     slots) — the THREE declared-rows-only r12 entrants
+    #     q_semantic_dedup, q_sim_topk_pq, q_sim_topk_pq_rerank, whose
+    #     r13 `no_oracle` rows are on record.
+    # Judge-directed amendments to the r13-close pre-plan:
+    #   (a) q_graph_kcore STAYS in-window — it gains an exact unrolled-
+    #       peel DuckDB oracle this round (VERDICT r13 task #3), so its
+    #       r14 slot earns a hash-green row instead of another
+    #       `no_oracle`;
+    #   (b) q_ann_index_stats stays as the standing rows-only IVF
+    #       occupancy monitor (pre-plan, kept verbatim);
+    #   (c) q_video_phash_dedup's slot passes to q_pq_candidates — the
+    #       NEW exact-oracled ADC-candidate-set query (VERDICT r13 task
+    #       #4, the q_ann_buckets playbook applied to PQ).
+    # The 28 freed slots take ALL TWENTY-EIGHT ROTATION_CANDIDATES in
+    # FIFO order, emptying the queue. Expected r14 row mix:
+    # forty-seven hash-green; q_sim_topk_ivfpq, q_quantile_sketch and
+    # q_ann_index_stats rows-only (learned cells/codebooks, GK sketch
+    # samples, engine-private occupancy) with rows > 0.
     #
-    # -- the nine §2.2/§2.3 contract queries still in-window (each
-    # holds nine green rows too, but the contract core keeps
-    # representation while slots allow) --
+    # -- the nine §2.2/§2.3 contract queries that keep window
+    # representation (each green in every windowed round) --
     "q_join_multiway",
     "q_join_range",
     "q_agg_group",
     "q_sessionize",
     "q_sim_cosine_pairs",
     "q_sim_topk",
-    "q_dedup_fuzzy",  # hash-verified since r11 (portable MinHash LSH
-    # + exact Jaccard verify — was the contract's one rows-only query)
+    "q_dedup_fuzzy",
     "q_embed_agg",
     "q_text_lang_report",
-    # -- r12 rotation (executing the r11-close pre-plan, verbatim):
-    # the ELEVEN r7/r8-queue heads (q_ann_buckets, q_interval_overlap,
-    # q_event_value_corr, q_rolling_wau, q_ngram_novelty,
-    # q_audience_overlap, q_char_entropy, q_curation_funnel,
-    # q_lsh_quality, q_dedup_cluster_stats, q_volume_anomaly — each
-    # r10+r11-green) rotate OUT to the local parity gate; the eleven
-    # r11-written ROTATION_CANDIDATES (TPC-H Q12/Q19/Q7/Q8/Q15/Q17/Q22,
-    # q_rank_distribution, q_pack_efficiency, q_exact_quantiles,
-    # q_hard_negatives — all exact-oracled) take their slots below,
-    # emptying the queue: after r12 every query registered through r11
-    # holds a driver row.
-    #
-    # -- r13 rotation (executing the r12-close pre-plan, verbatim):
-    # CORRECTNESS_r12 landed green rows for all fourteen rotate-out
-    # heads (q_pii_exposure, q_curation_shift, q_session_depth,
-    # q_tpch_q10, q_late_ship_report, q_null_profile, q_gopher_rules,
-    # q_ccnet_buckets, q_reservoir_per_source, q_tpch_q5, q_tpch_q18,
-    # q_brand_affinity, q_rfm_segments, q_chunk_windows — each
-    # r10+r11+r12-green), so they rotate OUT to the local parity gate
-    # and ALL FOURTEEN r12-written ROTATION_CANDIDATES take their
-    # slots FIFO below (the 7-query TPC-H completion batch,
-    # q_quality_classifier, q_semantic_dedup, q_dataset_card,
-    # q_sim_topk_pq, q_sim_topk_pq_rerank, q_curation_v5,
-    # q_video_phash_dedup), keeping the window at exactly 50 and
-    # emptying the queue. Expected r13 row mix: ten hash-green;
-    # q_semantic_dedup, q_sim_topk_pq, q_sim_topk_pq_rerank and
-    # q_video_phash_dedup rows-only (learned cells/codebooks, kernel
-    # fingerprints) with rows > 0.
-    #
-    # r14 PRE-PLAN (written at r13 close, extended by the r13
-    # continuation session, the r9→…→r13 pattern): once
-    # CORRECTNESS_r13 lands rows for the r13 window, rotate OUT
-    # TWENTY-EIGHT many-times-green occupants — the TEN heads of the
-    # remaining r9-queue tail (q_first_touch, q_compress_ratio,
-    # q_tpch_q6, q_tpch_q13, q_graph_kcore, q_vocab_coverage,
-    # q_collocations, q_mad_outliers, q_event_gaps, q_churn_matrix —
-    # each then r10+r11+r12+r13-green) plus the TEN r10/r11-written
-    # heads behind them (q_dedup_normalized, q_curation_v4,
-    # q_curation_v4_funnel, q_ntile_assign, q_tpch_q1, q_tpch_q12,
-    # q_tpch_q19, q_rank_distribution, q_pack_efficiency,
-    # q_exact_quantiles — each green in every windowed
-    # round through r13; q_ann_index_stats stays in-window as the
-    # standing rows-only monitor) — and take ALL TWENTY-EIGHT
-    # ROTATION_CANDIDATES FIFO (the ten r13-close entries
-    # q_sim_topk_ivfpq … q_heavy_hitters_by_lang, then the ten
-    # continuation-session entries q_embed_coherence, q_split_leakage,
-    # q_scd2_history, q_phrase_search, q_retrieval_mmr, q_ann_recall,
-    # q_l_diversity, q_zorder_layout, q_retrieval_ndcg,
-    # q_embed_outliers, q_scd2_incremental, q_wow_growth,
-    # q_volume_trend, q_benford_values, q_join_asof_tolerance,
-    # q_attribution_linear, q_cohort_revenue, q_conversion_lag),
-    # keeping the window at exactly 50 and
-    # emptying the queue — the rotate-out pool grows by
-    # q_hard_negatives, q_tpch_q7, q_tpch_q8, q_tpch_q15,
-    # q_rank_distribution... (the r11-written heads in window order,
-    # all green r12+r13) to keep 50 exact. Expected r14 row mix:
-    # twenty-six hash-green;
-    # q_sim_topk_ivfpq and q_quantile_sketch rows-only (learned
-    # cells/codebooks, GK sketch samples) with rows > 0.
-    #
-    # -- the r12-written queue, in FIFO order (14) --
+    # -- r12-written occupants staying for a second row (all r13
+    # hash-green) --
     "q_tpch_q4",
     "q_tpch_q9",
     "q_tpch_q2",
@@ -129,200 +89,60 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q20",
     "q_tpch_q21",
     "q_quality_classifier",
-    "q_semantic_dedup",  # rows-only by design (KMeans cells; planted tests)
     "q_dataset_card",
-    "q_sim_topk_pq",  # rows-only by design (seeded-Lloyd codebooks)
-    "q_sim_topk_pq_rerank",  # rows-only by design (same codebooks)
     "q_curation_v5",
-    "q_video_phash_dedup",  # rows-only by design (perceptual kernel)
-    # -- the r9 queue (1 remaining) --
-    "q_first_touch",
-    "q_compress_ratio",  # rows-only by design (zlib coding length)
-    "q_tpch_q6",
-    "q_tpch_q13",
-    "q_graph_kcore",  # rows-only by design (iterative peel; planted tests)
-    "q_vocab_coverage",
-    "q_collocations",
-    "q_mad_outliers",
-    "q_event_gaps",
-    "q_churn_matrix",
-    "q_dedup_normalized",
-    # -- the r10 queue (5): the composed published-recipe pipeline +
-    # funnel (VERDICT r9 task #5), the exact_ntile parity pin, TPC-H Q1,
-    # and the IVF occupancy monitor (rows-only by declared design) --
-    "q_curation_v4",
-    "q_curation_v4_funnel",
-    "q_ntile_assign",
-    "q_tpch_q1",
-    "q_ann_index_stats",  # rows-only by design (IVF occupancy monitor)
-    # -- the r11 queue (11): two fact-fact TPC-H shapes, the
-    # exact_rank projections, the packing audit, the second TPC-H
-    # batch (Q7/Q8/Q15/Q17/Q22), and contrastive hard negatives --
-    "q_tpch_q12",
-    "q_tpch_q19",
-    "q_rank_distribution",
-    "q_pack_efficiency",
-    "q_exact_quantiles",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q22",
-    "q_hard_negatives",
+    # -- newly exact-oracled this round (amendments a/c above) --
+    "q_graph_kcore",  # unrolled-peel oracle (r14); rows-only r10..r13
+    "q_pq_candidates",  # NEW r14: ADC candidate set, exact oracle
+    # -- standing rows-only monitor (pre-plan amendment b) --
+    "q_ann_index_stats",
+    # -- the r13-written queue, in FIFO order (28) --
+    "q_sim_topk_ivfpq",  # rows-only by design (learned cells+codebooks)
+    "q_curation_v5_funnel",
+    "q_sim_range_search",
+    "q_text_bm25",
+    "q_quantile_sketch",  # rows-only by design (GK boundary samples)
+    "q_curation_v5_trace",
+    "q_heavy_hitters",
+    "q_sim_topk_filtered",
+    "q_hybrid_search",
+    "q_heavy_hitters_by_lang",
+    "q_embed_coherence",
+    "q_split_leakage",
+    "q_scd2_history",
+    "q_phrase_search",
+    "q_retrieval_mmr",
+    "q_ann_recall",
+    "q_l_diversity",
+    "q_zorder_layout",
+    "q_retrieval_ndcg",
+    "q_embed_outliers",
+    "q_scd2_incremental",
+    "q_wow_growth",
+    "q_volume_trend",
+    "q_benford_values",
+    "q_join_asof_tolerance",
+    "q_attribution_linear",
+    "q_cohort_revenue",
+    "q_conversion_lag",
 )
 
-#: r11 rotation candidates. The r10 rotation drained the whole 41-entry
-#: queue into the window (VERDICT r9 task #1), so at r10-open the queue
-#: was EMPTY; the five r10-written queries below entered FIFO. Queries
-#: WRITTEN during r10 enter here (FIFO) and take r11 slots; the
-#: standing rotate-out pool is the many-times-green §2.2 contract tail
-#: plus the r10 occupants once they earn their r10 rows
+#: r15 rotation candidates. The r14 rotation drained the whole
+#: 28-entry r13 queue into the window (VERDICT r13 task #1): at
+#: r14-open the queue is EMPTY and every query registered through r13
+#: holds (or is in-window to earn) a driver row. Queries WRITTEN during
+#: r14 enter here (FIFO) and take r15 slots; the standing rotate-out
+#: pool is the r14 stay-list once its members earn their r14 rows
 #: (tests/test_registry.py's debt ledger enforces row-or-slot-or-queue
 #: for every registered query).
 #:
-#: The r12 rotation executed the r11-close pre-plan verbatim (all
-#: eleven r11-written candidates into the window, the eleven
-#: r10+r11-green r7/r8-queue heads out, queue emptied). Queries
-#: WRITTEN during r12 enter here (FIFO) and take r13 slots; the
-#: standing rotate-out pool is the remaining r7/r8/r9-queue tail
-#: (q_pii_exposure …) plus the r12 occupants once they earn their
-#: r12 rows (tests/test_registry.py's debt ledger enforces
-#: row-or-slot-or-queue for every registered query).
+#: r15 PRE-PLAN (written at r14 close): rotate OUT the twenty-two r14
+#: stay-list members that will then hold fresh r14 rows (the nine
+#: contract keepers, the ten r12-written second-rowers, q_graph_kcore,
+#: q_pq_candidates — q_ann_index_stats stays as the standing monitor)
+#: plus as many r13-queue entrants (then r14-green) as needed to free
+#: one slot per ROTATION_CANDIDATES entry below, FIFO.
 ROTATION_CANDIDATES: tuple[str, ...] = (
-    # The r13 rotation drained the 14-entry r12 queue into the window
-    # (VERDICT r12 task #1): at r13-open the queue is EMPTY and every
-    # query registered through r12 holds a driver row. Queries WRITTEN
-    # during r13 enter here (FIFO) and take r14 slots; the standing
-    # rotate-out pool is the r9/r10/r11-queue tail (q_first_touch …)
-    # plus the r13 occupants once they earn their r13 rows.
-    #
-    # r13 additions, FIFO:
-    # IVF × PQ composition (faiss IVFADC, Jégou 2011 §IV): ADC over
-    # ONLY the probed cells' code blocks + exact re-rank — rows-only
-    # by design (learned cells + codebooks); recall/bit-identity pins
-    # in tests/test_similarity.py (VERDICT r12 task #2)
-    "q_sim_topk_ivfpq",
-    # v5 survivorship funnel: v4's first-drop attribution with the
-    # classifier-gate exit ('quality_fail') split out of 'selected';
-    # exact-oracled over the shared v4 CTE chain + qcs classifier CTE
-    "q_curation_v5_funnel",
-    # radius (range) search — the faiss range_search analog, third
-    # similarity query mode; exact DuckDB oracle (int64-GEMM kernel,
-    # sqrt-free threshold, bounded query broadcast)
-    "q_sim_range_search",
-    # Okapi BM25 top-N retrieval for a fixed multi-term query — the
-    # lexical-search capability; per-term ROUND-6 decimal sums make
-    # the transcendental scoring hash-exact (exact DuckDB oracle)
-    "q_text_bm25",
-    # GK-sketch quantiles beside the exact-rank kernel — rows-only by
-    # design (sketch boundary samples are implementation-defined);
-    # rank-error ≤ n/SKETCH_ACCURACY pinned in tests/test_properties.py
-    "q_quantile_sketch",
-    # per-doc v5 decision trace — the funnel's pre-aggregation frame
-    # (exact oracle = the funnel oracle minus its GROUP BY)
-    "q_curation_v5_trace",
-    # distributed Misra-Gries frequent-items sketch (mergeable-summaries
-    # form): exact-regime oracle (fixture vocab ≪ HH_CAP ⇒ zero
-    # decrements ⇒ counts exact and err_hi = 0, both hash-pinned);
-    # approximate-regime sandwich pinned in tests/test_sketches.py
-    "q_heavy_hitters",
-    # metadata-constrained exact top-k (PRE-filter before the GEMM
-    # kernel — the filtered-ANN query mode); exact DuckDB oracle
-    "q_sim_topk_filtered",
-    # hybrid lexical+semantic retrieval: BM25 top-N ∪ cosine top-N for
-    # the anchor (top-1 BM25) embedding, reciprocal-rank-fused with
-    # exact integer RRF terms; oracle composes text.BM25_SCORED_CTE +
-    # the flat-vector CTE (shared fragments — no drift)
-    "q_hybrid_search",
-    # per-group (per-language) heavy hitters: grouping lives INSIDE the
-    # MG sketch key, so the token stream still never shuffles; same
-    # exact-regime oracle + sandwich property as the global query
-    "q_heavy_hitters_by_lang",
-    # per-label mean pairwise dot WITHOUT forming pairs (Gram-sum
-    # identity: Σ_{i≠j}<vi,vj> = ||Σv||² − Σ||vi||²) — O(n·d) exact
-    # decimal arithmetic; brute-force identity pin in
-    # tests/test_similarity.py, exact DuckDB oracle
-    "q_embed_coherence",
-    # split-leakage decontamination audit: near-dup pairs crossing the
-    # train/val/test boundary — composes _jaccard_pairs with the shared
-    # split CASE (both fragments interpolated, no re-typed literals);
-    # exact DuckDB oracle, matrix-total pin in tests/test_sampling.py
-    "q_split_leakage",
-    # SCD Type-2 history build (gaps-and-islands run collapse → validity
-    # intervals + is_current) — ONE user_id shuffle reused by both
-    # windows and the aggregate; exact DuckDB oracle, interval-chain
-    # invariants pinned in tests/test_breadth.py
-    "q_scd2_history",
-    # exact-phrase search via positional posting-list intersection
-    # (anchor = p − i turns the n-way positional join into pure
-    # equi-joins; phrase terms pruned before any exchange); exact
-    # DuckDB oracle + tokenizer-independent substring cross-check
-    "q_phrase_search",
-    # MMR diversified retrieval — the repo's first ITERATIVE query with
-    # an exact oracle: greedy selection unrolled into K−1 SQL CTEs,
-    # integer score weights (7·rel − 3·maxsim), bounded M·Q shortlist
-    # re-ranked per query in one applyInPandas group; top-1 anchor +
-    # monotone-score pins in tests/test_similarity.py
-    "q_retrieval_mmr",
-    # in-engine ANN recall@k eval: LSH candidates (shared
-    # _lsh_buckets_cte fragment) vs exact top-k, per query with
-    # n_candidates for the quality/cost trade; exact DuckDB oracle,
-    # driver-side recompute pin in tests/test_similarity.py
-    "q_ann_recall",
-    # l-diversity privacy audit (homogeneity attack) over the SAME
-    # quasi-identifier classes as q_k_anonymity; sensitive value =
-    # the JSON payload key; exact DuckDB oracle
-    "q_l_diversity",
-    # Z-order clustering audit: exact-int Morton key from ONE
-    # interleave generator emitting identical expression text to both
-    # engines; per-bucket dim ranges pin the ≤2^(bits−3) skipping
-    # guarantee in tests/test_breadth.py; exact DuckDB oracle
-    "q_zorder_layout",
-    # nDCG@k of the LSH path vs exact top-k — rank-weighted sibling of
-    # q_ann_recall; the log2 discount is precomputed as INTEGER weights
-    # so DCG is an exact int64 sum in both engines (no in-engine
-    # transcendental); exact DuckDB oracle + bound pins
-    "q_retrieval_ndcg",
-    # per-label centroid-distance outliers via the n-scaled-centroid
-    # trick (rank on exact-integer ‖n·v − S‖² — the rational centroid
-    # never becomes a float); broadcast possum join, numpy recompute
-    # pin; exact DuckDB oracle
-    "q_embed_outliers",
-    # incremental SCD2 CDC merge: untouched users anti-join through,
-    # affected users' open runs seed a per-user walk over the new
-    # batch; oracle is VERBATIM q_scd2_history's (incremental ==
-    # full rebuild, driver-hash-pinned)
-    "q_scd2_incremental",
-    # week-over-week growth per event type: weekly partial agg (exact
-    # cents via DECIMAL) then a window over the TINY weekly frame;
-    # exact DuckDB oracle
-    "q_wow_growth",
-    # weekly-volume least-squares trend per type: OLS closed form over
-    # exact int64 sums (numerator/denominator ride along as columns —
-    # the hash pins the integer algebra; direction is a pure sign
-    # test); exact DuckDB oracle
-    "q_volume_trend",
-    # Benford first-digit audit: leading digit from the exact-cents
-    # integer, Benford probabilities as precomputed ppm INTEGER
-    # literals (sum exactly 10^6, no in-engine log); exact DuckDB
-    # oracle
-    "q_benford_values",
-    # as-of join with a staleness bound (merge_asof tolerance): same
-    # single carry-forward pass, tolerance as a projection; the oracle
-    # is an INDEPENDENT correlated-LATERAL derivation
-    "q_join_asof_tolerance",
-    # multi-touch linear attribution: purchase-segment window, integer
-    # ppm credits (round(1e6/n) per touch — exact sums), credit
-    # conservation pinned in tests/test_breadth.py
-    "q_attribution_linear",
-    # cohort LTV curve: retention's revenue twin over the SHARED
-    # cohort CTE fragment (exact cents, integer cumulative window on
-    # the cohorts×weeks grid); exact DuckDB oracle
-    "q_cohort_revenue",
-    # time-to-convert histogram: first signup → first purchase lag in
-    # whole days + cumulative curve (one conditional-MIN pass, tiny
-    # day-bounded window); exact DuckDB oracle
-    "q_conversion_lag",
 )
 
 

@@ -1279,10 +1279,17 @@ def scd2_dimension_sink(spark: SparkSession, table_path: str):
     shared interval walk (operators.advanced.scd2_walked — the same
     kernel q_scd2_incremental is driver-hash-verified with), and only
     the recomputed rows upsert, keyed by the stable interval identity
-    (user_id, valid_from): a closed run KEEPS its key (valid_from
-    never changes), so closing-in-place is an update, new runs insert,
-    and untouched users' files are never rewritten beyond the COW
-    union. Contract: batches arrive event-time-ordered per user (the
+    (user_id, run_seq): the per-user run ordinal threaded through the
+    walk (scd2_walked's seq mode — the open run keeps its stored
+    ordinal when it closes, new runs extend it), so closing-in-place
+    is an update, new runs insert, and untouched users' files are
+    never rewritten beyond the COW union. (user_id, valid_from) was
+    the first key and is NOT unique: equal-timestamp state flips —
+    ties on ts with different event_ids, which the batch SCD2 build
+    supports — give two runs of one user the same valid_from, and the
+    merge's delete-by-key then silently dropped a closed history row
+    (ADVICE r13 #1; ts-tie case pinned in tests/test_streaming.py).
+    Contract: batches arrive event-time-ordered per user (the
     stream twin's documented assumption).
 
     After draining an event stream, ``read_snapshot(table_path)``
@@ -1304,7 +1311,8 @@ def scd2_dimension_sink(spark: SparkSession, table_path: str):
         if fresh:
             seeds = batch.sparkSession.createDataFrame(
                 [],
-                "user_id bigint, state string, valid_from timestamp, n_events bigint",
+                "user_id bigint, state string, valid_from timestamp, "
+                "n_events bigint, run_seq bigint",
             )
         else:
             hist = read_snapshot(spark, table_path)
@@ -1312,9 +1320,8 @@ def scd2_dimension_sink(spark: SparkSession, table_path: str):
             seeds = hist.filter(F.col("is_current")).join(
                 affected, "user_id", "left_semi"
             )
-        changed = scd2_walked(seeds, batch).withColumn(
-            "iv_key",
-            F.concat_ws("|", F.col("user_id"), F.expr("unix_micros(valid_from)")),
+        changed = scd2_walked(seeds, batch, seq=True).withColumn(
+            "iv_key", F.concat_ws("|", F.col("user_id"), F.col("run_seq"))
         )
         # localCheckpoint breaks the lineage back to the snapshot being
         # replaced — a lazy read-then-overwrite of the same path is the

@@ -57,3 +57,25 @@ def test_events_ts_is_usable(spark, sf_dir):
     events = load_tables(spark, sf_dir)["events"]
     row = events.select(F.unix_micros("ts").alias("us")).limit(1).collect()
     assert row and row[0]["us"] is not None
+
+
+def test_events_ts_unique_per_user(spark, sf_dir):
+    """ADVICE r13 #2: q_join_asof's oracle (DuckDB native ASOF JOIN,
+    s.ts <= e.ts) admits a same-(user, ts) signup with a LARGER
+    event_id that the engine's (ts, event_id)-bounded window frame
+    cannot see. q_join_asof_tolerance's LATERAL carries an explicit
+    tie-break; the native ASOF cannot express one, so the oracle's
+    correctness RELIES on per-user timestamp uniqueness — assert it,
+    so a fixture regeneration that introduces ties fails HERE with a
+    message instead of as an inscrutable hash mismatch."""
+    dup = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("user_id", "ts")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0, (
+        f"{dup} (user_id, ts) duplicate groups in events — q_join_asof's "
+        "ASOF-JOIN oracle assumes per-user ts uniqueness (see docstring)"
+    )

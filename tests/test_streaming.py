@@ -1142,3 +1142,54 @@ def test_scd2_dimension_sink_maintains_batch_equivalent_table(spark, sf_dir, tmp
     # three commits → version 3 is current, version 1 readable (COW)
     v1 = read_snapshot(spark, path, version=1)
     assert 0 < v1.count() < len(got)
+
+
+def test_scd2_dimension_sink_survives_equal_ts_state_flips(spark, tmp_path):
+    """ADVICE r13 #1: (user_id, valid_from) is NOT a unique interval
+    identity — equal-timestamp state flips (ties on ts with different
+    event_ids, which _scd2_build explicitly supports) give one user
+    two runs with the SAME valid_from, and the first merge key
+    silently deleted a closed history row. The sink now keys on
+    (user_id, run_seq); this pins the tie case batch-vs-rebuild."""
+    from hive_gateway_spark.operators.advanced import _scd2_build
+    from hive_gateway_spark.sources.dataset_export import read_snapshot
+    from hive_gateway_spark.streaming.ops import scd2_dimension_sink
+
+    rows = [
+        # batch 1: plain run, then a flip at t1 (open run B from t1)
+        (1, "2024-01-01 00:00:00", 1, "A"),
+        (1, "2024-01-02 00:00:00", 2, "A"),
+        (1, "2024-01-02 00:00:00", 3, "B"),
+        # batch 2: ties ON the seed's valid_from — A at t1 (larger
+        # event_id), then B at t2: the recompute emits TWO intervals
+        # with valid_from = t1 (closed B, closed A) plus the new open B
+        (1, "2024-01-02 00:00:00", 4, "A"),
+        (1, "2024-01-03 00:00:00", 5, "B"),
+    ]
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    import datetime as _dt
+
+    all_ev = spark.createDataFrame(
+        [
+            (u, _dt.datetime.fromisoformat(ts), e, et)
+            for u, ts, e, et in rows
+        ],
+        schema,
+    )
+    b1 = all_ev.filter(F.col("event_id") <= 3)
+    b2 = all_ev.filter(F.col("event_id") > 3)
+    path = str(tmp_path / "dim_tie")
+    apply = scd2_dimension_sink(spark, path)
+    apply(b1, 0)
+    apply(b2, 1)
+    cols = ["user_id", "state", "valid_from", "valid_to", "is_current", "n_events"]
+    got = read_snapshot(spark, path)
+    # the maintained table equals the one-shot rebuild — including BOTH
+    # same-valid_from intervals (4 rows: A[t0,t1) n=2, B[t1,t1) n=1,
+    # A[t1,t2) n=1, B[t2,∞) n=1)
+    want = _scd2_build(all_ev).select(*cols).toPandas()
+    assert len(want) == 4
+    assert_same(got.select(*cols).toPandas(), want)
+    # and the merge identity is unique per user
+    seqs = got.select("user_id", "run_seq").toPandas()
+    assert seqs.duplicated().sum() == 0
