@@ -251,9 +251,16 @@ HEADLINE_R13 = [
     "q_conversion_lag",
 ]
 
-#: Round-14 additions: the hash-checkable ADC candidate pipeline.
+#: Round-14 additions: the hash-checkable ADC candidate pipeline and
+#: the TPC-DS starter shapes.
 HEADLINE_R14 = [
     "q_pq_candidates",
+    "q_tpcds_q3",
+    "q_tpcds_q7",
+    "q_tpcds_q19",
+    "q_tpcds_q27",
+    "q_t_closeness",
+    "q_tokenizer_fertility",
 ]
 
 

@@ -18,4 +18,5 @@ def load_all() -> None:
         corpus,
         bpe,
         ranking,
+        tpcds,
     )

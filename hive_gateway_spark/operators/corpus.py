@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from hive_gateway_spark.operators.text import QC_B, _qc_weight_sql
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
-from hive_gateway_spark.staging import evict, release, stage
+from hive_gateway_spark.staging import evict, release, stage, touch
 
 #: Duplicated-span width in tokens. Lee et al. use 50-token character
 #: spans on web corpora; the fixture docs run 10-99 tokens, so k=8
@@ -1181,6 +1181,7 @@ def q_curation_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = _TRACE_CACHE.setdefault(spark, {})
     cached = per.get(sf_dir)
     if cached is not None:
+        touch(per, sf_dir)
         return cached
     docs = load_tables(spark, sf_dir)["documents"]
     rebuilt = boilerplate_report(docs).select("doc_id", "clean_text")

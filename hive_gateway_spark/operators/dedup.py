@@ -172,6 +172,7 @@ def _jaccard_pairs(
             key = (id(docs), df_cap)
         cached = per.get(key)
         if cached is not None:
+            touch(per, key)  # LRU: a hit must survive overflow
             return cached
     else:
         per = key = None
@@ -583,7 +584,7 @@ def _embed_dup_oracle() -> str:
 
 
 from hive_gateway_spark.registry import ORACLES as _ORACLES  # noqa: E402
-from hive_gateway_spark.staging import evict, release
+from hive_gateway_spark.staging import evict, release, touch
 
 _ORACLES["q_dedup_embedding"] = _embed_dup_oracle()
 
@@ -947,6 +948,8 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # pragma: no cover - non-classic session fallback
         bkey = ("contam_bench", id(t["documents"]))
     bench = per.get(bkey)
+    if bench is not None:
+        touch(per, bkey)
     if bench is None:
         bench = (
             sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
@@ -1377,6 +1380,8 @@ def _pagerank(pairs: DataFrame) -> DataFrame:
     except Exception:  # pragma: no cover - non-classic session fallback
         key = id(pairs)
     edges_w = per.get(key)
+    if edges_w is not None:
+        touch(per, key)
     if edges_w is None:
         evict(per)
         cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -1663,6 +1668,7 @@ def degree_oriented_edges(e: DataFrame) -> DataFrame:
         key = ("oriented", id(e))
     cached = per.get(key)
     if cached is not None:
+        touch(per, key)
         return cached
     oriented = _orient_edges(e).localCheckpoint()
     evict(per)
@@ -1826,6 +1832,7 @@ def kcore_nodes(e: DataFrame, k: int = KCORE_K) -> DataFrame:
         key = ("kcore", k, id(e))
     cached = per.get(key)
     if cached is not None:
+        touch(per, key)
         edges, converged = cached
         return _kcore_degrees(edges, converged)
     edges = e.localCheckpoint()

@@ -27,7 +27,7 @@ from hive_gateway_spark.functions.vectors import (
 )
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
-from hive_gateway_spark.staging import evict, release, stage
+from hive_gateway_spark.staging import evict, release, stage, touch
 
 import weakref as _weakref
 
@@ -90,6 +90,7 @@ def _quantized(t) -> DataFrame:
         prev_e, out = hit
         try:
             if e.sameSemantics(prev_e):
+                touch(per, key)  # LRU: a hit must survive overflow
                 return out
         except Exception:  # pragma: no cover
             pass
@@ -392,6 +393,7 @@ def _ivf_index(spark: SparkSession, t, e) -> tuple:
         key = id(emb)
     hit = per.get(key)
     if hit is not None:
+        touch(per, key)
         centers_rows, inv_file = hit
         centers = spark.createDataFrame(
             centers_rows, "cell int, center array<double>"
@@ -1464,6 +1466,7 @@ def _pq_codebooks(spark: SparkSession, t):
         prev_emb, books = hit
         try:
             if emb.sameSemantics(prev_emb):
+                touch(per, key)
                 return books
         except Exception:  # pragma: no cover - non-classic session
             pass
@@ -1535,6 +1538,7 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_emb, codes = hit
         try:
             if emb.sameSemantics(prev_emb):
+                touch(per, key)
                 return codes
         except Exception:  # pragma: no cover
             pass
@@ -2017,6 +2021,7 @@ def _ivfpq_cell_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_emb, cc = hit
         try:
             if emb.sameSemantics(prev_emb):
+                touch(per, key)
                 return cc
         except Exception:  # pragma: no cover
             pass

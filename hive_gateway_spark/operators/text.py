@@ -139,6 +139,73 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+                 AS bpe,
+               CAST(length(text) AS BIGINT) AS ch
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bpe) AS BIGINT) AS total_tokens,
+           CAST(SUM(ws) AS BIGINT) AS total_words,
+           CAST(SUM(ch) AS BIGINT) AS total_chars,
+           CAST(ROUND(CAST(SUM(bpe) AS DOUBLE) * 1000000.0
+                      / CAST(SUM(ws) AS DOUBLE), 0) AS BIGINT)
+             AS fertility_ppm,
+           CAST(ROUND(CAST(SUM(ch) AS DOUBLE) * 1000000.0
+                      / CAST(SUM(bpe) AS DOUBLE), 0) AS BIGINT)
+             AS chars_per_token_ppm
+    FROM counts
+    GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per language — the tokenizer-equity
+    metric every multilingual training pipeline tracks: fertility
+    (subword tokens per whitespace word) says how efficiently the
+    tokenizer serves each language (a high-fertility language pays
+    more sequence length for the same content and is effectively
+    under-trained at a fixed token budget); chars-per-token is its
+    compression twin. Uses the SAME BPE-ish regex as q_token_count
+    (the two estimators cannot drift) over the shared whitespace word
+    count.
+
+    Determinism: all three sums are exact int64 over per-doc regex
+    counts (both engines run the identical pattern — the proven
+    q_token_count route); the two ratios are ROUND(double, 0) ppm of
+    exact sums with identical expression shapes.
+
+    Scale shape: a pure map job (regex counts in the scan projection,
+    never a UDF) into a ≤ |langs| map-side-combined aggregate — one
+    tiny exchange, no token explosion (counts, not tokens, leave the
+    map side)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws"),
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("bigint").alias("bpe"),
+        F.length("text").cast("bigint").alias("ch"),
+    )
+    ppm = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") * 1000000.0 / den.cast("double"), 0
+    ).cast("bigint")
+    bpe_s, ws_s, ch_s = F.sum("bpe"), F.sum("ws"), F.sum("ch")
+    return counts.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        bpe_s.cast("bigint").alias("total_tokens"),
+        ws_s.cast("bigint").alias("total_words"),
+        ch_s.cast("bigint").alias("total_chars"),
+        ppm(bpe_s, ws_s).alias("fertility_ppm"),
+        ppm(ch_s, bpe_s).alias("chars_per_token_ppm"),
+    )
+
+
+@query(
     "q_text_quality",
     oracle=f"""
     WITH feat AS (

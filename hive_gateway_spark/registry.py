@@ -143,6 +143,26 @@ PRIORITY: tuple[str, ...] = (
 #: plus as many r13-queue entrants (then r14-green) as needed to free
 #: one slot per ROTATION_CANDIDATES entry below, FIFO.
 ROTATION_CANDIDATES: tuple[str, ...] = (
+    # TPC-DS starter shapes (VERDICT r13 task #9): the seasonal
+    # month-of-year brand report, the demographic-slice multi-average,
+    # and the cross-dimension (buyer-nation ≠ seller-nation) revenue
+    # matrix — the DS patterns the complete TPC-H suite doesn't cover;
+    # all exact-oracled (operators/tpcds.py)
+    "q_tpcds_q3",
+    "q_tpcds_q7",
+    "q_tpcds_q19",
+    # DS Q27's rollup-over-a-star shape (subtotals over attributes
+    # that only exist after two dim joins — the grouping-set pattern
+    # the judge called out) and the privacy triad's third rung
+    # (skewness attack: per-class TVD vs the global sensitive
+    # distribution, exact integer numerator, absent mass in closed
+    # form); both exact-oracled
+    "q_tpcds_q27",
+    "q_t_closeness",
+    # tokenizer-equity report: BPE-ish tokens per whitespace word and
+    # chars per token by language (the shared q_token_count regex —
+    # the estimators cannot drift); exact int64 sums + ppm rounds
+    "q_tokenizer_fertility",
 )
 
 

@@ -81,21 +81,39 @@ def release(obj) -> None:
 
 
 def evict(per: dict, cap: int = CACHE_CAP) -> None:
-    """Size-capped eviction for a session staging cache: when the cache
-    exceeds ``cap``, release every held frame's blocks BEFORE dropping
-    the dict entries (the leak ADVICE r8 #4 measured was clear()
-    without release). Values that aren't checkpointed frames (e.g. the
-    BPE merge list) pass through release() harmlessly.
+    """Size-capped LRU eviction for a session staging cache: while the
+    cache exceeds ``cap``, pop the LEAST-RECENTLY-USED entry (python
+    dicts are insertion-ordered; hit paths call touch() to move an
+    entry to the MRU end) and release its frame's blocks before
+    dropping it (the leak ADVICE r8 #4 measured was clear() without
+    release). Values that aren't checkpointed frames (e.g. the BPE
+    merge list) pass through release() harmlessly.
+
+    LRU, not clear-all (r14): the first policy dropped EVERY entry on
+    overflow, including the hottest — measured in SF1_BENCH_r13 as
+    q_split_leakage paying a full 5.2 s pair-staging rebuild at sf0.1
+    (22 s at sf1, the record's worst non-codec ratio) because the
+    shared _PAIRS_CACHE overflowed between the dedup block and the
+    r13 block and took the jaccard pair frame with it, while sibling
+    consumers a few queries earlier read the same frame in 0.6 s.
 
     Contract (same as stage()): a caller that still holds a LAZY plan
     over an evicted checkpoint must not execute it after eviction —
     collect before triggering more staged queries. Every registered
     query and the driver contract collect eagerly, so the hazard is
     only holding un-executed frames across many staged calls."""
-    if len(per) > cap:
-        for v in per.values():
-            release(v)
-        per.clear()
+    while len(per) > cap:
+        oldest = next(iter(per))
+        release(per.pop(oldest))
+
+
+def touch(per: dict, key) -> None:
+    """Mark ``key`` most-recently-used (move to the dict's end) so
+    evict()'s LRU order reflects HITS, not just insertions — without
+    this a long-lived hot entry (the jaccard pair staging) ages out
+    as if it were never read."""
+    if key in per:
+        per[key] = per.pop(key)
 
 
 #: session → {(query, sf_dir): final DataFrame} plan memo (memo_frame).

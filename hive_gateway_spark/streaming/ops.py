@@ -981,6 +981,60 @@ def stream_quality_screen(docs: DataFrame) -> DataFrame:
     return quality_score_frame(docs)
 
 
+#: Arrival-rate gate for the semantic screen's two spellings (VERDICT
+#: r13 task #7): at-or-above this many arrivals per micro-batch,
+#: embed_screen_foreach_batch routes to the GEMM scorer (collect +
+#: broadcast + BLAS over the probed cells); below it, the per-row
+#: expression plan skips the driver collect round-trip. Measured at
+#: the 100k-vector index (scripts/stream_screen_scale_smoke.py
+#: --crossover; SCALE.md "Semantic screen crossover"): GEMM wins at
+#: EVERY measured size — 0.69 s vs 1.46 s at 8 arrivals, 1.6 s vs
+#: 105 s at 4096 (the expression plan pays an interpreted HOF dot per
+#: candidate row, ~probes·N/cells of the index per arrival, so its
+#: cost is linear in arrivals×index) — hence the default sits BELOW
+#: the smallest measured batch: GEMM is the default everywhere the
+#: foreachBatch route applies, and the expression spelling remains
+#: for the pure streaming transform (no foreachBatch available) and
+#: for tiny-index sessions that raise the conf
+#: `hive_gateway.embed_screen.gemm_min_arrivals`.
+EMBED_SCREEN_GEMM_MIN_ARRIVALS = 8
+
+
+def embed_screen_foreach_batch(
+    spark: SparkSession, index_path: str, tau: float = 0.9
+):
+    """The ONE config-gated semantic-screen path (VERDICT r13 task #7):
+    returns ``screen(batch_df) -> DataFrame`` for a foreachBatch sink
+    that routes each micro-batch by its arrival count — small batches
+    run the stateless expression plan (stream_embed_dedup_screen's
+    exact plan applied to the static frame; no driver round-trip),
+    large batches run the vectorized GEMM scorer (embed_screen_batch,
+    measured 14× at the 1M index) — so an ingest shard gets the right
+    spelling at every arrival rate without choosing. Both spellings
+    are equivalence-tested (same quantization, same probe ordering,
+    same emit contract), so routing never changes WHAT is emitted,
+    only how fast.
+
+    The threshold reads `hive_gateway.embed_screen.gemm_min_arrivals`
+    (default EMBED_SCREEN_GEMM_MIN_ARRIVALS, the measured crossover).
+    The batch count the routing needs is one cheap job over the
+    bounded arrival block an ingest trigger admits."""
+    gemm_score = embed_screen_batch(spark, index_path, tau=tau)
+    thresh = int(
+        spark.conf.get(
+            "hive_gateway.embed_screen.gemm_min_arrivals",
+            str(EMBED_SCREEN_GEMM_MIN_ARRIVALS),
+        )
+    )
+
+    def screen(batch_df: DataFrame) -> DataFrame:
+        if batch_df.count() >= thresh:
+            return gemm_score(batch_df)
+        return stream_embed_dedup_screen(batch_df, index_path, tau=tau)
+
+    return screen
+
+
 def stream_embed_dedup_screen(
     vec_stream: DataFrame, index_path: str, tau: float = 0.9
 ) -> DataFrame:

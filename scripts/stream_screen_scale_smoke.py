@@ -69,7 +69,83 @@ def synth(tmp: str, n: int):
     return vecs, rng
 
 
+def crossover() -> None:
+    """Measure the expression-vs-GEMM screen crossover by arrival
+    count (VERDICT r13 task #7): one 100k-vector index, the SAME
+    arrival block screened through both spellings at increasing batch
+    sizes. The expression plan pays an interpreted HOF dot per
+    (arrival × candidate row); the GEMM path pays a flat collect +
+    broadcast + BLAS. The printed table backs
+    streaming.ops.EMBED_SCREEN_GEMM_MIN_ARRIVALS (recorded in
+    SCALE.md "Semantic screen crossover")."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark.operators.similarity import persist_ivf_index
+    from hive_gateway_spark.session import get_spark
+    from hive_gateway_spark.streaming.ops import (
+        embed_screen_batch,
+        stream_embed_dedup_screen,
+    )
+
+    n = 100_000
+    sizes = [8, 16, 32, 64, 128, 256, 1024, 4096]
+    spark = get_spark("stream-screen-crossover")
+    report: dict = {"index_n": n, "dim": DIM, "arrivals": {}}
+    with tempfile.TemporaryDirectory(prefix="scrx_") as tmp:
+        sf_dir = os.path.join(tmp, "sf")
+        os.makedirs(sf_dir)
+        vecs, rng = synth(sf_dir, n)
+        idx = os.path.join(tmp, "index")
+        persist_ivf_index(spark.newSession(), sf_dir, idx)
+        for sz in sizes:
+            src = rng.choice(n, sz // 2 + 1, replace=False)
+            arrive = np.vstack(
+                [
+                    vecs[src] * (1 + 1e-3),
+                    rng.normal(0, 1, (sz - len(src), DIM)) * 3,
+                ]
+            ).astype(np.float32)[:sz]
+            adir = os.path.join(tmp, f"arr_{sz}")
+            os.makedirs(adir)
+            pq.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(
+                            np.arange(10_000_000, 10_000_000 + sz), pa.int64()
+                        ),
+                        "embedding": pa.array(
+                            list(arrive), pa.list_(pa.float32())
+                        ),
+                    }
+                ),
+                os.path.join(adir, "part-00.parquet"),
+            )
+            times = {}
+            for name in ("expr", "gemm"):
+                s = spark.newSession()
+                batch = s.read.parquet(adir)
+                if name == "gemm":
+                    score = embed_screen_batch(s, idx, tau=0.98)
+                    fn = lambda: score(batch).count()  # noqa: E731
+                else:
+                    fn = lambda: stream_embed_dedup_screen(  # noqa: E731
+                        batch, idx, tau=0.98
+                    ).count()
+                fn()  # warm (snapshot load, codegen)
+                t0 = time.perf_counter()
+                fn()
+                times[name] = round(time.perf_counter() - t0, 3)
+            report["arrivals"][str(sz)] = times
+            print(f"arrivals={sz}: {times}", file=sys.stderr)
+    print(json.dumps(report))
+    spark.stop()
+
+
 def main() -> None:
+    if "--crossover" in sys.argv:
+        crossover()
+        return
     ns = [int(a) for a in sys.argv[1:]] or [100_000, 1_000_000]
     from pyspark.sql import functions as F
 

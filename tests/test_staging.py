@@ -27,15 +27,23 @@ def test_release_tolerates_non_frames(spark):
     release(spark.range(3))  # not checkpointed: nothing to free
 
 
-def test_evict_releases_every_held_frame(spark):
+def test_evict_releases_lru_entries_only(spark):
+    """LRU eviction (r14, ex clear-all): over cap, the OLDEST entries
+    release and drop until the cache fits; a touch()ed entry survives
+    because hits move it to the MRU end."""
+    from hive_gateway_spark.staging import touch
+
     base = _n_persistent(spark)
     per = {
-        i: spark.range(i, i + 10).localCheckpoint() for i in range(4)
+        i: spark.range(i, i + 10).localCheckpoint() for i in range(5)
     }
-    assert _n_persistent(spark) == base + 4
-    evict(per, cap=3)  # over cap: all released AND dropped
-    assert per == {}
-    assert _n_persistent(spark) == base
+    assert _n_persistent(spark) == base + 5
+    touch(per, 0)  # a hit on the oldest entry — must survive
+    evict(per, cap=3)  # over cap by 2: entries 1 and 2 (now oldest) go
+    assert set(per) == {3, 4, 0}
+    assert _n_persistent(spark) == base + 3
+    for v in per.values():
+        release(v)
     per = {0: spark.range(5).localCheckpoint()}
     evict(per, cap=3)  # under cap: untouched
     assert 0 in per and _n_persistent(spark) == base + 1

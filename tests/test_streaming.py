@@ -1193,3 +1193,95 @@ def test_scd2_dimension_sink_survives_equal_ts_state_flips(spark, tmp_path):
     # and the merge identity is unique per user
     seqs = got.select("user_id", "run_seq").toPandas()
     assert seqs.duplicated().sum() == 0
+
+
+def test_embed_screen_foreach_batch_routes_by_arrival_count(spark, tmp_path):
+    """The config-gated unified screen (VERDICT r13 task #7): one
+    callable serves every arrival rate — batches at/above the
+    configured threshold take the GEMM scorer, smaller ones the
+    expression plan — and BOTH routes emit the same screened pairs
+    (the spellings are equivalence-tested above; this pins the
+    routing itself plus its session-conf override)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_gateway_spark.operators import similarity as sim
+    from hive_gateway_spark.streaming.ops import embed_screen_foreach_batch
+
+    rng = np.random.default_rng(31)
+    dim, n_clusters, n = 16, 8, 600
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    label = rng.integers(0, n_clusters, n)
+    vecs = centers[label] + rng.normal(0, 0.35, (n, dim))
+
+    def write_emb(dirpath, ids, vs, labels):
+        os.makedirs(dirpath)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        list(vs.astype(np.float32)), pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(
+                        np.asarray(labels, dtype=np.int32), pa.int32()
+                    ),
+                }
+            ),
+            os.path.join(dirpath, "part-00.parquet"),
+        )
+
+    sfd = str(tmp_path / "sf_route")
+    write_emb(os.path.join(sfd, "embeddings.parquet"), np.arange(n), vecs, label)
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(
+            os.path.join("/root/testdata/sf0.001", f"{name}.parquet"),
+            os.path.join(sfd, f"{name}.parquet"),
+        )
+    idx = str(tmp_path / "route_index")
+    sim.persist_ivf_index(spark.newSession(), sfd, idx)
+
+    copies_src = [3, 77, 421]
+    arrive_ids = np.asarray(
+        list(range(70_000, 70_003)) + list(range(80_000, 80_005))
+    )
+    arrive_vecs = np.vstack(
+        [vecs[copies_src] * (1 + 1e-3), rng.normal(0, 1, (5, dim)) * 3]
+    )
+    adir = str(tmp_path / "route_arrivals")
+    write_emb(
+        os.path.join(adir, "embeddings.parquet"),
+        arrive_ids,
+        arrive_vecs,
+        np.zeros(len(arrive_ids)),
+    )
+
+    def pairs(df):
+        return {
+            (int(r["vec_id"]), int(r["match_id"]), float(r["cos_sim"]))
+            for r in df.collect()
+        }
+
+    # threshold above the batch size → expression route
+    s1 = spark.newSession()
+    s1.conf.set("hive_gateway.embed_screen.gemm_min_arrivals", "1000")
+    expr_out = pairs(
+        embed_screen_foreach_batch(s1, idx, tau=0.95)(
+            s1.read.parquet(os.path.join(adir, "embeddings.parquet"))
+        )
+    )
+    # threshold below the batch size → GEMM route
+    s2 = spark.newSession()
+    s2.conf.set("hive_gateway.embed_screen.gemm_min_arrivals", "2")
+    gemm_out = pairs(
+        embed_screen_foreach_batch(s2, idx, tau=0.95)(
+            s2.read.parquet(os.path.join(adir, "embeddings.parquet"))
+        )
+    )
+    assert len(expr_out) > 0
+    assert expr_out == gemm_out
