@@ -261,6 +261,9 @@ HEADLINE_R14 = [
     "q_tpcds_q27",
     "q_t_closeness",
     "q_tokenizer_fertility",
+    "q_join_asof_forward",
+    "q_tpcds_q88",
+    "q_sim_topk_lsh",
 ]
 
 

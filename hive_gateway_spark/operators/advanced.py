@@ -55,6 +55,59 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CASE WHEN m.next_us IS NULL THEN NULL
+                ELSE m.next_us - epoch_us(e.ts) END AS us_until_signup
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT MIN(epoch_us(s.ts)) AS next_us
+        FROM events s
+        WHERE s.user_id = e.user_id
+          AND s.event_type = 'signup'
+          -- (ts, event_id) lexicographic bound matching the engine's
+          -- current-row-to-unbounded-following frame (the same
+          -- tie-break discipline as q_join_asof_tolerance's LATERAL)
+          AND (s.ts > e.ts OR (s.ts = e.ts AND s.event_id >= e.event_id))
+    ) m ON TRUE
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward' / kdb
+    aj with reversed time): each event matched to the user's NEXT
+    signup at-or-after it — the third as-of mode beside backward
+    (q_join_asof) and backward-with-tolerance (q_join_asof_tolerance),
+    completing the family. The canonical use is time-to-next-event
+    features ("how long until this user re-registers?") and
+    right-closed interval attribution. Events with no later signup
+    emit NULL rather than vanishing.
+
+    Plan: the mirror of the backward pass — ONE user_id shuffle, the
+    carry runs over (currentRow, unboundedFollowing) with FIRST
+    ignorenulls instead of LAST; no join, no row explosion. The oracle
+    is an independent correlated-LATERAL MIN with the engine's
+    (ts, event_id) tie-break spelled out, so the hash compares two
+    different derivations."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    next_signup = F.first(
+        F.when(F.col("event_type") == "signup", us), ignorenulls=True
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        (next_signup - us).alias("us_until_signup"),
+    )
+
+
+@query(
     "q_pivot",
     oracle="""
     SELECT user_id,

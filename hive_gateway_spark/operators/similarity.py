@@ -878,7 +878,95 @@ def _lsh_planes(dim: int = 64):
     return out
 
 
-@query("q_sim_topk_lsh")  # rows-only: ANN recall pinned in tests/test_similarity.py
+#: DuckDB VALUES literal of the LSH sign matrix — generated at import
+#: from the SAME seeded LCG as the kernel path, (plane, 1-based pos,
+#: ±1); embedding the generated model in the oracle is the house
+#: pattern from _MH_COEF / _LSH_SIG_CTE.
+def _planes_values() -> str:
+    rows = []
+    for tbl, bit, signs in _lsh_planes():
+        plane = tbl * LSH_BITS + bit
+        rows.extend(
+            f"({plane},{pos + 1},{sgn})" for pos, sgn in enumerate(signs)
+        )
+    return ", ".join(rows)
+
+
+def _lsh_buckets_cte() -> str:
+    """The LSH candidate chain (planes → proj → buckets → qb →
+    ``lshcand(query_id, neighbor_id, n_shared_tables)``) as a
+    composable fragment — interpolated by BOTH the q_ann_buckets and
+    q_ann_recall oracles so the candidate definition cannot drift
+    between the machinery pin and the recall eval."""
+    return f"""planes(plane, pos, sgn) AS (VALUES {_planes_values()}),
+    proj AS (
+        SELECT v.vec_id, p.plane, SUM(v.val * p.sgn) AS dot
+        FROM v JOIN planes p USING (pos)
+        GROUP BY v.vec_id, p.plane
+    ),
+    buckets AS (
+        SELECT vec_id, plane // {LSH_BITS} AS tbl,
+               SUM(CASE WHEN dot >= 0
+                        THEN (CAST(1 AS BIGINT) << (plane % {LSH_BITS}))
+                        ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id, plane // {LSH_BITS}
+    ),
+    qb AS (
+        SELECT * FROM buckets
+        WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}
+    ),
+    lshcand AS (
+        SELECT qb.vec_id AS query_id, b.vec_id AS neighbor_id,
+               COUNT(*) AS n_shared_tables
+        FROM qb JOIN buckets b
+          ON qb.tbl = b.tbl AND qb.bucket = b.bucket AND qb.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    )"""
+
+
+
+
+def _lsh_topk_oracle() -> str:
+    """Exact DuckDB twin of the LSH top-k (r14, ex rows-only): the
+    candidate set is the SHARED _lsh_buckets_cte chain (verbatim — the
+    same fragment q_ann_buckets/q_ann_recall hash against), and the
+    scoring is the exact-int64-dot / float64-sqrt-division shape
+    q_sim_topk is hash-verified with — candidate dots stay < 2⁵³ so
+    the doubles are bit-identical in both engines; ranking runs on the
+    full-precision sim (ties to neighbor_id asc) and rounds only in
+    the projection, exactly like the kernel."""
+    return f"""
+    WITH {DUCK_FLAT_CTE},
+    {_lsh_buckets_cte()},
+    dots AS (
+        SELECT c.query_id, c.neighbor_id, SUM(va.val * vb.val) AS dot
+        FROM lshcand c
+        JOIN v va ON va.vec_id = c.query_id
+        JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.pos = va.pos
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               CAST(d.dot AS DOUBLE)
+                 / sqrt(GREATEST(na.norm2 * nb.norm2, 1.0)) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.query_id
+        JOIN norms nb ON nb.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank_k,
+           ROUND(sim, 4) AS cos_sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+    """
+
+
+@query("q_sim_topk_lsh", oracle=_lsh_topk_oracle())
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-LSH top-k — the bucketed ANN alternative to
     q_sim_topk_ivf (the mandate names both: "IVF or LSH-bucketed").
@@ -895,7 +983,12 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sim_topk), emitting local top-k. The only shuffles are the tiny
     candidate dedup + rank merge over K·Q·batch rows. No KMeans fit —
     bucketing is stateless, so this variant also works streaming (hash
-    on ingest)."""
+    on ingest).
+
+    Exact-oracled since r14 (ex rows-only): the candidate set is the
+    shared _lsh_buckets_cte chain and the scoring is q_sim_topk's
+    hash-proven exact-dot shape, so the full ANN result — not just the
+    recall property — is driver-hash-verified."""
     import numpy as np
     import pandas as pd
 
@@ -1007,52 +1100,6 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_k") <= TOP_K)
         .select("query_id", "neighbor_id", "rank_k", F.round("sim", 4).alias("cos_sim"))
     )
-
-
-#: DuckDB VALUES literal of the LSH sign matrix — generated at import
-#: from the SAME seeded LCG as the kernel path, (plane, 1-based pos,
-#: ±1); embedding the generated model in the oracle is the house
-#: pattern from _MH_COEF / _LSH_SIG_CTE.
-def _planes_values() -> str:
-    rows = []
-    for tbl, bit, signs in _lsh_planes():
-        plane = tbl * LSH_BITS + bit
-        rows.extend(
-            f"({plane},{pos + 1},{sgn})" for pos, sgn in enumerate(signs)
-        )
-    return ", ".join(rows)
-
-
-def _lsh_buckets_cte() -> str:
-    """The LSH candidate chain (planes → proj → buckets → qb →
-    ``lshcand(query_id, neighbor_id, n_shared_tables)``) as a
-    composable fragment — interpolated by BOTH the q_ann_buckets and
-    q_ann_recall oracles so the candidate definition cannot drift
-    between the machinery pin and the recall eval."""
-    return f"""planes(plane, pos, sgn) AS (VALUES {_planes_values()}),
-    proj AS (
-        SELECT v.vec_id, p.plane, SUM(v.val * p.sgn) AS dot
-        FROM v JOIN planes p USING (pos)
-        GROUP BY v.vec_id, p.plane
-    ),
-    buckets AS (
-        SELECT vec_id, plane // {LSH_BITS} AS tbl,
-               SUM(CASE WHEN dot >= 0
-                        THEN (CAST(1 AS BIGINT) << (plane % {LSH_BITS}))
-                        ELSE 0 END) AS bucket
-        FROM proj GROUP BY vec_id, plane // {LSH_BITS}
-    ),
-    qb AS (
-        SELECT * FROM buckets
-        WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}
-    ),
-    lshcand AS (
-        SELECT qb.vec_id AS query_id, b.vec_id AS neighbor_id,
-               COUNT(*) AS n_shared_tables
-        FROM qb JOIN buckets b
-          ON qb.tbl = b.tbl AND qb.bucket = b.bucket AND qb.vec_id <> b.vec_id
-        GROUP BY 1, 2
-    )"""
 
 
 @query(

@@ -298,3 +298,67 @@ def q_tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items", "revenue", "avg_qty",
         )
     )
+
+
+#: Q88's eight report bands, adapted to the fixture fact: (quantity
+#: range, discount ceiling) pairs standing in for the published
+#: (half-hour, household-demographic) bands. Shared by engine and
+#: oracle through _q88_band_sql so a band edge cannot drift.
+Q88_BANDS = [
+    (1, 10, 0.02),
+    (11, 20, 0.02),
+    (21, 30, 0.02),
+    (31, 40, 0.02),
+    (1, 10, 0.06),
+    (11, 20, 0.06),
+    (21, 30, 0.06),
+    (31, 40, 0.06),
+]
+
+
+def _q88_band_sql(i: int) -> str:
+    lo, hi, dmax = Q88_BANDS[i]
+    return (
+        f"COUNT(*) FILTER (WHERE l_quantity >= {lo} AND l_quantity <= {hi} "
+        f"AND l_discount <= {dmax})"
+    )
+
+
+@query(
+    "q_tpcds_q88",
+    oracle=f"""
+    SELECT {", ".join(f"CAST({_q88_band_sql(i)} AS BIGINT) AS h{i + 1}" for i in range(8))}
+    FROM lineitem
+    WHERE month(l_shipdate) = {DS_MOY}
+    """,
+)
+def q_tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape (the wide one-scan band report): the published
+    query counts store sales in EIGHT (half-hour, demographic) bands
+    and emits them as one row — DS's canonical
+    many-conditional-aggregates-one-scan pattern, which the published
+    spelling writes as 8 self-joined subqueries and every sane engine
+    should collapse to ONE scan with filtered counts. This
+    implementation IS the collapsed form: eight conditional aggregates
+    over a single pushed-filter pass of the fact (quantity ranges ×
+    discount ceilings standing in for the time/demographic bands),
+    asserting the pattern the optimizer is supposed to reach.
+
+    Scale shape: one scan, zero joins, zero shuffles beyond the final
+    1-row partial-agg merge — the cheapest possible plan for the
+    report, and 8× less I/O than the published 8-subquery spelling
+    executed naively.
+    """
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(F.month("l_shipdate") == DS_MOY)
+    aggs = []
+    for i, (lo, hi, dmax) in enumerate(Q88_BANDS):
+        cond = (
+            (F.col("l_quantity") >= lo)
+            & (F.col("l_quantity") <= hi)
+            & (F.col("l_discount") <= dmax)
+        )
+        aggs.append(
+            F.count(F.when(cond, F.lit(1))).cast("bigint").alias(f"h{i + 1}")
+        )
+    return l.agg(*aggs)

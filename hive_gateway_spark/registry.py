@@ -163,6 +163,18 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # chars per token by language (the shared q_token_count regex —
     # the estimators cannot drift); exact int64 sums + ppm rounds
     "q_tokenizer_fertility",
+    # the third as-of mode (forward: next signup at-or-after — pandas
+    # merge_asof direction='forward'), mirror one-pass carry with an
+    # independent LATERAL-MIN oracle; and DS Q88's wide one-scan band
+    # report (eight filtered counts, one row, zero joins — the
+    # collapsed form of the published 8-subquery spelling)
+    "q_join_asof_forward",
+    "q_tpcds_q88",
+    # rows-only → exact conversion (the q_ann_buckets fragments + the
+    # q_sim_topk scoring shape compose): the LSH ANN result itself is
+    # now hash-checkable, deserving a driver hash row to replace its
+    # old no_oracle ones
+    "q_sim_topk_lsh",
 )
 
 

@@ -1285,3 +1285,22 @@ def test_embed_screen_foreach_batch_routes_by_arrival_count(spark, tmp_path):
     )
     assert len(expr_out) > 0
     assert expr_out == gemm_out
+
+
+def test_stream_token_fertility_equals_batch(spark, sf_dir):
+    """The 27th streaming twin: the running per-language fertility
+    report drained over the full fixture must equal
+    q_tokenizer_fertility exactly (shared regex + ppm expressions)."""
+    from hive_gateway_spark.streaming.ops import (
+        stream_documents,
+        stream_token_fertility,
+    )
+
+    got = drain(
+        stream_token_fertility(stream_documents(spark, sf_dir)),
+        "s_fert",
+        mode="complete",
+    )
+    want = registry.QUERIES["q_tokenizer_fertility"](spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert_same(got, want)
