@@ -2432,6 +2432,7 @@ def _v5_passing(
     selection-sized passing set is what returns. Never a corpus-sized
     build side."""
     from hive_gateway_spark.operators.text import quality_exprs
+    from hive_gateway_spark.staging import stage
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "lang", "text")
@@ -2439,10 +2440,22 @@ def _v5_passing(
         _V4_PLANTED, "doc_id bigint, lang string, text string"
     )
     corpus = docs.unionByName(planted)
+    # Materialize the semi-joined SLICE before scoring: the classifier
+    # fold lands in a Filter that references only corpus columns, so
+    # Catalyst's predicate pushdown moves it BELOW the semi join and
+    # scores the whole corpus to keep 120 docs — measured as 5.3 s per
+    # v5-family call at sf1 where the intended selection-only fold is
+    # milliseconds (r14; the sf1 record showed all three v5 queries
+    # paying it). The staged checkpoint is an optimizer barrier the
+    # pushdown cannot cross, and the slot supersedes itself across the
+    # family's two sel_ids spellings (tiny frames either way).
+    survivors = stage(
+        corpus.join(F.broadcast(sel_ids), "doc_id", "left_semi"),
+        "v5.survivors",
+    )
     n_tok, num = quality_exprs()
     return (
-        corpus.join(F.broadcast(sel_ids), "doc_id", "left_semi")
-        .select("doc_id", num.alias("__num"), n_tok.alias("__nt"))
+        survivors.select("doc_id", num.alias("__num"), n_tok.alias("__nt"))
         .filter((F.col("__nt") > 0) & (F.col("__num") > 0))
         .select("doc_id")
     )
