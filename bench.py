@@ -264,6 +264,7 @@ HEADLINE_R14 = [
     "q_join_asof_forward",
     "q_tpcds_q88",
     "q_sim_topk_lsh",
+    "q_tpcds_q59",
 ]
 
 

@@ -362,3 +362,95 @@ def q_tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(cond, F.lit(1))).cast("bigint").alias(f"h{i + 1}")
         )
     return l.agg(*aggs)
+
+
+@query(
+    "q_tpcds_q59",
+    oracle="""
+    WITH weekly AS (
+        SELECT n.n_name AS supp_nation,
+               epoch_us(l.l_shipdate) // 604800000000 AS week,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT w2.supp_nation, w2.week,
+           w2.rev_e4 AS rev_this, w1.rev_e4 AS rev_prev,
+           ROUND(CAST(w2.rev_e4 AS DOUBLE) / CAST(w1.rev_e4 AS DOUBLE), 4)
+             AS yoy_ratio
+    FROM weekly w2
+    JOIN weekly w1
+      ON w1.supp_nation = w2.supp_nation AND w2.week = w1.week + 52
+    WHERE w1.rev_e4 > 0
+    """,
+)
+def q_tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q59 shape (year-over-year weekly sales comparison): the
+    published query builds a per-(store, week) sales matrix and joins
+    it TO ITSELF one year apart — the aggregate-to-aggregate self-join
+    pattern no TPC-H shape exercises (H joins facts to facts or facts
+    to dims; DS Q59 joins two derived frames). Supplier nation plays
+    `store`; weeks are absolute epoch-week integers, so "one year
+    later" is week + 52 exactly in both engines.
+
+    Determinism: weekly revenue is summed as exact DECIMAL(18,4) and
+    carried as an exact integer in 10⁻⁴ currency units (the
+    q_wow_growth cents route one decimal place deeper, since price ×
+    (1 − discount) is 4 dp); the one double division rides ROUND(·, 4)
+    with identical shapes.
+
+    Scale shape: ONE corpus aggregate down to ≤ nations·weeks rows
+    (map-side combined), then the self-join runs on that tiny frame —
+    at 100 TB the matrix is still a few thousand rows, so the join is
+    a broadcast regardless of fact size. The week+52 equi-key keeps it
+    a hash join, never a range join.
+    """
+    t = load_tables(spark, sf_dir)
+    sn = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    weekly = (
+        t["lineitem"]
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "supp_nation",
+            F.expr("unix_micros(l_shipdate) div 604800000000").alias("week"),
+        )
+        .agg(
+            (
+                F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+                * 10000
+            )
+            .cast("bigint")
+            .alias("rev_e4")
+        )
+    )
+    w2 = weekly.alias("w2")
+    w1 = weekly.alias("w1")
+    return (
+        w2.join(
+            w1,
+            (F.col("w1.supp_nation") == F.col("w2.supp_nation"))
+            & (F.col("w2.week") == F.col("w1.week") + 52),
+        )
+        .filter(F.col("w1.rev_e4") > 0)
+        .select(
+            F.col("w2.supp_nation").alias("supp_nation"),
+            F.col("w2.week").alias("week"),
+            F.col("w2.rev_e4").alias("rev_this"),
+            F.col("w1.rev_e4").alias("rev_prev"),
+            F.round(
+                F.col("w2.rev_e4").cast("double")
+                / F.col("w1.rev_e4").cast("double"),
+                4,
+            ).alias("yoy_ratio"),
+        )
+    )

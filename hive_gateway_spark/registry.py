@@ -175,6 +175,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # now hash-checkable, deserving a driver hash row to replace its
     # old no_oracle ones
     "q_sim_topk_lsh",
+    # DS Q59's aggregate-to-aggregate self-join (YoY weekly matrix —
+    # the derived-frame join no TPC-H shape exercises); exact-oracled
+    "q_tpcds_q59",
 )
 
 

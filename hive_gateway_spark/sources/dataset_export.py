@@ -627,6 +627,107 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     )
 
 
+def delete_dataset(
+    spark: SparkSession, path: str, column: str, lo, hi
+) -> dict:
+    """Copy-on-write DELETE with FILE PRUNING — the GDPR / retention
+    verb (Delta's `DELETE FROM t WHERE c BETWEEN lo AND hi`): rows
+    whose ``column`` falls in [lo, hi] (inclusive; NULLs never match)
+    are removed, and — the part that matters at 100 TB — files whose
+    parquet-footer min/max PROVES no overlap with the range CARRY
+    FORWARD into the new manifest untouched (same immutable bytes,
+    referenced by the new version), so a delete of one user's rows
+    rewrites only the files that could contain them, not the table.
+    merge_dataset rewrites everything; this is the surgical sibling.
+
+    Files without complete footer stats for ``column`` (or with
+    non-comparable stat types) are rewritten conservatively — pruning
+    may only ever SKIP work, never skip a matching row (the same
+    degrade-to-exact contract as read_snapshot's ``between``).
+
+    Returns the new manifest extended with a delete report
+    (files_kept / files_rewritten / rows_deleted). Time travel keeps
+    working: prior versions still reference the prior files, which
+    this never unlinks. Concurrent-safe like merge: a lost commit race
+    unlinks the stale output and re-applies against the winner."""
+    prev = _current_manifest(path)
+    if not prev.get("files"):
+        raise ValueError(
+            "manifest has no files list (pre-snapshot or corrupt) — "
+            "re-export with write_dataset"
+        )
+    for _ in range(MAX_COMMIT_RETRIES):
+        pby = prev["partition_by"]
+        cols = prev["columns"]
+        stats = _file_stats(path, prev["files"], column)
+        kept, touched = [], []
+        for rel in prev["files"]:
+            st = stats.get(rel)
+            overlap = True  # no/partial stats → must rewrite
+            if st is not None:
+                mn, mx = st
+                try:
+                    overlap = not (mx < lo or mn > hi)
+                except TypeError:
+                    overlap = True  # mismatched stat types: stay exact
+            (touched if overlap else kept).append(rel)
+        rows_deleted = 0
+        new_files: list[str] = []
+        if touched:
+            cur = _read_manifest_files(
+                spark, path, touched, prev.get("schema_json")
+            ).select(*cols)
+            c = F.col(column)
+            keep = c.isNull() | (c < F.lit(lo)) | (c > F.lit(hi))
+            remaining = cur.filter(keep)
+            n_before = cur.count()
+            n_after = remaining.count()
+            rows_deleted = n_before - n_after
+            if n_after:
+                new_files = _land_files(remaining, path, pby)
+        files = sorted(kept + new_files)
+        if not files:
+            raise ValueError(
+                "delete would empty the table — drop it explicitly "
+                "instead (an empty manifest is unreadable)"
+            )
+        back = _read_manifest_files(spark, path, files, prev.get("schema_json"))
+        counts = _partition_counts(back, pby)
+        manifest = {
+            "format": "parquet",
+            "partition_by": pby,
+            "columns": cols,
+            "n_rows": sum(counts.values()),
+            "partitions": dict(sorted(counts.items())),
+            "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
+            "version": int(prev.get("version", 1)) + 1,
+            "files": files,
+            "schema_json": prev.get("schema_json")
+            or _file_schema_json(back, cols, pby),
+            "delete_report": {
+                "column": column,
+                "files_kept": len(kept),
+                "files_rewritten": len(touched),
+                "rows_deleted": rows_deleted,
+            },
+        }
+        _fire_race_hook()
+        try:
+            _try_commit(path, manifest)
+            return manifest
+        except CommitConflict:
+            for rel in new_files:
+                try:
+                    os.unlink(os.path.join(path, rel))
+                except FileNotFoundError:
+                    pass
+            prev = _current_manifest(path)
+    raise RuntimeError(
+        f"delete lost {MAX_COMMIT_RETRIES} commit races at {path} — "
+        "pathological writer contention"
+    )
+
+
 def version_at(path: str, as_of_us: int) -> int | None:
     """TIMESTAMP AS OF resolution: the highest committed version whose
     commit stamp is ≤ ``as_of_us`` (epoch microseconds). Scans the

@@ -1642,3 +1642,56 @@ def test_zorder_layout_enables_two_dim_partition_pruning(spark, sf_dir, tmp_path
     assert m and "zbucket" in m.group(1), pplan
     want = li.filter((F.expr(x) >= 512) & (F.expr(y) >= 512)).count()
     assert pruned.count() == want == one.count()
+
+
+def test_delete_dataset_prunes_untouched_files(spark, tmp_path):
+    """COW DELETE (r14): rows in the range go, files whose footer
+    min/max proves no overlap CARRY FORWARD byte-identical into the
+    new manifest (the Delta surgical-delete semantics), time travel
+    still reads the pre-delete snapshot, NULLs never match, and the
+    report counts kept vs rewritten files."""
+    import os
+
+    from hive_gateway_spark.sources.dataset_export import (
+        dataset_files,
+        delete_dataset,
+        read_snapshot,
+        verify_dataset,
+        write_dataset,
+    )
+
+    # range-partition into multiple files with disjoint doc_id ranges
+    # so footer stats make some files provably untouched
+    rows = [(i, f"t-{i}", None if i == 205 else i * 10) for i in range(300)]
+    df = (
+        spark.createDataFrame(rows, "doc_id bigint, text string, score bigint")
+        .repartitionByRange(3, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    path = str(tmp_path / "tbl_del")
+    write_dataset(df, path)
+    files_v1 = set(read_snapshot(spark, path).inputFiles())
+    m = delete_dataset(spark, path, "doc_id", 0, 99)
+    rep = m["delete_report"]
+    assert rep["rows_deleted"] == 100
+    assert rep["files_kept"] >= 1, rep  # the 100..299 files survive
+    assert rep["files_rewritten"] >= 1, rep
+    latest = read_snapshot(spark, path)
+    ids = sorted(r["doc_id"] for r in latest.collect())
+    assert ids == list(range(100, 300))
+    # NULL in the delete column is never a match
+    assert latest.filter("doc_id = 205").count() == 1
+    # carried-forward files are the SAME paths as version 1's
+    files_v2 = set(latest.inputFiles())
+    assert files_v1 & files_v2, "no file carried forward — pruning dead"
+    # time travel: version 1 still reads all 300 rows
+    assert read_snapshot(spark, path, 1).count() == 300
+    assert verify_dataset(spark, path)["ok"]
+    # a second delete hitting ONLY carried-forward files
+    m3 = delete_dataset(spark, path, "doc_id", 250, 299)
+    assert m3["delete_report"]["rows_deleted"] == 50
+    assert read_snapshot(spark, path).count() == 150
+    assert verify_dataset(spark, path)["ok"]
+    # manifest files all exist on disk
+    for rel in m3["files"]:
+        assert os.path.exists(os.path.join(path, rel)), rel
