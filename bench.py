@@ -265,6 +265,8 @@ HEADLINE_R14 = [
     "q_tpcds_q88",
     "q_sim_topk_lsh",
     "q_tpcds_q59",
+    "q_time_weighted_avg",
+    "q_ohlc_bars",
 ]
 
 
@@ -343,6 +345,12 @@ def _previous_bench(sf: float) -> tuple[str, dict] | None:
             continue
         if doc.get("sf") not in (None, sf):
             continue  # foreign-sf record: this sf's ratchet lives elsewhere
+        if doc.get("reduction", "count") != REDUCTION:
+            # measured under a different materialization protocol —
+            # ratios against it are meaningless (count() undercharged
+            # pure-projection queries); the ratchet re-seeds from the
+            # first record under the current protocol
+            continue
         return os.path.basename(path), doc
     return None
 
@@ -428,15 +436,28 @@ def warm_gate(
     return confirmed, first_pass, median_ratio
 
 
+#: Measurement-protocol marker. "noop-sink" (r14): queries materialize
+#: through `df.write.format("noop")`, which consumes EVERY output
+#: column — the count() reduction this replaces let Catalyst prune
+#: pure projections under the count, so map-shaped queries were
+#: undercharged (q_quality_classifier's per-word scoring fold was
+#: being optimized OUT of its own benchmark: 0.37 s recorded at sf1
+#: where the real fold costs ~5 s — discovered when predicate pushdown
+#: moved the same fold somewhere it couldn't be pruned). Baselines
+#: recorded under a DIFFERENT protocol are not comparable and are
+#: skipped by _previous_bench, so the ratchet re-seeds once.
+REDUCTION = "noop-sink"
+
+
 def _timed(fn, spark, sf_dir: str) -> float:
     """One full construction+execution measurement of a registry query.
 
     Iterative operators (label propagation) do real work while building
-    the plan, so construction is charged too; count() materializes the
-    whole pipeline without serializing rows to the driver."""
+    the plan, so construction is charged too; the noop sink
+    materializes the whole pipeline — every column, no projection
+    pruning, no rows serialized to the driver."""
     t0 = time.perf_counter()
-    n = fn(spark, sf_dir).count()
-    assert n >= 0
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -585,6 +606,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": cold,
                 "sf": sf,
+                "reduction": REDUCTION,
                 "regression_baseline": prev[0] if prev else None,
                 "regression_median_ratio": round(median_ratio, 3),
                 "regressions": regressions,

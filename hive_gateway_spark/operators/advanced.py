@@ -482,6 +482,158 @@ def gapfill_report(events: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               epoch_us(ts) AS us,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS next_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+           CAST(MAX(next_us) - MIN(us) AS BIGINT) AS span_us,
+           CAST(SUM(cents * (next_us - us)) AS BIGINT) AS weighted_sum,
+           ROUND(CAST(SUM(cents * (next_us - us)) AS DOUBLE)
+                 / CAST(MAX(next_us) - MIN(us) AS DOUBLE), 4) AS twa_cents
+    FROM seq
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    HAVING MAX(next_us) - MIN(us) > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average of the event value per user — the
+    hypertable/tsdb staple (TimescaleDB's time_weight, kdb's twa):
+    irregular samples weight by how LONG each value held, not how
+    often it was sampled, so a sensor that reports rarely at value X
+    isn't drowned by one that chats at value Y. Step-function
+    semantics (value holds until the next event; the last observation
+    closes the span and contributes no duration — users with one
+    event have no span and are excluded), identical in both engines.
+
+    Determinism: value → exact cents; per-step weight = exact µs
+    duration; Σ(cents·dur) is an exact int64 (fixture bound: max
+    cents 49 002 × span ≤ 90 days ≈ 3.9 × 10¹⁷ ≪ 2⁶³; at production
+    spans route the sum through DECIMAL like q_embed_coherence); the
+    one double division rides ROUND(·, 4) with identical shapes.
+
+    Scale shape: ONE user_id shuffle shared by the LEAD window and the
+    aggregate — the same single-pass discipline as q_join_asof; no
+    join, no explosion, output is user-sized."""
+    ev = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "user_id",
+        (F.round("value", 2).cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    span = F.max("next_us") - F.min("us")
+    wsum = F.sum(F.col("cents") * (F.col("next_us") - F.col("us")))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            (F.count("*") + 1).cast("bigint").alias("n_events"),
+            span.cast("bigint").alias("span_us"),
+            wsum.cast("bigint").alias("weighted_sum"),
+            F.round(
+                wsum.cast("double") / span.cast("double"), 4
+            ).alias("twa_cents"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, epoch_us(ts) // 86400000000
+                   ORDER BY ts ASC, event_id ASC
+               ) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, epoch_us(ts) // 86400000000
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_d
+        FROM events
+    )
+    SELECT event_type, day,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM seq
+    GROUP BY event_type, day
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling — the candlestick/bar aggregation every
+    time-series store ships (kdb xbar + first/last, TimescaleDB
+    time_bucket + first/last, Pandas resample().ohlc()): per
+    (event_type, day), the FIRST value (open), max (high), min (low)
+    and LAST value (close) in event-time order, ties broken by
+    event_id exactly as every other windowed operator here.
+
+    Determinism: values in exact cents; open/close pick rows by
+    ROW_NUMBER over the shared (ts, event_id) order — the same
+    tie-break spelled identically in the oracle — so no min_by/arg_min
+    engine-variance is involved.
+
+    Scale shape: ONE (type, day) shuffle; both row_numbers and the
+    aggregate ride the same partitioning (the asc and desc windows
+    reuse one exchange, two in-partition sorts); output is
+    bar-count-sized. At 100 TB this is the classic pre-aggregation
+    that turns tick data into servable bars in one pass."""
+    ev = load_tables(spark, sf_dir)["events"]
+    day = F.expr("unix_micros(ts) div 86400000000")
+    base = ev.select(
+        "event_type",
+        day.alias("day"),
+        (F.round("value", 2).cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "ts",
+        "event_id",
+    )
+    wa = W.partitionBy("event_type", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = W.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = base.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return seq.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("close_cents"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
 #: Fuzzy-match acceptance band: 1 ≤ levenshtein ≤ FUZZY_MAX_DIST.
 FUZZY_MAX_DIST = 2
 

@@ -136,12 +136,19 @@ PRIORITY: tuple[str, ...] = (
 #: (tests/test_registry.py's debt ledger enforces row-or-slot-or-queue
 #: for every registered query).
 #:
-#: r15 PRE-PLAN (written at r14 close): rotate OUT the twenty-two r14
-#: stay-list members that will then hold fresh r14 rows (the nine
-#: contract keepers, the ten r12-written second-rowers, q_graph_kcore,
-#: q_pq_candidates — q_ann_index_stats stays as the standing monitor)
-#: plus as many r13-queue entrants (then r14-green) as needed to free
-#: one slot per ROTATION_CANDIDATES entry below, FIFO.
+#: r15 PRE-PLAN (written at r14 close, exact arithmetic): the queue
+#: below holds TWELVE entries, so rotate OUT exactly the twelve
+#: freshest multi-row holders — the TEN r12-written second-rowers
+#: (q_tpch_q4, q_tpch_q9, q_tpch_q2, q_tpch_q11, q_tpch_q16,
+#: q_tpch_q20, q_tpch_q21, q_quality_classifier, q_dataset_card,
+#: q_curation_v5 — each then r13+r14-green) plus q_graph_kcore and
+#: q_pq_candidates (each then r14-hash-green; kcore also holds four
+#: earlier rows-only rows) — and take ALL TWELVE candidates FIFO.
+#: The nine §2.2/§2.3 contract keepers, q_ann_index_stats (standing
+#: rows-only monitor) and the 28 r13-entrants keep their slots:
+#: 9 + 1 + 28 + 12 = 50 exactly. Expected r15 row mix: forty-seven
+#: hash-green; q_sim_topk_ivfpq, q_quantile_sketch and
+#: q_ann_index_stats rows-only with rows > 0.
 ROTATION_CANDIDATES: tuple[str, ...] = (
     # TPC-DS starter shapes (VERDICT r13 task #9): the seasonal
     # month-of-year brand report, the demographic-slice multi-average,
@@ -178,6 +185,13 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # DS Q59's aggregate-to-aggregate self-join (YoY weekly matrix —
     # the derived-frame join no TPC-H shape exercises); exact-oracled
     "q_tpcds_q59",
+    # two time-series staples: time-weighted average per user (the
+    # TimescaleDB time_weight / kdb twa — step-function semantics,
+    # exact cents × exact µs durations) and OHLC bar resampling per
+    # (type, day) (open/close via the shared (ts, event_id) tie-broken
+    # row_number, never min_by/arg_min variance); both exact-oracled
+    "q_time_weighted_avg",
+    "q_ohlc_bars",
 )
 
 

@@ -172,9 +172,14 @@ def run(sf1_dir: str) -> None:
         row: dict = {}
         for tag, sf_dir in (("sf01", SRC), ("sf1", sf1_dir)):
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
+            # noop sink (bench.REDUCTION protocol, r14): materialize
+            # EVERY output column — count() let Catalyst prune pure
+            # projections and undercharged map-shaped queries; the row
+            # count (cheap once warm) is taken after for the record
+            out = fn(spark, sf_dir)
+            out.write.format("noop").mode("overwrite").save()
             row[tag] = round(time.perf_counter() - t0, 3)
-            row[f"{tag}_rows"] = n
+            row[f"{tag}_rows"] = out.count()
         row["ratio"] = round(row["sf1"] / max(row["sf01"], 1e-3), 2)
         row["flag"] = row["ratio"] > SUPERLINEAR_FLAG
         report[name] = row

@@ -91,8 +91,9 @@ def test_previous_bench_selects_same_sf_baseline(tmp_path, monkeypatch):
     monkeypatch.setattr(
         bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
     )
-    old = {"queries": {"q_a": 1.0}, "sf": 0.1}
-    foreign = {"queries": {"q_a": 0.1}, "sf": 0.01}
+    red = bench.REDUCTION
+    old = {"queries": {"q_a": 1.0}, "sf": 0.1, "reduction": red}
+    foreign = {"queries": {"q_a": 0.1}, "sf": 0.01, "reduction": red}
     (tmp_path / "BENCH_LOCAL_r05.json").write_text(json.dumps(old))
     (tmp_path / "BENCH_LOCAL_sf0.01_r06.json").write_text(json.dumps(foreign))
     name, doc = bench._previous_bench(0.1)
@@ -100,9 +101,15 @@ def test_previous_bench_selects_same_sf_baseline(tmp_path, monkeypatch):
     name, doc = bench._previous_bench(0.01)
     assert name == "BENCH_LOCAL_sf0.01_r06.json" and doc["sf"] == 0.01
     assert bench._previous_bench(1.0) is None
-    # sf-less legacy records match any run
+    # records under a FOREIGN measurement protocol (the pre-r14 count()
+    # reduction, marker-less) are skipped — ratios across protocols are
+    # meaningless, the ratchet re-seeds
     (tmp_path / "BENCH_LOCAL_r07.json").write_text(
-        json.dumps({"queries": {"q_a": 2.0}})
+        json.dumps({"queries": {"q_a": 2.0}, "sf": 1.0})
+    )
+    assert bench._previous_bench(1.0) is None
+    (tmp_path / "BENCH_LOCAL_r08.json").write_text(
+        json.dumps({"queries": {"q_a": 2.0}, "sf": 1.0, "reduction": red})
     )
     name, _ = bench._previous_bench(1.0)
-    assert name == "BENCH_LOCAL_r07.json"
+    assert name == "BENCH_LOCAL_r08.json"
