@@ -1318,8 +1318,15 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sens"),
     )
     key = ["event_type", "day", "value_band"]
+    from hive_gateway_spark.staging import stage
+
     cs = base.groupBy(*key, "sens").agg(F.count("*").alias("c"))
-    cs = cs.localCheckpoint()  # feeds g-join AND the per-class n rollup
+    # staged, not bare localCheckpoint: the slot supersedes the
+    # previous occupant's blocks, so repeated calls (bench: cold +
+    # 3 warm + re-measure) don't each orphan a checkpoint until GC
+    # (the ADVICE r8 #4 leak class); it feeds the g-join AND the
+    # per-class n rollup
+    cs = stage(cs, "tcloseness.cs")
     g = cs.groupBy("sens").agg(F.sum("c").alias("gt"))
     cn = cs.groupBy(*key).agg(F.sum("c").alias("n"))
     tot = cn.agg(F.sum("n").alias("nn"))

@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
-from hive_gateway_spark.staging import evict
+from hive_gateway_spark.staging import evict, touch
 
 #: Merge budget. 32 keeps the fixture loop quick while learning every
 #: high-frequency word; production vocabularies just raise it (the loop
@@ -109,6 +109,8 @@ def _encoded_vocab(docs: DataFrame) -> DataFrame:
     except Exception:  # pragma: no cover - non-classic session fallback
         key = id(docs)
     out = per.get(key)
+    if out is not None:
+        touch(per, key)  # LRU: a hit must survive overflow
     if out is None:
         evict(per)
         merges = learned_merges(docs)
@@ -129,6 +131,8 @@ def learned_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple[st
     except Exception:  # pragma: no cover - non-classic session fallback
         key = (id(docs), n_merges)
     out = per.get(key)
+    if out is not None:
+        touch(per, key)
     if out is None:
         evict(per)
         out = learn_bpe(docs, n_merges)

@@ -775,6 +775,7 @@ def _v3_survivors(docs: DataFrame) -> DataFrame:
         key = id(docs)
     out = per.get(key)
     if out is not None:
+        touch(per, key)  # LRU: a hit must survive overflow
         return out
     evict(per)
     rebuilt = boilerplate_report(docs).select("doc_id", "clean_text")
@@ -1998,6 +1999,7 @@ def _v4_state(
     cache_key = (sf_dir, _DEFAULT_N if shingle_n is None else shingle_n)
     st = per.get(cache_key)
     if st is not None:
+        touch(per, cache_key)
         return st
     from pyspark.sql import Window
 
@@ -2432,7 +2434,6 @@ def _v5_passing(
     selection-sized passing set is what returns. Never a corpus-sized
     build side."""
     from hive_gateway_spark.operators.text import quality_exprs
-    from hive_gateway_spark.staging import stage
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "lang", "text")

@@ -104,6 +104,8 @@ def _shingles_checkpointed(t) -> DataFrame:
     except Exception:  # pragma: no cover - non-classic session fallback
         key = id(docs)
     out = per.get(key)
+    if out is not None:
+        touch(per, key)  # LRU: a hit must survive overflow
     if out is None:
         evict(per)
         # keep the in-row set size n too: q_dedup_simhash's verification
@@ -1055,6 +1057,8 @@ def _minhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # pragma: no cover - non-classic session fallback
         key = id(t["documents"])
     out = per.get(key)
+    if out is not None:
+        touch(per, key)
     if out is None:
         evict(per)
         out = _minhash_sig_build(t).localCheckpoint()

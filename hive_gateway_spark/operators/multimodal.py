@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
-from hive_gateway_spark.staging import evict
+from hive_gateway_spark.staging import evict, touch
 
 #: Magic prefix of the synthesized fake media format ("IMGF" v1).
 MAGIC = b"IMGF"
@@ -1187,6 +1187,7 @@ def phash_frame(docs: DataFrame) -> DataFrame:
             key = id(docs)
         out = per.get(key)
         if out is not None:
+            touch(per, key)  # LRU: a hit must survive overflow
             return out
         evict(per)
         out = _phash_build(docs).localCheckpoint()
@@ -1385,6 +1386,7 @@ def audio_fingerprint_frame(docs: DataFrame) -> DataFrame:
             key = ("afp", id(docs))
         out = per.get(key)
         if out is not None:
+            touch(per, key)
             return out
         evict(per)
         out = docs.select("doc_id").mapInPandas(run, schema).localCheckpoint()

@@ -946,9 +946,16 @@ def _lsh_topk_oracle() -> str:
         GROUP BY c.query_id, c.neighbor_id
     ),
     scored AS (
+        -- plain sqrt, NO zero-norm clamp: the mapInPandas kernel
+        -- divides unclamped (a zero-norm candidate NaNs and is
+        -- dropped), and q_sim_topk's proven oracle is also unclamped —
+        -- adding GREATEST here would create a latent divergence where
+        -- the oracle scores a zero vector 0 while the engine drops it
+        -- (code-review r14; fixture min norm2 ≈ 1e12, so the case is
+        -- unreachable today and the shapes must simply MATCH)
         SELECT d.query_id, d.neighbor_id,
                CAST(d.dot AS DOUBLE)
-                 / sqrt(GREATEST(na.norm2 * nb.norm2, 1.0)) AS sim
+                 / sqrt(na.norm2 * nb.norm2) AS sim
         FROM dots d
         JOIN norms na ON na.vec_id = d.query_id
         JOIN norms nb ON nb.vec_id = d.neighbor_id

@@ -138,6 +138,31 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_fertility_report(docs: DataFrame) -> DataFrame:
+    """The fertility report over any (lang, text) frame — the ONE
+    frame builder shared by q_tokenizer_fertility and the streaming
+    twin (stream_token_fertility), so the two cannot drift (the house
+    pattern from quality_score_frame / stream_quality_screen)."""
+    counts = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws"),
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("bigint").alias("bpe"),
+        F.length("text").cast("bigint").alias("ch"),
+    )
+    ppm = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") * 1000000.0 / den.cast("double"), 0
+    ).cast("bigint")
+    bpe_s, ws_s, ch_s = F.sum("bpe"), F.sum("ws"), F.sum("ch")
+    return counts.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        bpe_s.cast("bigint").alias("total_tokens"),
+        ws_s.cast("bigint").alias("total_words"),
+        ch_s.cast("bigint").alias("total_chars"),
+        ppm(bpe_s, ws_s).alias("fertility_ppm"),
+        ppm(ch_s, bpe_s).alias("chars_per_token_ppm"),
+    )
+
+
 @query(
     "q_tokenizer_fertility",
     oracle=f"""
@@ -184,25 +209,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a UDF) into a ≤ |langs| map-side-combined aggregate — one
     tiny exchange, no token explosion (counts, not tokens, leave the
     map side)."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    counts = docs.select(
-        "lang",
-        F.size(F.split("text", " ")).cast("bigint").alias("ws"),
-        F.regexp_count("text", F.lit(_BPE_RE)).cast("bigint").alias("bpe"),
-        F.length("text").cast("bigint").alias("ch"),
-    )
-    ppm = lambda num, den: F.round(  # noqa: E731
-        num.cast("double") * 1000000.0 / den.cast("double"), 0
-    ).cast("bigint")
-    bpe_s, ws_s, ch_s = F.sum("bpe"), F.sum("ws"), F.sum("ch")
-    return counts.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        bpe_s.cast("bigint").alias("total_tokens"),
-        ws_s.cast("bigint").alias("total_words"),
-        ch_s.cast("bigint").alias("total_chars"),
-        ppm(bpe_s, ws_s).alias("fertility_ppm"),
-        ppm(ch_s, bpe_s).alias("chars_per_token_ppm"),
-    )
+    return token_fertility_report(load_tables(spark, sf_dir)["documents"])
 
 
 @query(

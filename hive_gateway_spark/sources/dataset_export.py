@@ -661,15 +661,31 @@ def delete_dataset(
         cols = prev["columns"]
         stats = _file_stats(path, prev["files"], column)
         kept, touched = [], []
+
+        def _numeric(v) -> bool:
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+
         for rel in prev["files"]:
             st = stats.get(rel)
             overlap = True  # no/partial stats → must rewrite
-            if st is not None:
+            # Prune ONLY on numeric-vs-numeric comparisons. Footer
+            # stats for timestamp columns are coerced to ISO strings
+            # ('2024-01-02T10:00:00') while callers pass Spark-style
+            # bounds ('2024-01-02 10:00:00'): str-vs-str compares
+            # lexicographically WITHOUT raising, and 'T' > ' ' makes a
+            # genuinely overlapping file look disjoint — a silently
+            # wrong delete (code-review r14). Non-numeric columns lose
+            # the skip, never their rows; the residual filter stays
+            # exact either way.
+            if (
+                st is not None
+                and _numeric(st[0])
+                and _numeric(st[1])
+                and _numeric(lo)
+                and _numeric(hi)
+            ):
                 mn, mx = st
-                try:
-                    overlap = not (mx < lo or mn > hi)
-                except TypeError:
-                    overlap = True  # mismatched stat types: stay exact
+                overlap = not (mx < lo or mn > hi)
             (touched if overlap else kept).append(rel)
         rows_deleted = 0
         new_files: list[str] = []

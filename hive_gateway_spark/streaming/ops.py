@@ -1257,35 +1257,19 @@ def stream_token_fertility(docs: DataFrame) -> DataFrame:
     """Streaming twin of q_tokenizer_fertility: RUNNING per-language
     tokenizer-equity report at ingest — the live counterpart of the
     batch audit, so a multilingual crawler watches fertility drift as
-    shards land instead of waiting for the nightly batch. Same BPE-ish
-    regex, same exact int64 sums, same ppm ratio expressions (shared
-    constants — the estimators cannot drift).
+    shards land instead of waiting for the nightly batch. Delegates to
+    text.token_fertility_report — the ONE frame builder the batch
+    query also returns (the quality_score_frame pattern), so the twin
+    cannot drift from the audit by construction.
 
     Scale shape: the regex counts are per-row scan projections (never
     a UDF, no token explosion — counts leave the map side, not
     tokens); the streaming groupBy keeps ≤ |langs| rows of running-sum
     state. Complete-mode output, availableNow-equivalence-tested
     against the batch query."""
-    from hive_gateway_spark.operators.text import _BPE_RE
+    from hive_gateway_spark.operators.text import token_fertility_report
 
-    counts = docs.select(
-        "lang",
-        F.size(F.split("text", " ")).cast("bigint").alias("ws"),
-        F.regexp_count("text", F.lit(_BPE_RE)).cast("bigint").alias("bpe"),
-        F.length("text").cast("bigint").alias("ch"),
-    )
-    ppm = lambda num, den: F.round(  # noqa: E731
-        num.cast("double") * 1000000.0 / den.cast("double"), 0
-    ).cast("bigint")
-    bpe_s, ws_s, ch_s = F.sum("bpe"), F.sum("ws"), F.sum("ch")
-    return counts.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        bpe_s.cast("bigint").alias("total_tokens"),
-        ws_s.cast("bigint").alias("total_words"),
-        ch_s.cast("bigint").alias("total_chars"),
-        ppm(bpe_s, ws_s).alias("fertility_ppm"),
-        ppm(ch_s, bpe_s).alias("chars_per_token_ppm"),
-    )
+    return token_fertility_report(docs)
 
 
 def stream_scd2_changes(events: DataFrame) -> DataFrame:

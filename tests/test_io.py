@@ -1679,18 +1679,28 @@ def test_delete_dataset_prunes_untouched_files(spark, tmp_path):
     latest = read_snapshot(spark, path)
     ids = sorted(r["doc_id"] for r in latest.collect())
     assert ids == list(range(100, 300))
-    # NULL in the delete column is never a match
-    assert latest.filter("doc_id = 205").count() == 1
+    # NULL in the DELETE COLUMN is never a match: delete on the
+    # nullable score over a range that brackets every remaining row's
+    # score EXCEPT the NULLed one (doc 205, score NULL) and two
+    # sentinels — the NULL row must survive the predicate, not be
+    # swept by a three-valued-logic slip (code-review r14: the first
+    # spelling asserted this on doc_id, which has no NULLs — vacuous)
+    m_null = delete_dataset(spark, path, "score", 1000, 1019)  # docs 100,101
+    assert m_null["delete_report"]["rows_deleted"] == 2
+    survivors = read_snapshot(spark, path)
+    assert survivors.filter("doc_id = 205").count() == 1  # NULL survived
+    assert survivors.filter("score IS NULL").count() == 1
+    assert survivors.count() == 198
     # carried-forward files are the SAME paths as version 1's
     files_v2 = set(latest.inputFiles())
     assert files_v1 & files_v2, "no file carried forward — pruning dead"
     # time travel: version 1 still reads all 300 rows
     assert read_snapshot(spark, path, 1).count() == 300
     assert verify_dataset(spark, path)["ok"]
-    # a second delete hitting ONLY carried-forward files
+    # a further delete hitting ONLY carried-forward files
     m3 = delete_dataset(spark, path, "doc_id", 250, 299)
     assert m3["delete_report"]["rows_deleted"] == 50
-    assert read_snapshot(spark, path).count() == 150
+    assert read_snapshot(spark, path).count() == 148
     assert verify_dataset(spark, path)["ok"]
     # manifest files all exist on disk
     for rel in m3["files"]:
