@@ -384,3 +384,72 @@ def test_zorder_interleave_matches_python_reference(pairs):
     ).fetchall()
     for x, y, z in rows:
         assert z == ref(x, y), (x, y, z)
+
+
+# --- delete_dataset model check (r14: the review showed the NULL path
+# was untested; this pins the whole delete semantics against a pandas
+# model under random data, random ranges and random column choice) ---
+
+_del_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # key (dup-able)
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    ),
+    min_size=4,
+    max_size=40,
+)
+
+
+@given(
+    _del_rows,
+    st.lists(
+        st.tuples(
+            st.sampled_from(["key", "score"]),
+            st.integers(min_value=-60, max_value=60),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_delete_dataset_matches_pandas_model(spark, tmp_path_factory, rows, deletes):
+    """delete_dataset == the pandas model `keep rows where NOT
+    (lo <= col <= hi)`, with NULLs never matching, over random row
+    sets and random delete sequences on either column — file pruning
+    and the conservative no-stats path must never change WHAT is
+    deleted, only which files rewrite."""
+    import pandas as pd
+
+    from hive_gateway_spark.sources.dataset_export import (
+        delete_dataset,
+        read_snapshot,
+        verify_dataset,
+        write_dataset,
+    )
+
+    pdf = pd.DataFrame(rows, columns=["key", "score"]).astype(
+        {"key": "int64", "score": "Int64"}
+    )
+    # distinct row ids keep the model alignable under duplicate keys
+    pdf["rid"] = range(len(pdf))
+    df = spark.createDataFrame(
+        [(int(k), None if pd.isna(s) else int(s), int(r))
+         for k, s, r in pdf.itertuples(index=False)],
+        "key bigint, score bigint, rid bigint",
+    ).repartitionByRange(2, "key")
+    path = str(tmp_path_factory.mktemp("deltbl") / "t")
+    write_dataset(df, path)
+    model = pdf
+    for col, lo, hi in deletes:
+        lo, hi = (lo, hi) if lo <= hi else (hi, lo)
+        surviving = ~model[col].between(lo, hi).fillna(False)
+        if not surviving.any():
+            break  # delete_dataset refuses to empty the table
+        delete_dataset(spark, path, col, lo, hi)
+        model = model[surviving]
+        got = sorted(
+            r["rid"] for r in read_snapshot(spark, path).collect()
+        )
+        assert got == sorted(model["rid"].tolist())
+        assert verify_dataset(spark, path)["ok"]
