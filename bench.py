@@ -4,10 +4,10 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing = full plan execution materialized via a count-ish reduction
-(``df.toLocalIterator`` would serialize; ``collect`` on aggregates is
-tiny; per-row outputs are reduced with count()) — we charge the whole
-pipeline, not just planning.
+Timing = full plan execution materialized via the NOOP SINK (see
+REDUCTION below — count() let the optimizer prune pure projections
+out of their own benchmark) — we charge the whole pipeline including
+every output column, not just planning.
 
 Hygiene (VERDICT r01 "Next round" #8): per query we record one COLD run
 (codegen compile + file-index setup) and the MEDIAN of 3 warm runs;
@@ -267,6 +267,7 @@ HEADLINE_R14 = [
     "q_tpcds_q59",
     "q_time_weighted_avg",
     "q_ohlc_bars",
+    "q_dim_lookup_scd2",
 ]
 
 

@@ -2477,6 +2477,118 @@ _SCD2_ORACLE = """
     """
 
 
+@query(
+    "q_dim_lookup_scd2",
+    oracle="""
+    WITH status AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE event_type IN ('signup', 'error')
+    ),
+    ordered AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                         OR LAG(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS is_new
+        FROM status
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    grp AS (
+        SELECT user_id, ts, event_type,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS run_id
+        FROM ordered
+    ),
+    iv AS (
+        SELECT user_id, run_id, event_type AS status,
+               MIN(ts) AS valid_from
+        FROM grp GROUP BY user_id, run_id, event_type
+    )
+    SELECT e.event_id, e.user_id, m.status,
+           CASE WHEN m.valid_from IS NULL THEN NULL
+                ELSE epoch_us(e.ts) - epoch_us(m.valid_from)
+           END AS us_in_status
+    FROM events e
+    LEFT JOIN LATERAL (
+        -- the containing interval = the LAST run starting at-or-before
+        -- the probe; run_id DESC is the engine's carry order exactly
+        -- (ts ties cannot reorder it — runs are (ts, event_id)-ordered)
+        SELECT i.status, i.valid_from
+        FROM iv i
+        WHERE i.user_id = e.user_id AND i.valid_from <= e.ts
+        ORDER BY i.run_id DESC LIMIT 1
+    ) m ON TRUE
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_dim_lookup_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time DIMENSION LOOKUP against an SCD2 history — the
+    consuming half of the SCD2 story (q_scd2_history builds the
+    intervals; this answers "what was the user's status WHEN they
+    purchased?"): the status dim derives from the signup/error events
+    (runs of consecutive equal status, the standard toy registered-vs-
+    errored standing), and every purchase is attributed to the
+    interval containing its timestamp — purchases before the user's
+    first status row keep a NULL status (the audit must see the
+    unattributable mass).
+
+    Scale shape — the part that matters: NOT a range join. The naive
+    spelling (facts ⋈ dim ON user AND valid_from <= ts < valid_to) is
+    a per-row interval probe that degrades to BroadcastNestedLoop; the
+    scalable form interleaves dim rows and probes in ONE user_id
+    window pass and carries the last run's (status, valid_from)
+    forward — the same carry discipline as q_join_asof, except the
+    carried value is a STRUCT (run attribution, not just a timestamp).
+    One shuffle, no join, no explosion. The oracle is a deliberately
+    INDEPENDENT derivation (interval CTE + correlated LATERAL picking
+    the last run at-or-before the probe by run_id), so the hash
+    compares two different algorithms."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    is_status = F.col("event_type").isin("signup", "error")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # run starts among STATUS rows only: a status row opens a new run
+    # iff the previous status row (ignoring probes) had another status
+    prev_status = F.last(
+        F.when(is_status, F.col("event_type")), ignorenulls=True
+    ).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        (
+            is_status
+            & (prev_status.isNull() | (prev_status != F.col("event_type")))
+        ).alias("opens_run"),
+    )
+    # carry the open run's (status, valid_from) forward as ONE struct —
+    # two separate carries could disagree under ties; a struct cannot
+    carried = F.last(
+        F.when(
+            F.col("opens_run"),
+            F.struct(
+                F.col("event_type").alias("status"),
+                F.unix_micros("ts").alias("from_us"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        tagged.withColumn("run", carried)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("run.status").alias("status"),
+            (F.unix_micros("ts") - F.col("run.from_us")).alias("us_in_status"),
+        )
+    )
+
+
 @query("q_scd2_history", oracle=_SCD2_ORACLE)
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history build (gaps-and-islands): collapse each

@@ -433,6 +433,14 @@ def q_tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_e4")
         )
     )
+    # Stage the tiny matrix before the self-join: Spark does NOT reuse
+    # the aggregate exchange across the two sides (verified — the plan
+    # scanned the fact twice), so without the checkpoint a 100 TB fact
+    # would be read and aggregated once per side. The staged frame is
+    # ≤ nations·weeks rows; the slot supersedes itself across calls.
+    from hive_gateway_spark.staging import stage
+
+    weekly = stage(weekly, "tpcds.q59.weekly")
     w2 = weekly.alias("w2")
     w1 = weekly.alias("w1")
     return (

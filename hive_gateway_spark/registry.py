@@ -137,18 +137,20 @@ PRIORITY: tuple[str, ...] = (
 #: for every registered query).
 #:
 #: r15 PRE-PLAN (written at r14 close, exact arithmetic): the queue
-#: below holds TWELVE entries, so rotate OUT exactly the twelve
-#: freshest multi-row holders — the TEN r12-written second-rowers
-#: (q_tpch_q4, q_tpch_q9, q_tpch_q2, q_tpch_q11, q_tpch_q16,
-#: q_tpch_q20, q_tpch_q21, q_quality_classifier, q_dataset_card,
-#: q_curation_v5 — each then r13+r14-green) plus q_graph_kcore and
-#: q_pq_candidates (each then r14-hash-green; kcore also holds four
-#: earlier rows-only rows) — and take ALL TWELVE candidates FIFO.
-#: The nine §2.2/§2.3 contract keepers, q_ann_index_stats (standing
-#: rows-only monitor) and the 28 r13-entrants keep their slots:
-#: 9 + 1 + 28 + 12 = 50 exactly. Expected r15 row mix: forty-seven
-#: hash-green; q_sim_topk_ivfpq, q_quantile_sketch and
-#: q_ann_index_stats rows-only with rows > 0.
+#: below holds THIRTEEN entries, so rotate OUT exactly thirteen — the
+#: TEN r12-written second-rowers (q_tpch_q4, q_tpch_q9, q_tpch_q2,
+#: q_tpch_q11, q_tpch_q16, q_tpch_q20, q_tpch_q21,
+#: q_quality_classifier, q_dataset_card, q_curation_v5 — each then
+#: r13+r14-green), q_graph_kcore and q_pq_candidates (each then
+#: r14-hash-green; kcore also holds four earlier rows-only rows), and
+#: q_sim_topk_ivfpq (rows-only by design — its r14 `no_oracle` row
+#: will be on record, and a rows-only occupant wastes a hash slot,
+#: VERDICT r13 task #6's standing principle) — and take ALL THIRTEEN
+#: candidates FIFO. The nine §2.2/§2.3 contract keepers,
+#: q_ann_index_stats (standing rows-only monitor) and the remaining
+#: 27 r13-entrants keep their slots: 9 + 1 + 27 + 13 = 50 exactly.
+#: Expected r15 row mix: forty-eight hash-green; q_quantile_sketch
+#: and q_ann_index_stats rows-only with rows > 0.
 ROTATION_CANDIDATES: tuple[str, ...] = (
     # TPC-DS starter shapes (VERDICT r13 task #9): the seasonal
     # month-of-year brand report, the demographic-slice multi-average,
@@ -192,6 +194,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # row_number, never min_by/arg_min variance); both exact-oracled
     "q_time_weighted_avg",
     "q_ohlc_bars",
+    # the CONSUMING half of the SCD2 story: point-in-time dimension
+    # lookup ("status when they purchased") as a one-pass struct carry
+    # — never a range join — with an independent LATERAL oracle
+    "q_dim_lookup_scd2",
 )
 
 
