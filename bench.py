@@ -268,6 +268,7 @@ HEADLINE_R14 = [
     "q_time_weighted_avg",
     "q_ohlc_bars",
     "q_dim_lookup_scd2",
+    "q_window_funnel",
 ]
 
 

@@ -2477,6 +2477,114 @@ _SCD2_ORACLE = """
     """
 
 
+#: windowFunnel window: the whole matched chain must fit in 12 hours —
+#: chosen where the fixture's funnel actually discriminates (measured
+#: at sf0.01: 150 signups → 143 reach level 2 → 31 reach level 3; at
+#: 7 days 149/150 reached level 3 and the report said nothing).
+FUNNEL_WINDOW_US = 12 * 3_600_000_000
+
+
+@query(
+    "q_window_funnel",
+    oracle=f"""
+    WITH su AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    lvl1 AS (SELECT DISTINCT user_id FROM su),
+    lvl2 AS (
+        SELECT DISTINCT s.user_id
+        FROM su s JOIN events c
+          ON c.user_id = s.user_id AND c.event_type = 'click'
+         AND c.ts >= s.ts
+         AND epoch_us(c.ts) - epoch_us(s.ts) <= {FUNNEL_WINDOW_US}
+    ),
+    lvl3 AS (
+        SELECT DISTINCT s.user_id
+        FROM su s
+        JOIN events c ON c.user_id = s.user_id AND c.event_type = 'click'
+                     AND c.ts >= s.ts
+        JOIN events p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+                     AND p.ts >= c.ts
+         AND epoch_us(p.ts) - epoch_us(s.ts) <= {FUNNEL_WINDOW_US}
+    )
+    SELECT l1.user_id,
+           CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS funnel_level
+    FROM lvl1 l1
+    LEFT JOIN lvl2 l2 ON l2.user_id = l1.user_id
+    LEFT JOIN lvl3 l3 ON l3.user_id = l1.user_id
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel — the ClickHouse/Amplitude funnel primitive the
+    plain q_funnel (lifetime step counts) cannot express: per user,
+    the DEEPEST ordered prefix of signup → click → purchase whose
+    WHOLE chain fits inside a {days}-day window anchored at the
+    signup. "Converted eventually" and "converted within a week" are
+    different products; this measures the second.
+
+    Scale shape — NOT the oracle's O(n³) exists-joins: ONE user_id
+    window pass with greedy carry-forwards. The key identity: a
+    later-starting valid prefix can only ADMIT MORE continuations (the
+    window constraint binds first-to-last), so carrying the MAXIMUM
+    start time of any valid k-prefix is lossless — s_last carries the
+    latest signup, each click converts it to a 2-prefix start if the
+    click sits within the window, c2_best carries the latest such
+    start, and a purchase completes level 3 if it sits within the
+    window of c2_best. One shuffle, no joins, state = two timestamps
+    per user. The oracle is the independent brute-force EXISTS
+    derivation, so the hash compares the greedy argument against the
+    definition itself.
+
+    Determinism: pure integer µs arithmetic; per-user event times are
+    unique in the fixture (pinned in tests/test_fixture_schema.py), so
+    the at-or-before carries and the oracle's >= joins coincide."""
+    ev = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    s_last = F.max(F.when(is_type("signup"), us)).over(w)
+    c2_start = F.when(
+        is_type("click") & (us - s_last <= FUNNEL_WINDOW_US), s_last
+    )
+    rows = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        s_last.alias("s_last"),
+        c2_start.alias("c2_start"),
+    )
+    c2_best = F.max("c2_start").over(w)
+    scored = rows.withColumn(
+        "lvl3",
+        is_type("purchase")
+        & (F.col("us") - c2_best <= FUNNEL_WINDOW_US),
+    )
+    agg = scored.groupBy("user_id").agg(
+        F.max(is_type("signup")).alias("has1"),
+        F.max(F.col("c2_start").isNotNull()).alias("has2"),
+        F.max("lvl3").alias("has3"),
+    )
+    return agg.filter(F.col("has1")).select(
+        "user_id",
+        F.when(F.col("has3"), 3)
+        .when(F.col("has2"), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("funnel_level"),
+    )
+
+
+q_window_funnel.__doc__ = q_window_funnel.__doc__.format(
+    days=FUNNEL_WINDOW_US // 86_400_000_000
+)
+
+
 @query(
     "q_dim_lookup_scd2",
     oracle="""

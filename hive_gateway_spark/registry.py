@@ -137,18 +137,19 @@ PRIORITY: tuple[str, ...] = (
 #: for every registered query).
 #:
 #: r15 PRE-PLAN (written at r14 close, exact arithmetic): the queue
-#: below holds THIRTEEN entries, so rotate OUT exactly thirteen — the
+#: below holds FOURTEEN entries, so rotate OUT exactly fourteen — the
 #: TEN r12-written second-rowers (q_tpch_q4, q_tpch_q9, q_tpch_q2,
 #: q_tpch_q11, q_tpch_q16, q_tpch_q20, q_tpch_q21,
 #: q_quality_classifier, q_dataset_card, q_curation_v5 — each then
 #: r13+r14-green), q_graph_kcore and q_pq_candidates (each then
-#: r14-hash-green; kcore also holds four earlier rows-only rows), and
+#: r14-hash-green; kcore also holds four earlier rows-only rows),
 #: q_sim_topk_ivfpq (rows-only by design — its r14 `no_oracle` row
 #: will be on record, and a rows-only occupant wastes a hash slot,
-#: VERDICT r13 task #6's standing principle) — and take ALL THIRTEEN
+#: VERDICT r13 task #6's standing principle), and the r13-queue head
+#: q_curation_v5_funnel (then r14-hash-green) — and take ALL FOURTEEN
 #: candidates FIFO. The nine §2.2/§2.3 contract keepers,
 #: q_ann_index_stats (standing rows-only monitor) and the remaining
-#: 27 r13-entrants keep their slots: 9 + 1 + 27 + 13 = 50 exactly.
+#: 26 r13-entrants keep their slots: 9 + 1 + 26 + 14 = 50 exactly.
 #: Expected r15 row mix: forty-eight hash-green; q_quantile_sketch
 #: and q_ann_index_stats rows-only with rows > 0.
 ROTATION_CANDIDATES: tuple[str, ...] = (
@@ -198,6 +199,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # lookup ("status when they purchased") as a one-pass struct carry
     # — never a range join — with an independent LATERAL oracle
     "q_dim_lookup_scd2",
+    # windowFunnel (the ClickHouse/Amplitude primitive): deepest
+    # ordered signup→click→purchase prefix fitting a 12 h window —
+    # greedy max-start carries in ONE pass, brute-force EXISTS oracle
+    "q_window_funnel",
 )
 
 
