@@ -786,3 +786,20 @@ def test_t_closeness_global_histogram_broadcasts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_t_closeness")
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dim_lookup_scd2_is_single_pass_no_join(spark, sf_dir):
+    """The SCD2 point-in-time lookup must be the carry-forward pass,
+    never an interval join: no Join node at all, one events scan, one
+    user_id exchange feeding the windows."""
+    plan = plan_of(spark, sf_dir, "q_dim_lookup_scd2")
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_window_funnel_is_single_pass_no_join(spark, sf_dir):
+    """windowFunnel's greedy carries run in ONE user-ordered pass —
+    the brute-force 3-way EXISTS join lives only in the oracle."""
+    plan = plan_of(spark, sf_dir, "q_window_funnel")
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
