@@ -453,3 +453,114 @@ def test_delete_dataset_matches_pandas_model(spark, tmp_path_factory, rows, dele
         )
         assert got == sorted(model["rid"].tolist())
         assert verify_dataset(spark, path)["ok"]
+
+
+# --- windowFunnel greedy == brute-force definition, WITH ts ties ---
+# (the fixture has unique per-user timestamps, so the tie behavior of
+# the greedy carries is only exercised here: chain order is the
+# engine's total (ts, event_id) order)
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # user
+        st.integers(min_value=0, max_value=20),    # ts (seconds; ties!)
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_funnel_events, st.integers(min_value=1, max_value=12))
+@settings(max_examples=12, deadline=None)
+def test_window_funnel_greedy_matches_bruteforce(spark, rows, window_s):
+    """The one-pass greedy max-start carries must equal the definition
+    (exists an ordered chain whose whole span fits the window) on
+    random streams — including equal-timestamp events, where 'ordered'
+    means the engine's total (ts, event_id) order."""
+    import datetime as _dt
+
+    from hive_gateway_spark.operators import advanced as A
+
+    ev = spark.createDataFrame(
+        [
+            (u, _dt.datetime(2024, 1, 1, 0, 0, ts_s), i, et, 0.0, "{}")
+            for i, (u, ts_s, et) in enumerate(rows)
+        ],
+        "user_id bigint, ts timestamp, event_id bigint, event_type string,"
+        " value double, props string",
+    )
+    w_us = window_s * 1_000_000
+    old = A.FUNNEL_WINDOW_US
+    A.FUNNEL_WINDOW_US = w_us
+    try:
+        # engine body on the synthetic frame (bypass load_tables)
+        from pyspark.sql import Window as W, functions as F
+
+        us = F.unix_micros(F.col("ts"))
+        w = (
+            W.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        is_type = lambda t: F.col("event_type") == t  # noqa: E731
+        s_last = F.max(F.when(is_type("signup"), us)).over(w)
+        c2_start = F.when(
+            is_type("click") & (us - s_last <= w_us), s_last
+        )
+        r2 = ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            us.alias("us"), c2_start.alias("c2_start"),
+        )
+        c2_best = F.max("c2_start").over(w)
+        scored = r2.withColumn(
+            "lvl3",
+            is_type("purchase") & (F.col("us") - c2_best <= w_us),
+        )
+        got = {
+            r["user_id"]: r["lvl"]
+            for r in scored.groupBy("user_id")
+            .agg(
+                F.max(is_type("signup")).alias("h1"),
+                F.max(F.col("c2_start").isNotNull()).alias("h2"),
+                F.max("lvl3").alias("h3"),
+            )
+            .filter(F.col("h1"))
+            .select(
+                "user_id",
+                F.when(F.col("h3"), 3)
+                .when(F.col("h2"), 2)
+                .otherwise(1)
+                .alias("lvl"),
+            )
+            .collect()
+        }
+    finally:
+        A.FUNNEL_WINDOW_US = old
+    # brute force over the engine's total order
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for i, (u, ts_s, et) in enumerate(rows):
+        per[u].append((ts_s * 1_000_000, i, et))
+    want = {}
+    w_lim = window_s * 1_000_000
+    for u, evs in per.items():
+        evs.sort()  # the engine's total (ts, event_id) order
+        sign = [(t, k) for t, k, e in evs if e == "signup"]
+        if not sign:
+            continue
+        lvl = 1
+        for t1, k1 in sign:
+            for t2, k2, e2 in evs:
+                if e2 != "click" or (t2, k2) < (t1, k1):
+                    continue
+                if t2 - t1 <= w_lim:
+                    lvl = max(lvl, 2)
+                for t3, k3, e3 in evs:
+                    if e3 != "purchase" or (t3, k3) < (t2, k2):
+                        continue
+                    if t3 - t1 <= w_lim:
+                        lvl = max(lvl, 3)
+        want[u] = lvl
+    assert got == want
