@@ -2518,7 +2518,7 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """windowFunnel — the ClickHouse/Amplitude funnel primitive the
     plain q_funnel (lifetime step counts) cannot express: per user,
     the DEEPEST ordered prefix of signup → click → purchase whose
-    WHOLE chain fits inside a {days}-day window anchored at the
+    WHOLE chain fits inside a {hours}-hour window anchored at the
     signup. "Converted eventually" and "converted within a week" are
     different products; this measures the second.
 
@@ -2581,7 +2581,7 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_window_funnel.__doc__ = q_window_funnel.__doc__.format(
-    days=FUNNEL_WINDOW_US // 86_400_000_000
+    hours=FUNNEL_WINDOW_US // 3_600_000_000
 )
 
 
@@ -2593,7 +2593,7 @@ q_window_funnel.__doc__ = q_window_funnel.__doc__.format(
         FROM events WHERE event_type IN ('signup', 'error')
     ),
     ordered AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type,
                CASE WHEN LAG(event_type) OVER w IS NULL
                          OR LAG(event_type) OVER w <> event_type
                     THEN 1 ELSE 0 END AS is_new
@@ -2601,17 +2601,20 @@ q_window_funnel.__doc__ = q_window_funnel.__doc__.format(
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ),
     grp AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type, is_new,
                SUM(is_new) OVER (
-                   PARTITION BY user_id ORDER BY ts ASC
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                    ROWS UNBOUNDED PRECEDING
                ) AS run_id
         FROM ordered
     ),
     iv AS (
+        -- one row per run: the OPENING status row, carrying its
+        -- event_id so the probe bound below can replay the engine's
+        -- total (ts, event_id) order under equal timestamps
         SELECT user_id, run_id, event_type AS status,
-               MIN(ts) AS valid_from
-        FROM grp GROUP BY user_id, run_id, event_type
+               ts AS valid_from, event_id AS open_eid
+        FROM grp WHERE is_new = 1
     )
     SELECT e.event_id, e.user_id, m.status,
            CASE WHEN m.valid_from IS NULL THEN NULL
@@ -2619,12 +2622,18 @@ q_window_funnel.__doc__ = q_window_funnel.__doc__.format(
            END AS us_in_status
     FROM events e
     LEFT JOIN LATERAL (
-        -- the containing interval = the LAST run starting at-or-before
-        -- the probe; run_id DESC is the engine's carry order exactly
-        -- (ts ties cannot reorder it — runs are (ts, event_id)-ordered)
+        -- the containing interval = the LAST run whose opening row
+        -- precedes the probe in the engine's TOTAL (ts, event_id)
+        -- order — a run opened at the probe's exact ts counts only if
+        -- its opener's event_id sorts before the purchase's, exactly
+        -- what the single-pass carry sees (ADVICE r14 #2: the bare
+        -- valid_from <= ts bound matched the NEW run where the engine
+        -- carries the old one)
         SELECT i.status, i.valid_from
         FROM iv i
-        WHERE i.user_id = e.user_id AND i.valid_from <= e.ts
+        WHERE i.user_id = e.user_id
+          AND (i.valid_from < e.ts
+               OR (i.valid_from = e.ts AND i.open_eid < e.event_id))
         ORDER BY i.run_id DESC LIMIT 1
     ) m ON TRUE
     WHERE e.event_type = 'purchase'

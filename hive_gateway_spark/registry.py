@@ -31,42 +31,27 @@ ORACLES: dict[str, str] = {}
 #: pytest parity gate (tests/test_parity.py runs ALL of them); rounds
 #: rotate the tail through the window so each gains a driver row.
 PRIORITY: tuple[str, ...] = (
-    # -- r14 rotation (executing the r13-close pre-plan, VERDICT r13
-    # task #1, with the two judge-directed amendments below):
-    # CORRECTNESS_r13 landed rows for all fourteen r13-window entrants
-    # (ten hash-green; q_semantic_dedup / q_sim_topk_pq /
-    # q_sim_topk_pq_rerank / q_video_phash_dedup rows-only as
-    # declared), so TWENTY-EIGHT many-times-green occupants rotate OUT
-    # to the local parity gate:
-    #   * the TEN r9-queue tail heads (q_first_touch, q_compress_ratio,
-    #     q_tpch_q6, q_tpch_q13, q_vocab_coverage, q_collocations,
-    #     q_mad_outliers, q_event_gaps, q_churn_matrix,
-    #     q_dedup_normalized — each r10+r11+r12+r13-green),
-    #   * the NINE r10/r11-written heads (q_curation_v4,
-    #     q_curation_v4_funnel, q_ntile_assign, q_tpch_q1, q_tpch_q12,
-    #     q_tpch_q19, q_rank_distribution, q_pack_efficiency,
-    #     q_exact_quantiles),
-    #   * the SIX remaining r11-written (q_tpch_q7, q_tpch_q8,
-    #     q_tpch_q15, q_tpch_q17, q_tpch_q22, q_hard_negatives),
-    #   * and — VERDICT r13 task #6 (rows-only occupants waste hash
-    #     slots) — the THREE declared-rows-only r12 entrants
-    #     q_semantic_dedup, q_sim_topk_pq, q_sim_topk_pq_rerank, whose
-    #     r13 `no_oracle` rows are on record.
-    # Judge-directed amendments to the r13-close pre-plan:
-    #   (a) q_graph_kcore STAYS in-window — it gains an exact unrolled-
-    #       peel DuckDB oracle this round (VERDICT r13 task #3), so its
-    #       r14 slot earns a hash-green row instead of another
-    #       `no_oracle`;
-    #   (b) q_ann_index_stats stays as the standing rows-only IVF
-    #       occupancy monitor (pre-plan, kept verbatim);
-    #   (c) q_video_phash_dedup's slot passes to q_pq_candidates — the
-    #       NEW exact-oracled ADC-candidate-set query (VERDICT r13 task
-    #       #4, the q_ann_buckets playbook applied to PQ).
-    # The 28 freed slots take ALL TWENTY-EIGHT ROTATION_CANDIDATES in
-    # FIFO order, emptying the queue. Expected r14 row mix:
-    # forty-seven hash-green; q_sim_topk_ivfpq, q_quantile_sketch and
-    # q_ann_index_stats rows-only (learned cells/codebooks, GK sketch
-    # samples, engine-private occupancy) with rows > 0.
+    # -- r15 rotation (executing the r14-close pre-plan verbatim —
+    # VERDICT r14 task #1, exact arithmetic 9 + 1 + 26 + 14 = 50):
+    # CORRECTNESS_r14 landed rows for all fifty r14-window occupants
+    # (47 hash-green; q_ann_index_stats / q_sim_topk_ivfpq /
+    # q_quantile_sketch rows-only as declared, zero failures), so
+    # FOURTEEN many-times-green occupants rotate OUT to the local
+    # parity gate:
+    #   * the TEN r12-written second-rowers (q_tpch_q4, q_tpch_q9,
+    #     q_tpch_q2, q_tpch_q11, q_tpch_q16, q_tpch_q20, q_tpch_q21,
+    #     q_quality_classifier, q_dataset_card, q_curation_v5 — each
+    #     r13+r14-hash-green),
+    #   * q_graph_kcore and q_pq_candidates (each r14-hash-green;
+    #     kcore also holds four earlier rows-only rows),
+    #   * q_sim_topk_ivfpq (rows-only by design — its r14 `no_oracle`
+    #     row is on record; a rows-only occupant wastes a hash slot,
+    #     VERDICT r13 task #6's standing principle),
+    #   * and the r13-queue head q_curation_v5_funnel (r14-hash-green).
+    # The 14 freed slots take ALL FOURTEEN ROTATION_CANDIDATES in FIFO
+    # order, emptying the queue. Expected r15 row mix: forty-eight
+    # hash-green; q_quantile_sketch and q_ann_index_stats rows-only
+    # (GK boundary samples, engine-private occupancy) with rows > 0.
     #
     # -- the nine §2.2/§2.3 contract queries that keep window
     # representation (each green in every windowed round) --
@@ -79,26 +64,10 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_fuzzy",
     "q_embed_agg",
     "q_text_lang_report",
-    # -- r12-written occupants staying for a second row (all r13
-    # hash-green) --
-    "q_tpch_q4",
-    "q_tpch_q9",
-    "q_tpch_q2",
-    "q_tpch_q11",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_quality_classifier",
-    "q_dataset_card",
-    "q_curation_v5",
-    # -- newly exact-oracled this round (amendments a/c above) --
-    "q_graph_kcore",  # unrolled-peel oracle (r14); rows-only r10..r13
-    "q_pq_candidates",  # NEW r14: ADC candidate set, exact oracle
-    # -- standing rows-only monitor (pre-plan amendment b) --
+    # -- standing rows-only monitor (IVF occupancy) --
     "q_ann_index_stats",
-    # -- the r13-written queue, in FIFO order (28) --
-    "q_sim_topk_ivfpq",  # rows-only by design (learned cells+codebooks)
-    "q_curation_v5_funnel",
+    # -- the 26 r13-entrants keeping their slots (r14 hash-green,
+    # staying for a second row), in FIFO order --
     "q_sim_range_search",
     "q_text_bm25",
     "q_quantile_sketch",  # rows-only by design (GK boundary samples)
@@ -125,84 +94,40 @@ PRIORITY: tuple[str, ...] = (
     "q_attribution_linear",
     "q_cohort_revenue",
     "q_conversion_lag",
-)
-
-#: r15 rotation candidates. The r14 rotation drained the whole
-#: 28-entry r13 queue into the window (VERDICT r13 task #1): at
-#: r14-open the queue is EMPTY and every query registered through r13
-#: holds (or is in-window to earn) a driver row. Queries WRITTEN during
-#: r14 enter here (FIFO) and take r15 slots; the standing rotate-out
-#: pool is the r14 stay-list once its members earn their r14 rows
-#: (tests/test_registry.py's debt ledger enforces row-or-slot-or-queue
-#: for every registered query).
-#:
-#: r15 PRE-PLAN (written at r14 close, exact arithmetic): the queue
-#: below holds FOURTEEN entries, so rotate OUT exactly fourteen — the
-#: TEN r12-written second-rowers (q_tpch_q4, q_tpch_q9, q_tpch_q2,
-#: q_tpch_q11, q_tpch_q16, q_tpch_q20, q_tpch_q21,
-#: q_quality_classifier, q_dataset_card, q_curation_v5 — each then
-#: r13+r14-green), q_graph_kcore and q_pq_candidates (each then
-#: r14-hash-green; kcore also holds four earlier rows-only rows),
-#: q_sim_topk_ivfpq (rows-only by design — its r14 `no_oracle` row
-#: will be on record, and a rows-only occupant wastes a hash slot,
-#: VERDICT r13 task #6's standing principle), and the r13-queue head
-#: q_curation_v5_funnel (then r14-hash-green) — and take ALL FOURTEEN
-#: candidates FIFO. The nine §2.2/§2.3 contract keepers,
-#: q_ann_index_stats (standing rows-only monitor) and the remaining
-#: 26 r13-entrants keep their slots: 9 + 1 + 26 + 14 = 50 exactly.
-#: Expected r15 row mix: forty-eight hash-green; q_quantile_sketch
-#: and q_ann_index_stats rows-only with rows > 0.
-ROTATION_CANDIDATES: tuple[str, ...] = (
-    # TPC-DS starter shapes (VERDICT r13 task #9): the seasonal
-    # month-of-year brand report, the demographic-slice multi-average,
-    # and the cross-dimension (buyer-nation ≠ seller-nation) revenue
-    # matrix — the DS patterns the complete TPC-H suite doesn't cover;
-    # all exact-oracled (operators/tpcds.py)
+    # -- the r14-written queue, in FIFO order (14): six TPC-DS shapes,
+    # the privacy triad's third rung, tokenizer fertility, the forward
+    # as-of mode, the time-series batch (TWA / OHLC / SCD2 lookup /
+    # windowFunnel), and q_sim_topk_lsh's rows-only → exact upgrade --
     "q_tpcds_q3",
     "q_tpcds_q7",
     "q_tpcds_q19",
-    # DS Q27's rollup-over-a-star shape (subtotals over attributes
-    # that only exist after two dim joins — the grouping-set pattern
-    # the judge called out) and the privacy triad's third rung
-    # (skewness attack: per-class TVD vs the global sensitive
-    # distribution, exact integer numerator, absent mass in closed
-    # form); both exact-oracled
     "q_tpcds_q27",
     "q_t_closeness",
-    # tokenizer-equity report: BPE-ish tokens per whitespace word and
-    # chars per token by language (the shared q_token_count regex —
-    # the estimators cannot drift); exact int64 sums + ppm rounds
     "q_tokenizer_fertility",
-    # the third as-of mode (forward: next signup at-or-after — pandas
-    # merge_asof direction='forward'), mirror one-pass carry with an
-    # independent LATERAL-MIN oracle; and DS Q88's wide one-scan band
-    # report (eight filtered counts, one row, zero joins — the
-    # collapsed form of the published 8-subquery spelling)
     "q_join_asof_forward",
     "q_tpcds_q88",
-    # rows-only → exact conversion (the q_ann_buckets fragments + the
-    # q_sim_topk scoring shape compose): the LSH ANN result itself is
-    # now hash-checkable, deserving a driver hash row to replace its
-    # old no_oracle ones
     "q_sim_topk_lsh",
-    # DS Q59's aggregate-to-aggregate self-join (YoY weekly matrix —
-    # the derived-frame join no TPC-H shape exercises); exact-oracled
     "q_tpcds_q59",
-    # two time-series staples: time-weighted average per user (the
-    # TimescaleDB time_weight / kdb twa — step-function semantics,
-    # exact cents × exact µs durations) and OHLC bar resampling per
-    # (type, day) (open/close via the shared (ts, event_id) tie-broken
-    # row_number, never min_by/arg_min variance); both exact-oracled
     "q_time_weighted_avg",
     "q_ohlc_bars",
-    # the CONSUMING half of the SCD2 story: point-in-time dimension
-    # lookup ("status when they purchased") as a one-pass struct carry
-    # — never a range join — with an independent LATERAL oracle
     "q_dim_lookup_scd2",
-    # windowFunnel (the ClickHouse/Amplitude primitive): deepest
-    # ordered signup→click→purchase prefix fitting a 12 h window —
-    # greedy max-start carries in ONE pass, brute-force EXISTS oracle
     "q_window_funnel",
+)
+
+#: r16 rotation candidates. The r15 rotation drained the whole
+#: 14-entry r14 queue into the window (VERDICT r14 task #1): at
+#: r15-open the queue is EMPTY and every query registered through r14
+#: holds (or is in-window to earn) a driver row. Queries WRITTEN during
+#: r15 enter here (FIFO) and take r16 slots; the standing rotate-out
+#: pool is the r15 stay-list once its members earn their r15 rows
+#: (tests/test_registry.py's debt ledger enforces row-or-slot-or-queue
+#: for every registered query).
+ROTATION_CANDIDATES: tuple[str, ...] = (
+    # (filled as r15 queries land — TPC-DS batch 2 per VERDICT r14
+    # task #3 is the planned first block: Q1's customer-returns CTE
+    # with a correlated per-group average threshold, Q34/Q73's
+    # HAVING-over-count shapes, Q42/Q52's simple star rollups, Q95's
+    # multi-EXISTS on one fact)
 )
 
 

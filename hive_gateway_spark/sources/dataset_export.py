@@ -627,6 +627,64 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     )
 
 
+def rewrite_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict:
+    """Full-table COW REWRITE under a possibly-EVOLVED schema — the
+    "explicit rewrite" merge_dataset's unexpected-column error points
+    at (Delta's ``overwrite`` + ``overwriteSchema=true``): the table's
+    next version consists of exactly ``df``'s rows and columns, landed
+    as fresh files under a fresh manifest, while every prior version
+    keeps its files — time travel still reads the pre-rewrite schema.
+    This is the verb for VALUE-bearing schema migrations (backfill a
+    new column from the existing rows, re-derive a merge key):
+    append_dataset(evolve=True) can only NULL-fill old rows, and
+    write_dataset resets the version log entirely.
+
+    Partitioning is inherited from the current manifest (a rewrite
+    changes columns, not layout policy). Single commit attempt: a lost
+    race unlinks the landed files and raises CommitConflict — the
+    caller decides whether to recompute against the winner (a rewrite
+    silently retried over a concurrent writer's commit would erase it).
+    """
+    spark = df.sparkSession
+    prev = _current_manifest(path)
+    if not prev.get("files"):
+        raise ValueError(
+            "manifest has no files list (pre-snapshot or corrupt) — "
+            "re-export with write_dataset"
+        )
+    pby = prev["partition_by"]
+    missing_pby = [c for c in pby if c not in df.columns]
+    if missing_pby:
+        raise ValueError(f"rewrite missing partition columns: {missing_pby}")
+    cols = df.columns
+    files = _land_files(df, path, pby)
+    back = _read_manifest_files(spark, path, files)
+    counts = _partition_counts(back, pby)
+    manifest = {
+        "format": "parquet",
+        "partition_by": pby,
+        "columns": cols,
+        "n_rows": sum(counts.values()),
+        "partitions": dict(sorted(counts.items())),
+        "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
+        "version": int(prev.get("version", 1)) + 1,
+        "files": files,
+        "schema_json": _file_schema_json(df, cols, pby),
+        **(extra or {}),
+    }
+    _fire_race_hook()
+    try:
+        _try_commit(path, manifest)
+        return manifest
+    except CommitConflict:
+        for rel in files:
+            try:
+                os.unlink(os.path.join(path, rel))
+            except FileNotFoundError:
+                pass
+        raise
+
+
 def delete_dataset(
     spark: SparkSession, path: str, column: str, lo, hi
 ) -> dict:

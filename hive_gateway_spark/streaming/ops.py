@@ -1375,6 +1375,7 @@ def scd2_dimension_sink(spark: SparkSession, table_path: str):
     from hive_gateway_spark.sources.dataset_export import (
         merge_dataset,
         read_snapshot,
+        rewrite_dataset,
         write_dataset,
     )
 
@@ -1389,6 +1390,41 @@ def scd2_dimension_sink(spark: SparkSession, table_path: str):
             )
         else:
             hist = read_snapshot(spark, table_path)
+            if "run_seq" not in hist.columns:
+                # Migration (ADVICE r14 #3): a dimension written by the
+                # pre-run_seq sink carries no run ordinal, so the seeded
+                # walk below would die on a missing column. Backfill the
+                # per-user ordinal from the stored interval order ONCE
+                # and commit it as a schema-evolving rewrite (new
+                # version, old versions' files untouched) — the merge
+                # key derives from run_seq, so the whole table must
+                # re-key, not just the seeds. Ordering: valid_from,
+                # then valid_to with the open row (NULL) last — equal-
+                # valid_from runs (ts-tie flips) close in valid_to
+                # order; state breaks the residual zero-length-run tie
+                # deterministically (consecutive runs always differ in
+                # state). Tie-swapped ordinals among closed zero-length
+                # rows are harmless: the walk consumes only the OPEN
+                # run's ordinal, which row_number pins to the per-user
+                # MAX, so new runs extend without key collisions.
+                from pyspark.sql import Window
+
+                w_seq = Window.partitionBy("user_id").orderBy(
+                    F.col("valid_from").asc(),
+                    F.col("valid_to").asc_nulls_last(),
+                    F.col("state").asc(),
+                )
+                hist = (
+                    hist.withColumn(
+                        "run_seq", F.row_number().over(w_seq).cast("bigint")
+                    )
+                    .withColumn(
+                        "iv_key",
+                        F.concat_ws("|", F.col("user_id"), F.col("run_seq")),
+                    )
+                    .localCheckpoint()  # rewrite replaces the path we read
+                )
+                rewrite_dataset(hist, table_path)
             affected = batch.select("user_id").distinct()
             seeds = hist.filter(F.col("is_current")).join(
                 affected, "user_id", "left_semi"

@@ -738,6 +738,64 @@ def test_merge_dataset_upserts_with_snapshot_isolation(spark, tmp_path):
     assert verify_dataset(spark, path)["ok"]
 
 
+def test_rewrite_dataset_evolves_schema_with_backfilled_values(spark, tmp_path):
+    """rewrite_dataset is the VALUE-bearing schema-migration verb
+    (merge refuses unexpected columns; append(evolve=True) can only
+    NULL-fill old rows): the new version carries df's rows AND columns
+    exactly, prior versions keep their files and pre-rewrite schema,
+    and a lost commit race unlinks the landed files and raises."""
+    from hive_gateway_spark.sources import dataset_export as de
+
+    base = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    path = str(tmp_path / "tblr")
+    de.write_dataset(base, path, partition_by=["lang"])
+    evolved = base.withColumn("text_len", F.length("text").cast("bigint"))
+    m2 = de.rewrite_dataset(evolved.localCheckpoint(), path)
+    assert m2["version"] == 2 and m2["n_rows"] == 3
+    assert "text_len" in m2["columns"]
+    got = de.read_snapshot(spark, path)
+    assert {r["doc_id"]: r["text_len"] for r in got.collect()} == {1: 1, 2: 1, 3: 1}
+    # time travel reads the PRE-rewrite schema
+    v1 = de.read_snapshot(spark, path, version=1)
+    assert "text_len" not in v1.columns and v1.count() == 3
+    assert de.verify_dataset(spark, path)["ok"]
+    # merge now accepts the evolved column set (keyed upsert post-migration)
+    up = evolved.filter(F.col("doc_id") == 2).withColumn("text", F.lit("B!"))
+    de.merge_dataset(up.localCheckpoint(), path, key="doc_id")
+    assert {
+        r["doc_id"]: r["text"] for r in de.read_snapshot(spark, path).collect()
+    } == {1: "a", 2: "B!", 3: "c"}
+    # lost race: the concurrent append wins; the rewrite must unlink
+    # its landed files (no orphan growth) and surface the conflict
+    files_before = set(de.dataset_files(path))
+    de._RACE_HOOK = lambda: de.append_dataset(
+        spark.createDataFrame(
+            [(9, "z", "de", 1)], "doc_id bigint, text string, lang string, text_len bigint"
+        ),
+        path,
+    )
+    try:
+        import pytest as _pt
+
+        with _pt.raises(de.CommitConflict):
+            de.rewrite_dataset(evolved.localCheckpoint(), path)
+    finally:
+        de._RACE_HOOK = None
+    assert de.verify_dataset(spark, path)["ok"]
+    import os as _os
+
+    referenced = set(de._current_manifest(path)["files"])
+    leftovers = {
+        _os.path.relpath(f, path)
+        for f in set(de.dataset_files(path)) - files_before
+        if _os.path.relpath(f, path) not in referenced
+    }
+    assert not leftovers, f"rewrite leaked orphan files: {leftovers}"
+
+
 def test_compact_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
     """OPTIMIZE-with-sort: compacting with cluster_by range-partitions
     and sorts the rewrite, so each parquet file's footer min/max covers

@@ -564,3 +564,73 @@ def test_window_funnel_greedy_matches_bruteforce(spark, rows, window_s):
                         lvl = max(lvl, 3)
         want[u] = lvl
     assert got == want
+
+
+# --- SCD2 point-in-time lookup: engine carry == DuckDB oracle, WITH
+# ts ties --- (ADVICE r14 #2: the fixture pins per-user ts uniqueness,
+# so the oracle's (ts, event_id)-aware LATERAL bound — a purchase
+# sharing ts with a status flip must match the run the CARRY sees, the
+# one whose opener precedes it in total order — is only reachable here)
+
+_scd2_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # user
+        st.integers(min_value=0, max_value=12),   # ts (seconds; ties!)
+        st.sampled_from(["signup", "error", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_scd2_events)
+@settings(max_examples=12, deadline=None)
+def test_dim_lookup_scd2_oracle_agrees_under_ts_ties(spark_global, rows):
+    import datetime as _dt
+
+    import duckdb
+
+    from hive_gateway_spark.operators import advanced as A
+    from hive_gateway_spark.registry import ORACLES
+
+    spark = spark_global
+    data = [
+        (i, u, _dt.datetime(2024, 1, 1, 0, 0, ts_s), et)
+        for i, (u, ts_s, et) in enumerate(rows)
+    ]
+    if not any(et == "purchase" for _, _, _, et in data):
+        data.append((len(data), 0, _dt.datetime(2024, 1, 1, 0, 0, 5), "purchase"))
+    ev = spark.createDataFrame(
+        data, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    orig = A.load_tables
+    A.load_tables = lambda s, d: {"events": ev}
+    try:
+        got_df = A.q_dim_lookup_scd2(spark, "ignored").toPandas()
+    finally:
+        A.load_tables = orig
+    got = {
+        (r.event_id, r.user_id): (
+            None if pd.isna(r.status) else r.status,
+            None if pd.isna(r.us_in_status) else int(r.us_in_status),
+        )
+        for r in got_df.itertuples()
+    }
+    con = duckdb.connect()
+    try:
+        pdf = pd.DataFrame(
+            data, columns=["event_id", "user_id", "ts", "event_type"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        con.register("events", pdf)
+        exp_df = con.execute(ORACLES["q_dim_lookup_scd2"]).fetchdf()
+    finally:
+        con.close()
+    exp = {
+        (r.event_id, r.user_id): (
+            None if pd.isna(r.status) else r.status,
+            None if pd.isna(r.us_in_status) else int(r.us_in_status),
+        )
+        for r in exp_df.itertuples()
+    }
+    assert got == exp

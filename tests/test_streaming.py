@@ -1195,6 +1195,67 @@ def test_scd2_dimension_sink_survives_equal_ts_state_flips(spark, tmp_path):
     assert seqs.duplicated().sum() == 0
 
 
+def test_scd2_dimension_sink_migrates_pre_run_seq_table(spark, tmp_path):
+    """ADVICE r14 #3: a dimension table written by the pre-run_seq sink
+    has no run ordinal, so the first post-upgrade batch used to die on
+    a missing-column AnalysisException with no migration path. The
+    sink now detects the legacy schema at seed load, backfills run_seq
+    per user from the stored interval order, re-keys, and commits the
+    rewrite as a NEW version (old versions stay time-travel readable)
+    before merging the batch as usual."""
+    import datetime as _dt
+
+    from hive_gateway_spark.operators.advanced import _scd2_build
+    from hive_gateway_spark.sources.dataset_export import (
+        read_snapshot,
+        write_dataset,
+    )
+    from hive_gateway_spark.streaming.ops import scd2_dimension_sink
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "A"),
+        (1, "2024-01-02 00:00:00", 2, "B"),
+        (1, "2024-01-03 00:00:00", 3, "B"),
+        (2, "2024-01-01 12:00:00", 4, "A"),
+        # batch 2 (post-upgrade): a flip for user 1, a new user 3
+        (1, "2024-01-04 00:00:00", 5, "A"),
+        (3, "2024-01-05 00:00:00", 6, "B"),
+    ]
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    all_ev = spark.createDataFrame(
+        [(u, _dt.datetime.fromisoformat(ts), e, et) for u, ts, e, et in rows],
+        schema,
+    )
+    b1 = all_ev.filter(F.col("event_id") <= 4)
+    b2 = all_ev.filter(F.col("event_id") > 4)
+    # a LEGACY table: the batch build WITHOUT run_seq, keyed the
+    # pre-r14 way (user_id|valid_from) — exactly what the old sink wrote
+    legacy = _scd2_build(b1).withColumn(
+        "iv_key",
+        F.concat_ws("|", F.col("user_id"), F.unix_micros("valid_from")),
+    )
+    path = str(tmp_path / "dim_legacy")
+    write_dataset(legacy.localCheckpoint(), path)
+    assert "run_seq" not in read_snapshot(spark, path).columns
+    # the upgraded sink's first batch must migrate, then merge normally
+    apply = scd2_dimension_sink(spark, path)
+    apply(b2, 0)
+    cols = ["user_id", "state", "valid_from", "valid_to", "is_current", "n_events"]
+    got = read_snapshot(spark, path)
+    want = _scd2_build(all_ev).select(*cols).toPandas()
+    assert_same(got.select(*cols).toPandas(), want)
+    # run ordinals are unique per user and the open runs carry the max
+    seqs = got.select("user_id", "run_seq").toPandas()
+    assert seqs.duplicated().sum() == 0
+    # the migration committed as a version, not a reset: v1 is the
+    # legacy table (still readable, still run_seq-less), v2 the
+    # backfilled rewrite, v3 the merged batch
+    v1 = read_snapshot(spark, path, version=1)
+    assert "run_seq" not in v1.columns and v1.count() == legacy.count()
+    v2 = read_snapshot(spark, path, version=2)
+    assert "run_seq" in v2.columns and v2.count() == legacy.count()
+
+
 def test_embed_screen_foreach_batch_routes_by_arrival_count(spark, tmp_path):
     """The config-gated unified screen (VERDICT r13 task #7): one
     callable serves every arrival rate — batches at/above the
