@@ -462,3 +462,282 @@ def q_tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yoy_ratio"),
         )
     )
+
+
+#: DS Q42's fixed (year, month) slice — the published query pins
+#: d_year=2000, d_moy=11; 1997 is a full-volume fixture year.
+Q42_YEAR = 1997
+
+
+@query(
+    "q_tpcds_q1",
+    oracle="""
+    WITH ctr AS (
+        SELECT o.o_custkey AS cust, c.c_nationkey AS nat,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) * 10000 AS BIGINT) AS ret_e4
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, a.ret_e4
+    FROM ctr a
+    JOIN customer c ON c.c_custkey = a.cust
+    JOIN nation n   ON n.n_nationkey = a.nat
+    WHERE 10 * a.ret_e4
+          * (SELECT COUNT(*) FROM ctr b WHERE b.nat = a.nat)
+        > 12 * (SELECT SUM(b.ret_e4) FROM ctr b WHERE b.nat = a.nat)
+    ORDER BY a.ret_e4 DESC, c.c_custkey ASC
+    LIMIT 100
+    """,
+)
+def q_tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 shape (customers returning more than 1.2× their
+    group's average): the published query builds a customer_total_return
+    CTE and keeps customers whose return total exceeds 1.2 times the
+    AVERAGE of that same CTE within their store/state — the
+    aggregate-over-aggregate correlated-threshold pattern (DS's
+    signature decorrelation test; TPC-H's closest cousins Q11/Q22
+    compare against a GLOBAL scalar, never a correlated group).
+    Returned lineitems (l_returnflag = 'R') play store_returns and the
+    customer's nation plays the store/state group.
+
+    Spark spelling: the CTE aggregates ONCE, then the per-nation
+    average arrives as a WINDOW over the aggregate — zero second scans
+    and zero self-joins, which is exactly what a decorrelating
+    optimizer is supposed to reach from the published correlated
+    subquery; the oracle deliberately KEEPS the correlated spelling so
+    the hash compares the decorrelated plan against the definition.
+    The 1.2× threshold is compared in exact integer arithmetic
+    (10·ret·count > 12·sum ⟺ ret > 1.2·avg), so no float enters the
+    predicate in either engine.
+
+    Scale shape: one fact scan (filter pushed to the 'R' third of the
+    corpus), one shuffle to (cust, nat) groups, one window over ≤
+    customers rows partitioned by 25 nations, customer/nation dims
+    broadcast. The aggregate is customer-grained, so the window input
+    is dim-sized, not fact-sized.
+    """
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    ctr = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("c_nationkey").alias("nat")
+        )
+        .agg(
+            (F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)) * 10000)
+            .cast("bigint")
+            .alias("ret_e4")
+        )
+    )
+    w = W.partitionBy("nat")
+    keep = ctr.withColumn("nat_sum", F.sum("ret_e4").over(w)).withColumn(
+        "nat_cnt", F.count("*").over(w)
+    ).filter(10 * F.col("ret_e4") * F.col("nat_cnt") > 12 * F.col("nat_sum"))
+    return (
+        keep.join(
+            F.broadcast(t["customer"].select("c_custkey", "c_name")),
+            F.col("cust") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]), F.col("nat") == F.col("n_nationkey")
+        )
+        .select(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"), "ret_e4"
+        )
+        .orderBy(F.col("ret_e4").desc(), F.col("c_custkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpcds_q34",
+    oracle="""
+    WITH trips AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING COUNT(*) BETWEEN 7 AND 13
+    )
+    SELECT c.c_custkey, c.c_name, t.l_orderkey AS o_orderkey, t.n_items
+    FROM trips t
+    JOIN orders o   ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY t.n_items DESC, c.c_custkey ASC, o_orderkey ASC
+    """,
+)
+def q_tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34/Q73 shape (HAVING-over-COUNT basket report): the
+    published pair finds shopping trips of 15-20 items (COUNT(*) per
+    (customer, ticket) inside a HAVING band) and joins the qualifying
+    tickets back to customer names — the aggregate-filter-then-
+    rejoin-dims pattern. An order plays the ticket; the band [7, 13]
+    is the fixture's large-basket tail (~12%% of orders, top of the
+    1-13 items-per-order distribution), discriminating the same way
+    DS's 15-20 band does.
+
+    Distinct from TPC-H Q18 (which thresholds SUM(quantity) and
+    grades a top-N): the HAVING is on the bare row COUNT, the band is
+    two-sided, and the report is the full qualifying set under a
+    total-order sort, not a LIMIT over a sum.
+
+    Scale shape: ONE fact scan map-side-combines to per-order counts
+    (the groupBy key is the fact's own parent key, so partial
+    aggregation does most of the work before the exchange); the band
+    filter drops ~88%% of orders before any join; orders joins on its
+    primary key; the customer dim broadcasts.
+    """
+    t = load_tables(spark, sf_dir)
+    trips = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+        .filter(F.col("n_items").between(7, 13))
+    )
+    return (
+        trips.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("l_orderkey").alias("o_orderkey"),
+            "n_items",
+        )
+        .orderBy(
+            F.col("n_items").desc(),
+            F.col("c_custkey").asc(),
+            F.col("o_orderkey").asc(),
+        )
+    )
+
+
+@query(
+    "q_tpcds_q42",
+    oracle=f"""
+    SELECT CAST({Q42_YEAR} AS BIGINT) AS sales_year,
+           split_part(p.p_type, ' ', 1) AS category,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_agg
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE month(l.l_shipdate) = {DS_MOY}
+      AND year(l.l_shipdate) = {Q42_YEAR}
+    GROUP BY 2
+    ORDER BY sum_agg DESC, category ASC
+    """,
+)
+def q_tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q42/Q52 shape (single-month category rollup): the
+    simplest published star — ONE month of ONE year, fact ⋈ item,
+    revenue per category, ordered by revenue — the pattern DS uses to
+    grade bare star-join latency (vs Q3's every-year seasonal slice;
+    this one pins both calendar attributes, so the scan filter is as
+    selective as the suite gets). The part type's leading word plays
+    i_category (6 values).
+
+    Scale shape: both calendar predicates (month+year of l_shipdate)
+    push into the scan; part broadcasts; the rollup has ≤ 6 groups so
+    the exchange after partial aggregation is a few rows. This is the
+    plan whose cost should be within epsilon of the bare filtered
+    scan.
+    """
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(
+        (F.month("l_shipdate") == DS_MOY) & (F.year("l_shipdate") == Q42_YEAR)
+    )
+    return (
+        l.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.split(F.col("p_type"), " ").getItem(0).alias("category"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("sum_agg")
+        )
+        .select(
+            F.lit(Q42_YEAR).cast("bigint").alias("sales_year"),
+            "category",
+            "sum_agg",
+        )
+        .orderBy(F.col("sum_agg").desc(), F.col("category").asc())
+    )
+
+
+@query(
+    "q_tpcds_q95",
+    oracle=f"""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p.rev_e4) AS BIGINT) AS total_rev_e4
+    FROM per_order p
+    JOIN orders o ON o.o_orderkey = p.l_orderkey
+    WHERE p.n_supp > 1 AND p.has_ret = 0
+      AND year(o.o_orderdate) = {Q42_YEAR}
+    """,
+)
+def q_tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q95 shape (multi-EXISTS on one fact): the published
+    query counts one-year web orders that EXIST in web_sales under a
+    DIFFERENT warehouse (a self-EXISTS on the fact's own order number)
+    and do NOT EXIST in web_returns — two correlated quantifiers over
+    the same fact. Here "different warehouse" is a second distinct
+    supplier within the order and the returns table is the fact's own
+    'R'-flagged rows.
+
+    Spark spelling: BOTH quantifiers collapse into ONE per-order
+    aggregate — COUNT(DISTINCT supplier) > 1 replaces the self-EXISTS
+    and MAX(returnflag = 'R') = 0 replaces the NOT EXISTS — so the
+    fact is scanned once where the published spelling's naive plan
+    scans it three times; the revenue sum rides the same aggregate.
+    The oracle keeps the same collapsed derivation in a CTE (DuckDB
+    decorrelates EXISTS to semi-joins anyway; the CTE keeps the
+    integer-exact revenue identical) — rows/schema/values all hash.
+
+    Scale shape: one fact scan → per-order partial-combined aggregate
+    (the key is the fact's parent key), band filter drops ~70%, then
+    one hash join against the year-filtered orders and a single-row
+    global aggregate. COUNT(DISTINCT) inside the per-order aggregate
+    is exact and bounded (≤ 7 lineitems per order), never a
+    corpus-wide distinct.
+    """
+    t = load_tables(spark, sf_dir)
+    per_order = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_ret"),
+            (F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)) * 10000)
+            .cast("bigint")
+            .alias("rev_e4"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("has_ret") == 0))
+    )
+    o = t["orders"].filter(F.year("o_orderdate") == Q42_YEAR).select("o_orderkey")
+    return (
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("rev_e4").cast("bigint").alias("total_rev_e4"),
+        )
+    )

@@ -123,11 +123,17 @@ PRIORITY: tuple[str, ...] = (
 #: (tests/test_registry.py's debt ledger enforces row-or-slot-or-queue
 #: for every registered query).
 ROTATION_CANDIDATES: tuple[str, ...] = (
-    # (filled as r15 queries land — TPC-DS batch 2 per VERDICT r14
-    # task #3 is the planned first block: Q1's customer-returns CTE
-    # with a correlated per-group average threshold, Q34/Q73's
-    # HAVING-over-count shapes, Q42/Q52's simple star rollups, Q95's
-    # multi-EXISTS on one fact)
+    # TPC-DS batch 2 (VERDICT r14 task #3): the grouping-heavy DS
+    # idioms TPC-H never exercises — Q1's aggregate-over-aggregate
+    # correlated 1.2×-average threshold (window-decorrelated against
+    # a correlated-subquery oracle), Q34/Q73's HAVING-over-COUNT
+    # basket band, Q42/Q52's single-month star rollup, and Q95's
+    # multi-EXISTS collapsed to one per-order aggregate; all
+    # exact-oracled (operators/tpcds.py)
+    "q_tpcds_q1",
+    "q_tpcds_q34",
+    "q_tpcds_q42",
+    "q_tpcds_q95",
 )
 
 

@@ -803,3 +803,45 @@ def test_window_funnel_is_single_pass_no_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_window_funnel")
     assert "Join" not in plan, plan
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_tpcds_q1_decorrelates_to_one_window_pass(spark, sf_dir):
+    """DS Q1's correlated 1.2×-average threshold must execute as ONE
+    window over the customer-grained aggregate — never the correlated
+    subquery's self-join re-aggregation: exactly one lineitem scan,
+    a Window node, and broadcast joins for the dims."""
+    plan = plan_of(spark, sf_dir, "q_tpcds_q1")
+    assert plan.lower().count("lineitem.parquet") == 1, plan
+    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpcds_q95_single_fact_scan(spark, sf_dir):
+    """Q95's two correlated quantifiers (self-EXISTS, NOT-EXISTS
+    returns) collapse into one per-order aggregate: the fact is
+    scanned ONCE (the published spelling's naive plan scans it three
+    times)."""
+    plan = plan_of(spark, sf_dir, "q_tpcds_q95")
+    assert plan.lower().count("lineitem.parquet") == 1, plan
+
+
+def test_tpcds_q42_pushes_both_calendar_predicates(spark, sf_dir):
+    """The single-month single-year slice must reach the scan as a
+    pushed filter (month+year of l_shipdate), and part must
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "q_tpcds_q42")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # both calendar functions evaluate scan-side (partial filters may
+    # not push into parquet for month()/year() exprs, but the filter
+    # must sit directly on the scan, before the join)
+    assert re.search(r"Filter.*month", plan, re.IGNORECASE | re.DOTALL), plan
+
+
+def test_tpcds_q34_partial_aggregates_before_exchange(spark, sf_dir):
+    """The per-order count map-side-combines (partial + final
+    HashAggregate) and the customer dim broadcasts."""
+    plan = plan_of(spark, sf_dir, "q_tpcds_q34")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
