@@ -2046,6 +2046,259 @@ def q_pq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q_ivfpq_candidates — the IVF×ADC shortlist made hash-checkable
+# (VERDICT r14 task #4, the q_pq_candidates playbook extended by the
+# cell-scoping half): q_sim_topk_ivfpq's learned artifacts (KMeans
+# cells, Lloyd codebooks) keep it rows-only, so this query runs the
+# SAME serving machinery — coarse assignment, probe selection,
+# cell-scoped ADC, shortlist ranking — against a seeded integer cell
+# table AND the seeded integer codebook, both embedded verbatim in the
+# DuckDB oracle as VALUES tables. Every step is exact int64, so the
+# cell-scoped candidate MEMBERSHIP and scores hash-match.
+# ---------------------------------------------------------------------------
+
+#: Oracle-IVF geometry: 16 seeded cells, 4 probed — the probe scopes
+#: ~25% of the corpus per query, so a membership bug (scoring outside
+#: the probed cells, or probing the wrong cells) cannot hide.
+IVFO_CELLS = 16
+IVFO_PROBES = 4
+
+
+def _ivf_oracle_centers(dim: int = 64):
+    """cell → integer center vector, seeded LCG (distinct seed from
+    _pq_oracle_books so cells and codebooks never correlate).
+    |component| ≤ 10⁶ keeps the 64-term coarse dot ≤ 6.4·10¹³ — exact
+    in int64 and DuckDB HUGEINT alike."""
+    s = 0xC2B2AE3D27D4EB4F
+    out = []
+    for cell in range(IVFO_CELLS):
+        vals = []
+        for _ in range(dim):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            vals.append(int((s >> 16) % 1_999_999) - 999_999)
+        out.append((cell, vals))
+    return out
+
+
+def _ivf_oracle_values() -> str:
+    """DuckDB VALUES literal (cell, 1-based pos, val) of the seeded
+    cell table — 16·64 = 1024 rows, the q_ann_buckets house pattern."""
+    rows = []
+    for cell, vals in _ivf_oracle_centers():
+        rows.extend(f"({cell},{p + 1},{v})" for p, v in enumerate(vals))
+    return ", ".join(rows)
+
+
+@query(
+    "q_ivfpq_candidates",
+    oracle=f"""
+    WITH {DUCK_FLAT_CTE},
+    cb(m, c, pos, val) AS (VALUES {_pq_oracle_values()}),
+    cc(cell, pos, val) AS (VALUES {_ivf_oracle_values()}),
+    cnorm AS (
+        SELECT m, c, SUM(CAST(val AS BIGINT) * val) AS c2
+        FROM cb GROUP BY m, c
+    ),
+    cdot AS (
+        SELECT v.vec_id, cc.cell, SUM(CAST(v.val AS BIGINT) * cc.val) AS dot
+        FROM v JOIN cc ON v.pos = cc.pos
+        GROUP BY v.vec_id, cc.cell
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY dot DESC, cell ASC
+                   ) AS rn
+            FROM cdot
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY dot DESC, cell ASC
+                   ) AS rn
+            FROM cdot
+            WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_ID_CAP}
+        ) WHERE rn <= {IVFO_PROBES}
+    ),
+    sub AS (
+        SELECT vec_id, (pos - 1) // {64 // PQ_M} AS m,
+               ((pos - 1) % {64 // PQ_M}) + 1 AS spos, val
+        FROM v
+    ),
+    dist AS (
+        SELECT s.vec_id, s.m, cb.c,
+               -2 * SUM(s.val * cb.val) AS cross2
+        FROM sub s JOIN cb ON s.m = cb.m AND s.spos = cb.pos
+        GROUP BY s.vec_id, s.m, cb.c
+    ),
+    codes AS (
+        SELECT vec_id, m, c AS code
+        FROM (
+            SELECT d.vec_id, d.m, d.c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id, d.m
+                       ORDER BY d.cross2 + n.c2 ASC, d.c ASC
+                   ) AS rn
+            FROM dist d JOIN cnorm n ON d.m = n.m AND d.c = n.c
+        ) WHERE rn = 1
+    ),
+    qtab AS (
+        SELECT s.vec_id AS query_id, cb.m, cb.c,
+               SUM(s.val * cb.val) AS qdot
+        FROM sub s JOIN cb ON s.m = cb.m AND s.spos = cb.pos
+        WHERE s.vec_id % {QUERY_STRIDE} = 0 AND s.vec_id < {QUERY_ID_CAP}
+        GROUP BY s.vec_id, cb.m, cb.c
+    ),
+    adc AS (
+        SELECT q.query_id, k.vec_id AS neighbor_id,
+               CAST(SUM(q.qdot) AS BIGINT) AS adc_score
+        FROM codes k
+        JOIN assign a ON a.vec_id = k.vec_id
+        JOIN probes p ON p.cell = a.cell
+        JOIN qtab q ON q.query_id = p.query_id
+                   AND q.m = k.m AND q.c = k.code
+        WHERE k.vec_id <> q.query_id
+        GROUP BY q.query_id, k.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_score
+    FROM (
+        SELECT query_id, neighbor_id, adc_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_score DESC, neighbor_id ASC
+               ) AS rk
+        FROM adc
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def q_ivfpq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified IVF×ADC candidate generation — q_sim_topk_ivfpq's
+    serving machinery (coarse cell assignment → probe selection →
+    cell-scoped ADC scoring → shortlist ranking) run against a seeded
+    integer cell table and the seeded integer PQ codebook, both
+    embedded VERBATIM in the DuckDB oracle (16·64 + 8·16·8 VALUES
+    rows). Assignment is argmax of the exact int64 coarse dot (ties to
+    the lowest cell); probing keeps the top {probes} cells per query
+    under the same order; only vectors ASSIGNED to a PROBED cell are
+    ADC-scored — so the hash verifies the cell-scoping itself, the
+    piece q_pq_candidates (flat ADC) cannot see. The learned-artifact
+    query (q_sim_topk_ivfpq) stays rows-only; THIS pins the pipeline
+    it serves with.
+
+    Scale shape (100 TB): identical to the IVFPQ path — one stateless
+    Arrow pass computes cells + codes + per-cell ADC (integer GEMM per
+    batch, lookups after), only probed-cell rows are scored (on the
+    persisted index this is hive partition pruning), local per-batch
+    top-k, and the only exchange is the tiny K·Q window merge."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    e = _quantized(t)
+    dsub = 64 // PQ_M
+    C = np.asarray(
+        [vals for _m, _c, vals in _pq_oracle_books()], dtype=np.int64
+    ).reshape(PQ_M, PQO_K, dsub)
+    c2 = np.einsum("mkd,mkd->mk", C, C)
+    CI = np.asarray(
+        [vals for _cell, vals in _ivf_oracle_centers()], dtype=np.int64
+    )  # (cells, 64)
+
+    q_rows = (
+        e.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("vec_id") < QUERY_ID_CAP)
+        )
+        .select("vec_id", "v")
+        .collect()  # bounded: ≤ MAX_QUERIES rows by construction
+    )
+    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["v"] for r in q_rows], dtype=np.int64)
+    if len(Q) == 0:
+        Q = np.zeros((0, 64), dtype=np.int64)
+    # probe selection: top-P cells by exact coarse dot (desc, cell asc)
+    qdots = Q @ CI.T  # (q, cells) int64, ≤ 6.4e13
+    cell_q: dict[int, list] = {}
+    for qi in range(len(qids)):
+        order = np.lexsort((np.arange(IVFO_CELLS), -qdots[qi]))
+        for cell in order[:IVFO_PROBES]:
+            cell_q.setdefault(int(cell), []).append(qi)
+    tables = (
+        np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, dsub), C)
+        if len(Q)
+        else np.zeros((0, PQ_M, PQO_K), dtype=np.int64)
+    )
+    bc = spark.sparkContext.broadcast(
+        (qids, tables, {c: np.asarray(ix) for c, ix in cell_q.items()})
+    )
+
+    def score(batches):
+        qids, tables, cellmap = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            X = np.asarray(pdf["v"].tolist(), dtype=np.int64)
+            # coarse assignment: argmax int64 dot, np.argmax ties to
+            # the lowest index = the oracle's (dot DESC, cell ASC)
+            cells = (X @ CI.T).argmax(1)
+            Xs = X.reshape(len(pdf), PQ_M, dsub)
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                d = -2 * (Xs[:, m, :] @ C[m].T) + c2[m][None, :]
+                codes[:, m] = d.argmin(1)
+            for cell in np.unique(cells):
+                qix = cellmap.get(int(cell))
+                if qix is None:
+                    continue
+                mask = cells == cell
+                cids = ids[mask]
+                ccodes = codes[mask]
+                sub_q = qids[qix]
+                acc = tables[qix, 0, :][:, ccodes[:, 0]]
+                for m in range(1, PQ_M):
+                    acc = acc + tables[qix, m, :][:, ccodes[:, m]]
+                self_mask = sub_q[:, None] == cids[None, :]
+                take = min(TOP_K, acc.shape[1])
+                out_q, out_n, out_s = [], [], []
+                for qi in range(len(sub_q)):
+                    row = acc[qi]
+                    o = np.lexsort((cids, -row))
+                    o = o[~self_mask[qi][o]][:take]
+                    out_q.append(np.full(len(o), sub_q[qi], dtype=np.int64))
+                    out_n.append(cids[o])
+                    out_s.append(row[o])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_n),
+                            "adc_score": np.concatenate(out_s),
+                        }
+                    )
+
+    scored = e.select("vec_id", "v").mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, adc_score bigint"
+    )
+    wk = W.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_score")
+    )
+
+
+q_ivfpq_candidates.__doc__ = q_ivfpq_candidates.__doc__.format(
+    probes=IVFO_PROBES
+)
+
+
 #: session → {embeddings semanticHash: (emb, checkpointed cell-codes)}.
 #: Input-keyed for the same reason as _PQ_CODES_CACHE: the upstream
 #: codes frame is a fresh LogicalRDD per cache rebuild, so a stage()

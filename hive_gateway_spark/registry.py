@@ -134,6 +134,12 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_tpcds_q34",
     "q_tpcds_q42",
     "q_tpcds_q95",
+    # IVF×ADC shortlist membership made hash-checkable (VERDICT r14
+    # task #4): the q_pq_candidates playbook extended by the
+    # cell-scoping half — seeded integer cell table + seeded codebook
+    # both embedded as oracle VALUES; q_sim_topk_ivfpq's learned
+    # artifacts stay rows-only, this pins the pipeline they serve with
+    "q_ivfpq_candidates",
 )
 
 
