@@ -53,6 +53,12 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas UDF / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Write timestamps as INT64 TIMESTAMP(MICROS), not legacy INT96:
+    # INT96 chunks carry NO footer statistics, so every lakehouse
+    # stats lever (delete_dataset file pruning, read_snapshot between,
+    # cluster_by file indexes) is blind on timestamp columns — and
+    # INT96 is deprecated in the format spec anyway (r15).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Shuffle parallelism sized to the host, not the 200 default — at
     # fixture scale 200-partition exchanges are pure scheduling overhead
     # (AQE coalescing shrinks data partitions but not the task floor in

@@ -247,6 +247,97 @@ def write_dataset(
     return manifest
 
 
+def _refuse_bucketed(prev: dict, verb: str) -> None:
+    """COW verbs rewrite files under append-mode names, which would
+    break a bucketed export's bucket-id file-naming contract (readers
+    would silently get wrong bucket pruning) — refuse loudly; a
+    bucketed table changes by re-export."""
+    if prev.get("bucket_by"):
+        raise ValueError(
+            f"{verb} unsupported on a bucketed export (bucket_by = "
+            f"{prev['bucket_by']}) — re-run export_bucketed instead"
+        )
+
+
+def export_bucketed(
+    df: DataFrame, path: str, key: str, n_buckets: int
+) -> dict:
+    """BUCKETED lakehouse export — the storage-layout lever for
+    repeated 100 TB fact-fact joins (the one beside broadcast): files
+    land hash-bucketed AND sorted by ``key`` with Spark's bucket-id
+    file naming, and the manifest records the bucket spec, so ANY
+    later session can rebind the layout via ``read_bucketed`` and join
+    two co-bucketed exports with ZERO shuffle exchange (plan-asserted
+    in tests/test_io.py). This is Iceberg's bucket partition-transform
+    / Hive bucketed-table story on the manifest layer: the layout
+    travels with the table, not with the session that wrote it.
+
+    Spark only emits bucket-encoded files through a catalog binding,
+    so the write goes through a TEMPORARY external table dropped
+    immediately after (files stay — external semantics); the manifest
+    then certifies the export exactly like write_dataset (read-back
+    counts + content checksum) plus the ``bucket_by`` spec readers
+    rebind with. Bucketed exports are one-shot snapshots (version 1):
+    the COW verbs rewrite files under append-mode names, which would
+    break the bucket-id naming contract, so they refuse via the
+    manifest's ``bucket_by`` marker rather than silently corrupt the
+    layout."""
+    spark = df.sparkSession
+    tmp = f"hg_bucket_export_{_uuid.uuid4().hex}"
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE `{tmp}`")  # external: files survive the drop
+    back = spark.read.parquet(path)
+    cols = df.columns
+    counts = _partition_counts(back, [])
+    manifest = {
+        "format": "parquet",
+        "partition_by": [],
+        "bucket_by": {"key": key, "n_buckets": int(n_buckets), "sorted": True},
+        "columns": cols,
+        "n_rows": sum(counts.values()),
+        "partitions": dict(sorted(counts.items())),
+        "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
+        "version": 1,
+        "files": _relative_files(path),
+        "schema_json": _file_schema_json(df, cols, []),
+    }
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def read_bucketed(spark: SparkSession, path: str, name: str | None = None) -> DataFrame:
+    """Rebind a bucketed export's layout in THIS session and return
+    the table: reads the manifest's ``bucket_by`` spec and creates an
+    external catalog table CLUSTERED BY the recorded key — after which
+    Spark trusts the bucket-id file naming and plans co-bucketed joins
+    WITHOUT an exchange. Idempotent per (session, name): the binding
+    is replaced, the files are never touched."""
+    from pyspark.sql.types import StructType
+
+    m = _current_manifest(path)
+    spec = m.get("bucket_by")
+    if not spec:
+        raise ValueError(f"{path} is not a bucketed export (no bucket_by spec)")
+    name = name or "hg_bucketed_" + _re.sub(r"\W", "_", path).strip("_")
+    schema = StructType.fromJson(json.loads(m["schema_json"]))
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    spark.sql(
+        f"CREATE TABLE `{name}` ({ddl}) USING parquet "
+        f"OPTIONS (path '{path}') "
+        f"CLUSTERED BY (`{spec['key']}`) SORTED BY (`{spec['key']}`) "
+        f"INTO {int(spec['n_buckets'])} BUCKETS"
+    )
+    return spark.table(name)
+
+
 def verify_dataset(spark: SparkSession, path: str) -> dict:
     """Re-derive the manifest from the files and compare; returns
     {"ok": bool, "expected": ..., "actual": ...}. The consumer-side
@@ -401,6 +492,7 @@ def append_dataset(
     changes every historical row's hash; the rebase is explicit,
     rare, and administrative (plain appends stay O(batch))."""
     prev = _current_manifest(path)
+    _refuse_bucketed(prev, "append_dataset")
     if not prev.get("files"):
         raise ValueError(
             "manifest has no files list (pre-snapshot or corrupt) — "
@@ -561,6 +653,7 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     loop; conflicts are rare, re-apply cost is one merge)."""
     spark = df.sparkSession
     prev = _current_manifest(path)
+    _refuse_bucketed(prev, "merge_dataset")
     if not prev.get("files"):
         raise ValueError(
             "manifest has no files list (pre-snapshot or corrupt) — "
@@ -647,6 +740,7 @@ def rewrite_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict
     """
     spark = df.sparkSession
     prev = _current_manifest(path)
+    _refuse_bucketed(prev, "rewrite_dataset")
     if not prev.get("files"):
         raise ValueError(
             "manifest has no files list (pre-snapshot or corrupt) — "
@@ -709,6 +803,7 @@ def delete_dataset(
     this never unlinks. Concurrent-safe like merge: a lost commit race
     unlinks the stale output and re-applies against the winner."""
     prev = _current_manifest(path)
+    _refuse_bucketed(prev, "delete_dataset")
     if not prev.get("files"):
         raise ValueError(
             "manifest has no files list (pre-snapshot or corrupt) — "
@@ -718,32 +813,27 @@ def delete_dataset(
         pby = prev["partition_by"]
         cols = prev["columns"]
         stats = _file_stats(path, prev["files"], column)
+        kind = _field_kind(prev.get("schema_json"), column)
+        tz = spark.conf.get("spark.sql.session.timeZone", None)
         kept, touched = [], []
-
-        def _numeric(v) -> bool:
-            return isinstance(v, (int, float)) and not isinstance(v, bool)
-
         for rel in prev["files"]:
             st = stats.get(rel)
             overlap = True  # no/partial stats → must rewrite
-            # Prune ONLY on numeric-vs-numeric comparisons. Footer
-            # stats for timestamp columns are coerced to ISO strings
-            # ('2024-01-02T10:00:00') while callers pass Spark-style
-            # bounds ('2024-01-02 10:00:00'): str-vs-str compares
-            # lexicographically WITHOUT raising, and 'T' > ' ' makes a
-            # genuinely overlapping file look disjoint — a silently
-            # wrong delete (code-review r14). Non-numeric columns lose
-            # the skip, never their rows; the residual filter stays
-            # exact either way.
-            if (
-                st is not None
-                and _numeric(st[0])
-                and _numeric(st[1])
-                and _numeric(lo)
-                and _numeric(hi)
-            ):
-                mn, mx = st
-                overlap = not (mx < lo or mn > hi)
+            # Type-aware pruning via _lift_bounds (r15, VERDICT r14
+            # task #9): numeric compares numerically, temporal columns
+            # parse BOTH sides to datetimes (the r14 'T'-vs-space ISO
+            # trap cannot recur), plain strings compare in UTF-8 order
+            # under a truncation-defensive length cap, and binary /
+            # unknown columns never prune. No safe lift → the file is
+            # rewritten; the residual filter stays exact either way.
+            if st is not None:
+                lifted = _lift_bounds(kind, st[0], st[1], lo, hi, tz)
+                if lifted is not None:
+                    mn, mx, blo, bhi = lifted
+                    try:
+                        overlap = not (mx < blo or mn > bhi)
+                    except TypeError:  # defensive: incomparable lift
+                        overlap = True
             (touched if overlap else kept).append(rel)
         rows_deleted = 0
         new_files: list[str] = []
@@ -887,6 +977,9 @@ def read_snapshot(
             else {}
         )
         if stats:
+            kind = _field_kind(manifest.get("schema_json"), col)
+            tz = spark.conf.get("spark.sql.session.timeZone", None)
+
             def overlaps(rel: str) -> bool:
                 if rel not in stats:
                     return True  # no stats → cannot prune, keep
@@ -897,10 +990,19 @@ def read_snapshot(
                     s_lo, s_hi = s[col]
                 else:
                     s_lo, s_hi = s
+                # type-aware lift (r15): the raw `s_hi < lo` compare
+                # shared delete_dataset's r14 trap — ISO-string stats
+                # vs Spark-style bounds order lexicographically without
+                # raising ('T' > ' '), silently pruning an overlapping
+                # file. No safe lift → keep the file.
+                lifted = _lift_bounds(kind, s_lo, s_hi, lo, hi, tz)
+                if lifted is None:
+                    return True
+                mn, mx, blo, bhi = lifted
                 try:
-                    return not (s_hi < lo or s_lo > hi)
-                except TypeError:  # incomparable types (e.g. iso-string
-                    return True  # stats vs datetime bound) → keep
+                    return not (mx < blo or mn > bhi)
+                except TypeError:  # defensive: incomparable lift
+                    return True
             rels = [rel for rel in rels if overlaps(rel)]
     files = [os.path.join(path, rel) for rel in rels]
     reader = spark.read.option("basePath", path)
@@ -969,6 +1071,114 @@ def _file_stats(path: str, files: list[str], column: str) -> dict:
 
             out[rel] = [safe(lo), safe(hi)]
     return out
+
+
+def _field_kind(schema_json: str | None, column: str) -> str:
+    """The pruning-relevant type class of ``column`` from the recorded
+    Spark schema: 'numeric' | 'string' | 'temporal' | 'unknown'.
+    Binary and everything exotic map to 'unknown' — hex-coerced binary
+    stats do NOT order like the residual filter's comparison, so they
+    must never prune."""
+    if not schema_json:
+        return "unknown"
+    try:
+        fields = json.loads(schema_json).get("fields", [])
+    except (ValueError, AttributeError):
+        return "unknown"
+    for f in fields:
+        if f.get("name") != column:
+            continue
+        t = f.get("type")
+        if not isinstance(t, str):
+            return "unknown"  # nested/array — never stat-pruned
+        if t in ("byte", "short", "integer", "long", "float", "double") or (
+            t.startswith("decimal")
+        ):
+            return "numeric"
+        if t == "string":
+            return "string"
+        if t in ("date", "timestamp", "timestamp_ntz"):
+            return "temporal"
+        return "unknown"
+    return "unknown"
+
+
+def _lift_bounds(kind: str, stat_lo, stat_hi, lo, hi, tz: str | None = None):
+    """Lift a footer [min, max] pair and the caller's bounds into ONE
+    order-preserving domain, or return None when no safe lift exists
+    (no lift → the file is kept and the exact residual filter
+    decides; pruning may only ever SKIP work).
+
+    The r14 bug class this guards: footer stats for timestamp columns
+    coerce to ISO strings ('2024-01-02T10:00:00') while callers pass
+    Spark-style bounds ('2024-01-02 10:00:00') — raw str-vs-str
+    compares lexicographically WITHOUT raising, and 'T' > ' ' made a
+    genuinely overlapping file look disjoint. The lift parses BOTH
+    sides of a temporal column to datetimes (fromisoformat accepts
+    either separator), so the comparison mirrors the residual filter's
+    timestamp semantics exactly.
+
+    Plain-string columns compare as Python strings: parquet UTF8 stats
+    order by bytes and UTF-8 byte order equals code-point order, which
+    is the residual filter's UTF8String comparison — safe, with a
+    defensive length cap (long values risk writer-truncated stats that
+    are not valid bounds). Binary/'unknown' columns never lift."""
+    import datetime as _dt
+
+    def _num(v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+    if kind == "numeric" or all(_num(v) for v in (stat_lo, stat_hi, lo, hi)):
+        if all(_num(v) for v in (stat_lo, stat_hi, lo, hi)):
+            return stat_lo, stat_hi, lo, hi
+        return None
+    if kind == "temporal":
+        # TIMESTAMP (ltz) footer stats come back UTC-aware
+        # ('…T10:00:00+00:00') while caller bounds are naive session-
+        # local strings — normalize EVERYTHING to aware-UTC: naive
+        # values are interpreted in the session timezone (``tz``, the
+        # same rule the residual filter's string→timestamp cast
+        # applies), aware values convert directly. timestamp_ntz /
+        # date stats are naive on both sides and the uniform rule
+        # preserves their order too.
+        if tz:
+            try:
+                from zoneinfo import ZoneInfo
+
+                local = ZoneInfo(tz)
+            except Exception:
+                local = _dt.datetime.now().astimezone().tzinfo
+        else:
+            local = _dt.datetime.now().astimezone().tzinfo
+
+        def _ts(v):
+            if isinstance(v, _dt.datetime):
+                out = v
+            elif isinstance(v, _dt.date):
+                out = _dt.datetime(v.year, v.month, v.day)
+            elif isinstance(v, str):
+                try:
+                    out = _dt.datetime.fromisoformat(v)
+                except ValueError:
+                    return None
+            else:
+                return None
+            if out.tzinfo is None:
+                out = out.replace(tzinfo=local)
+            return out.astimezone(_dt.timezone.utc)
+
+        ts = [_ts(v) for v in (stat_lo, stat_hi, lo, hi)]
+        if any(t is None for t in ts):
+            return None
+        return tuple(ts)
+    if kind == "string":
+        vals = (stat_lo, stat_hi, lo, hi)
+        if all(isinstance(v, str) for v in vals) and max(
+            len(stat_lo), len(stat_hi)
+        ) <= 60:
+            return vals
+        return None
+    return None
 
 
 def _morton_key(df: DataFrame, ca: str, cb: str):
@@ -1056,6 +1266,7 @@ def compact_dataset(
     plus a fully consistent table (the old dir-swap instead DELETED any
     concurrent append wholesale)."""
     base = _current_manifest(path)
+    _refuse_bucketed(base, "compact_dataset")
     if not base.get("files"):
         raise ValueError(
             "manifest has no files list (pre-snapshot or corrupt) — "

@@ -1763,3 +1763,144 @@ def test_delete_dataset_prunes_untouched_files(spark, tmp_path):
     # manifest files all exist on disk
     for rel in m3["files"]:
         assert os.path.exists(os.path.join(path, rel)), rel
+
+
+def test_bucketed_export_joins_without_exchange(spark, sf_dir, tmp_path):
+    """VERDICT r14 task #8: the bucket spec travels in the MANIFEST,
+    not the writing session — export orders and lineitem co-bucketed
+    on the order key as two lakehouse exports, rebind both from the
+    manifests alone (read_bucketed), and the fact-fact join plans with
+    ZERO shuffle exchange. COW verbs refuse the bucketed layout (their
+    append-mode file names would break bucket-id naming)."""
+    import pytest as _pt
+
+    from hive_gateway_spark.session import load_tables
+    from hive_gateway_spark.sources import dataset_export as de
+
+    t = load_tables(spark, sf_dir)
+    po, pl = str(tmp_path / "orders_b"), str(tmp_path / "lineitem_b")
+    mo = de.export_bucketed(t["orders"], po, "o_orderkey", 8)
+    ml = de.export_bucketed(t["lineitem"], pl, "l_orderkey", 8)
+    assert mo["bucket_by"] == {"key": "o_orderkey", "n_buckets": 8, "sorted": True}
+    assert mo["n_rows"] == t["orders"].count()
+    assert de.verify_dataset(spark, po)["ok"] and de.verify_dataset(spark, pl)["ok"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = de.read_bucketed(spark, po, "o_b")
+        l = de.read_bucketed(spark, pl, "l_b")
+        joined = o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        n = joined.count()
+        assert n == t["lineitem"].count()  # every lineitem has its order
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, (
+            f"co-bucketed exports still shuffle:\n{plan}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS o_b")
+        spark.sql("DROP TABLE IF EXISTS l_b")
+    # COW verbs refuse: the layout changes by re-export only
+    with _pt.raises(ValueError, match="bucketed export"):
+        de.append_dataset(t["orders"].limit(1), po)
+    with _pt.raises(ValueError, match="bucketed export"):
+        de.merge_dataset(t["orders"].limit(1), po, "o_orderkey")
+    with _pt.raises(ValueError, match="bucketed export"):
+        de.compact_dataset(spark, po)
+
+
+def test_delete_dataset_prunes_string_and_temporal_stats(spark, tmp_path):
+    """VERDICT r14 task #9: the r14 fix made non-numeric deletes
+    conservative (rewrite everything); the type-aware lift restores
+    pruning for string and temporal columns without the lexicographic
+    trap — ISO footer stats ('T' separator) vs Spark-style bounds
+    (space separator) now compare as datetimes, so an overlapping file
+    can never look disjoint, and date-STRING deletes prune again."""
+    import datetime as _dt
+
+    from hive_gateway_spark.sources.dataset_export import (
+        delete_dataset,
+        read_snapshot,
+        verify_dataset,
+        write_dataset,
+    )
+
+    # --- string date column, one file per month via repartitionByRange
+    rows = [
+        (i, f"2024-{m:02d}-{d:02d}")
+        for i, (m, d) in enumerate(
+            [(m, d) for m in (1, 2, 3) for d in range(1, 11)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "rid bigint, day string").repartitionByRange(
+        3, "day"
+    )
+    p1 = str(tmp_path / "tstr")
+    write_dataset(df, p1)
+    m = delete_dataset(spark, p1, "day", "2024-02-01", "2024-02-28")
+    rep = m["delete_report"]
+    assert rep["rows_deleted"] == 10
+    assert rep["files_kept"] > 0, "string stats no longer prune"
+    got = {r["day"] for r in read_snapshot(spark, p1).collect()}
+    assert not any(d.startswith("2024-02") for d in got) and len(got) == 20
+    assert verify_dataset(spark, p1)["ok"]
+
+    # --- timestamp column: bounds in Spark's space-separated form,
+    # stats in ISO 'T' form — the exact r14 trap, now parsed not
+    # string-compared: the February file overlaps and is rewritten,
+    # January/March files prune
+    ts_rows = [
+        (i, _dt.datetime(2024, m, d, 10, 0, 0))
+        for i, (m, d) in enumerate(
+            [(m, d) for m in (1, 2, 3) for d in range(1, 11)]
+        )
+    ]
+    tdf = spark.createDataFrame(
+        ts_rows, "rid bigint, ts timestamp"
+    ).repartitionByRange(3, "ts")
+    p2 = str(tmp_path / "tts")
+    write_dataset(tdf, p2)
+    m2 = delete_dataset(
+        spark, p2, "ts", "2024-02-01 00:00:00", "2024-02-28 23:59:59"
+    )
+    rep2 = m2["delete_report"]
+    assert rep2["rows_deleted"] == 10, rep2
+    assert rep2["files_kept"] > 0, "temporal stats no longer prune"
+    left = read_snapshot(spark, p2).count()
+    assert left == 20
+    assert verify_dataset(spark, p2)["ok"]
+
+
+def test_read_snapshot_between_string_stats_prune_safely(spark, tmp_path):
+    """read_snapshot(between=) shared delete's r14 trap (raw < on
+    manifest stats never raises for strings): with the type-aware
+    lift, a string cluster_by column prunes files AND never loses a
+    matching row."""
+    from hive_gateway_spark.sources.dataset_export import (
+        compact_dataset,
+        read_snapshot,
+        write_dataset,
+    )
+
+    rows = [
+        (i, f"2024-{m:02d}-{d:02d}")
+        for i, (m, d) in enumerate(
+            [(m, d) for m in (1, 2, 3) for d in range(1, 11)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "rid bigint, day string")
+    path = str(tmp_path / "tbet")
+    write_dataset(df, path)
+    compact_dataset(spark, path, files_per_partition=3, cluster_by="day")
+    got = read_snapshot(
+        spark, path, between=("day", "2024-02-01", "2024-02-28")
+    )
+    days = sorted(r["day"] for r in got.collect())
+    assert len(days) == 10 and days[0] == "2024-02-01" and days[-1] == "2024-02-10"
+    # and the scan actually pruned: fewer input files than the table has
+    n_table = len(read_snapshot(spark, path).inputFiles())
+    n_pruned = len(got.inputFiles())
+    assert n_pruned < n_table, (n_pruned, n_table)
