@@ -1338,6 +1338,86 @@ def stream_scd2_changes(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_window_funnel(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_window_funnel: per user, the deepest
+    ordered signup → click → purchase prefix whose whole chain fits
+    the {hours}-hour window — emitted as LEVEL-UP CDC rows the moment
+    a user first reaches each level. The funnel level is MONOTONE
+    (more events can only deepen the best prefix — the greedy
+    max-start carry argument from the batch operator), so append mode
+    needs no retraction: max(funnel_level) per user over the drained
+    output equals the batch report exactly (equivalence-tested).
+
+    State per user: the batch pass's two greedy carries (latest signup
+    µs, latest valid 2-prefix start µs) plus the emitted level — three
+    scalars, O(users) total. Per micro-batch the key's rows sort
+    (ts, event_id), the same total order as the batch window, and the
+    walk IS the batch operator's carry loop, so level boundaries are
+    bit-identical under the twins' standing contract (event-time-
+    ordered ingestion per user)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hive_gateway_spark.operators.advanced import FUNNEL_WINDOW_US
+
+    out_schema = "user_id bigint, funnel_level int, at timestamp"
+    state_schema = "s_last bigint, c2_best bigint, lvl int"
+
+    def track(key, pdf_iter, state: GroupState):
+        s_last, c2_best, lvl = state.get if state.exists else (-1, -1, 0)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        ups_lvl, ups_at = [], []
+        for et, us in zip(pdf["event_type"].values, ts_us.values):
+            us = int(us)
+            if et == "signup":
+                s_last = max(s_last, us)
+                if lvl < 1:
+                    lvl = 1
+                    ups_lvl.append(1)
+                    ups_at.append(us)
+            elif et == "click" and s_last >= 0 and us - s_last <= FUNNEL_WINDOW_US:
+                c2_best = max(c2_best, s_last)
+                if lvl < 2:
+                    lvl = 2
+                    ups_lvl.append(2)
+                    ups_at.append(us)
+            elif (
+                et == "purchase"
+                and c2_best >= 0
+                and us - c2_best <= FUNNEL_WINDOW_US
+            ):
+                if lvl < 3:
+                    lvl = 3
+                    ups_lvl.append(3)
+                    ups_at.append(us)
+        state.update((s_last, c2_best, lvl))
+        if ups_lvl:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "funnel_level": pd.array(ups_lvl, dtype="int32"),
+                    "at": pd.to_datetime(ups_at, unit="us"),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+stream_window_funnel.__doc__ = stream_window_funnel.__doc__.format(
+    hours=12
+)
+
+
 def scd2_dimension_sink(spark: SparkSession, table_path: str):
     """Continuously-maintained SCD2 dimension TABLE — the lakehouse
     completion of the SCD2 family: stream_scd2_changes emits the CDC

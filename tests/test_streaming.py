@@ -1365,3 +1365,24 @@ def test_stream_token_fertility_equals_batch(spark, sf_dir):
     want = registry.QUERIES["q_tokenizer_fertility"](spark, sf_dir).toPandas()
     assert len(got) > 0
     assert_same(got, want)
+
+
+def test_stream_window_funnel_equals_batch(spark, sf_dir):
+    """Drained level-up CDC rows reduce (max per user) to exactly the
+    batch windowFunnel report, and levels only ever step up by 1 in
+    emission order per user."""
+    from hive_gateway_spark.streaming.ops import stream_events, stream_window_funnel
+
+    got = drain(stream_window_funnel(stream_events(spark, sf_dir)), "s_wfun")
+    assert len(got) > 0
+    reduced = got.groupby("user_id")["funnel_level"].max()
+    want = (
+        registry.QUERIES["q_window_funnel"](spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")["funnel_level"]
+    )
+    assert reduced.to_dict() == want.to_dict()
+    # monotone single-step emission per user
+    for _uid, grp in got.sort_values("at").groupby("user_id"):
+        lv = grp["funnel_level"].tolist()
+        assert lv == sorted(lv) and len(set(lv)) == len(lv)
