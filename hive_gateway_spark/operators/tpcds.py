@@ -741,3 +741,215 @@ def q_tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_e4").cast("bigint").alias("total_rev_e4"),
         )
     )
+
+
+@query(
+    "q_tpcds_q51",
+    oracle="""
+    WITH kept AS (
+        SELECT p.p_brand AS brand,
+               epoch_us(l.l_shipdate) // 604800000000 AS week,
+               l.l_returnflag AS flag,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4)) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_returnflag IN ('N', 'R')
+    ),
+    n AS (
+        SELECT brand, week,
+               CAST(SUM(rev) * 10000 AS BIGINT) AS rev_e4
+        FROM kept WHERE flag = 'N' GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT brand, week,
+               CAST(SUM(rev) * 10000 AS BIGINT) AS rev_e4
+        FROM kept WHERE flag = 'R' GROUP BY 1, 2
+    ),
+    cume AS (
+        SELECT COALESCE(n.brand, r.brand) AS brand,
+               COALESCE(n.week, r.week) AS week,
+               SUM(n.rev_e4) OVER w AS n_cum_raw,
+               SUM(r.rev_e4) OVER w AS r_cum_raw
+        FROM n FULL OUTER JOIN r
+          ON n.brand = r.brand AND n.week = r.week
+        WINDOW w AS (
+            PARTITION BY COALESCE(n.brand, r.brand)
+            ORDER BY COALESCE(n.week, r.week)
+            ROWS UNBOUNDED PRECEDING
+        )
+    )
+    SELECT brand, week,
+           CAST(COALESCE(n_cum_raw, 0) AS BIGINT) AS n_cum_e4,
+           CAST(COALESCE(r_cum_raw, 0) AS BIGINT) AS r_cum_e4
+    FROM cume
+    WHERE COALESCE(n_cum_raw, 0) > COALESCE(r_cum_raw, 0)
+    ORDER BY brand ASC, week ASC
+    LIMIT 100
+    """,
+)
+def q_tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape (dual cumulative series compared week by
+    week): the published query builds per-(item, date) CUMULATIVE web
+    and store sales as two derived series, FULL OUTER joins them, and
+    null-fills each side with a running MAX (cumulative sums are
+    monotone, so max = last-seen) to report where the web cumulative
+    overtakes the store cumulative. Brand plays item, epoch-weeks play
+    dates, and the 'N'/'R' return-flag slices play the two channels; a
+    series counts 0 before its first sale (the published NULL
+    semantics would drop those rows — COALESCE(…, 0) in BOTH engines,
+    the cleaner report and one less null-order trap).
+
+    Spark spelling: the two series pivot out of ONE fact scan as
+    conditional aggregates — the union week set then needs NO full
+    outer join and NO null-fill carry at all, because a week present
+    in either series is present in the grouped frame and the absent
+    side contributes an additive 0 to its cumulative sum. One shuffle
+    to (brand, week), two cumulative windows sharing that exchange.
+    The oracle deliberately KEEPS the published two-CTE + FULL OUTER +
+    window spelling, so the hash proves the one-scan pivot equivalent
+    to the textbook derivation.
+
+    Scale shape: fact scans once; the grouped frame is ≤ brands·weeks
+    rows; both windows and the final sort ride the same brand
+    partitioning. The published spelling's two scans + outer join
+    never materialize."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    kept = t["lineitem"].filter(F.col("l_returnflag").isin("N", "R"))
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    grouped = (
+        kept.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr("unix_micros(l_shipdate) div 604800000000").alias("week"),
+        )
+        .agg(
+            (F.sum(F.when(F.col("l_returnflag") == "N", rev)) * 10000)
+            .cast("bigint")
+            .alias("n_e4"),
+            (F.sum(F.when(F.col("l_returnflag") == "R", rev)) * 10000)
+            .cast("bigint")
+            .alias("r_e4"),
+        )
+    )
+    w = (
+        W.partitionBy("brand")
+        .orderBy(F.col("week").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grouped.select(
+        "brand",
+        "week",
+        F.coalesce(F.sum("n_e4").over(w), F.lit(0)).alias("n_cum_e4"),
+        F.coalesce(F.sum("r_e4").over(w), F.lit(0)).alias("r_cum_e4"),
+    )
+    return (
+        cum.filter(F.col("n_cum_e4") > F.col("r_cum_e4"))
+        .orderBy(F.col("brand").asc(), F.col("week").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpcds_q36",
+    oracle="""
+    WITH base AS (
+        SELECT split_part(p.p_type, ' ', 1) AS category,
+               p.p_brand AS brand,
+               CAST(l.l_extendedprice * l.l_discount
+                    AS DECIMAL(18,4)) AS disc_amt,
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) AS gross
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    rolled AS (
+        SELECT category, brand,
+               CAST(SUM(disc_amt) * 10000 AS BIGINT) AS disc_e4,
+               CAST(SUM(gross) * 100 AS BIGINT) AS gross_e2,
+               CAST(GROUPING(category) + GROUPING(brand) AS BIGINT)
+                 AS lochierarchy,
+               GROUPING(brand) AS gb
+        FROM base
+        GROUP BY ROLLUP(category, brand)
+    )
+    SELECT category, brand,
+           ROUND(CAST(disc_e4 AS DOUBLE) / CAST(gross_e2 AS DOUBLE) / 100.0,
+                 6) AS discount_ratio,
+           lochierarchy,
+           CAST(RANK() OVER (
+               PARTITION BY lochierarchy,
+                            CASE WHEN gb = 0 THEN category END
+               ORDER BY CAST(disc_e4 AS DOUBLE) / CAST(gross_e2 AS DOUBLE)
+                        ASC, brand ASC NULLS FIRST, category ASC NULLS FIRST
+           ) AS BIGINT) AS rk
+    FROM rolled
+    ORDER BY lochierarchy DESC, category ASC NULLS FIRST,
+             rk ASC, brand ASC NULLS FIRST
+    """,
+)
+def q_tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 shape (gross-margin rollup with per-level ranking):
+    the published query rolls net profit / revenue up the
+    (category, class) hierarchy and RANKS siblings WITHIN each rollup
+    level — leaf rows rank against their parent category's other
+    brands, category subtotals rank against other categories, the
+    grand total ranks alone. ``lochierarchy`` (GROUPING(cat) +
+    GROUPING(brand)) names the level and the rank partition reuses the
+    GROUPING flag to scope leaf ranks to their parent — the
+    grouping-sets + window composition no other shape in the suite
+    exercises (q_agg_rollup stops at the subtotals). Discount ratio
+    (discount amount / gross price) plays margin.
+
+    Determinism: both ratio operands are exact integer sums (e4
+    discount, e2 gross), the divisions have identical shapes in both
+    engines, and the RANK ORDER BY carries full (brand, category)
+    tie-breaks so equal ratios cannot reorder across engines.
+
+    Scale shape: ONE fact scan; ROLLUP expands each row into 3
+    grouping sets map-side (Spark's Expand), partially aggregated
+    before the single exchange to ≤ cats·brands + cats + 1 rows; the
+    windows run on that dim-sized frame."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.split(F.col("p_type"), " ").getItem(0).alias("category"),
+            F.col("p_brand").alias("brand"),
+            dec(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_amt"),
+            dec("l_extendedprice", 2).alias("gross"),
+        )
+    )
+    rolled = base.rollup("category", "brand").agg(
+        (F.sum("disc_amt") * 10000).cast("bigint").alias("disc_e4"),
+        (F.sum("gross") * 100).cast("bigint").alias("gross_e2"),
+        (F.grouping("category") + F.grouping("brand"))
+        .cast("bigint")
+        .alias("lochierarchy"),
+        F.grouping("brand").alias("gb"),
+    )
+    ratio = F.col("disc_e4").cast("double") / F.col("gross_e2").cast("double")
+    wr = W.partitionBy(
+        "lochierarchy", F.when(F.col("gb") == 0, F.col("category"))
+    ).orderBy(
+        ratio.asc(),
+        F.col("brand").asc_nulls_first(),
+        F.col("category").asc_nulls_first(),
+    )
+    return (
+        rolled.select(
+            "category",
+            "brand",
+            F.round(ratio / 100.0, 6).alias("discount_ratio"),
+            "lochierarchy",
+            F.rank().over(wr).cast("bigint").alias("rk"),
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("category").asc_nulls_first(),
+            F.col("rk").asc(),
+            F.col("brand").asc_nulls_first(),
+        )
+    )

@@ -134,6 +134,13 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q_tpcds_q34",
     "q_tpcds_q42",
     "q_tpcds_q95",
+    # TPC-DS batch 3: Q51's dual-cumulative overtake report (the
+    # oracle keeps the published two-CTE FULL OUTER + window spelling;
+    # the engine pivots both series out of ONE fact scan) and Q36's
+    # rollup-with-per-level-RANK (GROUPING-scoped window partitions —
+    # the grouping-sets × window composition nothing else exercises)
+    "q_tpcds_q51",
+    "q_tpcds_q36",
     # IVF×ADC shortlist membership made hash-checkable (VERDICT r14
     # task #4): the q_pq_candidates playbook extended by the
     # cell-scoping half — seeded integer cell table + seeded codebook

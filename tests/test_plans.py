@@ -845,3 +845,30 @@ def test_tpcds_q34_partial_aggregates_before_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_tpcds_q34")
     assert plan.count("HashAggregate") >= 2, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpcds_q51_single_scan_shared_exchange(spark, sf_dir):
+    """Q51's two cumulative series pivot out of ONE fact scan
+    (conditional aggregates), and both windows plus the final sort
+    ride the single (brand, week) exchange — the published two-CTE +
+    FULL OUTER spelling must never materialize (no Join node except
+    the broadcast dim)."""
+    plan = plan_of(spark, sf_dir, "q_tpcds_q51")
+    assert plan.lower().count("lineitem.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly ONE join operator (the broadcast dim): one tree node,
+    # which the formatted output prints once in the tree and once in
+    # the numbered detail section
+    assert plan.count("BroadcastHashJoin") <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_tpcds_q36_rollup_expands_before_one_exchange(spark, sf_dir):
+    """Q36's ROLLUP runs as map-side Expand + partial aggregation
+    before a single exchange; the per-level RANK windows run on the
+    dim-sized rolled frame."""
+    plan = plan_of(spark, sf_dir, "q_tpcds_q36")
+    assert "Expand" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.lower().count("lineitem.parquet") == 1, plan
