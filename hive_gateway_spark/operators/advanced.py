@@ -3620,3 +3620,89 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.sum("n_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+@query(
+    "q_sequence_count",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS rn
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    -- the DEFINITION, walked literally: from the previous chain's end,
+    -- take the FIRST signup after it, then the FIRST purchase after
+    -- that signup; repeat while a full chain exists
+    chain(user_id, pos, cnt) AS (
+        SELECT DISTINCT user_id, 0, 0 FROM ordered
+        UNION ALL
+        SELECT c.user_id,
+               (SELECT MIN(p.rn) FROM ordered p
+                WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                  AND p.rn > (SELECT MIN(s.rn) FROM ordered s
+                              WHERE s.user_id = c.user_id
+                                AND s.event_type = 'signup'
+                                AND s.rn > c.pos)),
+               c.cnt + 1
+        FROM chain c
+        WHERE (SELECT MIN(p.rn) FROM ordered p
+               WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                 AND p.rn > (SELECT MIN(s.rn) FROM ordered s
+                             WHERE s.user_id = c.user_id
+                               AND s.event_type = 'signup'
+                               AND s.rn > c.pos)) IS NOT NULL
+    )
+    SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS n_chains
+    FROM chain GROUP BY user_id
+    """,
+)
+def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceCount — the ClickHouse ``sequenceCount('(?1)(?2)')``
+    primitive: per user, how many NON-OVERLAPPING signup → purchase
+    chains fit in the event stream, each chain starting strictly after
+    the previous one completed (sequential semantics — distinct from
+    bipartite matching, which 'S S P P' would score 2; this scores 1,
+    and distinct from q_window_funnel, which measures depth of ONE
+    anchored chain, not repetition).
+
+    The scale spelling rests on a closed-form identity: the greedy
+    walk (first signup, first purchase after it, restart) completes
+    exactly one chain at every signup-run → purchase-run boundary of
+    the S/P-filtered stream, so
+    ``n_chains = COUNT(rows where type = purchase AND lag(type) =
+    signup)`` — ONE user_id window pass, a lag and a conditional
+    count sharing the same exchange, no iteration, no state
+    (property-pinned against the literal state machine on random
+    tie-ful streams in tests/test_properties.py). The oracle instead
+    WALKS THE DEFINITION: a recursive CTE advancing (previous chain
+    end → next signup → next purchase), so the driver hash compares
+    the closed form against the recursion itself.
+
+    Scale shape: filter pushed to the two event types, one shuffle on
+    user_id, window + aggregate reuse the sort — O(n) with no joins;
+    at 100 TB this is a single pass over the filtered fact."""
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("prev_type") == "signup"),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_chains")
+        )
+    )

@@ -141,6 +141,12 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # the grouping-sets × window composition nothing else exercises)
     "q_tpcds_q51",
     "q_tpcds_q36",
+    # sequenceCount (ClickHouse '(?1)(?2)'): non-overlapping sequential
+    # chains per user — lag-transition closed form (one window pass)
+    # hash-compared against a recursive-CTE walk of the definition,
+    # and hypothesis-pinned against the literal state machine on
+    # tie-ful streams
+    "q_sequence_count",
     # IVF×ADC shortlist membership made hash-checkable (VERDICT r14
     # task #4): the q_pq_candidates playbook extended by the
     # cell-scoping half — seeded integer cell table + seeded codebook

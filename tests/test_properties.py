@@ -634,3 +634,64 @@ def test_dim_lookup_scd2_oracle_agrees_under_ts_ties(spark_global, rows):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+# --- sequenceCount: the lag-transition closed form == the literal
+# greedy state machine, WITH ts ties --- (the engine never iterates;
+# this pins the identity the docstring claims, on streams where the
+# total (ts, event_id) order does the tie-breaking)
+
+_seq_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user
+        st.integers(min_value=0, max_value=10),  # ts (seconds; ties!)
+        st.sampled_from(["signup", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_seq_events)
+@settings(max_examples=12, deadline=None)
+def test_sequence_count_closed_form_matches_state_machine(spark_global, rows):
+    import datetime as _dt
+
+    from hive_gateway_spark.operators import advanced as A
+
+    spark = spark_global
+    data = [
+        (i, u, _dt.datetime(2024, 1, 1, 0, 0, ts_s), et)
+        for i, (u, ts_s, et) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    orig = A.load_tables
+    A.load_tables = lambda s, d: {"events": ev}
+    try:
+        got = {
+            r["user_id"]: r["n_chains"]
+            for r in A.q_sequence_count(spark, "ignored").collect()
+        }
+    finally:
+        A.load_tables = orig
+    # literal greedy state machine over the engine's total order
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for i, (u, ts_s, et) in enumerate(rows):
+        if et in ("signup", "purchase"):
+            per[u].append((ts_s, i, et))
+    want = {}
+    for u, evs in per.items():
+        evs.sort()
+        cnt, have = 0, False
+        for _t, _i, et in evs:
+            if et == "signup" and not have:
+                have = True
+            elif et == "purchase" and have:
+                cnt += 1
+                have = False
+        want[u] = cnt
+    assert got == want
