@@ -3706,3 +3706,70 @@ def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_chains")
         )
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    SELECT e.event_id, e.user_id, m.us_offset
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT epoch_us(s.ts) - epoch_us(e.ts) AS us_offset
+        FROM events s
+        WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        ORDER BY ABS(epoch_us(s.ts) - epoch_us(e.ts)) ASC,
+                 -- equal distance prefers the BACKWARD side (pandas
+                 -- merge_asof nearest tie rule); membership of a
+                 -- same-ts signup on the backward side follows the
+                 -- engine's (ts, event_id) frame bound
+                 CASE WHEN s.ts < e.ts
+                        OR (s.ts = e.ts AND s.event_id <= e.event_id)
+                      THEN 0 ELSE 1 END ASC
+        LIMIT 1
+    ) m ON TRUE
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'),
+    completing the four-mode family: backward (q_join_asof), backward
+    with tolerance (q_join_asof_tolerance), forward
+    (q_join_asof_forward), and this — each event matched to the
+    user's CLOSEST signup in time, on EITHER side, equal distance
+    preferring the backward match (the pandas tie rule). The emitted
+    ``us_offset`` is signed (negative = the match precedes the event),
+    so the report distinguishes "just after their signup" from "just
+    before they re-registered". Events of users with no signup at all
+    emit NULL.
+
+    Plan: BOTH greedy carries in one pass — the backward LAST and the
+    forward FIRST run as two frames over the SAME (user_id, ts,
+    event_id) sort, so Spark plans one exchange + one sort feeding two
+    Window operators; the closer side picks via a codegen'd CASE. No
+    join, no row explosion — nearest is exactly backward + forward +
+    min, never a |Δt| cross join. The oracle is the independent
+    correlated-LATERAL argmin over ABS distance with the tie rule
+    spelled out."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    us = F.unix_micros(F.col("ts"))
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    sig = F.when(F.col("event_type") == "signup", us)
+    back = F.last(sig, ignorenulls=True).over(wb)
+    fwd = F.first(sig, ignorenulls=True).over(wf)
+    bd = us - back   # ≥ 0 when back exists
+    fd = fwd - us    # ≥ 0 when fwd exists
+    offset = (
+        F.when(back.isNull() & fwd.isNull(), F.lit(None).cast("bigint"))
+        .when(fwd.isNull() | (back.isNotNull() & (bd <= fd)), back - us)
+        .otherwise(fwd - us)
+    )
+    return e.select("event_id", "user_id", offset.alias("us_offset"))

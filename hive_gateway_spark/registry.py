@@ -147,6 +147,11 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # and hypothesis-pinned against the literal state machine on
     # tie-ful streams
     "q_sequence_count",
+    # the FOURTH as-of mode (pandas merge_asof 'nearest'): backward +
+    # forward carries as two frames over ONE sort, closer side via
+    # CASE with the pandas backward tie rule — never a |Δt| join;
+    # LATERAL-argmin oracle; tie regime hypothesis-pinned vs DuckDB
+    "q_join_asof_nearest",
     # IVF×ADC shortlist membership made hash-checkable (VERDICT r14
     # task #4): the q_pq_candidates playbook extended by the
     # cell-scoping half — seeded integer cell table + seeded codebook

@@ -872,3 +872,13 @@ def test_tpcds_q36_rollup_expands_before_one_exchange(spark, sf_dir):
     assert "Expand" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert plan.lower().count("lineitem.parquet") == 1, plan
+
+
+def test_asof_nearest_is_two_frames_one_exchange_no_join(spark, sf_dir):
+    """Nearest = backward carry + forward carry + CASE, never a |Δt|
+    cross join: no Join node, ONE events scan, both window frames over
+    the same (user_id, ts, event_id) sort."""
+    plan = plan_of(spark, sf_dir, "q_join_asof_nearest")
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

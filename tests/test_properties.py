@@ -695,3 +695,67 @@ def test_sequence_count_closed_form_matches_state_machine(spark_global, rows):
                 have = False
         want[u] = cnt
     assert got == want
+
+
+# --- nearest as-of: engine two-carry pass == DuckDB argmin oracle,
+# WITH ts ties and equal-distance ties --- (the fixture's per-user ts
+# uniqueness can exercise neither the same-ts frame bound nor the
+# backward-preference tie rule)
+
+_near_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user
+        st.integers(min_value=0, max_value=8),   # ts (seconds; ties and
+                                                 # symmetric distances!)
+        st.sampled_from(["signup", "view"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_near_events)
+@settings(max_examples=12, deadline=None)
+def test_asof_nearest_matches_oracle_under_ties(spark_global, rows):
+    import datetime as _dt
+
+    import duckdb
+
+    from hive_gateway_spark.operators import advanced as A
+    from hive_gateway_spark.registry import ORACLES
+
+    spark = spark_global
+    data = [
+        (i, u, _dt.datetime(2024, 1, 1, 0, 0, ts_s), et)
+        for i, (u, ts_s, et) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    orig = A.load_tables
+    A.load_tables = lambda s, d: {"events": ev}
+    try:
+        got = {
+            (r["event_id"], r["user_id"]): r["us_offset"]
+            for r in A.q_join_asof_nearest(spark, "ignored").collect()
+        }
+    finally:
+        A.load_tables = orig
+    con = duckdb.connect()
+    try:
+        pdf = pd.DataFrame(
+            data, columns=["event_id", "user_id", "ts", "event_type"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        con.register("events", pdf)
+        exp_df = con.execute(ORACLES["q_join_asof_nearest"]).fetchdf()
+    finally:
+        con.close()
+    exp = {
+        (r.event_id, r.user_id): (
+            None if pd.isna(r.us_offset) else int(r.us_offset)
+        )
+        for r in exp_df.itertuples()
+    }
+    got = {k: (None if v is None else int(v)) for k, v in got.items()}
+    assert got == exp
