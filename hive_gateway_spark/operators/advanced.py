@@ -3773,3 +3773,148 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fwd - us)
     )
     return e.select("event_id", "user_id", offset.alias("us_offset"))
+
+
+#: M4 downsampling width (buckets per series) — 16 keeps the fixture
+#: report discriminating (≈ 4·16·5 rows) while the formula is the
+#: production pixel-width parameter.
+M4_BUCKETS = 16
+
+_M4_ROLE_SQL = """
+    SELECT event_type, bucket, '{role}' AS role, ts, value
+    FROM r WHERE {rn} = 1
+"""
+
+
+@query(
+    "q_downsample_m4",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type, ts, event_id, value, epoch_us(ts) AS us,
+               MIN(epoch_us(ts)) OVER (PARTITION BY event_type) AS mn,
+               MAX(epoch_us(ts)) OVER (PARTITION BY event_type) AS mx
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, ts, event_id, value, us,
+               CAST(((us - mn) * {M4_BUCKETS}) // (mx - mn + 1) AS BIGINT)
+                 AS bucket
+        FROM pts
+    ),
+    r AS (
+        SELECT event_type, bucket, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                   ORDER BY us ASC, event_id ASC) AS rn_f,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                   ORDER BY us DESC, event_id DESC) AS rn_l,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                   ORDER BY value ASC, us ASC, event_id ASC) AS rn_mn,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                   ORDER BY value DESC, us ASC, event_id ASC) AS rn_mx
+        FROM b
+    )
+    {_M4_ROLE_SQL.format(role="first", rn="rn_f")}
+    UNION ALL {_M4_ROLE_SQL.format(role="last", rn="rn_l")}
+    UNION ALL {_M4_ROLE_SQL.format(role="min", rn="rn_mn")}
+    UNION ALL {_M4_ROLE_SQL.format(role="max", rn="rn_mx")}
+    """,
+)
+def q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014 — the dashboard/
+    Grafana standard): reduce each per-type value series to the FOUR
+    shape-preserving extremes per pixel bucket — first, last, min,
+    max — the provably error-free aggregation for line-chart
+    rendering at any data volume (a 100 TB series downsamples to
+    4·width points and the drawn pixels are identical). Buckets are
+    equal-width over each series' own [min, max] time range in exact
+    integer µs arithmetic.
+
+    Determinism: every role resolves ties through the engine's total
+    (ts, event_id) order (value ties → earliest point), so the chosen
+    points are unique; values pass through untouched (no float
+    arithmetic to diverge).
+
+    Scale shape: ONE shuffle on event_type feeds the per-series
+    min/max window, the bucket projection, and all four per-bucket
+    row_numbers (same hash partitioning — Spark plans one exchange
+    and re-sorts within partitions); the four roles emit via ONE
+    array explode, not four scans. The oracle spells the same points
+    as four UNION ALL rank-1 subqueries — a different derivation of
+    the same selection."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    us = F.unix_micros(F.col("ts"))
+    wt = W.partitionBy("event_type")
+    mn = F.min(us).over(wt)
+    mx = F.max(us).over(wt)
+    b = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        us.alias("us"),
+        mn.alias("mn"),
+        mx.alias("mx"),
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        "us",
+        # integer µs arithmetic end-to-end (div, not /): the double
+        # spelling is exact at fixture ranges but a boundary point
+        # could shift under rounding at century-scale spans
+        F.expr(f"((us - mn) * {M4_BUCKETS}) div (mx - mn + 1)").alias("bucket"),
+    )
+    wb = W.partitionBy("event_type", "bucket")
+    roles = F.array_compact(
+        F.array(
+            F.when(
+                F.row_number().over(
+                    wb.orderBy(F.col("us").asc(), F.col("event_id").asc())
+                )
+                == 1,
+                F.lit("first"),
+            ),
+            F.when(
+                F.row_number().over(
+                    wb.orderBy(F.col("us").desc(), F.col("event_id").desc())
+                )
+                == 1,
+                F.lit("last"),
+            ),
+            F.when(
+                F.row_number().over(
+                    wb.orderBy(
+                        F.col("value").asc(),
+                        F.col("us").asc(),
+                        F.col("event_id").asc(),
+                    )
+                )
+                == 1,
+                F.lit("min"),
+            ),
+            F.when(
+                F.row_number().over(
+                    wb.orderBy(
+                        F.col("value").desc(),
+                        F.col("us").asc(),
+                        F.col("event_id").asc(),
+                    )
+                )
+                == 1,
+                F.lit("max"),
+            ),
+        )
+    )
+    return (
+        b.withColumn("roles", roles)
+        .filter(F.size("roles") > 0)
+        .select(
+            "event_type",
+            "bucket",
+            F.explode("roles").alias("role"),
+            "ts",
+            "value",
+        )
+    )

@@ -152,6 +152,11 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # CASE with the pandas backward tie rule — never a |Δt| join;
     # LATERAL-argmin oracle; tie regime hypothesis-pinned vs DuckDB
     "q_join_asof_nearest",
+    # M4 downsampling (Jugel et al. VLDB'14, the Grafana/dashboard
+    # standard): per-series per-bucket first/last/min/max in one pass
+    # — exact integer µs buckets, (ts, event_id) tie discipline, four
+    # UNION-rank-1 subqueries as the independent oracle spelling
+    "q_downsample_m4",
     # IVF×ADC shortlist membership made hash-checkable (VERDICT r14
     # task #4): the q_pq_candidates playbook extended by the
     # cell-scoping half — seeded integer cell table + seeded codebook

@@ -882,3 +882,12 @@ def test_asof_nearest_is_two_frames_one_exchange_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_downsample_m4_single_pass_no_join(spark, sf_dir):
+    """M4 emits the four roles from ONE pass: no Join, one events
+    scan, the per-series and per-bucket windows share the event_type
+    hash partitioning (subset-compatible clustering)."""
+    plan = plan_of(spark, sf_dir, "q_downsample_m4")
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
