@@ -3918,3 +3918,85 @@ def q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+@query(
+    "q_cusum_drift",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY date_trunc('day', ts)
+               ) AS rn
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, SUM(x) AS total, COUNT(*) AS nd
+        FROM daily GROUP BY 1
+    ),
+    -- the DEFINITION, walked literally: S_i = max(0, S_{i-1} + x_i·nd − total)
+    walk(event_type, rn, s) AS (
+        SELECT d.event_type, d.rn, GREATEST(0, d.x * t.nd - t.total)
+        FROM daily d JOIN tot t USING (event_type) WHERE d.rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn, GREATEST(0, w.s + d.x * t.nd - t.total)
+        FROM walk w
+        JOIN daily d ON d.event_type = w.event_type AND d.rn = w.rn + 1
+        JOIN tot t ON t.event_type = d.event_type
+    )
+    SELECT w.event_type, d.day, CAST(w.s AS BIGINT) AS s_scaled
+    FROM walk w JOIN daily d
+      ON d.event_type = w.event_type AND d.rn = w.rn
+    """,
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic (Page 1954 — the classic
+    sequential change-point monitor every ingestion pipeline runs on
+    its daily volumes): per event type, S_i = max(0, S_{i−1} + x_i − μ)
+    over the daily-count series — S accumulates excess over the
+    series' own mean and resets at zero, so a sustained upward shift
+    grows S linearly while noise dies out. Exactness: μ = total/days
+    never materializes as a float — the whole recursion is scaled by
+    the day count (x·nd − total), keeping every term int64.
+
+    The scale spelling rests on the max-plus closed form: with
+    P_i = Σ_{j≤i}(x_j·nd − total) and P_0 = 0,
+    ``S_i = P_i − min(0, min_{j≤i} P_j)`` — the running recursion
+    collapses to a cumulative sum and a running minimum, TWO window
+    functions sharing one exchange, no iteration (the same
+    closed-form-vs-definition pairing as q_sequence_count). The
+    oracle WALKS THE DEFINITION as a recursive CTE, so the driver
+    hash compares the prefix identity against the recursion itself.
+
+    Scale shape: the daily matrix is ≤ types·days rows after ONE
+    map-side-combined aggregate of the fact; the per-type totals
+    broadcast back; both windows ride the same event_type
+    partitioning."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("x").alias("total"), F.count("*").alias("nd")
+    )
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn("pfx", F.sum(F.col("x") * F.col("nd") - F.col("total")).over(wp))
+    )
+    return p.select(
+        "event_type",
+        "day",
+        (
+            F.col("pfx")
+            - F.least(F.lit(0).cast("bigint"), F.min("pfx").over(wp))
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+    )

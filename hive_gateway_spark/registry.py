@@ -157,6 +157,12 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # — exact integer µs buckets, (ts, event_id) tie discipline, four
     # UNION-rank-1 subqueries as the independent oracle spelling
     "q_downsample_m4",
+    # CUSUM drift monitor (Page 1954): S_i = max(0, S_{i-1} + x - μ)
+    # over per-type daily volumes, integer-exact via day-count
+    # scaling; engine = the prefix-min closed form (two windows, one
+    # exchange), oracle = the literal max-plus recursion as a
+    # recursive CTE; identity hypothesis-pinned
+    "q_cusum_drift",
     # IVF×ADC shortlist membership made hash-checkable (VERDICT r14
     # task #4): the q_pq_candidates playbook extended by the
     # cell-scoping half — seeded integer cell table + seeded codebook

@@ -759,3 +759,24 @@ def test_asof_nearest_matches_oracle_under_ties(spark_global, rows):
     }
     got = {k: (None if v is None else int(v)) for k, v in got.items()}
     assert got == exp
+
+
+# --- CUSUM: prefix-min closed form == the literal max-plus recursion,
+# on random integer series (the engine never iterates)
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+    st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=50, deadline=None)
+def test_cusum_closed_form_matches_recursion(xs, k):
+    s, out_rec = 0, []
+    for x in xs:
+        s = max(0, s + x - k)
+        out_rec.append(s)
+    pfx, mn, out_cf = 0, 0, []
+    for x in xs:
+        pfx += x - k
+        mn = min(mn, pfx)
+        out_cf.append(pfx - min(0, mn))
+    assert out_rec == out_cf
