@@ -271,6 +271,20 @@ HEADLINE_R14 = [
     "q_window_funnel",
 ]
 
+HEADLINE_R15 = [
+    "q_tpcds_q1",
+    "q_tpcds_q34",
+    "q_tpcds_q42",
+    "q_tpcds_q95",
+    "q_tpcds_q51",
+    "q_tpcds_q36",
+    "q_ivfpq_candidates",
+    "q_sequence_count",
+    "q_join_asof_nearest",
+    "q_downsample_m4",
+    "q_cusum_drift",
+]
+
 
 #: Regression gate (VERDICT r6 task #6): warm ratio vs the previous
 #: round's recorded bench above which the run FAILS (rc != 0), so a perf
