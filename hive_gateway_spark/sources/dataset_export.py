@@ -493,6 +493,7 @@ def append_dataset(
     rare, and administrative (plain appends stay O(batch))."""
     prev = _current_manifest(path)
     _refuse_bucketed(prev, "append_dataset")
+    _check_constraints(df, prev, "append_dataset")
     if not prev.get("files"):
         raise ValueError(
             "manifest has no files list (pre-snapshot or corrupt) — "
@@ -615,6 +616,8 @@ def append_dataset(
                 for rel, s in prev.get("file_stats", {}).items()
                 if rel in set(manifest["files"])
             }
+        if prev.get("constraints"):
+            manifest["constraints"] = prev["constraints"]
         _fire_race_hook()
         try:
             _try_commit(path, manifest)
@@ -654,6 +657,7 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     spark = df.sparkSession
     prev = _current_manifest(path)
     _refuse_bucketed(prev, "merge_dataset")
+    _check_constraints(df, prev, "merge_dataset")
     if not prev.get("files"):
         raise ValueError(
             "manifest has no files list (pre-snapshot or corrupt) — "
@@ -700,6 +704,11 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
             "version": int(prev.get("version", 1)) + 1,
             "files": files,
             "schema_json": _file_schema_json(merged, cols, pby),
+            **(
+                {"constraints": prev["constraints"]}
+                if prev.get("constraints")
+                else {}
+            ),
         }
         _fire_race_hook()
         try:
@@ -741,6 +750,7 @@ def rewrite_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict
     spark = df.sparkSession
     prev = _current_manifest(path)
     _refuse_bucketed(prev, "rewrite_dataset")
+    _check_constraints(df, prev, "rewrite_dataset")
     if not prev.get("files"):
         raise ValueError(
             "manifest has no files list (pre-snapshot or corrupt) — "
@@ -764,6 +774,11 @@ def rewrite_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict
         "version": int(prev.get("version", 1)) + 1,
         "files": files,
         "schema_json": _file_schema_json(df, cols, pby),
+        **(
+            {"constraints": prev["constraints"]}
+            if prev.get("constraints")
+            else {}
+        ),
         **(extra or {}),
     }
     _fire_race_hook()
@@ -868,6 +883,11 @@ def delete_dataset(
             "files": files,
             "schema_json": prev.get("schema_json")
             or _file_schema_json(back, cols, pby),
+            **(
+                {"constraints": prev["constraints"]}
+                if prev.get("constraints")
+                else {}
+            ),
             "delete_report": {
                 "column": column,
                 "files_kept": len(kept),
@@ -1071,6 +1091,81 @@ def _file_stats(path: str, files: list[str], column: str) -> dict:
 
             out[rel] = [safe(lo), safe(hi)]
     return out
+
+
+class ConstraintViolation(ValueError):
+    """A write's rows violate a table CHECK constraint."""
+
+
+def _check_constraints(df: DataFrame, manifest: dict, verb: str) -> None:
+    """Enforce the manifest's CHECK constraints against a batch — the
+    Delta `ALTER TABLE ADD CONSTRAINT` contract: every write verb
+    validates its incoming rows against every stored predicate and
+    REFUSES the whole commit on the first violation (constraints are
+    invariants, not filters — silently dropping bad rows would hide a
+    producer bug). Cost: one filtered count per constraint over the
+    BATCH (never the table); at 100 TB the count is a map-only job
+    over the rows the write was already going to scan."""
+    cons = manifest.get("constraints") or {}
+    for name, pred in cons.items():
+        bad = df.filter(~F.expr(pred).eqNullSafe(F.lit(True))).count()
+        if bad:
+            raise ConstraintViolation(
+                f"{verb}: {bad} row(s) violate CHECK constraint "
+                f"{name!r} ({pred})"
+            )
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, predicate: str
+) -> dict:
+    """ADD a named CHECK constraint (a SQL boolean expression over the
+    table's columns) — Delta's `ALTER TABLE t ADD CONSTRAINT name
+    CHECK (pred)`: the EXISTING table must already satisfy the
+    predicate (validated here, one scan — rejecting retroactively
+    invalid constraints is the Delta semantics), after which every
+    append / merge / rewrite / delete-survivor batch is validated
+    before its commit. NULL predicate results count as violations
+    (a constraint must PROVE the row, the SQL CHECK convention is
+    relaxed here deliberately: schema-on-read corpora make 'unknown'
+    an ingest bug, not a pass). The constraint map rides in the
+    manifest, so readers and writers in any session see it."""
+    prev = _current_manifest(path)
+    if not prev.get("files"):
+        raise ValueError(
+            "manifest has no files list (pre-snapshot or corrupt) — "
+            "re-export with write_dataset"
+        )
+    cur = _read_manifest_files(spark, path, prev["files"], prev.get("schema_json"))
+    _check_constraints(
+        cur, {"constraints": {name: predicate}}, f"add_constraint({name})"
+    )
+    manifest = {
+        **prev,
+        "version": int(prev.get("version", 1)) + 1,
+        "constraints": {**(prev.get("constraints") or {}), name: predicate},
+    }
+    manifest.pop("committed_at_us", None)
+    _try_commit(path, manifest)
+    return manifest
+
+
+def drop_constraint(path: str, name: str) -> dict:
+    """Remove a named CHECK constraint (new manifest version; history
+    keeps the constrained versions for audit)."""
+    prev = _current_manifest(path)
+    cons = dict(prev.get("constraints") or {})
+    if name not in cons:
+        raise KeyError(f"no CHECK constraint named {name!r} at {path}")
+    del cons[name]
+    manifest = {
+        **prev,
+        "version": int(prev.get("version", 1)) + 1,
+        "constraints": cons,
+    }
+    manifest.pop("committed_at_us", None)
+    _try_commit(path, manifest)
+    return manifest
 
 
 def _field_kind(schema_json: str | None, column: str) -> str:

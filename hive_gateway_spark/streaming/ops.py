@@ -1418,6 +1418,61 @@ stream_window_funnel.__doc__ = stream_window_funnel.__doc__.format(
 )
 
 
+def stream_sequence_count(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_sequence_count: per user, the running count
+    of non-overlapping signup → purchase chains, emitted as an updated
+    total whenever a chain COMPLETES (append mode — the count is
+    monotone, so each completion appends one row with the new total;
+    max per user over a drain equals the batch report).
+
+    The batch closed form (count signup-run → purchase-run boundaries)
+    is already incremental: the only cross-batch state is the LAST
+    seen S/P type plus the running count — two scalars per user. Per
+    micro-batch the key's rows sort (ts, event_id) and the transition
+    scan continues from the carried type, so chain boundaries land
+    identically to the batch window under the twins' standing
+    contract (event-time-ordered ingestion per user)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_chains bigint, at timestamp"
+    state_schema = "last string, cnt bigint"
+
+    def track(key, pdf_iter, state: GroupState):
+        last, cnt = state.get if state.exists else (None, 0)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf[pdf["event_type"].isin(["signup", "purchase"])].sort_values(
+            ["ts", "event_id"]
+        )
+        outs_n, outs_at = [], []
+        for et, ts in zip(pdf["event_type"].values, pdf["ts"].values):
+            if et == "purchase" and last == "signup":
+                cnt += 1
+                outs_n.append(cnt)
+                outs_at.append(ts)
+            last = et
+        state.update((last, cnt))
+        if outs_n:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "n_chains": pd.array(outs_n, dtype="int64"),
+                    "at": outs_at,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def scd2_dimension_sink(spark: SparkSession, table_path: str):
     """Continuously-maintained SCD2 dimension TABLE — the lakehouse
     completion of the SCD2 family: stream_scd2_changes emits the CDC

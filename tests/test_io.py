@@ -1904,3 +1904,74 @@ def test_read_snapshot_between_string_stats_prune_safely(spark, tmp_path):
     n_table = len(read_snapshot(spark, path).inputFiles())
     n_pruned = len(got.inputFiles())
     assert n_pruned < n_table, (n_pruned, n_table)
+
+
+def test_check_constraints_enforced_across_verbs(spark, tmp_path):
+    """Delta ADD CONSTRAINT semantics on the manifest layer: adding a
+    constraint validates EXISTING rows (retroactively-invalid
+    constraints are rejected); once stored, every append / merge /
+    rewrite batch is validated before its commit and the whole write
+    refuses on violation (constraints are invariants, not filters);
+    NULL predicate results violate; the constraint map carries forward
+    through every verb's new version and drops explicitly."""
+    import pytest as _pt
+
+    from hive_gateway_spark.sources import dataset_export as de
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "doc_id bigint, text string, score double",
+    )
+    path = str(tmp_path / "tcons")
+    de.write_dataset(base, path)
+    # retroactively invalid: existing row has score 10
+    with _pt.raises(de.ConstraintViolation):
+        de.add_constraint(spark, path, "score_big", "score > 15")
+    m = de.add_constraint(spark, path, "score_pos", "score > 0")
+    assert m["constraints"] == {"score_pos": "score > 0"}
+    # valid append passes and carries the map
+    m2 = de.append_dataset(
+        spark.createDataFrame([(4, "d", 5.0)], base.schema), path
+    )
+    assert m2["constraints"] == {"score_pos": "score > 0"}
+    # violating append refuses whole batch (good row + bad row)
+    bad = spark.createDataFrame(
+        [(5, "e", 50.0), (6, "f", -1.0)], base.schema
+    )
+    with _pt.raises(de.ConstraintViolation, match="score_pos"):
+        de.append_dataset(bad, path)
+    assert de.read_snapshot(spark, path).count() == 4  # nothing landed
+    # NULL predicate result violates (must PROVE the row)
+    nullrow = spark.createDataFrame(
+        [(7, "g", None)], "doc_id bigint, text string, score double"
+    )
+    with _pt.raises(de.ConstraintViolation):
+        de.append_dataset(nullrow, path)
+    # merge validates its upsert side too
+    with _pt.raises(de.ConstraintViolation):
+        de.merge_dataset(
+            spark.createDataFrame([(1, "A", -9.0)], base.schema),
+            path,
+            "doc_id",
+        )
+    ok = de.merge_dataset(
+        spark.createDataFrame([(1, "A", 9.0)], base.schema), path, "doc_id"
+    )
+    assert ok["constraints"] == {"score_pos": "score > 0"}
+    # rewrite validates the full replacement and keeps the map
+    evolved = de.read_snapshot(spark, path).withColumn(
+        "flag", F.lit(True)
+    )
+    m3 = de.rewrite_dataset(evolved.localCheckpoint(), path)
+    assert m3["constraints"] == {"score_pos": "score > 0"}
+    # drop is explicit and versioned
+    m4 = de.drop_constraint(path, "score_pos")
+    assert m4["constraints"] == {}
+    de.append_dataset(
+        spark.createDataFrame(
+            [(8, "h", -2.0), (9, "i", 1.0)], base.schema
+        ).withColumn("flag", F.lit(False)),
+        path,
+    )
+    assert de.read_snapshot(spark, path).count() == 6
+    assert de.verify_dataset(spark, path)["ok"]

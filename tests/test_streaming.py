@@ -1386,3 +1386,28 @@ def test_stream_window_funnel_equals_batch(spark, sf_dir):
     for _uid, grp in got.sort_values("at").groupby("user_id"):
         lv = grp["funnel_level"].tolist()
         assert lv == sorted(lv) and len(set(lv)) == len(lv)
+
+
+def test_stream_sequence_count_equals_batch(spark, sf_dir):
+    """Each chain completion appends the new running total; max per
+    user over the drain equals the batch sequenceCount (users with
+    zero chains emit nothing — the batch report carries them as 0)."""
+    from hive_gateway_spark.streaming.ops import (
+        stream_events,
+        stream_sequence_count,
+    )
+
+    got = drain(stream_sequence_count(stream_events(spark, sf_dir)), "s_seqc")
+    assert len(got) > 0
+    reduced = got.groupby("user_id")["n_chains"].max().to_dict()
+    want_df = registry.QUERIES["q_sequence_count"](spark, sf_dir).toPandas()
+    want = {
+        r.user_id: r.n_chains
+        for r in want_df.itertuples()
+        if r.n_chains > 0
+    }
+    assert reduced == want
+    # totals step by exactly 1 in event-time order per user
+    for _uid, grp in got.sort_values("at").groupby("user_id"):
+        ns = grp["n_chains"].tolist()
+        assert ns == list(range(ns[0], ns[0] + len(ns))) and ns[0] >= 1
