@@ -953,3 +953,78 @@ def q_tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("brand").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "q_tpcds_q67",
+    oracle="""
+    WITH rolled AS (
+        SELECT split_part(p.p_type, ' ', 1) AS category,
+               p.p_brand AS brand,
+               CAST(year(l.l_shipdate) AS BIGINT) AS sales_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                 AS sumsales_e4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY ROLLUP(split_part(p.p_type, ' ', 1), p.p_brand,
+                        year(l.l_shipdate))
+    )
+    SELECT category, brand, sales_year, sumsales_e4, rk
+    FROM (
+        SELECT category, brand, sales_year, sumsales_e4,
+               CAST(RANK() OVER (
+                   PARTITION BY category
+                   ORDER BY sumsales_e4 DESC,
+                            brand ASC NULLS FIRST,
+                            sales_year ASC NULLS FIRST
+               ) AS BIGINT) AS rk
+        FROM rolled
+    ) WHERE rk <= 10
+    """,
+)
+def q_tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape (top-N per group OVER a rollup): the published
+    query rolls sales up a six-attribute hierarchy and keeps each
+    category's 100 best rows ACROSS ALL ROLLUP LEVELS at once —
+    subtotals compete with leaves in the same ranking (a brand-year
+    leaf can outrank a whole-brand subtotal), the idiom dashboards use
+    for "biggest things in this category at any grain". NULL grouping
+    keys partition together (the all-categories subtotal rows rank in
+    their own NULL partition), exactly as published.
+
+    Scale shape — the reason this query is famous as a benchmark
+    stress point: the rollup output is groups-sized, but the rank
+    filter must not buffer whole partitions — the plan is pinned to
+    WindowGroupLimit (Spark's rank-pushdown: each map task keeps only
+    its local top-10 per partition BEFORE the window exchange), the
+    same optimization that makes the published Q67 tractable.
+    Determinism: exact e4 integer sales; the RANK order carries full
+    (brand, sales_year) NULLS FIRST tie-breaks so equal sums cannot
+    reorder across engines."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    rolled = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.split(F.col("p_type"), " ").getItem(0).alias("category"),
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("bigint").alias("sales_year"),
+            dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "rev"
+            ),
+        )
+        .rollup("category", "brand", "sales_year")
+        .agg((F.sum("rev") * 10000).cast("bigint").alias("sumsales_e4"))
+    )
+    wr = W.partitionBy("category").orderBy(
+        F.col("sumsales_e4").desc(),
+        F.col("brand").asc_nulls_first(),
+        F.col("sales_year").asc_nulls_first(),
+    )
+    return (
+        rolled.withColumn("rk", F.rank().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select("category", "brand", "sales_year", "sumsales_e4", "rk")
+    )

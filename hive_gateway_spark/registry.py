@@ -157,6 +157,11 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # — exact integer µs buckets, (ts, event_id) tie discipline, four
     # UNION-rank-1 subqueries as the independent oracle spelling
     "q_downsample_m4",
+    # DS Q67: top-N per group OVER a rollup — subtotals compete with
+    # leaves in one ranking; plan-pinned to WindowGroupLimit (local
+    # top-k before the window exchange), the optimization that makes
+    # the published Q67 tractable
+    "q_tpcds_q67",
     # CUSUM drift monitor (Page 1954): S_i = max(0, S_{i-1} + x - μ)
     # over per-type daily volumes, integer-exact via day-count
     # scaling; engine = the prefix-min closed form (two windows, one

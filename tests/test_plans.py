@@ -891,3 +891,14 @@ def test_downsample_m4_single_pass_no_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_downsample_m4")
     assert "Join" not in plan, plan
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_tpcds_q67_rank_pushes_window_group_limit(spark, sf_dir):
+    """Q67's top-10-per-category filter must push as WindowGroupLimit
+    (local top-k per map task before the window exchange) — the
+    optimization that makes the published Q67 tractable; and the
+    rollup runs as Expand + partial agg over ONE fact scan."""
+    plan = plan_of(spark, sf_dir, "q_tpcds_q67")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Expand" in plan, plan
+    assert plan.lower().count("lineitem.parquet") == 1, plan
