@@ -1411,3 +1411,112 @@ def test_stream_sequence_count_equals_batch(spark, sf_dir):
     for _uid, grp in got.sort_values("at").groupby("user_id"):
         ns = grp["n_chains"].tolist()
         assert ns == list(range(ns[0], ns[0] + len(ns))) and ns[0] >= 1
+
+
+def test_stateful_twin_recovers_state_across_restart(spark, tmp_path):
+    """Checkpointed restart recovery: a stateful twin
+    (stream_sequence_count) processes file 1, the query STOPS, files
+    2-3 arrive, and a NEW query restarted from the same checkpoint
+    must (a) restore per-user state — a chain whose signup is in file
+    1 and purchase in file 2 counts exactly once, (b) not re-emit file
+    1's outputs (exactly-once over the memory sink union), and (c)
+    agree with the batch operator over the full event set."""
+    import datetime as _dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from hive_gateway_spark.operators import advanced as A
+    from hive_gateway_spark.streaming.ops import stream_sequence_count
+
+    rows = [
+        # user 1: chain inside file 1, then a signup whose purchase
+        # lands in file 2 (the state-recovery probe), then one more
+        # full chain in file 3
+        (1, 1, "signup"), (2, 1, "purchase"),      # f1: chain 1
+        (3, 1, "signup"),                           # f1: open
+        (4, 1, "purchase"),                         # f2: closes chain 2
+        (5, 1, "signup"), (6, 1, "purchase"),      # f3: chain 3
+        # user 2: purchase-before-signup noise + one chain across f2/f3
+        (7, 2, "purchase"), (8, 2, "signup"),      # f1/f2 split below
+        (9, 2, "purchase"),                         # f3: closes chain 1
+    ]
+    files = {0: rows[0:3] + rows[6:7], 1: rows[3:4] + rows[7:8], 2: rows[4:6] + rows[8:9]}
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    d = tmp_path / "src"
+    d.mkdir()
+    ck = str(tmp_path / "ckpt")
+
+    def write_file(i):
+        pdf = pd.DataFrame(
+            [
+                (eid, u, _dt.datetime(2024, 1, 1, 0, 0, eid), et)
+                for eid, u, et in files[i]
+            ],
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(str(d / f"f{i}.parquet"), index=False)
+        os.utime(str(d / f"f{i}.parquet"), (1_000_000 + i, 1_000_000 + i))
+
+    out = str(tmp_path / "sink")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            stream_sequence_count(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).toPandas()
+
+    write_file(0)
+    first = run_once()
+    # file 1 alone: user 1's first chain only
+    assert first[["user_id", "n_chains"]].values.tolist() == [[1, 1]]
+    write_file(1)
+    write_file(2)
+    both = run_once()  # restart from the SAME checkpoint
+    # exactly-once: the file sink holds the FULL emission history with
+    # no duplicates after the restart
+    assert len(both) == len(both.drop_duplicates())
+    reduced = both.groupby("user_id")["n_chains"].max().to_dict()
+    # batch truth over the full event set
+    all_ev = spark.createDataFrame(
+        [
+            (eid, u, _dt.datetime(2024, 1, 1, 0, 0, eid), et)
+            for i in files
+            for eid, u, et in files[i]
+        ],
+        schema,
+    )
+    orig = A.load_tables
+    A.load_tables = lambda s, dd: {"events": all_ev}
+    try:
+        want = {
+            r["user_id"]: r["n_chains"]
+            for r in A.q_sequence_count(spark, "ignored").collect()
+        }
+    finally:
+        A.load_tables = orig
+    assert reduced == {u: n for u, n in want.items() if n > 0}
+    # the cross-restart chain (signup f1 → purchase f2) was counted
+    # exactly once: totals step 1,2,3 for user 1 with no repeats
+    u1 = sorted(both[both.user_id == 1]["n_chains"].tolist())
+    assert u1 == [1, 2, 3]
