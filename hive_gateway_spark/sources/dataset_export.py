@@ -729,6 +729,87 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     )
 
 
+def apply_diff(diff: DataFrame, path: str, key: str) -> dict:
+    """APPLY a change-data-feed onto a target table — the CONSUMER half
+    of snapshot_diff (Delta CDF's replication story): ``diff`` is the
+    (op, …columns) frame snapshot_diff emits; inserts and update_post
+    images upsert by ``key``, deletes remove their keys, update_pre
+    images are audit-only and ignored — all in ONE atomic commit
+    (version N+1), so a replica can never be observed mid-apply.
+    Applying the same diff twice is a content no-op (upserts replace
+    same keys with same rows, deletes of absent keys do nothing) —
+    replay-safe by construction, the property a catch-up consumer
+    needs after a crash.
+
+    Scale shape: identical to merge_dataset — one anti-join of the
+    current snapshot against the (small) touched-key set, co-
+    partitioned on the key, then a union write of fresh files; prior
+    versions keep their files. Constraints validate the incoming
+    images; a lost commit race unlinks and re-applies against the
+    winner (diff application commutes with itself, not with foreign
+    writes — recomputing against the winner's snapshot is the correct
+    merge, exactly as merge_dataset)."""
+    spark = diff.sparkSession
+    prev = _current_manifest(path)
+    _refuse_bucketed(prev, "apply_diff")
+    if not prev.get("files"):
+        raise ValueError(
+            "manifest has no files list (pre-snapshot or corrupt) — "
+            "re-export with write_dataset"
+        )
+    ups = diff.filter(F.col("op").isin("insert", "update_post")).drop("op")
+    dels = diff.filter(F.col("op") == "delete").select(key).distinct()
+    _check_constraints(ups, prev, "apply_diff")
+    cols0 = prev["columns"]
+    missing = [c for c in cols0 if c not in ups.columns]
+    if missing:
+        raise ValueError(f"diff missing manifest columns: {missing}")
+    for _ in range(MAX_COMMIT_RETRIES):
+        pby = prev["partition_by"]
+        cols = prev["columns"]
+        current = _read_manifest_files(
+            spark, path, prev["files"], prev.get("schema_json")
+        ).select(*cols)
+        touched = ups.select(key).unionByName(dels).distinct()
+        merged = current.join(touched, on=key, how="left_anti").unionByName(
+            ups.select(*cols)
+        )
+        files = _land_files(merged, path, pby)
+        back = _read_manifest_files(spark, path, files)
+        counts = _partition_counts(back, pby)
+        manifest = {
+            "format": "parquet",
+            "partition_by": pby,
+            "columns": cols,
+            "n_rows": sum(counts.values()),
+            "partitions": dict(sorted(counts.items())),
+            "content_xxh64_sum": _content_checksum(back.select(*cols), cols),
+            "version": int(prev.get("version", 1)) + 1,
+            "files": files,
+            "schema_json": _file_schema_json(merged, cols, pby),
+            **(
+                {"constraints": prev["constraints"]}
+                if prev.get("constraints")
+                else {}
+            ),
+        }
+        _fire_race_hook()
+        try:
+            _try_commit(path, manifest)
+            return manifest
+        except CommitConflict:
+            for rel in files:
+                try:
+                    os.unlink(os.path.join(path, rel))
+                except FileNotFoundError:
+                    pass
+            prev = _current_manifest(path)
+    raise RuntimeError(
+        f"apply_diff lost {MAX_COMMIT_RETRIES} commit races at {path} — "
+        "pathological writer contention"
+    )
+
+
 def rewrite_dataset(df: DataFrame, path: str, extra: dict | None = None) -> dict:
     """Full-table COW REWRITE under a possibly-EVOLVED schema — the
     "explicit rewrite" merge_dataset's unexpected-column error points

@@ -1975,3 +1975,52 @@ def test_check_constraints_enforced_across_verbs(spark, tmp_path):
     )
     assert de.read_snapshot(spark, path).count() == 6
     assert de.verify_dataset(spark, path)["ok"]
+
+
+def test_apply_diff_replicates_and_is_replay_safe(spark, tmp_path):
+    """The CDF consumer half: fork a replica at v1, advance the source
+    through append + merge + delete, snapshot_diff(v1 → head), apply
+    onto the replica — replica content equals the source head in ONE
+    atomic version; re-applying the same diff is a content no-op
+    (crash/catch-up replay safety)."""
+    from hive_gateway_spark.sources import dataset_export as de
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "doc_id bigint, text string, score double",
+    )
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    de.write_dataset(base, src)
+    de.write_dataset(base, dst)  # fork at v1
+    # advance the source: insert 4, update 2, delete 3
+    de.append_dataset(
+        spark.createDataFrame([(4, "d", 40.0)], base.schema), src
+    )
+    de.merge_dataset(
+        spark.createDataFrame([(2, "B!", 21.0)], base.schema), src, "doc_id"
+    )
+    de.delete_dataset(spark, src, "doc_id", 3, 3)
+    head_v = de._current_manifest(src)["version"]
+    diff = de.snapshot_diff(spark, src, 1, head_v, "doc_id").localCheckpoint()
+    m = de.apply_diff(diff, dst, "doc_id")
+    want = {
+        (r["doc_id"], r["text"], r["score"])
+        for r in de.read_snapshot(spark, src).collect()
+    }
+    got = {
+        (r["doc_id"], r["text"], r["score"])
+        for r in de.read_snapshot(spark, dst).collect()
+    }
+    assert got == want and len(got) == 3
+    assert m["version"] == 2  # ONE atomic commit on the replica
+    assert de.verify_dataset(spark, dst)["ok"]
+    # replay safety: same diff again → same content, new version
+    m2 = de.apply_diff(diff, dst, "doc_id")
+    got2 = {
+        (r["doc_id"], r["text"], r["score"])
+        for r in de.read_snapshot(spark, dst).collect()
+    }
+    assert got2 == want and m2["version"] == 3
+    assert m2["content_xxh64_sum"] == m["content_xxh64_sum"]
+    # the replica's v1 (pre-apply fork) still time-travels
+    assert de.read_snapshot(spark, dst, version=1).count() == 3
