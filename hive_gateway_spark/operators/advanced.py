@@ -4000,3 +4000,88 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("s_scaled"),
     )
+
+
+#: Equi-depth histogram width (buckets per column/series) — the CBO
+#: default neighborhood (Spark's ANALYZE ... COMPUTE STATISTICS uses
+#: 254; 8 keeps the fixture report readable while the math is width-
+#: independent).
+EQUIDEPTH_B = 8
+
+
+@query(
+    "q_histogram_equidepth",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value ASC, event_id ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST((rn - 1) * {EQUIDEPTH_B} // n AS BIGINT) AS bucket,
+           MIN(value) AS lo,
+           MAX(value) AS hi,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT value) AS ndv
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram — the ANALYZE TABLE artifact
+    every cost-based optimizer keeps per column (Spark's `COMPUTE
+    STATISTICS FOR COLUMNS`, Postgres' pg_stats buckets): per event
+    type, rows split into {b} equal-POPULATION buckets with each
+    bucket's [lo, hi] value range, row count and distinct-value count
+    — the structure that makes selectivity estimates robust to skew
+    where equi-WIDTH histograms collapse (one hot value inflates a
+    single bucket's population, never its width).
+
+    Bucketing is RANK-based, not value-based: bucket = (rank−1)·B
+    div n over the total (value, event_id) order, so equal values may
+    legitimately straddle a boundary — the standard equi-depth
+    construction, and the only one that is exactly engine-portable
+    (a value-based split would need a tie policy the optimizer doesn't
+    care about). Bucket populations differ by at most 1 by
+    construction.
+
+    Scale shape: ONE shuffle on event_type feeds the row_number, the
+    per-type count (same window partition, unbounded frame) and the
+    final (type, bucket) aggregate — at 100 TB this is the standard
+    stats-collection pass; the report is types·B rows. The per-type
+    total order is the honest cost (exact equi-depth needs it);
+    production trades it for GK sketches (q_quantile_sketch) when
+    approximate boundaries suffice."""
+    t = load_tables(spark, sf_dir)
+    wt = W.partitionBy("event_type")
+    ranked = t["events"].select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(wt.orderBy(F.col("value").asc(), F.col("event_id").asc()))
+        .alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    return (
+        ranked.select(
+            "event_type",
+            "value",
+            F.expr(f"(rn - 1) * {EQUIDEPTH_B} div n").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("value").alias("ndv"),
+        )
+    )
+
+
+q_histogram_equidepth.__doc__ = q_histogram_equidepth.__doc__.format(
+    b=EQUIDEPTH_B
+)

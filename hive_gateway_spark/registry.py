@@ -157,6 +157,11 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # — exact integer µs buckets, (ts, event_id) tie discipline, four
     # UNION-rank-1 subqueries as the independent oracle spelling
     "q_downsample_m4",
+    # equi-depth histogram: the ANALYZE/CBO stats artifact — rank-based
+    # equal-population buckets per type with [lo,hi]/count/ndv; the
+    # only engine-portable exact construction (value-based splits need
+    # a tie policy); one event_type shuffle feeding window + aggregate
+    "q_histogram_equidepth",
     # DS Q67: top-N per group OVER a rollup — subtotals compete with
     # leaves in one ranking; plan-pinned to WindowGroupLimit (local
     # top-k before the window exchange), the optimization that makes
