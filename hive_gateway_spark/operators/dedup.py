@@ -45,23 +45,46 @@ _SHINGLE_EXPR = shingle_expr(SHINGLE_N)
 
 def _shingle_hashes(t) -> DataFrame:
     """doc_id → (n distinct shingles, exploded xxhash64 shingle hash) —
-    the shared input of every Jaccard-ish operator. The per-doc
-    set-dedup and the set size are computed inside the row (no shuffle
-    before the pair join); the HASH is applied post-explode as a plain
-    column function, where it runs in whole-stage codegen — hashing
-    inside the shingle array needs a `transform(_, s -> xxhash64(s))`
-    higher-order lambda, and HOF lambdas evaluate INTERPRETED per
-    element (the shingle-building transform itself is unavoidable, but
-    one interpreted layer is cheaper than two). Deduping on the STRING
-    domain also matches the oracle's DISTINCT shingle exactly; a hash
-    collision can then only merge two shared-counts downstream, the
-    same ~n²/2⁶⁵ caveat q_dedup_ngram already documents."""
-    docs = t["documents"].withColumn("words", F.split("text", " "))
-    return (
-        docs.filter(F.size("words") >= SHINGLE_N)
-        .select("doc_id", F.expr(f"array_distinct({_SHINGLE_EXPR})").alias("sh"))
-        .select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-        .select("doc_id", "n", F.xxhash64("s").alias("h"))
+    the shared input of every Jaccard-ish operator.
+
+    Spelled as posexplode + window LEADs, NOT the
+    `transform(sequence(...), i -> concat_ws(' ', slice(...)))`
+    higher-order array expression: HOF lambdas evaluate INTERPRETED
+    per element, and on the 2.6M-shingle sf1 staging the array
+    spelling measured 14.6-33.6 s where this whole-stage-codegen'd
+    window spelling measured 1.05-5.4 s same-process interleaved (the
+    spread is host co-tenancy; the ratio is the signal). Exchange
+    count is unchanged: _shingles_checkpointed pre-partitions the raw
+    docs by doc_id, which the lead window, the per-(doc_id, h)
+    distinct (subset-compatible clustering → local aggregation, no
+    re-shuffle) and the per-doc size window ALL reuse.
+
+    The distinct and the set size run on the HASH domain (a collision
+    can only merge two shared-counts downstream — the ~n²/2⁶⁵ caveat
+    q_dedup_ngram documents); the window guard (`lead(w, N−1) IS NOT
+    NULL`) reproduces the size(words) ≥ N filter row-for-row."""
+    docs = t["documents"]
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w0")
+    )
+    parts = [F.col("w0")] + [
+        F.lead("w0", i).over(w) for i in range(1, SHINGLE_N)
+    ]
+    sh = (
+        words.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("s"),
+            parts[-1].alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull())
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    return sh.select(
+        "doc_id",
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
+        "h",
     )
 
 
@@ -1086,9 +1109,33 @@ def _minhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_build(t) -> DataFrame:
-    docs = t["documents"].withColumn("words", F.split("text", " "))
-    shingles = docs.filter(F.size("words") >= SHINGLE_N).select(
-        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLE_EXPR})")).alias("shingle")
+    # window-lead shingling, same spelling (and same reasons) as
+    # _shingle_hashes: the HOF array construction ran interpreted and
+    # measured 6.9 s at sf1 where this codegen form measures 2.2 s
+    # (signatures verified identical); the raw-docs repartition
+    # parallelizes the transform and the distinct + per-doc aggregate
+    # reuse its clustering
+    cap = int(
+        t["documents"].sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    npart = max(1, min(cap, t["documents"].count() // 300))
+    raw = t["documents"].select("doc_id", "text").repartition(npart, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = raw.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w0")
+    )
+    parts = [F.col("w0")] + [
+        F.lead("w0", i).over(w) for i in range(1, SHINGLE_N)
+    ]
+    shingles = (
+        words.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            parts[-1].alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
     )
     # portable polynomial fingerprint: (Σ (ord(char_i)·(i·131+7)) % p) % p
     # — modding each addition step equals modding the final sum
