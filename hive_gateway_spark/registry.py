@@ -122,6 +122,24 @@ PRIORITY: tuple[str, ...] = (
 #: pool is the r15 stay-list once its members earn their r15 rows
 #: (tests/test_registry.py's debt ledger enforces row-or-slot-or-queue
 #: for every registered query).
+#:
+#: r16 PRE-PLAN (written at r15 close, exact arithmetic): the queue
+#: below holds FOURTEEN entries, so rotate OUT exactly fourteen —
+#: q_quantile_sketch (rows-only by design; its r14+r15 `no_oracle`
+#: rows are on record, and a rows-only occupant wastes a hash slot —
+#: VERDICT r13 task #6's standing principle, leaving q_ann_index_stats
+#: as the ONE standing rows-only monitor) plus the THIRTEEN oldest
+#: r13-entrants in FIFO order (q_sim_range_search, q_text_bm25,
+#: q_curation_v5_trace, q_heavy_hitters, q_sim_topk_filtered,
+#: q_hybrid_search, q_heavy_hitters_by_lang, q_embed_coherence,
+#: q_split_leakage, q_scd2_history, q_phrase_search, q_retrieval_mmr,
+#: q_ann_recall — each then r14+r15-hash-green) — and take ALL
+#: FOURTEEN candidates FIFO. The nine §2.2/§2.3 contract keepers,
+#: q_ann_index_stats, the TWELVE remaining r13-entrants
+#: (q_l_diversity through q_conversion_lag) and the 14 r14-entrants
+#: keep their slots: 9 + 1 + 12 + 14 + 14 = 50 exactly. Expected r16
+#: row mix: forty-nine hash-green; q_ann_index_stats rows-only with
+#: rows > 0.
 ROTATION_CANDIDATES: tuple[str, ...] = (
     # TPC-DS batch 2 (VERDICT r14 task #3): the grouping-heavy DS
     # idioms TPC-H never exercises — Q1's aggregate-over-aggregate
