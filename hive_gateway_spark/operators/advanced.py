@@ -4085,3 +4085,124 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_histogram_equidepth.__doc__ = q_histogram_equidepth.__doc__.format(
     b=EQUIDEPTH_B
 )
+
+
+#: q_session_funnel's inactivity gap — 6 h, NOT q_sessionize's 30 min:
+#: fixture-tuned like the windowFunnel window (at 30 min ZERO sessions
+#: convert at any sf — an all-zeros conversion column is vacuous
+#: evidence; at 6 h the report discriminates: 3 converting sessions at
+#: sf0.001, 37 at sf0.01). The operator semantics don't depend on it.
+SESSION_FUNNEL_GAP_US = 6 * 3_600_000_000
+
+
+@query(
+    "q_session_funnel",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    flags AS (
+        SELECT *, CASE WHEN gap_us IS NULL OR gap_us > {SESSION_FUNNEL_GAP_US}
+                       THEN 1 ELSE 0 END AS new_session
+        FROM gaps
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM flags
+    ),
+    with_signup AS (
+        SELECT DISTINCT user_id, sid FROM sess WHERE event_type = 'signup'
+    ),
+    -- the DEFINITION: an ordered signup < click < purchase chain
+    -- entirely inside one session (the session IS the window)
+    converting AS (
+        SELECT DISTINCT s.user_id, s.sid
+        FROM sess s
+        JOIN sess c ON c.user_id = s.user_id AND c.sid = s.sid
+                   AND c.event_type = 'click'
+                   AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+        JOIN sess p ON p.user_id = s.user_id AND p.sid = s.sid
+                   AND p.event_type = 'purchase'
+                   AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+        WHERE s.event_type = 'signup'
+    )
+    SELECT w.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_signup_sessions,
+           CAST(COUNT(c.sid) AS BIGINT) AS n_converting
+    FROM with_signup w
+    LEFT JOIN converting c ON c.user_id = w.user_id AND c.sid = w.sid
+    GROUP BY w.user_id
+    """,
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-within-session — the composition product analytics
+    actually ships (Amplitude's "conversion in one session"):
+    sessionize the stream (6-hour inactivity gaps — see
+    SESSION_FUNNEL_GAP_US), then ask per session whether an ORDERED signup →
+    click → purchase chain completes ENTIRELY inside it — no extra
+    time bound, the session boundary IS the window (vs q_window_funnel
+    where a fixed 12 h window anchors at the signup regardless of
+    activity gaps). Reports per user: sessions containing a signup,
+    and how many of those converted.
+
+    Scale shape: ONE user_id exchange serves everything — the gap lag
+    and session cumsum sort on (user_id, ts, event_id); the funnel
+    carries then partition by (user_id, sid), a SUBSET-compatible
+    clustering (no second exchange, just a re-sort); the chain test is
+    two boolean carries (seen-signup, seen-click-after-signup — no
+    time arithmetic, so plain MAX-over-prefix booleans are the whole
+    state) and a per-session aggregate. The oracle walks the
+    definition as ordered EXISTS self-joins over the session CTE, so
+    the hash compares the carry argument against the definition."""
+    ev = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros(F.col("ts"))
+    wo = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    new_s = (
+        F.when(
+            F.lag(us).over(wo).isNull()
+            | ((us - F.lag(us).over(wo)) > SESSION_FUNNEL_GAP_US),
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_s).over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "sid"
+        ),
+    )
+    ws = (
+        W.partitionBy("user_id", "sid")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    s_seen = F.max(is_type("signup").cast("int")).over(ws)
+    scored = sess.withColumn(
+        "c2", (is_type("click").cast("int") * s_seen)
+    )
+    c_seen = F.max("c2").over(ws)
+    lvl3 = is_type("purchase").cast("int") * c_seen
+    per_sess = (
+        scored.withColumn("l3", lvl3)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.max(is_type("signup").cast("int")).alias("has_s"),
+            F.max("l3").alias("conv"),
+        )
+        .filter(F.col("has_s") == 1)
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_signup_sessions"),
+        F.sum("conv").cast("bigint").alias("n_converting"),
+    )

@@ -175,6 +175,12 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # — exact integer µs buckets, (ts, event_id) tie discipline, four
     # UNION-rank-1 subqueries as the independent oracle spelling
     "q_downsample_m4",
+    # funnel-within-session (Amplitude 'conversion in one session'):
+    # sessionize (6 h gaps), then the session boundary IS the funnel
+    # window — two boolean carries per (user, sid) on subset-compatible
+    # clustering (one exchange total); ordered-EXISTS-over-session-CTE
+    # oracle; gap fixture-tuned so the conversion column discriminates
+    "q_session_funnel",
     # equi-depth histogram: the ANALYZE/CBO stats artifact — rank-based
     # equal-population buckets per type with [lo,hi]/count/ndv; the
     # only engine-portable exact construction (value-based splits need
