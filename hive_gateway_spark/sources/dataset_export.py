@@ -618,6 +618,19 @@ def append_dataset(
             }
         if prev.get("constraints"):
             manifest["constraints"] = prev["constraints"]
+        if prev.get("bloom_index"):
+            bi = prev["bloom_index"]
+            manifest["bloom_index"] = {
+                **bi,
+                # per-file facts: entries survive for files still
+                # referenced; fresh appends have no entry and are
+                # always kept by the point-read pruner
+                "blooms": {
+                    rel: e
+                    for rel, e in bi["blooms"].items()
+                    if rel in set(manifest["files"])
+                },
+            }
         _fire_race_hook()
         try:
             _try_commit(path, manifest)
@@ -969,6 +982,22 @@ def delete_dataset(
                 if prev.get("constraints")
                 else {}
             ),
+            **(
+                {
+                    "bloom_index": {
+                        **prev["bloom_index"],
+                        "blooms": {
+                            rel: e
+                            for rel, e in prev["bloom_index"][
+                                "blooms"
+                            ].items()
+                            if rel in set(files)
+                        },
+                    }
+                }
+                if prev.get("bloom_index")
+                else {}
+            ),
             "delete_report": {
                 "column": column,
                 "files_kept": len(kept),
@@ -1033,6 +1062,7 @@ def read_snapshot(
     version: int | None = None,
     between: tuple | None = None,
     as_of_us: int | None = None,
+    point: tuple | None = None,
 ) -> DataFrame:
     """Time-travel read: the dataset EXACTLY as manifest version N
     recorded it, by reading only that version's file list (basePath
@@ -1051,6 +1081,12 @@ def read_snapshot(
     and the residual row filter is applied for exactness. Without
     stats the filter still applies — just without the skip.
 
+    ``point=(column, value)`` FILE-PRUNES via the per-file Bloom index
+    (build_bloom_index) when the manifest carries one for that column:
+    files whose Bloom proves the key absent are never opened (a false
+    positive only keeps a file); files without an entry — post-index
+    appends — are kept. The residual equality filter applies either
+    way, so the read is exact with or without the index.
     """
     if version is not None and as_of_us is not None:
         raise ValueError(
@@ -1105,6 +1141,17 @@ def read_snapshot(
                 except TypeError:  # defensive: incomparable lift
                     return True
             rels = [rel for rel in rels if overlaps(rel)]
+    if point is not None:
+        pcol, pval = point
+        bi = manifest.get("bloom_index")
+        if bi and bi.get("column") == pcol and pval is not None:
+            blooms = bi["blooms"]
+            rels = [
+                rel
+                for rel in rels
+                if rel not in blooms
+                or _bloom_maybe_contains(blooms[rel], pval)
+            ]
     files = [os.path.join(path, rel) for rel in rels]
     reader = spark.read.option("basePath", path)
     if manifest.get("schema_json"):
@@ -1113,6 +1160,19 @@ def read_snapshot(
         reader = reader.schema(
             StructType.fromJson(json.loads(manifest["schema_json"]))
         )
+    if not files:
+        # every file pruned (a Bloom absence proof across the table):
+        # an exact empty result under the recorded schema
+        from pyspark.sql.types import StructType
+
+        if not manifest.get("schema_json"):
+            raise ValueError(
+                "all files pruned but the manifest records no schema — "
+                "cannot shape the empty result"
+            )
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(manifest["schema_json"]))
+        )
     out = reader.parquet(*files)
     pby = manifest["partition_by"]
     cols = manifest["columns"] + [c for c in pby if c not in manifest["columns"]]
@@ -1120,6 +1180,9 @@ def read_snapshot(
     if between is not None:
         col, lo, hi = between
         out = out.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    if point is not None:
+        pcol, pval = point
+        out = out.filter(F.col(pcol) == F.lit(pval))
     return out
 
 
@@ -1243,6 +1306,88 @@ def drop_constraint(path: str, name: str) -> dict:
         **prev,
         "version": int(prev.get("version", 1)) + 1,
         "constraints": cons,
+    }
+    manifest.pop("committed_at_us", None)
+    _try_commit(path, manifest)
+    return manifest
+
+
+def _bloom_hashes(value, m: int, k: int) -> list[int]:
+    """k bit positions for ``value`` via double hashing over a blake2b
+    digest — the classic h1 + i·h2 construction. ``repr`` canonicalizes
+    the value identically at build and probe time (pyarrow to_pylist
+    yields plain Python scalars, so int/str/float round-trip)."""
+    import hashlib
+
+    h = hashlib.blake2b(repr(value).encode(), digest_size=16).digest()
+    h1 = int.from_bytes(h[:8], "little")
+    h2 = int.from_bytes(h[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_maybe_contains(entry: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(entry["b64"])
+    m, k = int(entry["m"]), int(entry["k"])
+    return all(
+        bits[p // 8] & (1 << (p % 8)) for p in _bloom_hashes(value, m, k)
+    )
+
+
+def build_bloom_index(
+    spark: SparkSession, path: str, column: str, fpp: float = 0.01
+) -> dict:
+    """Per-FILE Bloom index for POINT lookups — Delta's bloom filter
+    index on the manifest layer: footer min/max stats (cluster_by)
+    prune RANGE reads but are useless for a point probe on an
+    unsorted column; a per-file Bloom answers "could this file contain
+    key X" in O(k) bit tests, so `read_snapshot(point=(col, v))` opens
+    only the files that might hold the key. False positives only ever
+    KEEP a file (the residual equality filter stays exact); absence
+    proofs are real.
+
+    Built driver-side from the CURRENT files (one column read per
+    file — at 100 TB this is the compaction job's side output, here an
+    explicit maintenance verb) and committed as a new manifest version.
+    Sizing per file from its own distinct count at the requested
+    ``fpp``. Carried-forward files keep their entries through append
+    and delete (immutable bytes); merge/rewrite replace the file set,
+    so the index drops and is rebuilt after major rewrites — entries
+    are per-file facts, never table-level claims, which is what makes
+    the carry sound."""
+    import base64
+    import math
+
+    import pyarrow.parquet as pq
+
+    prev = _current_manifest(path)
+    if not prev.get("files"):
+        raise ValueError(
+            "manifest has no files list (pre-snapshot or corrupt) — "
+            "re-export with write_dataset"
+        )
+    blooms: dict[str, dict] = {}
+    for rel in prev["files"]:
+        tbl = pq.read_table(os.path.join(path, rel), columns=[column])
+        vals = {v for v in tbl.column(column).to_pylist() if v is not None}
+        n = max(1, len(vals))
+        m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+        m = (m + 7) // 8 * 8
+        k = max(1, round(m / n * math.log(2)))
+        bits = bytearray(m // 8)
+        for v in vals:
+            for p in _bloom_hashes(v, m, k):
+                bits[p // 8] |= 1 << (p % 8)
+        blooms[rel] = {
+            "m": m,
+            "k": k,
+            "b64": base64.b64encode(bytes(bits)).decode(),
+        }
+    manifest = {
+        **prev,
+        "version": int(prev.get("version", 1)) + 1,
+        "bloom_index": {"column": column, "fpp": fpp, "blooms": blooms},
     }
     manifest.pop("committed_at_us", None)
     _try_commit(path, manifest)

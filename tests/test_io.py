@@ -2024,3 +2024,52 @@ def test_apply_diff_replicates_and_is_replay_safe(spark, tmp_path):
     assert m2["content_xxh64_sum"] == m["content_xxh64_sum"]
     # the replica's v1 (pre-apply fork) still time-travels
     assert de.read_snapshot(spark, dst, version=1).count() == 3
+
+
+def test_bloom_index_prunes_point_reads(spark, tmp_path):
+    """Delta-style Bloom filter index on the manifest layer: a point
+    read opens only files whose Bloom admits the key (false positives
+    only KEEP files; absence proofs are real — a missing key reads
+    ZERO files), post-index appends are always kept (no entry), delete
+    carries entries for its untouched files, and the residual equality
+    filter keeps the read exact throughout."""
+    from hive_gateway_spark.sources import dataset_export as de
+
+    n = 3000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"),
+        )
+        .repartitionByRange(6, "doc_id")
+    )
+    path = str(tmp_path / "tbloom")
+    de.write_dataset(df, path)
+    m = de.build_bloom_index(spark, path, "doc_id", fpp=0.001)
+    assert set(m["bloom_index"]["blooms"]) == set(m["files"]) and len(m["files"]) >= 4
+    total_files = len(m["files"])
+    # point hit: exactly the right row, reading fewer files
+    got = de.read_snapshot(spark, path, point=("doc_id", 1500))
+    rows = got.collect()
+    assert [r["text"] for r in rows] == ["t1500"]
+    assert 0 < len(got.inputFiles()) < total_files
+    # absence proof: zero files opened, empty exact result
+    miss = de.read_snapshot(spark, path, point=("doc_id", 999_999))
+    assert miss.count() == 0
+    # appended rows lack entries and are always kept
+    de.append_dataset(
+        spark.createDataFrame([(777_777, "fresh")], "doc_id bigint, text string"),
+        path,
+    )
+    got2 = de.read_snapshot(spark, path, point=("doc_id", 777_777))
+    assert [r["text"] for r in got2.collect()] == ["fresh"]
+    # the index survived the append for the carried files
+    got3 = de.read_snapshot(spark, path, point=("doc_id", 1500))
+    assert [r["text"] for r in got3.collect()] == ["t1500"]
+    # delete keeps entries for untouched files; pruning still exact
+    de.delete_dataset(spark, path, "doc_id", 0, 499)
+    got4 = de.read_snapshot(spark, path, point=("doc_id", 1500))
+    assert [r["text"] for r in got4.collect()] == ["t1500"]
+    assert de.read_snapshot(spark, path, point=("doc_id", 100)).count() == 0
+    assert de.verify_dataset(spark, path)["ok"]
