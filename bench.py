@@ -301,6 +301,22 @@ REGRESSION_FLOOR_SEC = 0.2
 COLD_REGRESSION_RATIO = 2.0
 COLD_REGRESSION_FLOOR_SEC = 0.5
 
+#: Sentinel renormalization for the remeasure pass (VERDICT r15 task
+#: #1): BENCH_r15 confirmed a flag on UNTOUCHED code (q_rolling_wau)
+#: because the remeasure — though itself a median of 3 — ran inside the
+#: same co-tenant-noisy window as the sweep, so "reproduces" could mean
+#: "machine still slow" rather than "code slow". Each remeasure pass now
+#: concurrently re-measures SENTINEL_COUNT un-flagged queries whose
+#: first-pass ratio sat closest to the round median (i.e. the most
+#: machine-representative ones); the flagged query's fresh sample is
+#: divided by the sentinels' fresh drift before the threshold applies.
+#: A confirmed flag therefore means THIS query is slow while the machine
+#: demonstrably is not — code, not co-tenant. Sentinels need a previous
+#: time above the floor so scheduler noise can't dominate the drift
+#: estimate.
+SENTINEL_COUNT = 2
+SENTINEL_MIN_PREV_SEC = 0.2
+
 #: Global-slowdown tripwire (ADVICE r7 #5): median-normalizing the
 #: per-query gate makes it blind to a change that slows EVERY query
 #: uniformly (e.g. a session-config regression inflates the median and
@@ -410,9 +426,12 @@ def warm_gate(
     "wrong" #1: BENCH_r10 landed rc=1 on four queries whose code had
     not changed — single-sample co-tenant noise): each flagged query is
     serially RE-MEASURED via ``remeasure(name)`` and confirmed only if
-    the fresh sample also exceeds the threshold. Retracted flags write
-    their re-measured steady-state value back into ``timings`` (the
-    smaller of the two medians), so the printed totals and the next
+    the fresh sample — NORMALIZED by the fresh drift of concurrently
+    re-measured sentinel queries (VERDICT r15 task #1: a remeasure
+    taken while the machine is still co-tenant-slow must not confirm
+    untouched code) — also exceeds the threshold. Retracted flags write
+    their drift-adjusted steady-state value back into ``timings`` (the
+    smaller of the estimates), so the printed totals and the next
     baseline carry the reproducible number."""
     median_ratio = 1.0
     shared = {
@@ -441,14 +460,52 @@ def warm_gate(
                 "median_ratio": round(median_ratio, 2),
             }
     confirmed: dict[str, dict] = {}
+    if not first_pass:
+        return confirmed, first_pass, median_ratio
+
+    # Sentinels: the un-flagged shared queries most representative of
+    # the machine right now (ratio nearest the round median, previous
+    # time above the floor). Their FRESH drift, measured in the same
+    # window as the flagged queries' remeasure, distinguishes "machine
+    # still slow" from "this code is slow".
+    sentinels = sorted(
+        (
+            name
+            for name, r in shared.items()
+            if name not in first_pass
+            and prev_queries[name] >= SENTINEL_MIN_PREV_SEC
+        ),
+        key=lambda n: (abs(shared[n] - median_ratio), n),
+    )[:SENTINEL_COUNT]
+    sentinel_fresh = {s: round(remeasure(s), 3) for s in sentinels}
+    drifts = sorted(sentinel_fresh[s] / prev_queries[s] for s in sentinels)
+    # floored at 1.0: a machine that is FAST at remeasure time must not
+    # amplify the flagged query's fresh sample
+    local_drift = max(1.0, drifts[len(drifts) // 2]) if drifts else 1.0
+
+    def _confirms(fresh: float, before: float) -> bool:
+        adjusted = fresh / local_drift
+        return (
+            adjusted > before * REGRESSION_RATIO
+            and adjusted - before > REGRESSION_FLOOR_SEC
+        )
+
     for name, flag in first_pass.items():
         remeasured = round(remeasure(name), 3)
         flag["remeasured"] = remeasured
-        if _flagged(remeasured, flag["prev"]):
+        flag["remeasure_drift"] = round(local_drift, 3)
+        flag["sentinels"] = {
+            s: {"prev": prev_queries[s], "fresh": sentinel_fresh[s]}
+            for s in sentinels
+        }
+        if _confirms(remeasured, flag["prev"]):
             confirmed[name] = flag
         else:
-            # the steady-state number supersedes the noisy one
-            timings[name] = min(timings[name], remeasured)
+            # the drift-adjusted steady-state estimate supersedes the
+            # noisy sweep sample
+            timings[name] = min(
+                timings[name], round(remeasured / local_drift, 3)
+            )
     return confirmed, first_pass, median_ratio
 
 
