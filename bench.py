@@ -27,6 +27,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from hive_gateway_spark import registry
 from hive_gateway_spark.session import get_spark
 
@@ -285,6 +287,90 @@ HEADLINE_R15 = [
     "q_cusum_drift",
 ]
 
+#: r16 closes the measurement-lag class for good (VERDICT r15 task #4
+#: asked for the three late-r15 stragglers; the audit behind it found
+#: 69 registered queries that had NEVER carried a bench point — mostly
+#: the cheap relational/window/text primitives benched only through
+#: the parity gate). The rule is now structural: every registry entry
+#: appears in some HEADLINE_* block, and tests/test_bench_gate.py
+#: pins registry ⊆ blocks so a query cannot land without its bench
+#: point. First sub-list: the named stragglers + this round's new
+#: queries; the rest complete the registry sweep.
+HEADLINE_R16 = [
+    "q_tpcds_q67",
+    "q_histogram_equidepth",
+    "q_session_funnel",
+    "q_tpcds_q14",
+    "q_tpcds_q23",
+    "q_tpcds_q74",
+    "q_hll_audit",
+    # -- full-registry completion (never previously benched) --
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_kmv",
+    "q_agg_listagg",
+    "q_agg_rollup",
+    "q_agg_sketch",
+    "q_agg_stats",
+    "q_argmax",
+    "q_audio_features",
+    "q_bpe_vocab",
+    "q_curation_trace",
+    "q_dedup_cross_lingual",
+    "q_dedup_embedding",
+    "q_dedup_rank",
+    "q_dedup_simhash",
+    "q_doc_length_buckets",
+    "q_expr_array",
+    "q_expr_case",
+    "q_expr_coalesce",
+    "q_expr_datetime",
+    "q_expr_math",
+    "q_expr_regex",
+    "q_expr_string",
+    "q_filter_predicate",
+    "q_gateway_compression",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_full",
+    "q_join_left",
+    "q_join_salted",
+    "q_join_semi",
+    "q_json_extract",
+    "q_latency_stats",
+    "q_multimodal_decode",
+    "q_multimodal_thumbs",
+    "q_pivot",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_scan_project",
+    "q_set_except",
+    "q_set_intersect",
+    "q_set_union",
+    "q_sim_topk_ivf",
+    "q_sort_limit_topk",
+    "q_split_assign",
+    "q_template_catalog",
+    "q_text_fingerprint",
+    "q_text_lang_report",
+    "q_text_langid",
+    "q_text_ngrams",
+    "q_text_normalize",
+    "q_text_stats",
+    "q_text_unigram_score",
+    "q_time_bucket",
+    "q_token_count",
+    "q_unpivot",
+    "q_warc_ingest",
+    "q_window_analytic",
+    "q_window_ntile",
+    "q_window_range_frame",
+    "q_window_rank",
+    "q_window_sliding",
+    "q_zipf_fit",
+]
+
 
 #: Regression gate (VERDICT r6 task #6): warm ratio vs the previous
 #: round's recorded bench above which the run FAILS (rc != 0), so a perf
@@ -316,6 +402,24 @@ COLD_REGRESSION_FLOOR_SEC = 0.5
 #: estimate.
 SENTINEL_COUNT = 2
 SENTINEL_MIN_PREV_SEC = 0.2
+
+#: Intentional-change ledger: queries whose implementation changed
+#: THIS round in a way that changes their cost model on purpose — the
+#: warm/cold gates skip the prev-compare for exactly these names (the
+#: fresh number re-seeds the per-sf ratchet at close, so the gate
+#: re-arms next round automatically). An entry must say what changed
+#: and why the new cost is the intended one; stale entries are pruned
+#: at the next round open. This is the honest alternative to letting
+#: a KNOWN change trip the reproduce-before-fail protocol (which
+#: exists to catch UNINTENDED slowdowns).
+REBASELINED: dict[str, str] = {
+    "q_quantile_sketch": (
+        "r16 rows-only -> exact-oracle upgrade: the driver-hashable "
+        "surface now verifies the GK samples against exact rank "
+        "counts (one additional broadcast-join fact scan by design); "
+        "the raw sketch path is unchanged as quantile_sketch_raw"
+    ),
+}
 
 #: Global-slowdown tripwire (ADVICE r7 #5): median-normalizing the
 #: per-query gate makes it blind to a change that slows EVERY query
@@ -534,6 +638,61 @@ def _timed(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _maintenance_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Timed lakehouse MAINTENANCE verbs (VERDICT r15 task #4: apply_diff
+    and build_bloom_index had no timed record). These are write-path
+    verbs — they mutate tables, so they can't live in queries() — and
+    they are scheduled jobs in production, so one cold shot IS the
+    serve posture (no warm median). The scenario is the CDC replication
+    loop on the documents table: seed source+replica, advance the
+    source (append 10% + delete a key range), snapshot_diff → apply
+    onto the replica, then build the distributed Bloom index on the
+    head. Never raises: a failed verb records -1.0 and the bench goes
+    on (maintenance timings are a record, not a gate)."""
+    import shutil
+    import tempfile
+
+    from hive_gateway_spark.sources import dataset_export as de
+
+    out: dict[str, float] = {}
+    base = tempfile.mkdtemp(prefix="bench_maint_")
+
+    def timed(verb: str, fn) -> None:
+        t0 = time.perf_counter()
+        try:
+            fn()
+            out[verb] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            out[verb] = -1.0
+
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n = docs.count()
+        src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+        timed("write_dataset", lambda: de.write_dataset(docs, src))
+        de.write_dataset(docs, dst)  # replica fork at v1 (not timed twice)
+        slice_df = docs.filter(F.col("doc_id") % 10 == 3).withColumn(
+            "doc_id", F.col("doc_id") + n
+        )
+        timed("append_dataset", lambda: de.append_dataset(slice_df, src))
+        timed(
+            "delete_dataset",
+            lambda: de.delete_dataset(spark, src, "doc_id", 0, max(1, n // 20)),
+        )
+        head_v = de._current_manifest(src)["version"]
+        diff = de.snapshot_diff(spark, src, 1, head_v, "doc_id").localCheckpoint()
+        timed("apply_diff", lambda: de.apply_diff(diff, dst, "doc_id"))
+        timed(
+            "build_bloom_index",
+            lambda: de.build_bloom_index(spark, src, "doc_id"),
+        )
+    except Exception:  # pragma: no cover - scenario setup failed
+        out.setdefault("setup", -1.0)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -602,6 +761,10 @@ def main() -> None:
             statistics.median(_timed(fn, spark, sf_dir) for _ in range(3)), 3
         )
 
+    # Maintenance verbs: timed once, recorded, never gated (they run
+    # on temp copies; co-tenant noise in a single shot is expected).
+    maintenance = _maintenance_bench(spark, sf_dir)
+
     # Per-query regression gate vs the previous round's recorded bench.
     # The per-query ratio is NORMALIZED by the round's median ratio over
     # all shared queries: a co-tenant / frequency-scaling slowdown shifts
@@ -631,10 +794,19 @@ def main() -> None:
             fn = registry.QUERIES[name]
             return statistics.median(_timed(fn, spark, sf_dir) for _ in range(3))
 
+        prev_warm = {
+            k: v
+            for k, v in prev_doc["queries"].items()
+            if k not in REBASELINED  # intentional change: re-seed, don't flag
+        }
         regressions, record_first_pass, median_ratio = warm_gate(
-            timings, prev_doc["queries"], _remeasure
+            timings, prev_warm, _remeasure
         )
-        prev_cold = prev_doc.get("queries_cold") or {}
+        prev_cold = {
+            k: v
+            for k, v in (prev_doc.get("queries_cold") or {}).items()
+            if k not in REBASELINED
+        }
         shared_cold = {
             name: now / prev_cold[name]
             for name, now in cold.items()
@@ -678,9 +850,11 @@ def main() -> None:
                 ),
                 "queries": timings,
                 "queries_cold": cold,
+                "maintenance": maintenance,
                 "sf": sf,
                 "reduction": REDUCTION,
                 "regression_baseline": prev[0] if prev else None,
+                "rebaselined": sorted(REBASELINED),
                 "regression_median_ratio": round(median_ratio, 3),
                 "regressions": regressions,
                 "regressions_first_pass": record_first_pass,
@@ -743,6 +917,7 @@ def main() -> None:
         "sf": sf,
         "value_all": record["value_all"],
         "n_queries": len(timings),
+        "maintenance": maintenance,
         "regression_median_ratio": record["regression_median_ratio"],
         "cold_median_ratio": record["cold_median_ratio"],
         "regression_gate": record["regression_gate"],

@@ -4206,3 +4206,52 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_signup_sessions"),
         F.sum("conv").cast("bigint").alias("n_converting"),
     )
+
+
+@query(
+    "q_hll_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL++ sketch's VERIFIED contract, made driver-hashable —
+    the q_quantile_sketch r16 playbook applied to the OTHER
+    engine-specific sketch family (q_agg_sketch stays the raw serving
+    surface): per event_type the engine computes BOTH the exact
+    distinct-user count and approx_count_distinct(rsd=0.05), and
+    emits whether the estimate sits within the 3-sigma relative-error
+    band (|est − exact|·100 ≤ 15·exact + 200 — pure integer
+    arithmetic; the +200 absorbs the sparse-mode floor on tiny
+    groups). The ESTIMATE stays engine-private (HLL++ register
+    layouts differ per engine); a hash mismatch catches wrong group
+    cardinalities, wrong exact counts, or an estimator outside its
+    guarantee.
+
+    Scale shape: the audit pays the exact COUNT(DISTINCT) it is
+    auditing — one (event_type, user_id) dedup exchange feeding a
+    per-type aggregate, the honest attestation price (production
+    serves q_agg_sketch's O(registers) state without it); the sketch
+    itself rides the same scan map-side. Bounded output: one row per
+    event type."""
+    t = load_tables(spark, sf_dir)
+    agg = t["events"].groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).cast("bigint").alias("est"),
+    )
+    ok = (
+        F.abs(F.col("est") - F.col("exact_users")) * 100
+        <= F.col("exact_users") * 15 + 200
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        ok.cast("bigint").alias("within_bound"),
+    )

@@ -441,8 +441,7 @@ from hive_gateway_spark.session import load_tables  # noqa: E402
 SKETCH_ACCURACY = 10_000
 
 
-@query("q_quantile_sketch")  # rows-only: sketch output is engine-specific
-def q_quantile_sketch(spark, sf_dir: str) -> DataFrame:
+def quantile_sketch_raw(spark, sf_dir: str) -> DataFrame:
     """Approximate per-language p50/p90/p99 of document length via
     Spark's Greenwald-Khanna sketch (approx_percentile) — the
     MERGEABLE single-pass quantile path that is the 100 TB default
@@ -454,12 +453,13 @@ def q_quantile_sketch(spark, sf_dir: str) -> DataFrame:
     O(1/ε · log(εn)) per group REGARDLESS of n — on a 1000-executor
     cluster the partials merge associatively, no re-shuffle of rows.
 
-    Rows-only by declared design: the returned values are sketch
-    outputs (actual data samples, but WHICH sample at a rank boundary
-    is implementation-defined, so no cross-engine oracle exists). The
-    operator's real contract — rank error ≤ n/SKETCH_ACCURACY per
-    reported value, against ranks counted exactly — is property-pinned
-    in tests/test_properties.py."""
+    The raw values are sketch outputs: actual data samples, but WHICH
+    sample lands at a rank boundary is implementation-defined, so no
+    cross-engine oracle exists for THIS frame. The driver-hashable
+    surface is q_quantile_sketch below, which verifies the samples
+    against the proven rank-error bound with exact counts;
+    tests/test_properties.py additionally pins this raw frame against
+    an independent pandas rank count."""
     t = load_tables(spark, sf_dir)
     d = t["documents"].select("lang", "n_chars")
     agg = d.groupBy("lang").agg(
@@ -474,4 +474,99 @@ def q_quantile_sketch(spark, sf_dir: str) -> DataFrame:
         F.col("qs")[0].cast("bigint").alias("p50"),
         F.col("qs")[1].cast("bigint").alias("p90"),
         F.col("qs")[2].cast("bigint").alias("p99"),
+    )
+
+
+@query(
+    "q_quantile_sketch",
+    oracle="""
+    WITH g AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    )
+    SELECT g.lang, g.n_docs, p.pct,
+           GREATEST(
+               CAST(1 AS BIGINT),
+               CAST(CEIL(p.pct * g.n_docs) AS BIGINT)
+           ) AS target_rank,
+           CAST(FLOOR(g.n_docs / 10000.0) AS BIGINT) + 1 AS rank_err_bound,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM g
+    CROSS JOIN (
+        SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS pct
+    ) p
+    """,
+)
+def q_quantile_sketch(spark, sf_dir: str) -> DataFrame:
+    """The GK sketch's VERIFIED contract, made driver-hashable
+    (rows-only → exact upgrade, the q_pq_candidates playbook): for
+    each (lang, quantile) the engine re-counts the reported sample's
+    exact rank bracket against the corpus and emits whether it sits
+    within the PROVEN GK bound (rank error ≤ n/SKETCH_ACCURACY, +1
+    for the discrete-rank boundary) of the target rank — plus the
+    exact group count, the target rank, and the bound, all pure
+    integer arithmetic the oracle reproduces independently. The
+    sketch SAMPLE stays engine-private (which member lands at a rank
+    boundary is implementation-defined — quantile_sketch_raw), but a
+    hash mismatch now catches every contract violation: wrong group
+    counts, a non-member sample, or a sample outside the guarantee.
+
+    Scale shape: the sketch is the same ONE map-side-combined
+    aggregate as the raw path; verification joins the ~|langs|·3-row
+    sketch frame back to the corpus via BROADCAST (the corpus is
+    never shuffled to answer it) feeding a second partial/final
+    aggregate — at 100 TB the audit costs one extra fact scan, the
+    honest price of a driver-checkable attestation, and production
+    serves quantile_sketch_raw without it."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("lang", "n_chars")
+    pcts = [0.5, 0.9, 0.99]
+    sk = (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.percentile_approx("n_chars", pcts, SKETCH_ACCURACY).alias("qs"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.posexplode(F.col("qs")).alias("pos", "v"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.element_at(
+                F.array(*[F.lit(p) for p in pcts]), F.col("pos") + 1
+            ).alias("pct"),
+            "v",
+        )
+    )
+    ver = (
+        d.join(F.broadcast(sk), "lang")
+        .groupBy("lang", "n_docs", "pct", "v")
+        .agg(
+            F.sum((F.col("n_chars") < F.col("v")).cast("bigint")).alias(
+                "rank_lt"
+            ),
+            F.sum((F.col("n_chars") <= F.col("v")).cast("bigint")).alias(
+                "rank_le"
+            ),
+        )
+    )
+    n, pct = F.col("n_docs"), F.col("pct")
+    target = F.greatest(F.lit(1).cast("bigint"), F.ceil(pct * n).cast("bigint"))
+    bound = F.floor(n / F.lit(10000.0)).cast("bigint") + 1
+    member = F.col("rank_le") > F.col("rank_lt")
+    ok = (
+        member
+        & (target >= F.col("rank_lt") + 1 - bound)
+        & (target <= F.col("rank_le") + bound)
+    )
+    return ver.select(
+        "lang",
+        "n_docs",
+        "pct",
+        target.alias("target_rank"),
+        bound.alias("rank_err_bound"),
+        ok.cast("bigint").alias("within_bound"),
     )

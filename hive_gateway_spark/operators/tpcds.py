@@ -1028,3 +1028,346 @@ def q_tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("category", "brand", "sales_year", "sumsales_e4", "rk")
     )
+
+
+#: Q14's channel-membership year and Q23's frequency / best-customer
+#: parameters, fixture-tuned so each staging CTE is discriminating at
+#: every shipped sf (sf0.001: intersect keeps 96/200 parts, iceberg
+#: passes 160/289 rollup rows; sf0.01: 881/2000 and 292/529): the
+#: published literals (d_year windows, "4 times a day", 95 %) sit on
+#: retail-scale densities this star doesn't have.
+Q14_YEAR = 1997
+Q23_FREQ_MIN = 3  # sales of one part in one calendar month
+Q23_BEST_NUM, Q23_BEST_DEN = 3, 4  # best customer: > 3/4 of max spend
+
+
+@query(
+    "q_tpcds_q14",
+    oracle=f"""
+    WITH j AS (
+        SELECT l.l_returnflag AS channel, l.l_partkey AS pk,
+               p.p_brand AS brand, p.p_type AS typ,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4)) AS rev,
+               year(l.l_shipdate) AS yr
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    cross_items AS (
+        SELECT pk FROM j WHERE channel = 'A' AND yr = {Q14_YEAR}
+        INTERSECT
+        SELECT pk FROM j WHERE channel = 'N' AND yr = {Q14_YEAR}
+        INTERSECT
+        SELECT pk FROM j WHERE channel = 'R' AND yr = {Q14_YEAR}
+    ),
+    big AS (
+        SELECT channel, brand, typ,
+               CAST(GROUPING(channel) * 4 + GROUPING(brand) * 2
+                    + GROUPING(typ) AS BIGINT) AS lvl,
+               CAST(SUM(rev) * 10000 AS BIGINT) AS sales_e4,
+               CAST(COUNT(*) AS BIGINT) AS n_sales
+        FROM j JOIN cross_items USING (pk)
+        GROUP BY ROLLUP(channel, brand, typ)
+    ),
+    leaf AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(sales_e4) AS BIGINT) AS tot
+        FROM big WHERE lvl = 0
+    )
+    SELECT channel, brand, typ, lvl, sales_e4, n_sales
+    FROM big
+    WHERE sales_e4 > (SELECT tot // ng FROM leaf)
+    """,
+)
+def q_tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 shape (cross-channel iceberg): the published query
+    builds `cross_items` — items sold in ALL THREE channels inside a
+    date window — via a three-way INTERSECT of per-channel item sets,
+    then reports a ROLLUP over (channel, brand, class) of sales
+    restricted to those items, HAVING each row beat a scalar average
+    computed in its own CTE. Channels here are the three l_returnflag
+    populations; the iceberg threshold is the mean LEAF-group sales
+    (the published per-row average never bites at this star's
+    densities — divergence documented at Q14_YEAR above).
+
+    Spark spelling: the INTERSECT collapses into ONE fact scan —
+    per-part COUNT(DISTINCT channel) = 3 over the year window replaces
+    three scans + two intersect shuffles (the q_tpcds_q95 collapse
+    applied to set intersection; plan-pinned: no Intersect node, one
+    year-filtered scan). The threshold is derived from the rollup's
+    OWN leaf rows (lvl = 0) — no third fact pass — broadcast back as
+    a 1-row frame.
+
+    Scale shape: fact ⋈ broadcast(part) ⋈ broadcast(cross_items —
+    bounded by |part|, dim-sized); the rollup partials combine
+    map-side into ≤ channels·brands·types groups; the iceberg filter
+    runs on the dim-sized rolled frame. Exact e4 integer sums; the
+    threshold compare is pure BIGINT (sum > tot DIV ng is exactly
+    sum·ng > tot for positive counts — no double division)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    cross_items = (
+        li.filter(F.year("l_shipdate") == Q14_YEAR)
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("l_returnflag").alias("nch"))
+        .filter(F.col("nch") == 3)
+        .select(F.col("l_partkey").alias("pk"))
+    )
+    j = (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(cross_items), F.col("l_partkey") == F.col("pk"))
+        .select(
+            F.col("l_returnflag").alias("channel"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("typ"),
+            dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "rev"
+            ),
+        )
+    )
+    big = (
+        j.rollup("channel", "brand", "typ")
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            (F.sum("rev") * 10000).cast("bigint").alias("sales_e4"),
+            F.count("*").cast("bigint").alias("n_sales"),
+        )
+    )
+    # Stage the dim-sized rolled frame before deriving the threshold
+    # from it: Spark replays the whole rollup subtree for each
+    # consumer (verified — 4 fact scans without this), so at 100 TB
+    # the iceberg's scalar would re-read the fact. ≤ channels·brands·
+    # types rows; the q_tpcds_q59 staging discipline.
+    from hive_gateway_spark.staging import stage
+
+    big = stage(big, "tpcds.q14.rollup")
+    leaf = big.filter(F.col("lvl") == 0).agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("sales_e4").cast("bigint").alias("tot"),
+    )
+    return (
+        big.crossJoin(F.broadcast(leaf))
+        .filter(F.col("sales_e4") > F.expr("tot DIV ng"))
+        .select("channel", "brand", "typ", "lvl", "sales_e4", "n_sales")
+    )
+
+
+@query(
+    "q_tpcds_q23",
+    oracle=f"""
+    WITH freq AS (
+        SELECT DISTINCT l_partkey FROM (
+            SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+                   COUNT(*) AS c
+            FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= {Q23_FREQ_MIN}
+        )
+    ),
+    cs AS (
+        SELECT o.o_custkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) * 10000 AS BIGINT) AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    ),
+    best AS (
+        SELECT o_custkey FROM cs
+        WHERE s * {Q23_BEST_DEN} > {Q23_BEST_NUM} * (SELECT MAX(s) FROM cs)
+    )
+    SELECT 'A' AS channel, o.o_custkey AS custkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sales_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_sales
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'A' AND year(l.l_shipdate) = {Q14_YEAR}
+      AND l.l_partkey IN (SELECT l_partkey FROM freq)
+      AND o.o_custkey IN (SELECT o_custkey FROM best)
+    GROUP BY 2
+    UNION ALL
+    SELECT 'N' AS channel, o.o_custkey AS custkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sales_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_sales
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'N' AND year(l.l_shipdate) = {Q14_YEAR}
+      AND l.l_partkey IN (SELECT l_partkey FROM freq)
+      AND o.o_custkey IN (SELECT o_custkey FROM best)
+    GROUP BY 2
+    UNION ALL
+    SELECT 'R' AS channel, o.o_custkey AS custkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sales_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_sales
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R' AND year(l.l_shipdate) = {Q14_YEAR}
+      AND l.l_partkey IN (SELECT l_partkey FROM freq)
+      AND o.o_custkey IN (SELECT o_custkey FROM best)
+    GROUP BY 2
+    """,
+)
+def q_tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 shape (frequent-item-set × best-customer iceberg):
+    the published query stages two expensive CTEs — items sold ≥ k
+    times in one period (`frequent_ss_items`) and customers whose
+    lifetime spend beats a fraction of the maximum
+    (`best_ss_customer`, itself a MAX over an aggregate) — then
+    references BOTH from each retail channel's branch of a UNION ALL.
+    Frequency here is ≥ {{Q23_FREQ_MIN}} sales of one part in one
+    calendar month; "best" is > {{Q23_BEST_NUM}}/{{Q23_BEST_DEN}} of
+    the max customer spend (integer cross-multiply, never a double
+    ratio); channels are the l_returnflag populations.
+
+    Spark spelling: the per-channel UNION ALL collapses into ONE
+    year-filtered fact scan grouped by (channel, custkey) — the
+    oracle keeps the published three-branch spelling, the engine
+    reads the fact once (plan-pinned: exactly three lineitem scans
+    total — frequency, spend, final — vs the published five).
+    Customer spend pre-aggregates per ORDER before the orders join
+    (the fact-fact join moves ≤ |orders| rows, not |lineitem|), and
+    the max-spend threshold rides a 1-row broadcast, the
+    decorrelated form of the scalar subquery.
+
+    Scale shape: three fact scans, each partially aggregated
+    map-side before its shuffle; `freq` is bounded by |part| and
+    `best` by |customer| (both semi-join sides); no corpus-wide
+    distinct, no cartesian, no window."""
+    t = load_tables(spark, sf_dir)
+    li, orders = t["lineitem"], t["orders"]
+    rev_e4 = (F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)) * 10000).cast("bigint")
+    freq = (
+        li.groupBy("l_partkey", F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= Q23_FREQ_MIN)
+        .select("l_partkey")
+        .distinct()
+    )
+    per_order = li.groupBy("l_orderkey").agg(rev_e4.alias("ord_e4"))
+    cs = (
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("ord_e4").cast("bigint").alias("s"))
+    )
+    # Stage the per-customer spend frame: the MAX scalar and the best
+    # filter both consume it, and Spark would replay the fact⋈orders
+    # aggregation for each (verified — the spend scan doubled). ≤
+    # |customer| rows, distributed checkpoint, q59 discipline.
+    from hive_gateway_spark.staging import stage
+
+    cs = stage(cs, "tpcds.q23.custspend")
+    best = (
+        cs.crossJoin(F.broadcast(cs.agg(F.max("s").alias("mx"))))
+        .filter(F.col("s") * Q23_BEST_DEN > Q23_BEST_NUM * F.col("mx"))
+        .select("o_custkey")
+    )
+    return (
+        li.filter(F.year("l_shipdate") == Q14_YEAR)
+        .join(freq, "l_partkey", "semi")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(best, "o_custkey", "semi")
+        .groupBy(
+            F.col("l_returnflag").alias("channel"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(
+            rev_e4.alias("sales_e4"),
+            F.count("*").cast("bigint").alias("n_sales"),
+        )
+    )
+
+
+#: Q74's two comparison years (consecutive, both fully populated in
+#: the fixture's shipdate range).
+Q74_Y1, Q74_Y2 = 1996, 1997
+
+
+@query(
+    "q_tpcds_q74",
+    oracle=f"""
+    WITH year_total AS (
+        SELECT o.o_custkey AS custkey,
+               l.l_returnflag AS channel,
+               year(l.l_shipdate) AS yr,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_e4
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag IN ('A', 'N')
+          AND year(l.l_shipdate) IN ({Q74_Y1}, {Q74_Y2})
+        GROUP BY 1, 2, 3
+    )
+    SELECT w1.custkey,
+           s1.total_e4 AS store_y1_e4, s2.total_e4 AS store_y2_e4,
+           w1.total_e4 AS web_y1_e4,   w2.total_e4 AS web_y2_e4
+    FROM year_total w1
+    JOIN year_total w2
+      ON w1.custkey = w2.custkey AND w2.channel = 'N' AND w2.yr = {Q74_Y2}
+    JOIN year_total s1
+      ON w1.custkey = s1.custkey AND s1.channel = 'A' AND s1.yr = {Q74_Y1}
+    JOIN year_total s2
+      ON w1.custkey = s2.custkey AND s2.channel = 'A' AND s2.yr = {Q74_Y2}
+    WHERE w1.channel = 'N' AND w1.yr = {Q74_Y1}
+      AND w1.total_e4 > 0 AND s1.total_e4 > 0
+      AND CAST(w2.total_e4 AS DECIMAL(19,0)) * CAST(s1.total_e4 AS DECIMAL(19,0))
+        > CAST(s2.total_e4 AS DECIMAL(19,0)) * CAST(w1.total_e4 AS DECIMAL(19,0))
+    """,
+)
+def q_tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q74/Q11 shape (year-over-year growth comparison ACROSS
+    channels): customers whose web-channel sales grew FASTER than
+    their store-channel sales between two consecutive years — the
+    published query stages a per-(customer, channel, year) total CTE
+    and self-joins it FOUR ways, then compares two growth RATIOS.
+    Channels here are returnflags 'N' (web) and 'A' (store).
+
+    Spark spelling: the four-way self-join collapses into ONE fact
+    scan with conditional aggregation — groupBy(custkey) pivots the
+    (channel, year) cell totals into four columns, so the published
+    plan's four shuffles of the same aggregate become one (the
+    q_tpcds_q51 pivot idiom applied to Q74's staging); the oracle
+    keeps the published year_total + 4-alias spelling. The ratio
+    comparison w2/w1 > s2/s1 is the exact cross-multiply w2·s1 >
+    s2·w1 over the exact e4 integer totals, computed in DECIMAL(38,0)
+    (e4 totals reach ~2^40 per customer-year, so the cross-product
+    can exceed 2^63 — decimal multiply keeps it exact where a double
+    division would tie-break differently per engine and a bigint
+    multiply could wrap).
+
+    Scale shape: year-filtered fact → per-order partial → one
+    custkey exchange; output bounded by |customer|. No window, no
+    self-join, no cartesian (plan-pinned)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        F.col("l_returnflag").isin("A", "N")
+        & F.year("l_shipdate").isin(Q74_Y1, Q74_Y2)
+    )
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+
+    def cell(flag: str, yr: int):
+        return (
+            F.sum(
+                F.when(
+                    (F.col("l_returnflag") == flag) & (F.year("l_shipdate") == yr),
+                    rev,
+                )
+            )
+            * 10000
+        ).cast("bigint")
+
+    per_cust = (
+        li.join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            cell("A", Q74_Y1).alias("store_y1_e4"),
+            cell("A", Q74_Y2).alias("store_y2_e4"),
+            cell("N", Q74_Y1).alias("web_y1_e4"),
+            cell("N", Q74_Y2).alias("web_y2_e4"),
+        )
+    )
+    w1, w2 = F.col("web_y1_e4"), F.col("web_y2_e4")
+    s1, s2 = F.col("store_y1_e4"), F.col("store_y2_e4")
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — exact cross-multiply
+    return per_cust.filter(
+        w1.isNotNull() & w2.isNotNull() & s1.isNotNull() & s2.isNotNull()
+        & (w1 > 0) & (s1 > 0) & (d(w2) * d(s1) > d(s2) * d(w1))
+    ).select("custkey", "store_y1_e4", "store_y2_e4", "web_y1_e4", "web_y2_e4")

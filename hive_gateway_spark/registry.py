@@ -31,27 +31,26 @@ ORACLES: dict[str, str] = {}
 #: pytest parity gate (tests/test_parity.py runs ALL of them); rounds
 #: rotate the tail through the window so each gains a driver row.
 PRIORITY: tuple[str, ...] = (
-    # -- r15 rotation (executing the r14-close pre-plan verbatim —
-    # VERDICT r14 task #1, exact arithmetic 9 + 1 + 26 + 14 = 50):
-    # CORRECTNESS_r14 landed rows for all fifty r14-window occupants
-    # (47 hash-green; q_ann_index_stats / q_sim_topk_ivfpq /
+    # -- r16 rotation (executing the r15-close pre-plan verbatim —
+    # VERDICT r15 task #3): CORRECTNESS_r15 landed rows for all fifty
+    # r15-window occupants (48 hash-green; q_ann_index_stats /
     # q_quantile_sketch rows-only as declared, zero failures), so
-    # FOURTEEN many-times-green occupants rotate OUT to the local
-    # parity gate:
-    #   * the TEN r12-written second-rowers (q_tpch_q4, q_tpch_q9,
-    #     q_tpch_q2, q_tpch_q11, q_tpch_q16, q_tpch_q20, q_tpch_q21,
-    #     q_quality_classifier, q_dataset_card, q_curation_v5 — each
-    #     r13+r14-hash-green),
-    #   * q_graph_kcore and q_pq_candidates (each r14-hash-green;
-    #     kcore also holds four earlier rows-only rows),
-    #   * q_sim_topk_ivfpq (rows-only by design — its r14 `no_oracle`
-    #     row is on record; a rows-only occupant wastes a hash slot,
-    #     VERDICT r13 task #6's standing principle),
-    #   * and the r13-queue head q_curation_v5_funnel (r14-hash-green).
-    # The 14 freed slots take ALL FOURTEEN ROTATION_CANDIDATES in FIFO
-    # order, emptying the queue. Expected r15 row mix: forty-eight
-    # hash-green; q_quantile_sketch and q_ann_index_stats rows-only
-    # (GK boundary samples, engine-private occupancy) with rows > 0.
+    # FOURTEEN occupants rotate OUT to the local parity gate:
+    #   * q_quantile_sketch (its r14+r15 `no_oracle` rows are on
+    #     record; a rows-only occupant wastes a hash slot — VERDICT
+    #     r13 task #6's standing principle. Its GK summary gained an
+    #     exact VALUES oracle this round — VERDICT r15 task #5 — so a
+    #     future rotation can bring it back for a HASH row),
+    #   * the THIRTEEN oldest r13-entrants in FIFO order
+    #     (q_sim_range_search, q_text_bm25, q_curation_v5_trace,
+    #     q_heavy_hitters, q_sim_topk_filtered, q_hybrid_search,
+    #     q_heavy_hitters_by_lang, q_embed_coherence, q_split_leakage,
+    #     q_scd2_history, q_phrase_search, q_retrieval_mmr,
+    #     q_ann_recall — each r14+r15-hash-green).
+    # The 14 freed slots take ALL FOURTEEN r15-written
+    # ROTATION_CANDIDATES in FIFO order, emptying the queue. Expected
+    # r16 row mix: forty-nine hash-green; q_ann_index_stats rows-only
+    # (engine-private occupancy) with rows > 0.
     #
     # -- the nine §2.2/§2.3 contract queries that keep window
     # representation (each green in every windowed round) --
@@ -66,22 +65,8 @@ PRIORITY: tuple[str, ...] = (
     "q_text_lang_report",
     # -- standing rows-only monitor (IVF occupancy) --
     "q_ann_index_stats",
-    # -- the 26 r13-entrants keeping their slots (r14 hash-green,
-    # staying for a second row), in FIFO order --
-    "q_sim_range_search",
-    "q_text_bm25",
-    "q_quantile_sketch",  # rows-only by design (GK boundary samples)
-    "q_curation_v5_trace",
-    "q_heavy_hitters",
-    "q_sim_topk_filtered",
-    "q_hybrid_search",
-    "q_heavy_hitters_by_lang",
-    "q_embed_coherence",
-    "q_split_leakage",
-    "q_scd2_history",
-    "q_phrase_search",
-    "q_retrieval_mmr",
-    "q_ann_recall",
+    # -- the 12 remaining r13-entrants keeping their slots (r14+r15
+    # hash-green, staying for a third row), in FIFO order --
     "q_l_diversity",
     "q_zorder_layout",
     "q_retrieval_ndcg",
@@ -112,42 +97,11 @@ PRIORITY: tuple[str, ...] = (
     "q_ohlc_bars",
     "q_dim_lookup_scd2",
     "q_window_funnel",
-)
-
-#: r16 rotation candidates. The r15 rotation drained the whole
-#: 14-entry r14 queue into the window (VERDICT r14 task #1): at
-#: r15-open the queue is EMPTY and every query registered through r14
-#: holds (or is in-window to earn) a driver row. Queries WRITTEN during
-#: r15 enter here (FIFO) and take r16 slots; the standing rotate-out
-#: pool is the r15 stay-list once its members earn their r15 rows
-#: (tests/test_registry.py's debt ledger enforces row-or-slot-or-queue
-#: for every registered query).
-#:
-#: r16 PRE-PLAN (written at r15 close, exact arithmetic): the queue
-#: below holds FOURTEEN entries, so rotate OUT exactly fourteen —
-#: q_quantile_sketch (rows-only by design; its r14+r15 `no_oracle`
-#: rows are on record, and a rows-only occupant wastes a hash slot —
-#: VERDICT r13 task #6's standing principle, leaving q_ann_index_stats
-#: as the ONE standing rows-only monitor) plus the THIRTEEN oldest
-#: r13-entrants in FIFO order (q_sim_range_search, q_text_bm25,
-#: q_curation_v5_trace, q_heavy_hitters, q_sim_topk_filtered,
-#: q_hybrid_search, q_heavy_hitters_by_lang, q_embed_coherence,
-#: q_split_leakage, q_scd2_history, q_phrase_search, q_retrieval_mmr,
-#: q_ann_recall — each then r14+r15-hash-green) — and take ALL
-#: FOURTEEN candidates FIFO. The nine §2.2/§2.3 contract keepers,
-#: q_ann_index_stats, the TWELVE remaining r13-entrants
-#: (q_l_diversity through q_conversion_lag) and the 14 r14-entrants
-#: keep their slots: 9 + 1 + 12 + 14 + 14 = 50 exactly. Expected r16
-#: row mix: forty-nine hash-green; q_ann_index_stats rows-only with
-#: rows > 0.
-ROTATION_CANDIDATES: tuple[str, ...] = (
-    # TPC-DS batch 2 (VERDICT r14 task #3): the grouping-heavy DS
-    # idioms TPC-H never exercises — Q1's aggregate-over-aggregate
-    # correlated 1.2×-average threshold (window-decorrelated against
-    # a correlated-subquery oracle), Q34/Q73's HAVING-over-COUNT
-    # basket band, Q42/Q52's single-month star rollup, and Q95's
-    # multi-EXISTS collapsed to one per-order aggregate; all
-    # exact-oracled (operators/tpcds.py)
+    # -- the r15-written queue, in FIFO order (14), taking the slots
+    # freed above: TPC-DS batches 2–4 (Q1/34/42/95/51/36/67), the
+    # sequenceCount / asof-nearest / M4 / session-funnel / CUSUM
+    # time-series batch, the equi-depth histogram, and the IVF×ADC
+    # shortlist pin --
     "q_tpcds_q1",
     "q_tpcds_q34",
     "q_tpcds_q42",
@@ -203,6 +157,38 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # both embedded as oracle VALUES; q_sim_topk_ivfpq's learned
     # artifacts stay rows-only, this pins the pipeline they serve with
     "q_ivfpq_candidates",
+)
+
+#: r17 rotation candidates. The r16 rotation drained the whole
+#: 14-entry r15 queue into the window (pre-plan above executed
+#: verbatim): at r16-open the queue is EMPTY and every query
+#: registered through r15 holds (or is in-window to earn) a driver
+#: row. Queries WRITTEN during r16 enter here (FIFO) and take r17
+#: slots; the standing rotate-out pool is the r16 stay-list once its
+#: members earn their r16 rows (tests/test_registry.py's debt ledger
+#: enforces row-or-slot-or-queue for every registered query).
+ROTATION_CANDIDATES: tuple[str, ...] = (
+    # TPC-DS batch 4 (VERDICT r15 task #7) — the multi-channel shapes:
+    # Q14's cross-channel iceberg (INTERSECT-driven item filter + the
+    # rollup union over channels) and Q23's frequent-item-set +
+    # best-customer composition; INTERSECT-inside-aggregation and
+    # repeated-CTE staging nothing in the first 13 DS shapes exercises
+    "q_tpcds_q14",
+    "q_tpcds_q23",
+    # q_quantile_sketch's rows-only → exact upgrade (VERDICT r15 task
+    # #5): the driver-hashable surface now verifies the GK samples
+    # against exact rank counts within the proven bound — re-enters
+    # the window to earn its first HASH row
+    "q_quantile_sketch",
+    # DS Q74/Q11: year-over-year growth compared ACROSS channels —
+    # the published 4-way aggregate self-join collapsed into ONE
+    # conditional-aggregation fact scan; exact integer cross-multiply
+    # replaces the double ratio compare
+    "q_tpcds_q74",
+    # the HLL++ verified-contract audit (the q_quantile_sketch
+    # playbook applied to the other engine-specific sketch family):
+    # exact distinct counts + a 3-sigma band check, driver-hashable
+    "q_hll_audit",
 )
 
 

@@ -749,7 +749,9 @@ def merge_dataset(df: DataFrame, path: str, key: str) -> dict:
     )
 
 
-def apply_diff(diff: DataFrame, path: str, key: str) -> dict:
+def apply_diff(
+    diff: DataFrame, path: str, key: str, record: dict | None = None
+) -> dict:
     """APPLY a change-data-feed onto a target table — the CONSUMER half
     of snapshot_diff (Delta CDF's replication story): ``diff`` is the
     (op, …columns) frame snapshot_diff emits; inserts and update_post
@@ -760,6 +762,12 @@ def apply_diff(diff: DataFrame, path: str, key: str) -> dict:
     same keys with same rows, deletes of absent keys do nothing) —
     replay-safe by construction, the property a catch-up consumer
     needs after a crash.
+
+    ``record`` merges extra bookkeeping keys into the SAME committed
+    manifest (reserved engine keys refused) — the replication consumer
+    stores the source version it drained, so "what was applied" and
+    "the data that was applied" are one atomic fact: a crash can lose
+    both (clean retry) or neither, never the marker alone.
 
     Scale shape: identical to merge_dataset — one anti-join of the
     current snapshot against the (small) touched-key set, co-
@@ -787,6 +795,14 @@ def apply_diff(diff: DataFrame, path: str, key: str) -> dict:
     missing = [c for c in cols0 if c not in ups.columns]
     if missing:
         raise ValueError(f"diff missing manifest columns: {missing}")
+    reserved = {
+        "format", "partition_by", "columns", "n_rows", "partitions",
+        "content_xxh64_sum", "version", "files", "schema_json",
+        "constraints", "committed_at_us", "bloom_index", "file_stats",
+        "cluster_by", "bucket_spec",
+    }
+    if record and (bad := sorted(set(record) & reserved)):
+        raise ValueError(f"record keys collide with manifest fields: {bad}")
     _check_constraints(ups, prev, "apply_diff")
     for _ in range(MAX_COMMIT_RETRIES):
         pby = prev["partition_by"]
@@ -816,6 +832,7 @@ def apply_diff(diff: DataFrame, path: str, key: str) -> dict:
                 if prev.get("constraints")
                 else {}
             ),
+            **(record or {}),
         }
         _fire_race_hook()
         try:

@@ -1577,3 +1577,64 @@ def scd2_dimension_sink(spark: SparkSession, table_path: str):
             merge_dataset(changed, table_path, "iv_key")
 
     return apply
+
+
+def replicate_catchup(spark: SparkSession, src: str, dst: str, key: str) -> dict | None:
+    """ONE CDC catch-up step: diff the source's head against the
+    version this replica last drained, apply it atomically, and record
+    the drained version IN the same commit (apply_diff(record=...)).
+    Returns the replica's new manifest, or None when already caught up.
+
+    Exactly-once without a distributed log: the drained-version marker
+    and the applied rows commit as ONE manifest version, so a crash at
+    ANY point either leaves both (step complete) or neither (clean
+    retry) — and a retry that re-drains an already-applied span is a
+    content no-op by apply_diff's replay safety. The consumer is
+    therefore safe to run from a streaming foreachBatch, a cron, or a
+    human shell with zero coordination between them."""
+    from hive_gateway_spark.sources import dataset_export as de
+
+    head = int(de._current_manifest(src)["version"])
+    rep = de._current_manifest(dst)
+    drained = int(rep.get("replicated_src_version", 1))
+    if head <= drained:
+        return None
+    diff = de.snapshot_diff(spark, src, drained, head, key).localCheckpoint()
+    return de.apply_diff(
+        diff, dst, key, record={"replicated_src_version": head}
+    )
+
+
+def stream_replicate(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    key: str,
+    checkpoint: str,
+    interval: str = "1 second",
+):
+    """The apply_diff REPLICATION TWIN (VERDICT r15 stretch #9): a
+    Structured Streaming query whose every micro-batch drains the
+    source's snapshot_diff feed into the replica via replicate_catchup
+    — Delta's `readStream` + `foreachBatch` CDC replication loop,
+    expressed over this engine's manifest log. The rate source is a
+    metronome only (its rows are ignored); all replication state lives
+    in the REPLICA manifest, so the streaming checkpoint carries no
+    correctness burden — stop, crash, or restart anywhere and the next
+    tick re-converges (idempotent catch-up), which is exactly what the
+    crash-restart equivalence test pins.
+
+    Returns the started StreamingQuery; callers own stop()."""
+    metronome = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+
+    def _sync(_batch: DataFrame, _bid: int) -> None:
+        replicate_catchup(spark, src, dst, key)
+
+    return (
+        metronome.writeStream.foreachBatch(_sync)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=interval)
+        .start()
+    )

@@ -169,3 +169,45 @@ def test_previous_bench_selects_same_sf_baseline(tmp_path, monkeypatch):
     )
     name, _ = bench._previous_bench(1.0)
     assert name == "BENCH_LOCAL_r08.json"
+
+
+def test_every_registered_query_has_a_bench_point():
+    """The r16 structural rule (VERDICT r15 task #4, made permanent):
+    no operator lands without its bench point — every registry entry
+    must appear in HEADLINE or some HEADLINE_R* block, and no block
+    may name a ghost query."""
+    from hive_gateway_spark import registry
+
+    registry.load_all()
+    benched = set(bench.HEADLINE)
+    for a in dir(bench):
+        if a.startswith("HEADLINE_R"):
+            benched.update(getattr(bench, a))
+    missing = sorted(set(registry.QUERIES) - benched)
+    assert not missing, f"registered queries with no bench point: {missing}"
+    ghosts = sorted(benched - set(registry.QUERIES))
+    assert not ghosts, f"benched names with no registered query: {ghosts}"
+
+
+def test_rebaselined_entries_resolve_and_skip_the_gate():
+    """REBASELINED is the intentional-change ledger: each entry must
+    name a registered query, and a listed query's prev time must not
+    produce a flag (the ledger exists so a KNOWN cost change doesn't
+    trip the reproduce-before-fail protocol)."""
+    from hive_gateway_spark import registry
+
+    registry.load_all()
+    for name in bench.REBASELINED:
+        assert name in registry.QUERIES, name
+    # simulate the main() filtering: a rebaselined query 3x slower
+    # than its record must not reach warm_gate at all
+    prev = {"q_a": 1.0, "q_b": 1.0, "q_keep": 1.0}
+    prev_filtered = {
+        k: v for k, v in {**prev, "q_skip": 0.1}.items()
+        if k not in {"q_skip"}
+    }
+    timings = {"q_a": 1.0, "q_b": 1.0, "q_keep": 1.0, "q_skip": 0.9}
+    confirmed, first_pass, _ = bench.warm_gate(
+        timings, prev_filtered, lambda n: 0.9
+    )
+    assert confirmed == {} and first_pass == {}

@@ -597,10 +597,27 @@ def test_quantile_sketch_is_one_partial_final_aggregate(spark, sf_dir):
     """The sketch path's whole point: ONE map-side-combined aggregate
     (partial_percentile_approx then the merge), no window, no join —
     the O(1/eps) state merges associatively on a cluster."""
-    plan = plan_of(spark, sf_dir, "q_quantile_sketch")
+    from hive_gateway_spark.operators.ranking import quantile_sketch_raw
+
+    df = quantile_sketch_raw(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan, plan
+
+
+def test_quantile_sketch_verification_broadcasts_sketch_frame(spark, sf_dir):
+    """The driver-hashable attestation (r16 rows-only → exact upgrade)
+    re-counts the sketch samples' ranks against the corpus: the
+    ~|langs|·3-row sketch frame must BROADCAST — the corpus is never
+    shuffled to answer its own audit — and no window appears."""
+    plan = plan_of(spark, sf_dir, "q_quantile_sketch")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_ivfpq_rescore_broadcasts_probe_only(spark, sf_dir):
@@ -902,3 +919,61 @@ def test_tpcds_q67_rank_pushes_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "Expand" in plan, plan
     assert plan.lower().count("lineitem.parquet") == 1, plan
+
+
+def test_tpcds_q14_intersect_collapses_to_one_scan(spark, sf_dir):
+    """Q14's three-way channel INTERSECT must run as ONE year-filtered
+    fact scan with COUNT(DISTINCT channel) = 3 — no Intersect node,
+    no per-channel re-scan (published: three scans + two intersect
+    shuffles). Total: 2 lineitem scans (cross_items + rollup), part
+    and cross_items broadcast, rollup via Expand, the iceberg
+    threshold a 1-row broadcast — never a cartesian."""
+    plan = plan_of(spark, sf_dir, "q_tpcds_q14")
+    assert "Intersect" not in plan, plan
+    # the rolled frame is STAGED (q59 discipline): its 2-scan build —
+    # cross_items + rollup, verified during development vs 4 unstaged —
+    # ran at checkpoint time, so the served plan reads the dim-sized
+    # ExistingRDD and touches the fact ZERO times
+    assert plan.lower().count("lineitem.parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpcds_q23_union_collapses_and_preaggregates(spark, sf_dir):
+    """Q23's three channel branches must collapse into ONE grouped
+    year-filtered scan (published: one scan per channel), customer
+    spend must pre-aggregate per order BEFORE the orders join (the
+    fact-fact join moves ≤ |orders| rows), and the max-spend scalar
+    rides a broadcast: exactly 3 lineitem scans total (frequency,
+    spend, final), no Union of fact scans, no cartesian, no window."""
+    plan = plan_of(spark, sf_dir, "q_tpcds_q23")
+    # spend is STAGED (its fact⋈orders build ran at checkpoint time),
+    # so the served plan scans the fact exactly twice: the frequency
+    # CTE and the year-filtered final — vs the published five scans
+    assert plan.lower().count("lineitem.parquet") == 2, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Union" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_tpcds_q74_four_way_self_join_collapses_to_one_scan(spark, sf_dir):
+    """Q74's per-(customer, channel, year) staging CTE self-joined four
+    ways must collapse into ONE conditional-aggregation fact scan (the
+    q51 pivot idiom): a single lineitem scan, no self-join of the
+    aggregate (≤ 1 SortMergeJoin — the orders key join), no window."""
+    plan = plan_of(spark, sf_dir, "q_tpcds_q74")
+    assert plan.lower().count("lineitem.parquet") == 1, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hll_audit_single_scan_no_join(spark, sf_dir):
+    """The HLL audit composes the sketch and its exact twin in ONE
+    grouped pass over events — no join, no window; the distinct
+    expansion rides the same aggregate."""
+    plan = plan_of(spark, sf_dir, "q_hll_audit")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.lower().count("events.parquet") == 1, plan

@@ -282,11 +282,18 @@ def test_quantile_sketch_rank_error_bound(spark, sf_dir):
     import math
 
     from hive_gateway_spark import registry
-    from hive_gateway_spark.operators.ranking import SKETCH_ACCURACY
+    from hive_gateway_spark.operators.ranking import (
+        SKETCH_ACCURACY,
+        quantile_sketch_raw,
+    )
     from hive_gateway_spark.session import load_tables
 
     d = load_tables(spark, sf_dir)["documents"].select("lang", "n_chars")
-    rows = registry.QUERIES["q_quantile_sketch"](spark, sf_dir).collect()
+    rows = quantile_sketch_raw(spark, sf_dir).collect()
+    # the driver-hashable attestation twin must agree: every
+    # (lang, pct) verified within the bound by the engine itself
+    ver = registry.QUERIES["q_quantile_sketch"](spark, sf_dir).collect()
+    assert ver and all(r["within_bound"] == 1 for r in ver)
     assert rows
     pdf = d.toPandas()
     for r in rows:

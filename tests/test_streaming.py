@@ -1520,3 +1520,97 @@ def test_stateful_twin_recovers_state_across_restart(spark, tmp_path):
     # exactly once: totals step 1,2,3 for user 1 with no repeats
     u1 = sorted(both[both.user_id == 1]["n_chains"].tolist())
     assert u1 == [1, 2, 3]
+
+
+def test_replication_twin_converges_across_midstream_restart(spark, tmp_path):
+    """apply_diff's streaming replication twin (stream_replicate): the
+    replica must equal the source head after (a) a first streaming
+    drain, (b) a STOP mid-stream while the source keeps advancing, and
+    (c) a restart from the same checkpoint — with the drained-version
+    marker and the applied rows always committed atomically together,
+    and re-drains content-no-ops (replay safety)."""
+    import time as _time
+
+    from hive_gateway_spark.sources import dataset_export as de
+    from hive_gateway_spark.streaming.ops import (
+        replicate_catchup,
+        stream_replicate,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"t{i}", float(i)) for i in range(1, 21)],
+        "doc_id bigint, text string, score double",
+    )
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    de.write_dataset(base, src)
+    de.write_dataset(base, dst)  # replica fork at v1
+    ck = str(tmp_path / "ckpt")
+
+    def content(path):
+        return {
+            (r["doc_id"], r["text"], r["score"])
+            for r in de.read_snapshot(spark, path).collect()
+        }
+
+    def wait_caught_up(timeout=60.0):
+        head = int(de._current_manifest(src)["version"])
+        t0 = _time.time()
+        while _time.time() - t0 < timeout:
+            m = de._current_manifest(dst)
+            if int(m.get("replicated_src_version", 1)) >= head:
+                return m
+            _time.sleep(0.3)
+        raise AssertionError("replica never caught up")
+
+    # advance the source: insert + update + delete
+    de.append_dataset(
+        spark.createDataFrame([(21, "new", 21.0)], base.schema), src
+    )
+    de.merge_dataset(
+        spark.createDataFrame([(3, "T3!", 3.5)], base.schema), src, "doc_id"
+    )
+    de.delete_dataset(spark, src, "doc_id", 5, 6)
+
+    q = stream_replicate(spark, src, dst, "doc_id", ck)
+    try:
+        m1 = wait_caught_up()
+        assert content(dst) == content(src)
+    finally:
+        q.stop()  # the mid-stream "crash"
+
+    # source keeps advancing while the replicator is down
+    de.append_dataset(
+        spark.createDataFrame([(22, "late", 22.0)], base.schema), src
+    )
+    de.delete_dataset(spark, src, "doc_id", 1, 1)
+
+    # restart from the SAME checkpoint: must converge again
+    q2 = stream_replicate(spark, src, dst, "doc_id", ck)
+    try:
+        m2 = wait_caught_up()
+        assert content(dst) == content(src)
+    finally:
+        q2.stop()
+
+    # atomicity: the drained-version marker rode the SAME manifest
+    # commits that applied the rows (never a marker-only version)
+    assert int(m2["replicated_src_version"]) == int(
+        de._current_manifest(src)["version"]
+    )
+    assert m2["version"] > m1["version"]
+    # idle convergence: catch-up with nothing to drain is a no-op
+    assert replicate_catchup(spark, src, dst, "doc_id") is None
+    # replay safety: a manual re-drain of an already-applied span is a
+    # content no-op on the replica (a bare apply_diff also DROPS the
+    # drained-version marker — each commit's record stands alone)...
+    head = int(de._current_manifest(src)["version"])
+    diff = de.snapshot_diff(spark, src, 1, head, "doc_id").localCheckpoint()
+    before = de._current_manifest(dst)["content_xxh64_sum"]
+    m3 = de.apply_diff(diff, dst, "doc_id")
+    assert m3["content_xxh64_sum"] == before
+    # ...so the next catch-up re-drains from scratch and must ALSO be
+    # a content no-op, restoring the marker atomically
+    m4 = replicate_catchup(spark, src, dst, "doc_id")
+    assert m4 is not None and m4["content_xxh64_sum"] == before
+    assert int(m4["replicated_src_version"]) == head
+    assert replicate_catchup(spark, src, dst, "doc_id") is None
