@@ -1696,6 +1696,64 @@ def build_bloom_index(
     return manifest
 
 
+def update_bloom_index(
+    spark: SparkSession,
+    path: str,
+    fpp: float | None = None,
+    distributed: bool = True,
+) -> dict:
+    """INCREMENTAL Bloom maintenance: index only the files the current
+    bloom_index lacks (post-index appends arrive un-indexed and are
+    never pruned until now), keep every existing entry byte-untouched
+    (entries are per-file facts over immutable bytes — recomputing
+    them would be pure waste), and drop entries whose files left the
+    manifest (post-delete/merge hygiene; carrying them is harmless
+    but unbounded). The cost is proportional to the NEW data only —
+    the verb an hourly-append table runs beside each append, where
+    build_bloom_index re-reads the entire column.
+
+    Refuses an index whose ``canon`` protocol predates the current
+    one (its existing entries would mix hash domains with the new
+    ones — rebuild via build_bloom_index instead). No-op (no new
+    version) when every file is already indexed."""
+    prev = _current_manifest(path)
+    bi = prev.get("bloom_index")
+    if not bi:
+        raise ValueError(
+            f"no bloom_index on {path} — run build_bloom_index first"
+        )
+    if bi.get("canon") != _BLOOM_CANON:
+        raise ValueError(
+            f"bloom_index at {path} speaks canon v{bi.get('canon')} != "
+            f"v{_BLOOM_CANON} — incremental update would mix hash "
+            "domains; rebuild with build_bloom_index"
+        )
+    column, fpp = bi["column"], (bi["fpp"] if fpp is None else fpp)
+    current = set(prev.get("files") or [])
+    kept = {f: e for f, e in bi["blooms"].items() if f in current}
+    missing = sorted(current - set(kept))
+    if not missing:
+        if len(kept) == len(bi["blooms"]):
+            return prev  # fully indexed, nothing stale: no-op
+        new: dict[str, dict] = {}
+    else:
+        ftype = _field_type(prev.get("schema_json"), column)
+        sub = {**prev, "files": missing}
+        new = (
+            _build_blooms_spark(spark, path, sub, column, ftype, fpp)
+            if distributed
+            else _build_blooms_local(path, missing, column, ftype, fpp)
+        )
+    manifest = {
+        **prev,
+        "version": int(prev.get("version", 1)) + 1,
+        "bloom_index": {**bi, "blooms": {**kept, **new}},
+    }
+    manifest.pop("committed_at_us", None)
+    _try_commit(path, manifest)
+    return manifest
+
+
 def _field_kind(schema_json: str | None, column: str) -> str:
     """The pruning-relevant type class of ``column`` from the recorded
     Spark schema: 'numeric' | 'string' | 'temporal' | 'unknown'.
@@ -2065,6 +2123,88 @@ def compact_dataset(
         "files_before": n_before,
         "files_after": len(manifest["files"]),
         "n_rows": manifest["n_rows"],
+    }
+
+
+def expire_snapshots(
+    path: str,
+    keep_last: int = 2,
+    orphan_grace_s: float = 3 * 24 * 3600,
+) -> dict:
+    """STANDALONE retention verb (Delta VACUUM + RETAIN, Iceberg
+    expire_snapshots): drop every manifest version older than the
+    newest ``keep_last``, delete the data files ONLY those expired
+    versions referenced, and sweep grace-aged orphans — WITHOUT the
+    full-table rewrite compact_dataset bundles its expiry into. This
+    is the verb a long-lived append-mostly table needs: storage stays
+    bounded by the retained window while the data files of the live
+    versions are never touched.
+
+    Deletion order is crash-safe: expired data files go first, their
+    manifest objects after — a crash mid-way leaves expired manifests
+    pointing at missing files, which reads of RETAINED versions never
+    consult and a re-run finishes sweeping; the reverse order would
+    orphan the files invisibly. Time-travel reads of expired versions
+    raise (FileNotFoundError from the log), exactly like every table
+    format. The orphan sweep reuses compaction's grace rule: a file
+    younger than ``orphan_grace_s`` may be a concurrent writer's
+    landed-but-uncommitted output and is kept (Iceberg's 3-day
+    default); pass 0 only when no writer can be in flight.
+
+    Metadata-scale by design: the verb reads manifests and unlinks a
+    bounded file list — no Spark job, no data scan; at 100 TB the
+    unlink fan-out is the object store's bulk-delete API, not a
+    cluster's."""
+    prev = _current_manifest(path)
+    _refuse_bucketed(prev, "expire_snapshots")
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the head must survive)")
+    versions = sorted(
+        int(m.group(1))
+        for name in _LOG.list_names(path)
+        if (m := _re.fullmatch(r"_MANIFEST\.v(\d+)\.json", name))
+    )
+    retained = set(versions[-keep_last:])
+    expired = [v for v in versions if v not in retained]
+    keep_files: set[str] = set()
+    for v in retained:
+        doc = json.loads(_LOG.get(path, f"_MANIFEST.v{v}.json"))
+        keep_files.update(doc.get("files") or [])
+    deleted = 0
+    for v in expired:
+        doc = json.loads(_LOG.get(path, f"_MANIFEST.v{v}.json"))
+        for rel in sorted(set(doc.get("files") or []) - keep_files):
+            fp = os.path.join(path, rel)
+            for victim in (
+                fp,
+                os.path.join(
+                    os.path.dirname(fp), "." + os.path.basename(fp) + ".crc"
+                ),
+            ):
+                try:
+                    os.unlink(victim)
+                    deleted += victim == fp
+                except FileNotFoundError:
+                    pass
+        _LOG.delete(path, f"_MANIFEST.v{v}.json")
+    # orphan sweep (same rule as compaction): files NO retained
+    # manifest references, older than the grace period
+    now = _time.time()
+    for rel in _relative_files(path):
+        if rel in keep_files:
+            continue
+        fp = os.path.join(path, rel)
+        try:
+            if now - os.path.getmtime(fp) >= orphan_grace_s:
+                os.unlink(fp)
+                deleted += 1
+        except FileNotFoundError:
+            pass
+    return {
+        "expired_versions": expired,
+        "retained_versions": sorted(retained),
+        "deleted_files": deleted,
+        "head_version": int(prev.get("version", 1)),
     }
 
 

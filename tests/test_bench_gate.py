@@ -211,3 +211,57 @@ def test_rebaselined_entries_resolve_and_skip_the_gate():
         timings, prev_filtered, lambda n: 0.9
     )
     assert confirmed == {} and first_pass == {}
+
+
+def test_anomalously_fast_baseline_sample_retracts_confirmed_flag():
+    """The ratchet's dual failure mode (r16, q_brand_affinity): one
+    anomalously FAST sample becomes the baseline and every honest
+    later measurement 'reproduces' a phantom flag with the machine
+    flat. A confirmed flag must be a regression against the last TWO
+    records — vs prev2's normal value it isn't, so it retracts and
+    the honest number supersedes the anomaly in the write-back."""
+    regressions = {
+        "q_x": {
+            "prev": 0.381, "now": 0.625, "ratio": 1.64,
+            "remeasured": 0.65, "remeasure_drift": 1.0,
+        }
+    }
+    timings = {"q_x": 0.625}
+    history = [
+        ("BENCH_LOCAL_r16.json", {"queries": {"q_x": 0.381}}),
+        ("BENCH_LOCAL_r15.json", {"queries": {"q_x": 0.727}}),
+    ]
+    bench.retract_baseline_anomalies(regressions, timings, history)
+    assert regressions == {}
+    assert timings["q_x"] == 0.625  # honest number kept, not the 0.381
+
+
+def test_genuine_regression_fails_against_both_records():
+    """A real slowdown is worse than BOTH records — the anomaly check
+    must not launder it."""
+    regressions = {
+        "q_x": {
+            "prev": 0.4, "now": 1.4, "ratio": 3.5,
+            "remeasured": 1.38, "remeasure_drift": 1.0,
+        }
+    }
+    timings = {"q_x": 1.4}
+    history = [
+        ("a.json", {"queries": {"q_x": 0.4}}),
+        ("b.json", {"queries": {"q_x": 0.45}}),
+    ]
+    bench.retract_baseline_anomalies(regressions, timings, history)
+    assert set(regressions) == {"q_x"}
+
+
+def test_single_record_history_keeps_flag():
+    """With no second record there is nothing to cross-check — the
+    confirmed flag stands (first round under a new protocol)."""
+    regressions = {
+        "q_x": {"prev": 0.3, "now": 0.8, "remeasured": 0.8,
+                "remeasure_drift": 1.0}
+    }
+    bench.retract_baseline_anomalies(
+        regressions, {"q_x": 0.8}, [("only.json", {"queries": {"q_x": 0.3}})]
+    )
+    assert set(regressions) == {"q_x"}

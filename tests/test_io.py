@@ -2223,3 +2223,115 @@ def test_all_pruned_empty_result_keeps_partition_columns(spark, tmp_path):
     assert miss.schema == hit.schema
     assert miss.filter(F.col("bucket") == 2).count() == 0
     assert hit.unionByName(miss).count() == 1
+
+
+def test_expire_snapshots_bounds_storage_without_rewrite(spark, tmp_path):
+    """The standalone retention verb (Delta VACUUM + RETAIN): expiring
+    to the newest 2 versions deletes older manifests AND the data
+    files only they referenced, leaves the retained versions readable
+    and verifiable byte-for-byte (no rewrite — live files untouched),
+    makes expired time travel raise, and sweeps grace-aged orphans
+    while keeping young ones."""
+    import os as _os
+    import time as _time
+
+    from hive_gateway_spark.sources import dataset_export as de
+
+    schema = "doc_id bigint, text string"
+    de.write_dataset(
+        spark.createDataFrame([(1, "a"), (2, "b")], schema), str(tmp_path)
+    )  # v1
+    path = str(tmp_path)
+    de.append_dataset(spark.createDataFrame([(3, "c")], schema), path)  # v2
+    de.append_dataset(spark.createDataFrame([(4, "d")], schema), path)  # v3
+    de.delete_dataset(spark, path, "doc_id", 1, 1)  # v4: rewrites v1's files
+    live_before = {
+        f: _os.path.getmtime(_os.path.join(path, f))
+        for f in de._current_manifest(path)["files"]
+    }
+    # plant orphans: one old enough to sweep, one inside the grace
+    old_orphan = _os.path.join(path, "part-orphan-old.snappy.parquet")
+    young_orphan = _os.path.join(path, "part-orphan-young.snappy.parquet")
+    for p in (old_orphan, young_orphan):
+        with open(p, "wb") as f:
+            f.write(b"PAR1junkPAR1")
+    _os.utime(old_orphan, (1_000_000, 1_000_000))
+
+    rep = de.expire_snapshots(path, keep_last=2, orphan_grace_s=3600)
+    assert rep["expired_versions"] == [1, 2]
+    assert rep["retained_versions"] == [3, 4]
+    # retained versions read + verify; live files untouched (no rewrite)
+    assert de.verify_dataset(spark, path)["ok"]
+    assert {r["doc_id"] for r in de.read_snapshot(spark, path).collect()} == {2, 3, 4}
+    assert de.read_snapshot(spark, path, version=3).count() == 4
+    live_after = {
+        f: _os.path.getmtime(_os.path.join(path, f))
+        for f in de._current_manifest(path)["files"]
+    }
+    assert live_after == live_before
+    # expired time travel raises like every table format
+    with pytest.raises(FileNotFoundError):
+        de.read_snapshot(spark, path, version=1)
+    # orphan sweep: aged orphan gone, in-grace one kept
+    assert not _os.path.exists(old_orphan)
+    assert _os.path.exists(young_orphan)
+    # idempotent: a re-run finds nothing to do
+    rep2 = de.expire_snapshots(path, keep_last=2, orphan_grace_s=3600)
+    assert rep2["expired_versions"] == [] and rep2["deleted_files"] == 0
+    # the head must always survive
+    with pytest.raises(ValueError):
+        de.expire_snapshots(path, keep_last=0)
+
+
+def test_update_bloom_index_is_incremental(spark, tmp_path):
+    """Incremental Bloom maintenance: post-index appends gain entries
+    (cost proportional to NEW files only), existing entries stay
+    byte-identical (per-file facts over immutable bytes), entries for
+    departed files are dropped, a fully-indexed table is a version
+    no-op, and a legacy-canon index is refused toward a rebuild."""
+    from hive_gateway_spark.sources import dataset_export as de
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    ).repartitionByRange(4, "doc_id")
+    path = str(tmp_path / "tinc")
+    de.write_dataset(df, path)
+    m1 = de.build_bloom_index(spark, path, "doc_id", fpp=0.001)
+    de.append_dataset(
+        spark.createDataFrame(
+            [(500_000 + i, f"new{i}") for i in range(50)],
+            "doc_id bigint, text string",
+        ),
+        path,
+    )
+    m2 = de._current_manifest(path)
+    unindexed = set(m2["files"]) - set(m1["bloom_index"]["blooms"])
+    assert unindexed  # the append landed new, unindexed files
+
+    m3 = de.update_bloom_index(spark, path)
+    blooms3 = m3["bloom_index"]["blooms"]
+    assert set(blooms3) == set(m2["files"])  # every file indexed
+    for f, entry in m1["bloom_index"]["blooms"].items():
+        assert blooms3[f] == entry  # old entries byte-identical
+    # the appended key now PRUNES: only its own file opens
+    got = de.read_snapshot(spark, path, point=("doc_id", 500_007))
+    assert [r["text"] for r in got.collect()] == ["new7"]
+    assert len(got.inputFiles()) < len(m3["files"])
+    # fully indexed: no-op, same version
+    assert de.update_bloom_index(spark, path)["version"] == m3["version"]
+    # departed files lose their entries
+    de.delete_dataset(spark, path, "doc_id", 0, 999)
+    m4 = de.update_bloom_index(spark, path)
+    assert set(m4["bloom_index"]["blooms"]) == set(m4["files"])
+    assert de.read_snapshot(spark, path, point=("doc_id", 500_007)).count() == 1
+    # legacy canon refuses incremental update
+    legacy = {
+        **m4,
+        "version": m4["version"] + 1,
+        "bloom_index": {**m4["bloom_index"], "canon": 1},
+    }
+    legacy.pop("committed_at_us", None)
+    de._try_commit(path, legacy)
+    with pytest.raises(ValueError, match="canon"):
+        de.update_bloom_index(spark, path)
