@@ -304,6 +304,8 @@ HEADLINE_R16 = [
     "q_tpcds_q23",
     "q_tpcds_q74",
     "q_hll_audit",
+    "q_prf_expansion",
+    "q_token_budget_fill",
     # -- full-registry completion (never previously benched) --
     "q_agg_distinct",
     "q_agg_grouping_sets",

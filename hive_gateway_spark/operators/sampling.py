@@ -513,3 +513,135 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_union",
         )
     )
+
+
+#: Water-filling budget: the target is half the corpus's whitespace
+#: tokens (B = total DIV 2); cells are (source, lang) domains. The
+#: water level λ — every cell contributes min(n_tok, λ) and the
+#: budget is met EXACTLY — is the closed-form equal-level fill over
+#: the sorted cells, the allocation rule behind capped domain mixing
+#: (a big domain is leveled to λ, small domains pass through whole).
+TOKEN_BUDGET_DIV = 2
+
+
+@query(
+    "q_token_budget_fill",
+    oracle=f"""
+    WITH tokc AS (
+        SELECT source, lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        FROM documents GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT CAST(SUM(n_tok) AS BIGINT) // {TOKEN_BUDGET_DIV} AS budget,
+               COUNT(*) AS m
+        FROM tokc
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER
+                 (ORDER BY n_tok ASC, source ASC, lang ASC) AS idx,
+               SUM(n_tok) OVER
+                 (ORDER BY n_tok ASC, source ASC, lang ASC
+                  ROWS UNBOUNDED PRECEDING) AS prefix
+        FROM tokc
+    ),
+    kv AS (
+        SELECT COALESCE(MAX(idx), 0) AS k
+        FROM ranked, b WHERE prefix + n_tok * (m - idx) <= budget
+    ),
+    par AS (
+        SELECT kv.k,
+               b.budget
+                 - COALESCE((SELECT prefix FROM ranked, kv
+                             WHERE idx = kv.k), 0) AS rem,
+               b.m - kv.k AS den
+        FROM b, kv
+    )
+    SELECT source, lang, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(CASE WHEN idx <= k THEN n_tok
+                ELSE (rem // den)
+                     + CASE WHEN idx - k <= rem % den THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc_tok
+    FROM ranked, par
+    """,
+)
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget WATER-FILLING across (source, lang) domains — the
+    capped-mixing allocator every data-recipe pipeline needs ("take B
+    tokens total, no domain dominates"): each domain contributes
+    min(n_tok, λ) where the water level λ is chosen so the total is
+    EXACTLY the budget, i.e. small domains pass through whole and
+    large ones are leveled. The integer closed form: sort cells
+    ascending, fully take the longest prefix k with
+    S_k + n_k·(m−k) ≤ B, then split the remainder rem = B − S_k over
+    the m−k leveled cells as base = rem DIV (m−k) with the first
+    rem MOD (m−k) cells (in the same total order) getting +1 — so
+    Σ alloc = B exactly, no fractional tokens, no RNG, and the
+    allocation is a pure function of the corpus (re-runs and
+    different cluster layouts agree). The oracle derives k/rem/den
+    through scalar subqueries — an independent spelling of the same
+    closed form.
+
+    Scale shape: ONE corpus pass (map-side-combined token count per
+    cell), then every window/scalar runs on the CELLS frame — bounded
+    by |sources|·|langs|, dim-sized by construction — with the 1-row
+    budget/threshold frames broadcast (the scalar cross-join house
+    pattern). The single-partition window over cells is bounded by
+    the domain count, never the corpus."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["documents"]
+        .select(
+            "source",
+            "lang",
+            F.size(F.split("text", " ")).alias("wt"),
+        )
+        .groupBy("source", "lang")
+        .agg(F.sum("wt").cast("bigint").alias("n_tok"))
+    )
+    # Stage the dim-sized cells frame: budget, threshold, offset and
+    # the final projection all consume it, and Spark would replay the
+    # corpus token count for each (the q_tpcds_q59 staging
+    # discipline — at 100 TB that is four corpus scans for one).
+    from hive_gateway_spark.staging import stage
+
+    cells = stage(cells, "sampling.token_budget.cells")
+    b = cells.agg(
+        F.expr(f"CAST(SUM(n_tok) DIV {TOKEN_BUDGET_DIV} AS BIGINT)").alias(
+            "budget"
+        ),
+        F.count("*").alias("m"),
+    )
+    w = W.orderBy(F.col("n_tok").asc(), F.col("source").asc(), F.col("lang").asc())
+    ranked = cells.withColumn("idx", F.row_number().over(w)).withColumn(
+        "prefix",
+        F.sum("n_tok").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    joined = ranked.crossJoin(F.broadcast(b))
+    kf = joined.filter(
+        F.col("prefix") + F.col("n_tok") * (F.col("m") - F.col("idx"))
+        <= F.col("budget")
+    ).agg(F.coalesce(F.max("idx"), F.lit(0)).alias("k"))
+    j2 = joined.crossJoin(F.broadcast(kf))
+    skf = j2.filter(F.col("idx") == F.col("k")).agg(
+        F.coalesce(F.max("prefix"), F.lit(0).cast("bigint")).alias("sk")
+    )
+    rem = F.col("budget") - F.col("sk")
+    den = F.col("m") - F.col("k")
+    base = F.expr("(budget - sk) div (m - k)")
+    plus1 = F.when((F.col("idx") - F.col("k")) <= rem % den, 1).otherwise(0)
+    return (
+        j2.crossJoin(F.broadcast(skf))
+        .select(
+            "source",
+            "lang",
+            "n_tok",
+            F.when(F.col("idx") <= F.col("k"), F.col("n_tok"))
+            .otherwise(base + plus1)
+            .cast("bigint")
+            .alias("alloc_tok"),
+        )
+    )

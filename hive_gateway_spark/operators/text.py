@@ -1811,3 +1811,216 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_matches"),
         F.min("anchor").cast("bigint").alias("first_pos"),
     )
+
+
+#: Pseudo-relevance feedback (RM3-lite) parameters: feedback depth,
+#: expansion-term count, minimum expansion-term length (the cheap
+#: stopword guard), original:expansion weight ratio 2:1 (integer —
+#: a float mixing weight would re-open the non-associativity trap
+#: the ROUND→DECIMAL discipline closes), and the report depth.
+PRF_FB_K = 10
+PRF_EXP_M = 5
+PRF_MIN_LEN = 4
+PRF_W_ORIG, PRF_W_EXP = 2, 1
+PRF_TOPN = 20
+
+_BM25_FORMULA = f"""CAST(ROUND(
+               ln((CAST(s.n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5)
+                  / (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(qx.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+               / (CAST(qx.tf AS DOUBLE)
+                  + {BM25_K1} * (1.0 - {BM25_B}
+                     + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl)),
+             6) AS DECIMAL(18, 6))"""
+
+
+@query(
+    "q_prf_expansion",
+    oracle=f"""
+    WITH {BM25_SCORED_CTE},
+    fb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25x DESC, doc_id ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= {PRF_FB_K}
+    ),
+    exp_terms AS (
+      SELECT word FROM (
+        SELECT word, COUNT(*) AS fb_tf
+        FROM tok JOIN fb USING (doc_id)
+        WHERE word NOT IN ({_BM25_Q_SQL}) AND length(word) >= {PRF_MIN_LEN}
+        GROUP BY word
+        ORDER BY fb_tf DESC, word ASC
+        LIMIT {PRF_EXP_M}
+      )
+    ),
+    allterms AS (
+      SELECT word, CAST({PRF_W_ORIG} AS DECIMAL(2,0)) AS w
+      FROM (VALUES ({_BM25_Q_SQL.replace("', '", "'), ('")})) q(word)
+      UNION ALL
+      SELECT word, CAST({PRF_W_EXP} AS DECIMAL(2,0)) AS w FROM exp_terms
+    ),
+    qtf2 AS (
+      SELECT t.doc_id, t.word, a.w, COUNT(*) AS tf
+      FROM tok t JOIN allterms a USING (word)
+      GROUP BY 1, 2, 3
+    ),
+    df2 AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df
+      FROM tok WHERE word IN (SELECT word FROM allterms) GROUP BY word
+    ),
+    terms2 AS (
+      SELECT qx.doc_id, qx.w * {_BM25_FORMULA} AS term
+      FROM qtf2 qx
+      JOIN dl ON dl.doc_id = qx.doc_id
+      JOIN df2 dfx ON dfx.word = qx.word
+      CROSS JOIN stats s
+    ),
+    rescored AS (SELECT doc_id, SUM(term) AS sc FROM terms2 GROUP BY doc_id)
+    SELECT doc_id, ROUND(CAST(sc AS DOUBLE), 4) AS prf_score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT doc_id, sc,
+             ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id ASC) AS rnk
+      FROM rescored
+    )
+    WHERE rnk <= {PRF_TOPN}
+    """,
+)
+def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with PSEUDO-RELEVANCE FEEDBACK (RM3-lite —
+    Lavrenko & Croft's relevance model, the Anserini/Indri default
+    expansion): stage 1 ranks the corpus with BM25 for the fixed
+    query, stage 2 mines the top-{{PRF_FB_K}} feedback docs for the
+    {{PRF_EXP_M}} most frequent non-query terms (length ≥
+    {{PRF_MIN_LEN}} as the cheap stopword guard; (count, word)
+    tie-broken), stage 3 re-scores the corpus over the expanded term
+    set with an integer 2:1 original:expansion weight mix — the only
+    iterative-retrieval shape in the suite (BM25 → feedback → BM25),
+    the loop hard-negative mining and query-expansion eval pipelines
+    run at corpus scale.
+
+    Determinism: the module's standing ROUND(·,6)→DECIMAL(18,6)
+    discipline for every per-(doc, term) contribution, with the
+    mixing weight an exact DECIMAL(2,0) integer — the weighted sum
+    stays exact, and ranking tie-breaks on doc_id. Expansion-term
+    selection is pure integer (counts + lexicographic ties).
+
+    Scale shape: both stages are the inverted-index access pattern
+    expressed relationally — `word IN (terms)` prunes the token
+    stream BEFORE any shuffle, so the tf/df exchanges carry only the
+    ≤ {{PRF_FB_K + PRF_EXP_M}}-term postings; the feedback doc set
+    (≤ {{PRF_FB_K}} ids) and the expanded term table (≤ 9 rows)
+    broadcast; the final top-{{PRF_TOPN}} is one global window over
+    matching docs. FOUR token-stream passes total (doc lengths,
+    stage-1 postings, feedback-doc mining, stage-3 postings) — the
+    doc-length frame and both pruned postings frames are STAGED (q59
+    discipline), because tf and df each consume their postings and
+    Spark would otherwise replay the corpus tokenization per consumer
+    (~9 scans measured before staging; a production system serves all
+    four from one inverted index)."""
+    from pyspark.sql import Window as W
+
+    from hive_gateway_spark.staging import stage
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    dl = stage(tok.groupBy("doc_id").agg(F.count("*").alias("dl")), "text.prf.dl")
+    stats = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl")).crossJoin(
+        docs.agg(F.count("*").alias("n"))
+    )
+
+    idf = F.log(
+        (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    norm = (F.col("tf").cast("double") * (BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+
+    def bm25_scores(qtok):
+        qtf = qtok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+        df = qtok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+        return (
+            qtf.join(dl, "doc_id")
+            .join(F.broadcast(df), "word")
+            .crossJoin(F.broadcast(stats))
+        )
+
+    # stage 1: BM25 over the original query, top-K feedback docs
+    qtok1 = stage(
+        tok.filter(F.col("word").isin(*BM25_QUERY)), "text.prf.qtok1"
+    )
+    s1 = (
+        bm25_scores(qtok1)
+        .select("doc_id", F.round(idf * norm, 6).cast("decimal(18,6)").alias("term"))
+        .groupBy("doc_id")
+        .agg(F.sum("term").alias("bm25x"))
+    )
+    w1 = W.orderBy(F.col("bm25x").desc(), F.col("doc_id").asc())
+    fb = (
+        s1.withColumn("rnk", F.row_number().over(w1))
+        .filter(F.col("rnk") <= PRF_FB_K)
+        .select("doc_id")
+    )
+    # stage 2: expansion terms from the feedback docs (pure integer)
+    exp_terms = (
+        tok.join(F.broadcast(fb), "doc_id")
+        .filter(
+            ~F.col("word").isin(*BM25_QUERY)
+            & (F.length("word") >= PRF_MIN_LEN)
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("fb_tf"))
+        .orderBy(F.col("fb_tf").desc(), F.col("word").asc())
+        .limit(PRF_EXP_M)
+        .select("word")
+    )
+    # literal original terms via range(1)+explode — NOT createDataFrame,
+    # whose fresh LogicalRDD identity would change this plan's semantic
+    # hash every call and defeat the staging slots downstream
+    orig_terms = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in BM25_QUERY])).alias("word"),
+        F.lit(PRF_W_ORIG).alias("w"),
+    )
+    allterms = stage(
+        orig_terms.unionByName(exp_terms.withColumn("w", F.lit(PRF_W_EXP)))
+        .select("word", F.col("w").cast("decimal(2,0)").alias("w")),
+        "text.prf.allterms",  # two consumers; its build runs stage 1+2
+    )
+    qtok2 = stage(
+        tok.join(F.broadcast(allterms.select("word")), "word"),
+        "text.prf.qtok2",
+    )
+    # stage 3: re-score over the expanded, weighted term set (the
+    # scoring helper's tf groupBy drops the weight column, so the
+    # per-word weight re-joins onto the scored frame)
+    rescored = (
+        bm25_scores(qtok2)
+        .join(F.broadcast(allterms), "word")
+        .select(
+            "doc_id",
+            (
+                F.col("w") * F.round(idf * norm, 6).cast("decimal(18,6)")
+            ).alias("term"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term").alias("sc"))
+    )
+    w2 = W.orderBy(F.col("sc").desc(), F.col("doc_id").asc())
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= PRF_TOPN)
+        .select(
+            "doc_id",
+            F.round(F.col("sc").cast("double"), 4).alias("prf_score"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

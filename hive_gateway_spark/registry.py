@@ -189,6 +189,15 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     # playbook applied to the other engine-specific sketch family):
     # exact distinct counts + a 3-sigma band check, driver-hashable
     "q_hll_audit",
+    # pseudo-relevance feedback (RM3-lite): BM25 → top-k feedback →
+    # expansion terms → weighted re-score — the suite's only
+    # iterative-retrieval shape; ROUND→DECIMAL discipline with an
+    # exact integer 2:1 mixing weight
+    "q_prf_expansion",
+    # token-budget water-filling across (source, lang) domains: the
+    # capped-mixing allocator as an exact integer closed form
+    # (Σ alloc = budget exactly; scalar-subquery oracle spelling)
+    "q_token_budget_fill",
 )
 
 

@@ -977,3 +977,28 @@ def test_hll_audit_single_scan_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert plan.lower().count("events.parquet") == 1, plan
+
+
+def test_prf_expansion_stays_on_inverted_index_pattern(spark, sf_dir):
+    """Both PRF stages must prune the token stream with term
+    membership BEFORE any shuffle (broadcast term/df/stats tables,
+    never an SMJ for them) and carry no cartesian beyond the 1-row
+    scalar broadcasts."""
+    plan = plan_of(spark, sf_dir, "q_prf_expansion")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the doc-length and postings frames are STAGED (four token-stream
+    # passes at build, none replayed per consumer in the served plan)
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_token_budget_fill_stages_cells_once(spark, sf_dir):
+    """The water-fill's budget/threshold/offset scalars all derive
+    from the cells frame: it must be STAGED (one corpus token-count
+    pass), so the served plan touches documents ZERO times and every
+    window runs on the dim-sized ExistingRDD."""
+    plan = plan_of(spark, sf_dir, "q_token_budget_fill")
+    assert plan.lower().count("documents.parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan

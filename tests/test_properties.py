@@ -787,3 +787,23 @@ def test_cusum_closed_form_matches_recursion(xs, k):
         mn = min(mn, pfx)
         out_cf.append(pfx - min(0, mn))
     assert out_rec == out_cf
+
+
+def test_token_budget_fill_invariants(spark, sf_dir):
+    """The water-fill closed form's contract: allocations sum to the
+    budget EXACTLY (total DIV 2), never exceed a cell's supply, and
+    are monotone in supply (a bigger cell never receives less)."""
+    from hive_gateway_spark import registry
+    from hive_gateway_spark.session import load_tables
+
+    rows = registry.QUERIES["q_token_budget_fill"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_tok"] for r in rows)
+    assert sum(r["alloc_tok"] for r in rows) == total // 2
+    assert all(0 <= r["alloc_tok"] <= r["n_tok"] for r in rows)
+    by_supply = sorted(rows, key=lambda r: (r["n_tok"], r["source"], r["lang"]))
+    allocs = [r["alloc_tok"] for r in by_supply]
+    # leveled region: allocations differ by at most 1 and only the
+    # earlier cells in the total order carry the +1 remainder
+    partial = [a for r, a in zip(by_supply, allocs) if a < r["n_tok"]]
+    assert all(abs(a - b) <= 1 for a, b in zip(partial, partial[1:]))
