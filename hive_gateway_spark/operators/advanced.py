@@ -1412,27 +1412,75 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     methodology exists to catch."""
     t = load_tables(spark, sf_dir)
     wk = 604_800_000_000
+    # lineitem pre-aggregates to one (orderkey, last_ship) row BEFORE
+    # the orders join, so the join moves ≤ |orders| rows instead of the
+    # whole fact (guide §2.3 aggregate-before-shuffle; r16 optimization
+    # round). Inner join ≡ the previous orders⋈fact groupBy: orders
+    # without lineitems vanish either way.
     iv = (
-        t["orders"]
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
         .join(
-            t["lineitem"].select("l_orderkey", "l_shipdate"),
+            t["orders"].select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("last_ship"))
         .select(
             F.expr(f"unix_micros(o_orderdate) div {wk}").alias("w0"),
             F.expr(f"unix_micros(last_ship) div {wk}").alias("w1"),
         )
+        .filter(F.col("w1") >= F.col("w0"))
     )
-    e = iv.filter(F.col("w1") >= F.col("w0")).select(
-        "w0", "w1", F.explode(F.expr("sequence(w0, w1)")).alias("week")
+    # Sweep line instead of the per-week explode (r16 optimization
+    # round, guide §2.3): the old plan emitted one row per COVERED WEEK
+    # per interval (interval-length × |orders| rows) before a week
+    # aggregate; the count of open intervals is a prefix-sum identity —
+    # n_open(W) = Σ_{w0≤W} placed − Σ_{w1<W} completed — so two
+    # endpoint rows per interval suffice. The cumulative window runs on
+    # the CALENDAR-sized dense week axis (≤ weeks-of-history rows at
+    # any corpus size: single-partition by construction, never
+    # corpus-scale). Weeks with n_open = 0 are exactly the weeks the
+    # explode never emitted.
+    pts = iv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("w0").alias("week"),
+                    F.lit(1).alias("p"),
+                    F.lit(0).alias("c"),
+                ),
+                F.struct(
+                    F.col("w1").alias("week"),
+                    F.lit(0).alias("p"),
+                    F.lit(1).alias("c"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    per = pts.groupBy("week").agg(
+        F.sum("p").alias("n_placed"), F.sum("c").alias("n_completed")
     )
-    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
-    return e.groupBy("week").agg(
-        F.count("*").alias("n_open"),
-        one_if(F.col("week") == F.col("w0")).alias("n_placed"),
-        one_if(F.col("week") == F.col("w1")).alias("n_completed"),
+    cal = per.agg(F.min("week").alias("lo"), F.max("week").alias("hi")).select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("week")
+    )
+    full = cal.join(F.broadcast(per), "week", "left").select(
+        "week",
+        F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+        F.coalesce("n_completed", F.lit(0)).alias("n_completed"),
+    )
+    wcum = W.orderBy("week").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        full.select(
+            "week",
+            (
+                F.sum("n_placed").over(wcum)
+                - (F.sum("n_completed").over(wcum) - F.col("n_completed"))
+            ).alias("n_open"),
+            F.col("n_placed").cast("bigint").alias("n_placed"),
+            F.col("n_completed").cast("bigint").alias("n_completed"),
+        )
+        .filter(F.col("n_open") > 0)
+        .select("week", "n_open", "n_placed", "n_completed")
     )
 
 
@@ -1806,12 +1854,21 @@ def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to ≤ C(brands, 2) rows, onto which the brand totals and
     the 1-row order count broadcast (the scalar cross-join house
     pattern)."""
+    from hive_gateway_spark.staging import stage
+
     t = load_tables(spark, sf_dir)
-    basket = (
+    # Stage the deduped basket: FOUR consumers (order count, brand
+    # totals, both pair-join sides) — without the checkpoint the
+    # lineitem⋈part distinct replayed once per consumer (plan-verified
+    # r16: two full fact scans feeding the self-join alone). ≤
+    # |orders|·|basket brands| rows, 2 narrow columns — the q59/q23
+    # checkpoint discipline (guide §2.4).
+    basket = stage(
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .distinct(),
+        "advanced.brand_affinity.basket",
     )
     n = basket.select(F.countDistinct("okey").alias("n_orders"))
     bo = basket.groupBy("brand").agg(F.count("*").alias("n_b"))

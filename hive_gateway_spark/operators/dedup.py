@@ -511,21 +511,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tok feeds the fingerprint agg and both verification joins —
     # checkpoint so the shingle transform runs once
     tok = _shingles_checkpointed(t)  # shared staging (doc_id, n, h)
-    # Sign-sum each of the 64 bits, then reassemble the fingerprint.
+    # Sum each bit's SET count (plus one shared row count): the sign
+    # sum of ±1 equals 2·set − n, so bit b is set iff 2·s_b > n — same
+    # fingerprint, 64 plain bit-extract sums instead of 64 CASE WHEN
+    # branches per shingle row (r16 optimization round, guide §1.2
+    # per-task work).
     bit_sums = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nsh"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
             for b in range(64)
-        ]
+        ],
     )
     simhash = F.lit(0).cast("bigint")
     for b in range(64):
         simhash = simhash.bitwiseOR(
-            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(0)
+            F.when(
+                F.col(f"b{b}") * 2 > F.col("nsh"),
+                F.shiftleft(F.lit(1).cast("bigint"), b),
+            ).otherwise(0)
         )
-    fp = bit_sums.select("doc_id", simhash.alias("simhash"))
+    # Stage the docs-sized fingerprint table (16 B/row): BOTH sides of
+    # the band self-join consume it, and without the checkpoint the
+    # 64-sum aggregate over every shingle ran TWICE — once per join
+    # side (plan-verified: two independent Exchange+HashAggregate[64]
+    # subtrees in plans/r16/q_dedup_simhash_before.txt; guide §2.4
+    # remove shuffles outright).
+    fp = stage(bit_sums.select("doc_id", simhash.alias("simhash")), "dedup.simhash.fp")
     # 8 bands × 8 bits: d < 8 ⇒ guaranteed band collision (pigeonhole).
     bands = fp.select(
         "doc_id",
@@ -628,7 +640,7 @@ def _embed_dup_oracle() -> str:
 
 
 from hive_gateway_spark.registry import ORACLES as _ORACLES  # noqa: E402
-from hive_gateway_spark.staging import evict, release, touch
+from hive_gateway_spark.staging import evict, release, stage, touch
 
 _ORACLES["q_dedup_embedding"] = _embed_dup_oracle()
 

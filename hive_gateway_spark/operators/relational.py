@@ -396,16 +396,25 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-table star join (TPC-H Q5 shape). The three dimension joins
-    broadcast; only lineitem⋈orders shuffles — the plan a 100 TB run
-    wants (Catalyst + AQE pick it; asserted in tests)."""
+    """5-table star join (TPC-H Q5 shape), written FACT-FIRST so the
+    left-deep join tree the planner keeps (join reorder/CBO is off by
+    default) is the one a 100 TB run wants: lineitem⋈orders keys on
+    o_orderkey (high-cardinality — shuffles cleanly at scale, BHJ
+    locally), then customer, and the nation/region dims broadcast.
+
+    The previous region-first spelling made Catalyst broadcast every
+    right side INCLUDING LINEITEM (a 600k-row broadcast build per run
+    at sf0.1 — measured as the whole 1.5 s warm cost), and at scale
+    its customer⋈nation step would shuffle the customer table on a
+    25-value key (catastrophic skew). Fact-first fixes both; r16
+    optimization round, guide §3.1/§2.5."""
     t = load_tables(spark, sf_dir)
     return (
-        t["region"]
-        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("n_items"),
@@ -554,14 +563,25 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets — the traffic report the reference's log
-    consumers would derive from O2's event stream."""
+    consumers would derive from O2's event stream.
+
+    Pre-aggregated at the LEAF grain first (r16 optimization round,
+    guide §2.3 shuffle/compute fewer bytes): Spark's Expand multiplies
+    its input ×(levels+1) BEFORE the grouping aggregate, so rolling up
+    raw events pays the expand+hash on every fact row per level; the
+    leaf aggregate collapses the fact to ≤ types·days rows and the
+    rollup (sums of sums — exact) expands only those."""
     t = load_tables(spark, sf_dir)
-    return (
+    leaf = (
         t["events"]
-        .rollup("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("cnt"), F.sum(dec("value")).alias("sv"))
+    )
+    return (
+        leaf.rollup("event_type", "day")
         .agg(
-            F.count("*").alias("n"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.sum("cnt").alias("n"),
+            F.sum("sv").cast("double").alias("total_value"),
         )
     )
 
@@ -577,14 +597,19 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over the same dimensions."""
+    """CUBE over the same dimensions — leaf pre-aggregated like
+    q_agg_rollup (CUBE's Expand is ×4, so the saving doubles)."""
     t = load_tables(spark, sf_dir)
-    return (
+    leaf = (
         t["events"]
-        .cube("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("cnt"), F.sum(dec("value")).alias("sv"))
+    )
+    return (
+        leaf.cube("event_type", "day")
         .agg(
-            F.count("*").alias("n"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.sum("cnt").alias("n"),
+            F.sum("sv").cast("double").alias("total_value"),
         )
     )
 

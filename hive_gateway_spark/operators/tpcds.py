@@ -270,8 +270,13 @@ def q_tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
     )
-    n = F.count("*")
-    return (
+    # Leaf pre-aggregation before the rollup (r16 optimization round,
+    # guide §2.3): Expand multiplies its input ×3 BEFORE the grouping
+    # aggregate, so rolling up fact rows pays the expand+hash on every
+    # lineitem per level; the leaf aggregate collapses the fact to
+    # ≤ nations·brands rows first and the rollup re-aggregates exact
+    # sums of sums (count → sum of counts, avg → sum/sum).
+    leaf = (
         j.select(
             F.col("n_name").alias("supp_nation"),
             "p_brand",
@@ -279,19 +284,22 @@ def q_tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice",
             "l_discount",
         )
-        .rollup("supp_nation", "p_brand")
+        .groupBy("supp_nation", "p_brand")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias("rev"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+    )
+    n = F.sum("cnt")
+    return (
+        leaf.rollup("supp_nation", "p_brand")
         .agg(
             F.grouping("supp_nation").cast("int").alias("g_nation"),
             F.grouping("p_brand").cast("int").alias("g_brand"),
             n.cast("bigint").alias("n_items"),
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-            .cast("double")
-            .alias("revenue"),
-            F.round(
-                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
-                / n.cast("double"),
-                6,
-            ).alias("avg_qty"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.round(F.sum("qty").cast("double") / n.cast("double"), 6).alias("avg_qty"),
         )
         .select(
             "supp_nation", "p_brand", "g_nation", "g_brand",
@@ -922,9 +930,16 @@ def q_tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec("l_extendedprice", 2).alias("gross"),
         )
     )
-    rolled = base.rollup("category", "brand").agg(
-        (F.sum("disc_amt") * 10000).cast("bigint").alias("disc_e4"),
-        (F.sum("gross") * 100).cast("bigint").alias("gross_e2"),
+    # Leaf pre-aggregation before the rollup (r16 optimization round,
+    # guide §2.3): collapse the fact to ≤ cats·brands rows, then Expand
+    # multiplies only those ×3; sums of exact decimal sums are
+    # value-identical.
+    leaf = base.groupBy("category", "brand").agg(
+        F.sum("disc_amt").alias("sd"), F.sum("gross").alias("sg")
+    )
+    rolled = leaf.rollup("category", "brand").agg(
+        (F.sum("sd") * 10000).cast("bigint").alias("disc_e4"),
+        (F.sum("sg") * 100).cast("bigint").alias("gross_e2"),
         (F.grouping("category") + F.grouping("brand"))
         .cast("bigint")
         .alias("lochierarchy"),
@@ -1015,8 +1030,15 @@ def q_tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rev"
             ),
         )
+        # Leaf pre-aggregation before the rollup (r16 optimization
+        # round, guide §2.3): collapse the fact to the
+        # (category, brand, year) grain first so Expand's ×4 applies to
+        # leaf rows, not lineitem; sums of exact decimal sums are
+        # value-identical.
+        .groupBy("category", "brand", "sales_year")
+        .agg(F.sum("rev").alias("srev"))
         .rollup("category", "brand", "sales_year")
-        .agg((F.sum("rev") * 10000).cast("bigint").alias("sumsales_e4"))
+        .agg((F.sum("srev") * 10000).cast("bigint").alias("sumsales_e4"))
     )
     wr = W.partitionBy("category").orderBy(
         F.col("sumsales_e4").desc(),

@@ -260,14 +260,22 @@ def test_ann_buckets_no_cartesian(spark, sf_dir):
 
 
 def test_interval_overlap_no_cartesian_no_window(spark, sf_dir):
-    """Interval×bucket overlap must be the bounded explode + equi-join
-    — a BNLJ/cartesian here means someone rewrote it as a range join
-    (the O(intervals × buckets) plan the operator exists to avoid)."""
+    """Interval×bucket overlap must be the endpoint sweep — a
+    BNLJ/cartesian here means someone rewrote it as a range join
+    (the O(intervals × buckets) plan the operator exists to avoid).
+    r16 optimization: the bounded per-covered-week explode became a
+    2-endpoint sweep + calendar prefix sum, so the only explodes left
+    are the endpoint array and the calendar sequence — the plan must
+    NOT regrow a sequence(w0, w1) per-interval explode (the
+    interval-length row multiplier)."""
     plan = plan_of(spark, sf_dir, "q_interval_overlap")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "Generate" in plan, plan  # the explode
-    assert "Window" not in plan, plan
+    assert "Generate" in plan, plan  # endpoint + calendar explodes
+    assert "sequence(w0" not in plan, plan  # the per-interval explode
+    # the prefix-sum window runs on the dense CALENDAR axis (≤ weeks of
+    # history — bounded at any corpus size), never on corpus rows
+    assert "Window" in plan, plan
 
 
 def test_event_value_corr_is_one_aggregate(spark, sf_dir):
