@@ -31,7 +31,7 @@ the result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hive_gateway_spark.operators.text import QC_B, _qc_weight_sql
 from hive_gateway_spark.registry import query
@@ -181,24 +181,43 @@ def substring_report(docs: DataFrame) -> DataFrame:
     # recipe, VERDICT r8 "What's wrong" #1; plan-asserted in
     # tests/test_plans.py).
     spans = g.join(dup.hint("shuffle_hash"), "h").select("doc_id", "pos")
-    cover = (
-        spans.select(
-            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {SPAN_K} - 1)")).alias("p")
-        )
-        .groupBy("doc_id")
-        .agg(F.countDistinct("p").alias("dup_tokens"))
+    # r16 optimization (guide §2.3): dup coverage is an interval-union
+    # identity, not a row multiplication. Spans are fixed-length
+    # [pos, pos+K-1] intervals over STRICTLY INCREASING distinct pos
+    # per doc, so the union size is Σ min(K, pos − prev_pos) with the
+    # first span contributing K — ONE doc-keyed window pass replaces
+    # the former K× explode + countDistinct, and the span count rides
+    # the same aggregate (the old plan computed `spans` twice: once
+    # per consumer). The window partitions by doc_id — bounded by doc
+    # length, never corpus-scale.
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wl)
+    contrib = F.when(prev.isNull(), F.lit(SPAN_K)).otherwise(
+        F.least(F.lit(SPAN_K), F.col("pos") - prev)
     )
-    dcount = spans.groupBy("doc_id").agg(F.count("*").alias("n_dup_spans"))
-    per = g.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    base = w.select("doc_id", F.size("words").cast("bigint").alias("n_tokens"))
+    cover = (
+        spans.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum("c").alias("dup_tokens"),
+        )
+    )
+    # n_spans is DERIVED, not aggregated: the shingle transform emits
+    # exactly size(words) − K + 1 spans per doc, so the former
+    # corpus-wide groupBy over g was a full recompute of the gram
+    # stream for a value already known at the row level.
+    base = w.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_tokens"),
+        (F.size("words") - SPAN_K + 1).cast("bigint").alias("n_spans"),
+    )
     return (
-        base.join(per, "doc_id")
-        .join(dcount, "doc_id", "left")
-        .join(cover, "doc_id", "left")
+        base.join(cover, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            F.col("n_spans").cast("bigint").alias("n_spans"),
+            "n_spans",
             F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
             F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
             (
@@ -871,7 +890,15 @@ def drift_report(docs: DataFrame) -> DataFrame:
         .select("word", (F.expr(_HV_SPARK) % DSIR_B).alias("b"))
     )
     hb = tok.join(F.broadcast(wmap), "word").select("source", "b")
-    csb = hb.groupBy("source", "b").agg(F.count("*").alias("c"))
+    # Stage the (source × bucket) cell table: FOUR consumers (cb, ns,
+    # ntot, the terms join) and each replayed the corpus tokenize +
+    # vocab hash + aggregate without the checkpoint (plan-verified
+    # r16: four full document scans). ≤ sources·DSIR_B rows — trivially
+    # checkpointable at any corpus size (guide §2.4).
+    csb = stage(
+        hb.groupBy("source", "b").agg(F.count("*").alias("c")),
+        "corpus.drift.csb",
+    )
     cb = csb.groupBy("b").agg(F.sum("c").alias("cb"))
     ns = csb.groupBy("source").agg(F.sum("c").alias("n"))
     ntot = csb.agg(F.sum("c").alias("ntot"))
@@ -1001,32 +1028,50 @@ def substring_trim(docs: DataFrame) -> DataFrame:
         .filter(F.col("doc_id") != F.col("holder"))
         .select("doc_id", "pos")
     )
-    cut = trimspans.select(
-        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {SPAN_K} - 1)")).alias("p")
-    ).distinct()
-    tokens = w.select(
-        "doc_id", F.posexplode("words").alias("p", "word")
-    ).select("doc_id", F.col("p").cast("bigint").alias("p"), "word")
-    kept = tokens.join(cut, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.expr(
-                "transform(array_sort(collect_list(struct(p, word))), x -> x.word)"
-            ),
-        ).alias("trimmed_text"),
+    # r16 optimization (guide §2.3/§2.4): the old rebuild exploded the
+    # WHOLE corpus into token rows, anti-joined them against a K×
+    # exploded cut-position set, and re-assembled every doc through a
+    # collect_list + in-row sort — three corpus-scale exchanges for a
+    # decision that only depends on the (tiny) duplicated-span set.
+    # Now: merge the fixed-length cut spans into disjoint ISLANDS per
+    # doc (gaps-and-islands over one doc-keyed window — spans at
+    # strictly increasing pos; a new island starts when the gap
+    # exceeds K−1), aggregate islands to one sorted interval array per
+    # affected doc, and rebuild each doc IN-ROW by slicing the words
+    # array between the islands. Docs without cuts pass through
+    # verbatim (split/concat_ws roundtrip is the identity). The only
+    # corpus-scale exchange left is the span window itself.
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("pos").over(wl)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > SPAN_K - 1), 1).otherwise(0)
+    islands = (
+        trimspans.withColumn("isl", F.sum(brk).over(wcum))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + SPAN_K - 1).alias("e"),
+        )
     )
-    base = w.select("doc_id", F.size("words").cast("bigint").alias("n_tokens"))
+    cuts = islands.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("iv"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("removed"),
+    )
+    kept = F.expr(
+        "flatten(zip_with("
+        "  concat(array(0L), transform(iv, x -> x.e + 1)),"
+        "  concat(transform(iv, x -> x.s), array(CAST(size(words) AS BIGINT))),"
+        "  (a, b) -> slice(words, CAST(a + 1 AS INT), CAST(b - a AS INT))))"
+    )
     return (
-        base.join(rebuilt, "doc_id", "left")
+        w.join(cuts, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-            .cast("bigint")
-            .alias("removed_tokens"),
-            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+            F.size("words").cast("bigint").alias("n_tokens"),
+            F.coalesce("removed", F.lit(0)).cast("bigint").alias("removed_tokens"),
+            F.when(F.col("iv").isNull(), F.col("text"))
+            .otherwise(F.concat_ws(" ", kept))
+            .alias("trimmed_text"),
         )
     )
 

@@ -1784,19 +1784,25 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     el = ps.join(F.broadcast(dims), F.col("s_suppkey") == F.col("ps_suppkey"))
-    mn = el.groupBy(F.col("ps_partkey").alias("mn_partkey")).agg(
-        F.min("ps_cost").alias("min_cost")
-    )
     qual = t["part"].filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(20, 30)
     )
+    # r16 optimization (guide §2.4): the per-part minimum was an
+    # aggregate + equality join-back, which rebuilt the whole catalog
+    # once per consumer (two lineitem aggregations, three exchanges).
+    # A per-part window MIN over the already part-filtered catalog is
+    # ONE exchange on partkey and one pass — the part filter moves
+    # BEFORE the min (per-part min is unchanged by filtering parts),
+    # exactly the published Q2's part-first pushdown. Ties on the min
+    # cost keep every witness, as the equality join did.
+    from pyspark.sql import Window as W
+
     return (
-        el.join(
-            mn,
-            (F.col("mn_partkey") == F.col("ps_partkey"))
-            & (F.col("ps_cost") == F.col("min_cost")),
+        el.join(F.broadcast(qual), F.col("p_partkey") == F.col("ps_partkey"))
+        .withColumn(
+            "min_cost", F.min("ps_cost").over(W.partitionBy("ps_partkey"))
         )
-        .join(F.broadcast(qual), F.col("p_partkey") == F.col("ps_partkey"))
+        .filter(F.col("ps_cost") == F.col("min_cost"))
         .select(
             "s_acctbal",
             "s_name",
@@ -1982,35 +1988,32 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving supplier keys collapse to a distinct set that semi-joins
     the region's (broadcast-joined) supplier dim."""
     t = load_tables(spark, sf_dir)
-    qty = F.sum(dec("l_quantity"))
-    t96 = (
-        t["lineitem"]
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(qty.alias("qty_1996"))
-    )
-    tall = (
-        t["lineitem"]
-        .groupBy(
-            F.col("l_partkey").alias("a_partkey"),
-            F.col("l_suppkey").alias("a_suppkey"),
-        )
-        .agg(qty.alias("qty_all"))
-    )
     red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    in96 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    # r16 optimization (guide §2.3/§3.2): the year and all-time volumes
+    # were TWO full fact aggregates joined back on (partkey, suppkey);
+    # one CONDITIONAL aggregate computes both in a single fact scan and
+    # single exchange (the q_tpch_q51 pivot trick), and the
+    # name-filtered part dim broadcasts onto the fact BEFORE the
+    # shuffle — only the product line's rows aggregate at all. A
+    # (part, supplier) with no 1996 shipments has a NULL year sum,
+    # exactly the rows the old inner join dropped.
     keys = (
-        t96.join(
-            tall,
-            (F.col("a_partkey") == F.col("l_partkey"))
-            & (F.col("a_suppkey") == F.col("l_suppkey")),
-        )
+        t["lineitem"]
         .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in96, dec("l_quantity"))).alias("qty_1996"),
+            F.sum(dec("l_quantity")).alias("qty_all"),
+        )
         .filter(
-            F.col("qty_1996").cast("double")
-            > 0.5 * F.col("qty_all").cast("double")
+            F.col("qty_1996").isNotNull()
+            & (
+                F.col("qty_1996").cast("double")
+                > 0.5 * F.col("qty_all").cast("double")
+            )
         )
         .select("l_suppkey")
     )

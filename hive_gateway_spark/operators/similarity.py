@@ -2773,8 +2773,15 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_gateway_spark.operators.text import BM25_TOPN, q_text_bm25
 
     t = load_tables(spark, sf_dir)
-    lexn = q_text_bm25(spark, sf_dir).select(
-        "doc_id", F.col("rnk").alias("lrnk")
+    # Stage the ≤BM25_TOPN-row lexical list: BOTH the anchor probe
+    # (collected below) and the final fused plan consume it, and
+    # without the checkpoint each consumer re-ran the whole BM25
+    # pipeline over the corpus (r16 optimization round, guide §2.4 —
+    # the q59/q23 shared-subtree discipline; the checkpoint is 20
+    # rows).
+    lexn = stage(
+        q_text_bm25(spark, sf_dir).select("doc_id", F.col("rnk").alias("lrnk")),
+        "similarity.hybrid.lexn",
     )
     # the anchor is the highest-ranked lexical hit WITH an embedding
     # (embeddings cover a corpus subset at sf ≥ 0.1 — anchoring on the

@@ -1688,14 +1688,29 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-N is one global window over docs that matched ≥1 term."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Doc length is a ROW-LOCAL property (non-empty tokens of the split
+    # array): deriving it in the projection removes the second full
+    # corpus explode + doc-keyed aggregate the old dl computation paid
+    # (r16 optimization round, guide §2.3 — the only corpus explode
+    # left is the query-term postings scan, pruned right after the
+    # Generate).
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast(
+            "bigint"
+        ).alias("dl"),
+    )
+    # avgdl averages docs WITH ≥1 token (the old dl aggregate never saw
+    # token-less docs); n counts ALL docs — both exactly as before.
     stats = dl.agg(
-        F.avg(F.col("dl").cast("double")).alias("avgdl")
-    ).crossJoin(docs.agg(F.count("*").alias("n")))
-    qtok = tok.filter(F.col("word").isin(*BM25_QUERY))
+        F.avg(F.when(F.col("dl") > 0, F.col("dl").cast("double"))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qtok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .filter(F.col("word").isin(*BM25_QUERY))
+    )
     qtf = qtok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = qtok.groupBy("word").agg(
         F.countDistinct("doc_id").alias("df")
