@@ -2395,8 +2395,16 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tokens"),
         num.alias("__num"),
     ).filter(F.col("n_tokens") > 0)
-    dup = d.groupBy("text").agg(F.count("*").alias("c"))
-    j = scored.join(dup, "text")
+    # r16 optimization (guide §2.3): the dup count grouped and joined
+    # on the FULL TEXT — multi-KB shuffle keys on both the aggregate
+    # and (at scale, where the join stops broadcasting) the join-back.
+    # Keyed on xxhash64(text) instead, both exchanges carry 8 B keys
+    # (the q_dedup_ngram key discipline; a 64-bit collision has
+    # probability ~n²/2⁶⁵, negligible against the oracle gate). The
+    # local plan keeps the broadcast join-back (dup is distinct-texts
+    # sized), so the corpus still never shuffles here at fixture scale.
+    dup = d.groupBy(F.xxhash64("text").alias("th")).agg(F.count("*").alias("c"))
+    j = scored.join(dup, F.xxhash64(F.col("text")) == F.col("th"))
     is_q = F.when(F.col("__num") > 0, 1).otherwise(0)
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

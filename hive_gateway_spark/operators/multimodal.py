@@ -36,6 +36,24 @@ from hive_gateway_spark.staging import evict, touch
 #: Magic prefix of the synthesized fake media format ("IMGF" v1).
 MAGIC = b"IMGF"
 
+
+def _spread_ids(docs: DataFrame) -> DataFrame:
+    """(doc_id) frame repartitioned for a Python kernel pass — the
+    perceptual-hash sites' size-scaled spread, factored out (r16
+    optimization round, guide §4/§2.6): the fixture is ONE parquet
+    file, so an un-repartitioned mapInPandas kernel runs as a single
+    task and every core but one idles (measured: the codec/thumb/
+    audio/video feature queries each ran their whole Python pass on
+    one core). 8 B/doc shuffles; ~300 docs/task keeps tiny inputs from
+    paying 32-task scheduling overhead; at 100 TB real file splits
+    make this a no-op-sized safety net."""
+    ids = docs.select("doc_id")
+    if docs.isStreaming:
+        return ids
+    cap = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    npart = max(1, min(cap, ids.count() // 300))
+    return ids.repartition(npart)
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -610,7 +628,7 @@ def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition — bytes never shuffle, never reach the driver; the
     only shuffle is the final 4-group aggregate."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id")
+    docs = _spread_ids(t["documents"])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         encode = _synth_image_payload
@@ -681,7 +699,7 @@ def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as q_multimodal_codecs: encode/decode/resize all
     inside one mapInPandas pass; only the 4-group report shuffles."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id")
+    docs = _spread_ids(t["documents"])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -824,7 +842,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_gateway_spark.functions.wav import wav_decode, wav_encode
 
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id")
+    docs = _spread_ids(t["documents"])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
@@ -944,7 +962,7 @@ def q_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_gateway_spark.functions.y4m import y4m_decode, y4m_encode
 
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id")
+    docs = _spread_ids(t["documents"])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
