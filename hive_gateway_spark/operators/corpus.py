@@ -147,17 +147,30 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_report(load_tables(spark, sf_dir)["documents"])
 
 
-def substring_report(docs: DataFrame) -> DataFrame:
-    """Core of q_dedup_substring over any (doc_id, text) frame."""
-    w = docs.withColumn("words", F.split("text", " ")).filter(
-        F.size("words") >= SPAN_K
+def _gram_file(w: DataFrame) -> DataFrame:
+    """The staged (doc_id, pos, h) gram inverted file over a word frame
+    — shared by substring_report and substring_trim (r16 optimization,
+    guide §2.4): each had TWO consumers of its gram stream (the
+    dup/holder aggregate and the span join), and the partial aggregate
+    under the first consumer's exchange defeats ReusedExchange, so the
+    posexplode + per-gram xxhash64 transform executed twice per query.
+    The checkpoint follows dedup.py's _shingles_checkpointed
+    discipline: repartition the raw word rows FIRST so the interpreted
+    transform()/slice() projection parallelizes instead of running in
+    the fixture's single scan task, then materialize once. Slots are
+    suffixed by the input's semanticHash so the corpus queries and the
+    curation callers (winner subsets) stage independently instead of
+    thrashing one slot.
+
+    The gram STRING never leaves the row: it collapses to a 64-bit
+    xxhash64 before the DF aggregate and the span join, so the
+    corpus-sized shuffle moves 8 B keys instead of ~50 B strings (the
+    q_dedup_ngram staging trick; the oracle keeps the string form,
+    which is value-identical short of a 64-bit collision)."""
+    npart = int(
+        w.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # The gram STRING never leaves the row: it collapses to a 64-bit
-    # xxhash64 before the DF aggregate and the span join, so the
-    # corpus-sized shuffle moves 8 B keys instead of ~50 B strings (the
-    # q_dedup_ngram staging trick; the oracle keeps the string form,
-    # which is value-identical short of a 64-bit collision).
-    g = w.select(
+    g = w.repartition(npart).select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -166,6 +179,19 @@ def substring_report(docs: DataFrame) -> DataFrame:
             )
         ).alias("pos", "h"),
     ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "h")
+    try:
+        key = str(w.semanticHash())
+    except Exception:  # pragma: no cover - non-classic session
+        key = "na"
+    return stage(g, f"corpus.substring.g.{key}")
+
+
+def substring_report(docs: DataFrame) -> DataFrame:
+    """Core of q_dedup_substring over any (doc_id, text) frame."""
+    w = docs.withColumn("words", F.split("text", " ")).filter(
+        F.size("words") >= SPAN_K
+    )
+    g = _gram_file(w)
     dup = (
         g.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("ndocs"))
@@ -997,19 +1023,10 @@ def q_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def substring_trim(docs: DataFrame) -> DataFrame:
     """Core of q_substring_trim over any (doc_id, text) frame."""
     w = docs.withColumn("words", F.split("text", " "))
-    g = (
-        w.filter(F.size("words") >= SPAN_K)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(words) - {SPAN_K}), "
-                    f"i -> xxhash64(concat_ws(' ', slice(words, i + 1, {SPAN_K}))))"
-                )
-            ).alias("pos", "h"),
-        )
-        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "h")
-    )
+    # staged gram file shared with substring_report — same word-frame
+    # plan (filter ≥ SPAN_K before the transform), so the slot's
+    # semanticHash matches and one checkpoint serves both queries
+    g = _gram_file(w.filter(F.size("words") >= SPAN_K))
     holders = (
         g.groupBy("h")
         .agg(

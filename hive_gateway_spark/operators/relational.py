@@ -2080,27 +2080,35 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "INTERVAL 60 DAYS"
     )
     li = li.withColumn("is_late", late)
+    # r16 optimization (guide §2.3/§2.4): the fact⋈orders join was
+    # consumed twice (supplier census + late-line pick), scanning the
+    # fact once per consumer; and the census was a second aggregate
+    # joined back on orderkey. ONE (orderkey, suppkey) aggregate now
+    # also carries the per-pair LATE LINE COUNT, the census folds into
+    # an order-keyed window over that pair-sized frame, and numwait is
+    # the sum of late-line counts of each qualifying order's single
+    # late supplier — one fact scan, no join-back.
     pair = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.when(F.col("is_late"), 1).otherwise(0)).alias("supp_late")
+        F.max(F.when(F.col("is_late"), 1).otherwise(0)).alias("supp_late"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines"),
     )
-    census = pair.groupBy(F.col("l_orderkey").alias("c_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("supp_late").alias("n_late_supp"),
-    )
-    waiting = (
-        li.filter(F.col("is_late"))
-        .join(
-            census.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-            ),
-            F.col("c_orderkey") == F.col("l_orderkey"),
+    from pyspark.sql import Window as W
+
+    wo = W.partitionBy("l_orderkey")
+    winner = (
+        pair.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn("n_late_supp", F.sum("supp_late").over(wo))
+        .filter(
+            (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+            & (F.col("supp_late") == 1)
         )
     )
     return (
-        waiting.join(
+        winner.join(
             F.broadcast(t["supplier"]),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
     )
