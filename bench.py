@@ -488,8 +488,17 @@ def _bench_history(sf: float, limit: int = 2) -> list[tuple[str, dict]]:
     for path in candidates:
         try:
             with open(path) as f:
-                doc = json.load(f)
-        except (OSError, json.JSONDecodeError):
+                text = f.read()
+            try:
+                doc = json.loads(text)
+            except json.JSONDecodeError:
+                # Tolerate a record file holding extra trailing JSON
+                # lines (r16: BENCH_LOCAL_r15.json carried the compact
+                # driver line after the full record, making the WHOLE
+                # r15 history invisible to the baseline-anomaly check —
+                # every pre-r16 query silently lost its second record).
+                doc = json.loads(text.strip().splitlines()[0])
+        except (OSError, json.JSONDecodeError, IndexError):
             continue
         if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
             doc = doc["parsed"]  # driver-recorded shape wraps the JSON line
@@ -621,7 +630,24 @@ def warm_gate(
             for s in sentinels
         }
         if _confirms(remeasured, flag["prev"]):
-            confirmed[name] = flag
+            # Confirm-twice (r16): a point co-tenant burst narrower
+            # than the sentinel window can inflate ONE remeasure while
+            # the sentinels read flat (observed r16: q_agg_stats swept
+            # at 1.7 s, remeasured 5.95 s under sentinel drift 1.23,
+            # then ran 0.6-1.0 s standalone minutes later — untouched
+            # code "confirmed" by a burst). A genuine code regression
+            # is deterministic and reproduces in BOTH serial samples;
+            # a burst long enough to survive two separated median-of-3
+            # remeasures AND leave the sentinels flat is
+            # indistinguishable from code by any local protocol.
+            second = round(remeasure(name), 3)
+            flag["remeasured2"] = second
+            if _confirms(second, flag["prev"]):
+                confirmed[name] = flag
+            else:
+                timings[name] = min(
+                    timings[name], round(second / local_drift, 3)
+                )
         else:
             # the drift-adjusted steady-state estimate supersedes the
             # noisy sweep sample
@@ -682,7 +708,11 @@ def retract_baseline_anomalies(
         if not before2:
             continue
         flag = regressions[name]
-        fresh = flag["remeasured"] / flag.get("remeasure_drift", 1.0)
+        # steadier of the two confirm-twice samples: a burst that
+        # contaminated ONE remeasure must not anchor the anomaly check
+        fresh = min(
+            flag["remeasured"], flag.get("remeasured2", flag["remeasured"])
+        ) / flag.get("remeasure_drift", 1.0)
         if not (
             fresh > before2 * REGRESSION_RATIO
             and fresh - before2 > REGRESSION_FLOOR_SEC

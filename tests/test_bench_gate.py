@@ -76,6 +76,44 @@ def test_machine_slow_remeasure_window_retracts_flag():
     assert timings["q_c"] < 0.35
 
 
+def test_point_burst_in_first_remeasure_is_retracted_by_second():
+    """r16: a co-tenant burst NARROWER than the sentinel window — the
+    sentinels read flat, but the flagged query's first remeasure lands
+    inside the burst (observed: q_agg_stats swept 1.7 s, remeasured
+    5.95 s, standalone 0.6-1.0 s minutes later, untouched code). The
+    confirm-twice rule retracts it: the second serial remeasure reads
+    steady state."""
+    prev = {"q_a": 1.0, "q_b": 1.0, "q_c": 0.65}
+    timings = {"q_a": 1.0, "q_b": 1.0, "q_c": 1.7}
+    seen = {"q_c": 0}
+
+    def remeasure(name):
+        if name == "q_c":
+            seen["q_c"] += 1
+            return 5.95 if seen["q_c"] == 1 else 0.7  # burst, then calm
+        return 1.02  # sentinels flat
+
+    confirmed, first_pass, _ = bench.warm_gate(timings, prev, remeasure)
+    assert confirmed == {}
+    assert first_pass["q_c"]["remeasured"] == 5.95
+    assert first_pass["q_c"]["remeasured2"] == 0.7
+    # baseline write-back carries the second (steady-state) sample
+    assert timings["q_c"] <= 0.7
+
+
+def test_genuine_regression_confirms_in_both_remeasures():
+    """The confirm-twice rule must not launder a real regression: a
+    deterministic slowdown reproduces in BOTH serial samples and stays
+    confirmed, with both recorded in the artifact."""
+    prev = {"q_a": 1.0, "q_b": 1.0, "q_c": 1.0}
+    timings = {"q_a": 1.0, "q_b": 1.0, "q_c": 2.1}
+    remeasure = lambda n: 2.05 if n == "q_c" else 1.0  # noqa: E731
+    confirmed, first_pass, _ = bench.warm_gate(timings, prev, remeasure)
+    assert set(confirmed) == {"q_c"}
+    assert confirmed["q_c"]["remeasured"] == 2.05
+    assert confirmed["q_c"]["remeasured2"] == 2.05
+
+
 def test_genuine_2x_slowdown_still_fails_under_sentinels():
     """The sentinel divisor must not launder a real regression: code
     that genuinely doubled stays flagged when the machine is flat."""
@@ -99,7 +137,8 @@ def test_sub_floor_sentinels_are_skipped():
         return 1.9
 
     confirmed, first_pass, _ = bench.warm_gate(timings, prev, remeasure)
-    assert calls == ["q_c"]  # no sentinel remeasures
+    # no sentinel remeasures; q_c is remeasured twice (confirm-twice)
+    assert calls == ["q_c", "q_c"]
     assert first_pass["q_c"]["remeasure_drift"] == 1.0
     assert set(confirmed) == {"q_c"}
 
@@ -169,6 +208,50 @@ def test_previous_bench_selects_same_sf_baseline(tmp_path, monkeypatch):
     )
     name, _ = bench._previous_bench(1.0)
     assert name == "BENCH_LOCAL_r08.json"
+
+
+def test_multiline_record_file_is_still_readable(tmp_path, monkeypatch):
+    """r16: BENCH_LOCAL_r15.json carried the compact driver line AFTER
+    the full record; json.load failed and the whole r15 history became
+    invisible to the baseline-anomaly check. The loader must fall back
+    to the FIRST JSON line."""
+    import json
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    red = bench.REDUCTION
+    full = {"queries": {"q_a": 1.0}, "sf": 0.1, "reduction": red}
+    compact = {"queries": {}, "sf": 0.1}
+    (tmp_path / "BENCH_LOCAL_r05.json").write_text(
+        json.dumps(full) + "\n" + json.dumps(compact)
+    )
+    name, doc = bench._previous_bench(0.1)
+    assert name == "BENCH_LOCAL_r05.json"
+    assert doc["queries"] == {"q_a": 1.0}
+
+
+def test_burst_contaminated_remeasure_retracts_on_second_record():
+    """r16 composition: confirm-twice keeps BOTH samples; the
+    baseline-anomaly check must anchor on the STEADIER one, so a flag
+    whose second remeasure is consistent with the second-newest record
+    retracts even when the burst-contaminated first sample would not."""
+    regs = {
+        "q_c": {
+            "prev": 0.429,
+            "remeasured": 0.866,
+            "remeasured2": 0.724,
+            "remeasure_drift": 1.12,
+        }
+    }
+    timings = {"q_c": 1.523}
+    history = [
+        ("BENCH_LOCAL_r16.json", {"queries": {"q_c": 0.429}}),
+        ("BENCH_LOCAL_r15.json", {"queries": {"q_c": 0.468}}),
+    ]
+    bench.retract_baseline_anomalies(regs, timings, history)
+    assert regs == {}  # min(0.866,0.724)/1.12 = 0.646 < 0.468*1.5
+    assert timings["q_c"] <= 0.65
 
 
 def test_every_registered_query_has_a_bench_point():
