@@ -441,6 +441,15 @@ def _round_of(path: str) -> int:
     return int(m.group(1)) if m else -1
 
 
+def _run_cpus() -> int:
+    """The core count this run executes under (the driver contract's
+    $SPARK_GRAFT_CPUS, falling back to the host)."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or (os.cpu_count() or 0))
+    except ValueError:  # pragma: no cover - malformed env
+        return os.cpu_count() or 0
+
+
 def _previous_bench(sf: float) -> tuple[str, dict] | None:
     """The best per-query baseline on disk FOR THIS SCALE FACTOR
     (VERDICT r9 task #3; per-sf selection ADVICE r11 #4).
@@ -465,7 +474,9 @@ def _previous_bench(sf: float) -> tuple[str, dict] | None:
     return hist[0] if hist else None
 
 
-def _bench_history(sf: float, limit: int = 2) -> list[tuple[str, dict]]:
+def _bench_history(
+    sf: float, limit: int = 2, any_cpus: bool = False
+) -> list[tuple[str, dict]]:
     """Up to ``limit`` newest comparable records, newest first — the
     second entry backs the BASELINE-ANOMALY check: a confirmed warm
     flag must be a regression against the last TWO independent
@@ -480,10 +491,12 @@ def _bench_history(sf: float, limit: int = 2) -> list[tuple[str, dict]]:
     candidates = sorted(
         glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
         + glob.glob(os.path.join(here, "BENCH_LOCAL_sf*_r*.json"))
+        + glob.glob(os.path.join(here, "BENCH_LOCAL_c*_r*.json"))
         + glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: (_round_of(p), "BENCH_LOCAL" in os.path.basename(p)),
         reverse=True,
     )
+    cpus = _run_cpus()
     out: list[tuple[str, dict]] = []
     for path in candidates:
         try:
@@ -492,12 +505,27 @@ def _bench_history(sf: float, limit: int = 2) -> list[tuple[str, dict]]:
             try:
                 doc = json.loads(text)
             except json.JSONDecodeError:
-                # Tolerate a record file holding extra trailing JSON
-                # lines (r16: BENCH_LOCAL_r15.json carried the compact
-                # driver line after the full record, making the WHOLE
-                # r15 history invisible to the baseline-anomaly check —
-                # every pre-r16 query silently lost its second record).
-                doc = json.loads(text.strip().splitlines()[0])
+                # Tolerate a record file holding extra JSON lines (r16:
+                # BENCH_LOCAL_r15.json carried the compact driver line
+                # after the full record, making the WHOLE r15 history
+                # invisible to the baseline-anomaly check). r17 (ADVICE
+                # r16 #2): try EVERY line and prefer the parse with the
+                # largest non-empty 'queries' map — a compact line
+                # BEFORE the full record must not win either.
+                doc = None
+                for line in text.strip().splitlines():
+                    try:
+                        cand = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if not isinstance(cand, dict):
+                        continue
+                    q = cand.get("queries")
+                    best_q = (doc or {}).get("queries") if isinstance(doc, dict) else None
+                    if isinstance(q, dict) and len(q) > len(best_q or {}):
+                        doc = cand
+                if doc is None:
+                    continue
         except (OSError, json.JSONDecodeError, IndexError):
             continue
         if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
@@ -506,6 +534,34 @@ def _bench_history(sf: float, limit: int = 2) -> list[tuple[str, dict]]:
             continue
         if doc.get("sf") not in (None, sf):
             continue  # foreign-sf record: this sf's ratchet lives elsewhere
+        if not any_cpus and doc.get("cpus") not in (None, cpus):
+            # foreign-core-count record (VERDICT r16 "what's wrong" #6:
+            # the c8 diagnostic run compared against c32 baselines and
+            # flagged shuffle-heavy queries that legitimately slow at 8
+            # cores). Each core count keeps its own ratchet; legacy
+            # records without the key still match any run.
+            continue
+        # Heal drift-poisoned write-backs in PRE-r17 records (the same
+        # clamp warm_gate now applies at write time, applied
+        # retroactively at load time): a query listed in the record's
+        # regressions_first_pass but NOT confirmed had its timing
+        # overwritten with remeasured/drift, and one burst-contaminated
+        # drift sample (3.408 in the r16 driver record) seeded
+        # baselines far below any honest steady state. The flag entry
+        # carries the query's own prev — the last accepted honest
+        # number — so clamp the loaded baseline to at least that.
+        fp = doc.get("regressions_first_pass")
+        if isinstance(fp, dict):
+            conf = doc.get("regressions") or {}
+            qs = doc["queries"]
+            for n, f in fp.items():
+                if (
+                    n not in conf
+                    and isinstance(f, dict)
+                    and isinstance(f.get("prev"), (int, float))
+                    and isinstance(qs.get(n), (int, float))
+                ):
+                    qs[n] = max(qs[n], f["prev"])
         if doc.get("reduction", "count") != REDUCTION:
             # measured under a different materialization protocol —
             # ratios against it are meaningless (count() undercharged
@@ -531,10 +587,19 @@ def _write_local(record: dict) -> None:
     rounds = [_round_of(p) for p in glob.glob(os.path.join(here, "BENCH_r*.json"))]
     n = (max(rounds) if rounds else 0) + 1
     sf = record.get("sf")
+    # Low-core diagnostic runs get their own stem (VERDICT r16 #6): the
+    # driver's c8 scaling run used to OVERWRITE the same-round c32
+    # record, clobbering the main ratchet's baseline.
+    cpus = record.get("cpus")
+    c_tag = (
+        f"c{cpus}_"
+        if cpus is not None and cpus != (os.cpu_count() or cpus)
+        else ""
+    )
     stem = (
-        f"BENCH_LOCAL_r{n:02d}.json"
+        f"BENCH_LOCAL_{c_tag}r{n:02d}.json"
         if sf in (None, 0.1)
-        else f"BENCH_LOCAL_sf{sf}_r{n:02d}.json"
+        else f"BENCH_LOCAL_{c_tag}sf{sf}_r{n:02d}.json"
     )
     try:
         with open(os.path.join(here, stem), "w") as f:
@@ -640,19 +705,51 @@ def warm_gate(
             # a burst long enough to survive two separated median-of-3
             # remeasures AND leave the sentinels flat is
             # indistinguishable from code by any local protocol.
+            # r17 (ADVICE r16 #3): the second remeasure runs minutes
+            # after the sentinel window — re-sample one sentinel so the
+            # second sample is normalized by FRESH drift, not a stale
+            # estimate that could seed an optimistically low baseline
+            # through the min() write-back (phantom flags next round).
+            drift2 = local_drift
+            if sentinels:
+                s0 = sentinels[0]
+                fresh2 = round(remeasure(s0), 3)
+                drift2 = max(1.0, fresh2 / prev_queries[s0])
+                flag["sentinel2"] = {
+                    "name": s0,
+                    "prev": prev_queries[s0],
+                    "fresh": fresh2,
+                }
             second = round(remeasure(name), 3)
             flag["remeasured2"] = second
-            if _confirms(second, flag["prev"]):
+            flag["remeasure_drift2"] = round(drift2, 3)
+            adjusted2 = second / drift2
+            if (
+                adjusted2 > flag["prev"] * REGRESSION_RATIO
+                and adjusted2 - flag["prev"] > REGRESSION_FLOOR_SEC
+            ):
                 confirmed[name] = flag
             else:
                 timings[name] = min(
-                    timings[name], round(second / local_drift, 3)
+                    timings[name],
+                    max(flag["prev"], round(second / drift2, 3)),
                 )
         else:
-            # the drift-adjusted steady-state estimate supersedes the
-            # noisy sweep sample
+            # The drift-adjusted steady-state estimate supersedes the
+            # noisy sweep sample — CLAMPED at prev (r17): a retracted
+            # flag's hypothesis was "slower than prev" and its
+            # retraction only established "not slower"; "faster than
+            # prev" was never measured by this protocol, so writing a
+            # sub-prev value manufactures a baseline no honest run can
+            # match. Observed in the r16 driver record: one sentinel
+            # window read drift 3.408 and 15 retracted queries were
+            # written back at remeasured/3.408 — phantom baselines of
+            # 0.11-0.37 s against honest steady states of 0.4-1.2 s,
+            # which made the NEXT round's first bench rc=1 on untouched
+            # code (q_curation_v5_trace, q_agg_stats).
             timings[name] = min(
-                timings[name], round(remeasured / local_drift, 3)
+                timings[name],
+                max(flag["prev"], round(remeasured / local_drift, 3)),
             )
     return confirmed, first_pass, median_ratio
 
@@ -708,11 +805,16 @@ def retract_baseline_anomalies(
         if not before2:
             continue
         flag = regressions[name]
-        # steadier of the two confirm-twice samples: a burst that
-        # contaminated ONE remeasure must not anchor the anomaly check
+        # steadier of the two confirm-twice samples, each under ITS OWN
+        # drift window (r17): a burst that contaminated ONE remeasure
+        # must not anchor the anomaly check
         fresh = min(
-            flag["remeasured"], flag.get("remeasured2", flag["remeasured"])
-        ) / flag.get("remeasure_drift", 1.0)
+            flag["remeasured"] / flag.get("remeasure_drift", 1.0),
+            flag.get("remeasured2", flag["remeasured"])
+            / flag.get(
+                "remeasure_drift2", flag.get("remeasure_drift", 1.0)
+            ),
+        )
         if not (
             fresh > before2 * REGRESSION_RATIO
             and fresh - before2 > REGRESSION_FLOOR_SEC
@@ -865,8 +967,14 @@ def main() -> None:
     # against the round's own baseline shift. The median divisor is
     # floored at 1.0 so a globally FASTER round can never mask a real
     # per-query regression.
-    history = _bench_history(sf)  # per-sf ratchet (ADVICE r11 #4)
+    history = _bench_history(sf)  # per-sf, per-core-count ratchet
     prev = history[0] if history else None
+    # foreign-cpus marker (VERDICT r16 #6): records exist at this sf
+    # but under a different core count — the gate is skipped, not
+    # failed, and the record says so.
+    baseline_foreign_cpus = bool(
+        prev is None and _bench_history(sf, limit=1, any_cpus=True)
+    )
     regressions: dict[str, dict] = {}
     record_first_pass: dict[str, dict] = {}
     cold_regressions: dict[str, dict] = {}
@@ -945,8 +1053,10 @@ def main() -> None:
                 "queries_cold": cold,
                 "maintenance": maintenance,
                 "sf": sf,
+                "cpus": _run_cpus(),
                 "reduction": REDUCTION,
                 "regression_baseline": prev[0] if prev else None,
+                "baseline_foreign_cpus": baseline_foreign_cpus,
                 "rebaselined": sorted(REBASELINED),
                 "regression_median_ratio": round(median_ratio, 3),
                 "regressions": regressions,

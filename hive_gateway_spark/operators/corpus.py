@@ -147,6 +147,16 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_report(load_tables(spark, sf_dir)["documents"])
 
 
+import weakref as _gram_weakref
+
+#: session → {semanticHash key: staged gram file} — LRU-capped (ADVICE
+#: r16 #1). Cap 4: the full corpus + the curation winner subsets in
+#: flight; these are the largest staged frames in the system, so the
+#: cap is deliberately tighter than staging.CACHE_CAP.
+_GRAM_LRU: "_gram_weakref.WeakKeyDictionary" = _gram_weakref.WeakKeyDictionary()
+_GRAM_CAP = 4
+
+
 def _gram_file(w: DataFrame) -> DataFrame:
     """The staged (doc_id, pos, h) gram inverted file over a word frame
     — shared by substring_report and substring_trim (r16 optimization,
@@ -183,7 +193,19 @@ def _gram_file(w: DataFrame) -> DataFrame:
         key = str(w.semanticHash())
     except Exception:  # pragma: no cover - non-classic session
         key = "na"
-    return stage(g, f"corpus.substring.g.{key}")
+    out = stage(g, f"corpus.substring.g.{key}")
+    # r17 (ADVICE r16 #1): the semanticHash-suffixed slots are distinct
+    # per caller plan (full corpus + each curation winner subset), so
+    # without a cap every distinct caller pinned a corpus-scale
+    # checkpoint for the session's lifetime with no supersede. Track
+    # them in a capped LRU like every other staging cache — releasing
+    # an entry also drops its stage() slot, so a re-use after eviction
+    # transparently re-stages.
+    per = _GRAM_LRU.setdefault(w.sparkSession, {})
+    per[key] = out
+    touch(per, key)
+    evict(per, _GRAM_CAP)
+    return out
 
 
 def substring_report(docs: DataFrame) -> DataFrame:

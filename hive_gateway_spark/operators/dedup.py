@@ -562,14 +562,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "key"
     )
+    # r17 (guide §2.3): the Hamming predicate is pair-local and every
+    # band-duplicate of a pair passes or fails it together, so it
+    # filters BELOW the dedup exchange — the distinct then shuffles
+    # only surviving near-dup candidates (3 narrow columns) instead of
+    # every band collision with both 8 B fingerprints attached.
     cands = (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
     # Exact verification of the (small) candidate set: shared-shingle
     # counts via two hash joins, integer Jaccard predicate (τ = 0.5).

@@ -39,20 +39,26 @@ MAGIC = b"IMGF"
 
 def _spread_ids(docs: DataFrame) -> DataFrame:
     """(doc_id) frame repartitioned for a Python kernel pass — the
-    perceptual-hash sites' size-scaled spread, factored out (r16
-    optimization round, guide §4/§2.6): the fixture is ONE parquet
-    file, so an un-repartitioned mapInPandas kernel runs as a single
-    task and every core but one idles (measured: the codec/thumb/
-    audio/video feature queries each ran their whole Python pass on
-    one core). 8 B/doc shuffles; ~300 docs/task keeps tiny inputs from
-    paying 32-task scheduling overhead; at 100 TB real file splits
-    make this a no-op-sized safety net."""
+    perceptual-hash sites' spread, factored out (r16 optimization
+    round, guide §4/§2.6): the fixture is ONE parquet file, so an
+    un-repartitioned mapInPandas kernel runs as a single task and
+    every core but one idles (measured: the codec/thumb/audio/video
+    feature queries each ran their whole Python pass on one core).
+    8 B/doc shuffles. r17 (ADVICE r16 #4): the r16 version sized the
+    repartition with an EAGER ids.count() — a Spark job during query
+    CONSTRUCTION, so plan assembly (explain, memoized builds) silently
+    executed a scan per call. Hash-repartition to the shuffle-partition
+    cap instead: construction is pure plan again, the cap is the same
+    scale-adaptive bound the count was clamped to (sized to data
+    volume on a real cluster, session.py), and the removed count job
+    costs more than the few extra sub-300-doc tasks it used to avoid.
+    Hash on doc_id, not round-robin: keyless repartition pays a local
+    sort (sortBeforeRepartition) for retry determinism."""
     ids = docs.select("doc_id")
     if docs.isStreaming:
         return ids
     cap = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    npart = max(1, min(cap, ids.count() // 300))
-    return ids.repartition(npart)
+    return ids.repartition(cap, "doc_id")
 
 DECODED_SCHEMA = T.StructType(
     [

@@ -721,33 +721,37 @@ def q_tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelates EXISTS to semi-joins anyway; the CTE keeps the
     integer-exact revenue identical) — rows/schema/values all hash.
 
-    Scale shape: one fact scan → per-order partial-combined aggregate
-    (the key is the fact's parent key), band filter drops ~70%, then
-    one hash join against the year-filtered orders and a single-row
-    global aggregate. COUNT(DISTINCT) inside the per-order aggregate
-    is exact and bounded (≤ 7 lineitems per order), never a
-    corpus-wide distinct.
+    Scale shape (r17, guide §2.3/§3.2): the year-filtered orderkeys
+    SEMI-JOIN the fact BEFORE the per-order aggregate — a semi on the
+    aggregate's own grouping key keeps whole orders intact, so every
+    surviving order's aggregate is bit-identical to aggregating first
+    and joining after, while ~6/7 of the fact never enters the
+    aggregate (locally a broadcast semi; at scale the semi's orderkey
+    shuffle is the SAME exchange the aggregate needs, so it stays one
+    shuffle and the runtime Bloom filter can prune the scan). The
+    n_supp > 1 quantifier only ever tests "≥ 2 distinct suppliers", so
+    COUNT(DISTINCT) — whose mixed-aggregate rewrite doubles the
+    exchange — is replaced by min(suppkey) != max(suppkey): same
+    predicate, one plain partial-combined aggregate, ONE exchange.
     """
     t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.year("o_orderdate") == Q42_YEAR).select("o_orderkey")
     per_order = (
         t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
+            (F.min("l_suppkey") != F.max("l_suppkey")).alias("multi_supp"),
             F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_ret"),
             (F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)) * 10000)
             .cast("bigint")
             .alias("rev_e4"),
         )
-        .filter((F.col("n_supp") > 1) & (F.col("has_ret") == 0))
+        .filter(F.col("multi_supp") & (F.col("has_ret") == 0))
     )
-    o = t["orders"].filter(F.year("o_orderdate") == Q42_YEAR).select("o_orderkey")
-    return (
-        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_orders"),
-            F.sum("rev_e4").cast("bigint").alias("total_rev_e4"),
-        )
+    return per_order.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("rev_e4").cast("bigint").alias("total_rev_e4"),
     )
 
 

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Per-query optimization profiler (r16, guide §1).
+"""Per-query optimization profiler (r16-r17, guide §1).
 
 For each named query: capture ``explain("formatted")`` to
-``plans/r16/<query>_<tag>.txt``, time one cold + median-of-3 warm runs
+``plans/<round>/<query>_<tag>.txt``, time one cold + median-of-3 warm runs
 through the noop sink (bench.py protocol), and print a one-line plan
 summary (Exchange / join strategy / Python-eval node counts) so plan
 regressions are visible next to the seconds.
@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hive_gateway_spark import registry
 from hive_gateway_spark.session import get_spark
 
-PLAN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+PLAN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("OPT_PLAN_ROUND", "r17"))
 
 
 def plan_text(df) -> str:
@@ -71,6 +71,11 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=0, help="add N slowest from BENCH_LOCAL_r16")
     ap.add_argument("--warm", type=int, default=3)
     ap.add_argument("--no-cold", action="store_true")
+    ap.add_argument(
+        "--plan-only",
+        action="store_true",
+        help="capture plans without timing (safe on a busy machine)",
+    )
     args = ap.parse_args()
 
     names = list(args.queries)
@@ -102,6 +107,10 @@ def main() -> None:
             with open(os.path.join(PLAN_DIR, f"{name}_{args.tag}.txt"), "w") as f:
                 f.write(text)
         stats = plan_stats(text)
+        if args.plan_only:
+            out[name] = {"cold": None, "warm": 0.0, **stats}
+            print(json.dumps({"q": name, **out[name]}), flush=True)
+            continue
         cold = None if args.no_cold else round(timed(fn, spark, sf_dir), 3)
         warm = round(statistics.median(timed(fn, spark, sf_dir) for _ in range(args.warm)), 3)
         out[name] = {"cold": cold, "warm": warm, **stats}

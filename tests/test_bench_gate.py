@@ -348,3 +348,135 @@ def test_single_record_history_keeps_flag():
         regressions, {"q_x": 0.8}, [("only.json", {"queries": {"q_x": 0.3}})]
     )
     assert set(regressions) == {"q_x"}
+
+
+def test_foreign_cpus_record_is_skipped(tmp_path, monkeypatch):
+    """VERDICT r16 #6: the c8 diagnostic run used to ratchet against
+    c32 baselines and flag shuffle-heavy queries that legitimately slow
+    at 8 cores. Each core count keeps its own ratchet; legacy records
+    without the key still match any run."""
+    import json
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    red = bench.REDUCTION
+    c32 = {"queries": {"q_a": 1.0}, "sf": 0.1, "reduction": red, "cpus": 32}
+    (tmp_path / "BENCH_LOCAL_r05.json").write_text(json.dumps(c32))
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert bench._previous_bench(0.1) is None  # foreign cpus: gate skips
+    # ...but the any_cpus probe sees it, so main() can set the marker
+    assert bench._bench_history(0.1, limit=1, any_cpus=True)
+    # a c8 record ratchets later c8 runs
+    c8 = {"queries": {"q_a": 2.0}, "sf": 0.1, "reduction": red, "cpus": 8}
+    (tmp_path / "BENCH_LOCAL_c8_r06.json").write_text(json.dumps(c8))
+    name, doc = bench._previous_bench(0.1)
+    assert name == "BENCH_LOCAL_c8_r06.json" and doc["cpus"] == 8
+    # and the c32 ratchet is untouched by the newer c8 record
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    name, doc = bench._previous_bench(0.1)
+    assert name == "BENCH_LOCAL_r05.json" and doc["cpus"] == 32
+    # legacy record without cpus matches any run
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "16")
+    legacy = {"queries": {"q_a": 3.0}, "sf": 0.1, "reduction": red}
+    (tmp_path / "BENCH_LOCAL_r04.json").write_text(json.dumps(legacy))
+    name, _ = bench._previous_bench(0.1)
+    assert name == "BENCH_LOCAL_r04.json"
+
+
+def test_compact_line_before_full_record_still_loads_full(
+    tmp_path, monkeypatch
+):
+    """ADVICE r16 #2: the tolerant loader retried only the FIRST line,
+    so a compact driver line BEFORE the full record silently loaded the
+    empty-queries doc. The loader must prefer the line with the largest
+    non-empty queries map, in either order."""
+    import json
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    red = bench.REDUCTION
+    full = {"queries": {"q_a": 1.0, "q_b": 2.0}, "sf": 0.1, "reduction": red}
+    compact = {"queries": {}, "sf": 0.1}
+    (tmp_path / "BENCH_LOCAL_r05.json").write_text(
+        json.dumps(compact) + "\n" + json.dumps(full)
+    )
+    name, doc = bench._previous_bench(0.1)
+    assert name == "BENCH_LOCAL_r05.json"
+    assert doc["queries"] == {"q_a": 1.0, "q_b": 2.0}
+
+
+def test_second_remeasure_uses_fresh_drift():
+    """ADVICE r16 #3: the second confirm-twice sample used the drift
+    measured BEFORE the first remeasure. A co-tenant that arrives
+    between the two windows must not confirm untouched code (or seed a
+    stale-drift-adjusted write-back): one sentinel is re-sampled before
+    the second remeasure and that FRESH drift normalizes it."""
+    prev = {"q_a": 1.0, "q_b": 1.0, "q_c": 1.0}
+    timings = {"q_a": 1.0, "q_b": 1.0, "q_c": 2.0}
+    state = {"slow": False, "c_calls": 0}
+
+    def remeasure(name):
+        if name == "q_c":
+            state["c_calls"] += 1
+            if state["c_calls"] == 1:
+                state["slow"] = True  # co-tenant arrives after sample 1
+                return 2.0
+            return 2.0  # still inside the slow window
+        return 2.0 if state["slow"] else 1.0  # sentinels track the machine
+
+    confirmed, first_pass, _ = bench.warm_gate(timings, prev, remeasure)
+    assert confirmed == {}  # fresh drift 2.0 explains the second sample
+    assert first_pass["q_c"]["remeasure_drift2"] == 2.0
+    assert timings["q_c"] <= 1.0  # write-back normalized by fresh drift
+
+
+def test_retracted_writeback_never_below_prev():
+    """r17: the r16 driver record wrote remeasured/3.408 into 15
+    retracted queries' baselines — values below any honest steady
+    state, which made the next round's first run rc=1 on untouched
+    code. A retracted flag's hypothesis was 'slower than prev'; its
+    retraction establishes 'not slower', never 'faster', so the
+    write-back is clamped at prev."""
+    prev = {"q_a": 1.0, "q_b": 1.0, "q_c": 0.589}
+    timings = {"q_a": 1.0, "q_b": 1.0, "q_c": 0.968}
+
+    def remeasure(name):
+        # burst hits the sentinel window: drift reads 3.4 while the
+        # flagged query's fresh sample is honest steady state
+        return {"q_a": 3.4, "q_b": 3.4, "q_c": 0.543}[name]
+
+    confirmed, first_pass, _ = bench.warm_gate(timings, prev, remeasure)
+    assert confirmed == {}
+    # 0.543/3.4 = 0.159 — the phantom; the clamp keeps prev instead
+    assert timings["q_c"] == 0.589
+
+
+def test_loader_heals_drift_poisoned_baselines(tmp_path, monkeypatch):
+    """r17: records written BEFORE the write-back clamp carry the
+    poison; the loader applies the same clamp retroactively using the
+    flag entry's own prev. Confirmed flags are NOT healed (their
+    timings are the real measurements)."""
+    import json
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    rec = {
+        "queries": {"q_pois": 0.159, "q_conf": 2.0, "q_ok": 0.5},
+        "sf": 0.1,
+        "reduction": bench.REDUCTION,
+        "regressions_first_pass": {
+            "q_pois": {"prev": 0.589, "now": 0.968, "remeasured": 0.543,
+                       "remeasure_drift": 3.408},
+            "q_conf": {"prev": 1.0, "now": 2.0, "remeasured": 2.0,
+                       "remeasure_drift": 1.0},
+        },
+        "regressions": {"q_conf": {"prev": 1.0, "now": 2.0}},
+    }
+    (tmp_path / "BENCH_LOCAL_r05.json").write_text(json.dumps(rec))
+    _, doc = bench._previous_bench(0.1)
+    assert doc["queries"]["q_pois"] == 0.589  # healed to its own prev
+    assert doc["queries"]["q_conf"] == 2.0    # confirmed: kept
+    assert doc["queries"]["q_ok"] == 0.5      # unflagged: kept
