@@ -2398,10 +2398,25 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers, _ = _ivf_index(spark, t, e)
     books = _pq_codebooks(spark, t)
 
-    # -- probe assignment: identical arithmetic/tie-break to q_sim_topk_ivf
-    queries = e.filter(
-        (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < QUERY_ID_CAP)
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq"))
+    # -- probe assignment: identical arithmetic/tie-break to q_sim_topk_ivf.
+    # One bounded collect serves BOTH probe routing and the ADC tables:
+    # the query block is read from the raw parquet with vq recomputed via
+    # vec_q (deterministic round → identical int64s to e's checkpointed v,
+    # so the cdot fold is bit-identical), and the raw embedding rides
+    # along so the old second collect job (full embeddings re-scan) is
+    # gone — ≤ MAX_QUERIES · IVF_PROBES rows either way (guide §1.2/§2.3).
+    queries = (
+        t["embeddings"]
+        .filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("vec_id") < QUERY_ID_CAP)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            vec_q("embedding").alias("vq"),
+        )
+    )
     cdot = F.expr(
         "aggregate(zip_with(vq, center, (x, y) -> CAST(x AS DOUBLE) * y), "
         "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
@@ -2409,27 +2424,21 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = W.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
     probed = (
         queries.join(F.broadcast(centers))
-        .select("query_id", "cell", cdot.alias("cdot"))
+        .select("query_id", "embedding", "cell", cdot.alias("cdot"))
         .withColumn("cell_rank", F.row_number().over(wq))
         .filter(F.col("cell_rank") <= IVF_PROBES)
-        .select("query_id", "cell")
+        .select("query_id", "embedding", "cell")
         .collect()  # bounded: ≤ MAX_QUERIES · IVF_PROBES rows
     )
 
     # -- per-query ADC tables from the raw float embeddings (the same
     # normalize → subspace-dot construction as _pq_adc_scored, same
     # zero-norm guard), sliced into per-cell blocks for the broadcast
-    q_rows = (
-        t["embeddings"]
-        .filter(
-            (F.col("vec_id") % QUERY_STRIDE == 0)
-            & (F.col("vec_id") < QUERY_ID_CAP)
-        )
-        .select("vec_id", "embedding")
-        .collect()  # bounded: ≤ MAX_QUERIES rows
-    )
-    qids_all = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    emb_of: dict[int, list] = {}
+    for r in probed:
+        emb_of.setdefault(int(r["query_id"]), r["embedding"])
+    qids_all = np.asarray(sorted(emb_of), dtype=np.int64)
+    Q = np.asarray([emb_of[int(q)] for q in qids_all], dtype=np.float64)
     nrm = np.linalg.norm(Q, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
     Q /= nrm
@@ -2470,6 +2479,12 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(
             score_cells, "query_id bigint, neighbor_id bigint, adc_sim double"
         )
+        # One exchange serves both the dedup and the shortlist window:
+        # hash(query_id) clusters every (query, neighbor) pair AND the
+        # window's partition key, so EnsureRequirements adds nothing for
+        # either — previously dropDuplicates shuffled on (q, n) and the
+        # window re-shuffled on q (2 Exchange → 1, guide §2.1).
+        .repartition("query_id")
         # multi-assignment: the same (query, neighbor) can meet in up
         # to min(assign, probes) cells with identical ADC sim
         .dropDuplicates(["query_id", "neighbor_id"])
