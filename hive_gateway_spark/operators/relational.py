@@ -59,9 +59,13 @@ _E_SHIFT = 20
 _E_MASK = (1 << _E_SHIFT) - 1
 
 
-def e_units(col, scale: int = 2):
-    """Per-row exact BIGINT in 10^scale units of dec(col, scale)."""
-    return (dec(col, scale) * (10**scale)).cast("bigint")
+def e_units(col, scale: int = 2, prec: int = 18):
+    """Per-row exact BIGINT in 10^scale units of the decimal(prec,scale)
+    cast. The per-row cast keeps the oracle's HALF_UP rounding; prec>18
+    callers must argue their per-row e-values fit a bigint — ANSI
+    throws loudly if one ever doesn't."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast(f"decimal({prec},{scale})") * (10**scale)).cast("bigint")
 
 
 def e_hi(e):

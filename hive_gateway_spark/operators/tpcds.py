@@ -73,7 +73,11 @@ def q_tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     l = t["lineitem"].filter(F.month("l_shipdate") == DS_MOY)
-    rev_e4 = e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    # r17: the e-unit rewrite (§2.2) was applied, measured 1.3x SLOWER
+    # here (0.45 -> 0.59 warm — the month-filtered input is too small
+    # for the buffer penalty to dominate the split's per-row work, and
+    # the single-bigint envelope is marginal for 175 skewable groups),
+    # and reverted. The decimal spelling stays.
     return (
         l.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
@@ -81,17 +85,10 @@ def q_tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("sales_year"),
             "p_brand",
         )
-        # r17 (§2.2): split bigint e4 sums (a skewed brand-year group
-        # could exceed single-bigint headroom at 100 TB) — vectorized
-        # buffer, exact recombination per group; see e_units.
         .agg(
-            F.sum(e_hi(rev_e4)).alias("r_hi"),
-            F.sum(e_lo(rev_e4)).alias("r_lo"),
-        )
-        .select(
-            "sales_year",
-            "p_brand",
-            e_double(e_total(F.col("r_hi"), F.col("r_lo")), 4).alias("sum_agg"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("sum_agg")
         )
         .orderBy(
             F.col("sales_year").asc(), F.col("sum_agg").desc(), F.col("p_brand").asc()
