@@ -534,12 +534,17 @@ def _bench_history(
             continue
         if doc.get("sf") not in (None, sf):
             continue  # foreign-sf record: this sf's ratchet lives elsewhere
-        if not any_cpus and doc.get("cpus") not in (None, cpus):
-            # foreign-core-count record (VERDICT r16 "what's wrong" #6:
-            # the c8 diagnostic run compared against c32 baselines and
-            # flagged shuffle-heavy queries that legitimately slow at 8
-            # cores). Each core count keeps its own ratchet; legacy
-            # records without the key still match any run.
+        # foreign-core-count record (VERDICT r16 "what's wrong" #6: the
+        # c8 diagnostic run compared against c32 baselines and flagged
+        # shuffle-heavy queries that legitimately slow at 8 cores).
+        # Each core count keeps its own ratchet. A legacy record
+        # without the key was recorded on the full machine, so it
+        # matches only full-machine runs — "matches any run" let an
+        # r17 c8 diagnostic ratchet against the c32 r16 record and
+        # exit rc=1 on the mapInPandas family (honestly ~2x slower at
+        # 1/4 the cores).
+        rec_cpus = doc.get("cpus") or (os.cpu_count() or cpus)
+        if not any_cpus and rec_cpus != cpus:
             continue
         # Heal drift-poisoned write-backs in PRE-r17 records (the same
         # clamp warm_gate now applies at write time, applied

@@ -187,8 +187,11 @@ def test_previous_bench_selects_same_sf_baseline(tmp_path, monkeypatch):
         bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
     )
     red = bench.REDUCTION
-    old = {"queries": {"q_a": 1.0}, "sf": 0.1, "reduction": red}
-    foreign = {"queries": {"q_a": 0.1}, "sf": 0.01, "reduction": red}
+    cpus = bench._run_cpus()
+    old = {"queries": {"q_a": 1.0}, "sf": 0.1, "reduction": red, "cpus": cpus}
+    foreign = {
+        "queries": {"q_a": 0.1}, "sf": 0.01, "reduction": red, "cpus": cpus
+    }
     (tmp_path / "BENCH_LOCAL_r05.json").write_text(json.dumps(old))
     (tmp_path / "BENCH_LOCAL_sf0.01_r06.json").write_text(json.dumps(foreign))
     name, doc = bench._previous_bench(0.1)
@@ -200,14 +203,41 @@ def test_previous_bench_selects_same_sf_baseline(tmp_path, monkeypatch):
     # reduction, marker-less) are skipped — ratios across protocols are
     # meaningless, the ratchet re-seeds
     (tmp_path / "BENCH_LOCAL_r07.json").write_text(
-        json.dumps({"queries": {"q_a": 2.0}, "sf": 1.0})
+        json.dumps({"queries": {"q_a": 2.0}, "sf": 1.0, "cpus": cpus})
     )
     assert bench._previous_bench(1.0) is None
     (tmp_path / "BENCH_LOCAL_r08.json").write_text(
-        json.dumps({"queries": {"q_a": 2.0}, "sf": 1.0, "reduction": red})
+        json.dumps(
+            {"queries": {"q_a": 2.0}, "sf": 1.0, "reduction": red, "cpus": cpus}
+        )
     )
     name, _ = bench._previous_bench(1.0)
     assert name == "BENCH_LOCAL_r08.json"
+
+
+def test_legacy_cpusless_record_is_full_machine_only(tmp_path, monkeypatch):
+    """r17: a record WITHOUT a cpus key was recorded on the full
+    machine. It must match full-machine runs and be SKIPPED by a
+    low-core diagnostic run — 'matches any run' let an r17 c8 run
+    ratchet against the c32 r16 record and rc=1 on the mapInPandas
+    family (honestly ~2x slower at 1/4 the cores)."""
+    import json
+    import os
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    red = bench.REDUCTION
+    legacy = {"queries": {"q_a": 1.0}, "sf": 0.1, "reduction": red}
+    (tmp_path / "BENCH_LOCAL_r05.json").write_text(json.dumps(legacy))
+    full = str(os.cpu_count() or 8)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", full)
+    name, _ = bench._previous_bench(0.1)
+    assert name == "BENCH_LOCAL_r05.json"  # full-machine run: matches
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", str(max(2, (os.cpu_count() or 8) // 4)))
+    assert bench._previous_bench(0.1) is None  # low-core run: re-seeds
+    # any_cpus=True (the foreign-cpus marker probe) still sees it
+    assert bench._bench_history(0.1, limit=1, any_cpus=True)
 
 
 def test_multiline_record_file_is_still_readable(tmp_path, monkeypatch):
@@ -221,7 +251,12 @@ def test_multiline_record_file_is_still_readable(tmp_path, monkeypatch):
         bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
     )
     red = bench.REDUCTION
-    full = {"queries": {"q_a": 1.0}, "sf": 0.1, "reduction": red}
+    full = {
+        "queries": {"q_a": 1.0},
+        "sf": 0.1,
+        "reduction": red,
+        "cpus": bench._run_cpus(),
+    }
     compact = {"queries": {}, "sf": 0.1}
     (tmp_path / "BENCH_LOCAL_r05.json").write_text(
         json.dumps(full) + "\n" + json.dumps(compact)
@@ -353,8 +388,9 @@ def test_single_record_history_keeps_flag():
 def test_foreign_cpus_record_is_skipped(tmp_path, monkeypatch):
     """VERDICT r16 #6: the c8 diagnostic run used to ratchet against
     c32 baselines and flag shuffle-heavy queries that legitimately slow
-    at 8 cores. Each core count keeps its own ratchet; legacy records
-    without the key still match any run."""
+    at 8 cores. Each core count keeps its own ratchet; a legacy record
+    without the key counts as a full-machine record (see
+    test_legacy_cpusless_record_is_full_machine_only)."""
     import json
 
     monkeypatch.setattr(
@@ -376,12 +412,14 @@ def test_foreign_cpus_record_is_skipped(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
     name, doc = bench._previous_bench(0.1)
     assert name == "BENCH_LOCAL_r05.json" and doc["cpus"] == 32
-    # legacy record without cpus matches any run
+    # legacy record without cpus is full-machine-only: invisible to a
+    # 16-core diagnostic run, exactly like the explicit c32 record
+    # (r17 — 'matches any run' let a c8 run ratchet against the c32
+    # r16 record and exit rc=1 on honestly-slower kernels)
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "16")
     legacy = {"queries": {"q_a": 3.0}, "sf": 0.1, "reduction": red}
     (tmp_path / "BENCH_LOCAL_r04.json").write_text(json.dumps(legacy))
-    name, _ = bench._previous_bench(0.1)
-    assert name == "BENCH_LOCAL_r04.json"
+    assert bench._previous_bench(0.1) is None  # 16-core ratchet re-seeds
 
 
 def test_compact_line_before_full_record_still_loads_full(
@@ -397,7 +435,12 @@ def test_compact_line_before_full_record_still_loads_full(
         bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
     )
     red = bench.REDUCTION
-    full = {"queries": {"q_a": 1.0, "q_b": 2.0}, "sf": 0.1, "reduction": red}
+    full = {
+        "queries": {"q_a": 1.0, "q_b": 2.0},
+        "sf": 0.1,
+        "reduction": red,
+        "cpus": bench._run_cpus(),
+    }
     compact = {"queries": {}, "sf": 0.1}
     (tmp_path / "BENCH_LOCAL_r05.json").write_text(
         json.dumps(compact) + "\n" + json.dumps(full)
@@ -467,6 +510,7 @@ def test_loader_heals_drift_poisoned_baselines(tmp_path, monkeypatch):
         "queries": {"q_pois": 0.159, "q_conf": 2.0, "q_ok": 0.5},
         "sf": 0.1,
         "reduction": bench.REDUCTION,
+        "cpus": bench._run_cpus(),
         "regressions_first_pass": {
             "q_pois": {"prev": 0.589, "now": 0.968, "remeasured": 0.543,
                        "remeasure_drift": 3.408},
